@@ -1,0 +1,736 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps, Transforms, VectorOps}
+import graft.sources.Ingest
+
+/** Single source of truth: every registered query, colocated with its
+  * DuckDB oracle SQL (SparkEntry derives its maps from `all`).
+  *
+  * Determinism contract with the oracle (the driver hash-compares values):
+  *  - money/quantity sums go through DECIMAL (exact, order-independent),
+  *    final cast to DOUBLE;
+  *  - raw doubles are passed through untouched or combined with the same
+  *    single IEEE expression on both sides;
+  *  - vector math is quantized to integer-valued doubles first, so dots
+  *    and norms are exact in any accumulation order;
+  *  - hashes are md5 (portable), never Spark's murmur `hash()`;
+  *  - every query and oracle ends in the same total ORDER BY;
+  *  - counts are cast to BIGINT on both sides.
+  */
+case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Ingest.table(s, dir, name)
+
+  /** Exact-cents rendering in DuckDB, mirroring Transforms.centsString. */
+  private def sqlCents(c: String): String =
+    s"CAST(CAST(round($c*100,0) AS BIGINT) AS VARCHAR)"
+
+  // ==========================================================================
+  // q00 — flagship: full bronze→silver reference pipeline (E2), SURVEY.md §7.2
+  // ==========================================================================
+  val q00: Q = Q(
+    "q00_silver_pipeline",
+    (s, dir) => {
+      val bronze = Ingest.bronzeFromTpch(t(s, dir, "lineitem"), t(s, dir, "orders"))
+      val silver = Ingest.toSilver(Ingest.flattenBronze(bronze))
+      val inBatch = Dedup.exact(silver, Seq("checksum")) // F3 (no-op on unique keys)
+      val ledger = silver.filter(substring(col("checksum"), 1, 1) === "0")
+      val surviving = Dedup.againstLedger(inBatch, ledger) // F1 two-stage
+      surviving.groupBy(col("company_id"))
+        .agg(
+          count(lit(1)).as("n_tx"),
+          Transforms.exactSum(col("amount")).as("total_amount"),
+          countDistinct(col("account_number")).as("n_accounts"))
+        .orderBy(col("company_id"))
+    },
+    Some(s"""
+      |WITH s0 AS (
+      |  SELECT 'company-' || CAST(o_custkey % 10 AS VARCHAR) AS company_id,
+      |         CAST(o_custkey AS VARCHAR) AS account_number,
+      |         l_extendedprice AS amount,
+      |         md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+      |             || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)
+      |             || '-' || strftime(l_shipdate, '%Y%m%d')
+      |             || '-' || ${sqlCents("l_quantity")} || '-' || ${sqlCents("l_extendedprice")}
+      |             || '-' || l_returnflag || '-' || l_linestatus) AS checksum,
+      |         md5(strftime(l_shipdate, '%Y-%m-%d')
+      |             || l_returnflag || ' ' || l_linestatus || ' ' || CAST(l_partkey AS VARCHAR)
+      |             || ${sqlCents("l_extendedprice")} || ${sqlCents("l_quantity")}) AS etl_checksum
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |s AS (SELECT DISTINCT * FROM s0),
+      |ledger AS (SELECT * FROM s0 WHERE substr(checksum, 1, 1) = '0'),
+      |surv AS (
+      |  SELECT * FROM s b
+      |  WHERE NOT EXISTS (SELECT 1 FROM ledger l
+      |          WHERE l.company_id = b.company_id AND l.checksum = b.checksum)
+      |    AND NOT EXISTS (SELECT 1 FROM ledger l
+      |          WHERE l.company_id = b.company_id AND l.etl_checksum = b.etl_checksum))
+      |SELECT company_id, COUNT(*) AS n_tx,
+      |       CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+      |       COUNT(DISTINCT account_number) AS n_accounts
+      |FROM surv GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
+  // ==========================================================================
+  // §2.7 aggregations / windows / sorts / set ops
+  // ==========================================================================
+  val q01: Q = Q(
+    "q01_pricing_summary",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Transforms.exactSum(col("l_quantity")).as("sum_qty"),
+          Transforms.exactSum(col("l_extendedprice")).as("sum_base_price"),
+          sum(Transforms.discountedPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin.trim))
+
+  val q02: Q = Q(
+    "q02_top_orders",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""
+      |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+      |""".stripMargin.trim))
+
+  val q03: Q = Q(
+    "q03_revenue_by_segment",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(Transforms.discountedPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      |SELECT c_mktsegment,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
+  val q04: Q = Q(
+    "q04_running_balance",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+            .cast("double").as("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      |SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+      |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber
+      |""".stripMargin.trim))
+
+  val q05: Q = Q(
+    "q05_latest_per_part",
+    (s, dir) => {
+      val order = Seq(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
+      Dedup.firstWriterWins(t(s, dir, "lineitem"), Seq("l_partkey"), order)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("l_partkey"))
+    },
+    Some("""
+      |SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+      |    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+      |  FROM lineitem) WHERE rn = 1 ORDER BY l_partkey
+      |""".stripMargin.trim))
+
+  val q06: Q = Q(
+    "q06_customers_no_orders",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      |SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey
+      |""".stripMargin.trim))
+
+  val q07: Q = Q(
+    "q07_customers_open_orders",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      |SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |ORDER BY c_custkey
+      |""".stripMargin.trim))
+
+  val q08: Q = Q(
+    "q08_setops_suppliers",
+    (s, dir) => {
+      val shipping = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("suppkey")).distinct()
+      val positive = t(s, dir, "supplier").filter(col("s_acctbal") > 0)
+        .select(col("s_suppkey").cast("long").as("suppkey"))
+      shipping.intersect(positive).withColumn("op", lit("intersect"))
+        .union(shipping.except(positive).withColumn("op", lit("except")))
+        .orderBy(col("op"), col("suppkey"))
+    },
+    Some("""
+      |SELECT suppkey, 'intersect' AS op FROM (
+      |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS suppkey FROM lineitem
+      |  INTERSECT SELECT CAST(s_suppkey AS BIGINT) FROM supplier WHERE s_acctbal > 0)
+      |UNION ALL
+      |SELECT suppkey, 'except' AS op FROM (
+      |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS suppkey FROM lineitem
+      |  EXCEPT SELECT CAST(s_suppkey AS BIGINT) FROM supplier WHERE s_acctbal > 0)
+      |ORDER BY op, suppkey
+      |""".stripMargin.trim))
+
+  // ==========================================================================
+  // Reference-parity transforms (S1/S5, T1–T5, F1) — SURVEY.md §2.1–2.3
+  // ==========================================================================
+  val q10: Q = Q(
+    "q10_flatten_roundtrip",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val nested = li.groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))).as("lines"))
+      nested.select(col("l_orderkey"), explode(col("lines")).as("l"))
+        .select(col("l_orderkey"), col("l.l_linenumber").as("l_linenumber"),
+          col("l.l_quantity").as("l_quantity"),
+          col("l.l_extendedprice").as("l_extendedprice"),
+          col("l.l_returnflag").as("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |FROM lineitem ORDER BY 1, 2
+      |""".stripMargin.trim))
+
+  val q11: Q = Q(
+    "q11_etl_checksum",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))).as("checksum"),
+          Transforms.etlChecksum(
+            date_format(col("l_shipdate"), "yyyy-MM-dd"),
+            col("l_returnflag"),
+            Transforms.centsString(col("l_quantity")),
+            Transforms.centsString(col("l_extendedprice"))).as("etl_checksum"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some(s"""
+      |SELECT l_orderkey, l_linenumber,
+      |  md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS checksum,
+      |  md5(strftime(l_shipdate, '%Y-%m-%d') || l_returnflag
+      |      || ${sqlCents("l_quantity")} || ${sqlCents("l_extendedprice")}) AS etl_checksum
+      |FROM lineitem ORDER BY 1, 2
+      |""".stripMargin.trim))
+
+  val q12: Q = Q(
+    "q12_date_normalize",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Ingest.mixedDateString(col("l_shipdate"),
+            col("l_orderkey") + col("l_linenumber")).as("raw_date"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("raw_date"),
+          Transforms.normalizeDate(col("raw_date")).as("norm_date"),
+          Transforms.normalizeDateString(col("raw_date")).as("norm_str"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      |SELECT l_orderkey, l_linenumber,
+      |  CASE (l_orderkey + l_linenumber) % 4
+      |    WHEN 0 THEN strftime(l_shipdate, '%Y-%m-%d')
+      |    WHEN 1 THEN strftime(l_shipdate, '%d-%m-%Y')
+      |    WHEN 2 THEN strftime(l_shipdate, '%Y/%m/%d')
+      |    ELSE strftime(l_shipdate, '%d/%m/%Y') END AS raw_date,
+      |  CAST(l_shipdate AS DATE) AS norm_date,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS norm_str
+      |FROM lineitem ORDER BY 1, 2
+      |""".stripMargin.trim))
+
+  val q13: Q = Q(
+    "q13_metadata_roundtrip",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          map_from_entries(array(
+            struct(lit("flag").as("key"), col("l_returnflag").as("value")),
+            struct(lit("status").as("key"), col("l_linestatus").as("value")))).as("md"))
+        .select(col("l_orderkey"), col("l_linenumber"), explode(col("md")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("key")),
+    Some("""
+      |SELECT * FROM (
+      |  SELECT l_orderkey, l_linenumber, 'flag' AS "key", l_returnflag AS "value" FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'status' AS "key", l_linestatus AS "value" FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber, "key"
+      |""".stripMargin.trim))
+
+  val q14: Q = Q(
+    "q14_ledger_dedup",
+    (s, dir) => {
+      val batch = t(s, dir, "lineitem").select(
+        concat(lit("c"), col("l_orderkey") % 5).as("company_id"),
+        md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))).as("checksum"),
+        md5(concat_ws("-", lit("e"), col("l_orderkey"), col("l_linenumber"))).as("etl_checksum"),
+        col("l_orderkey"), col("l_linenumber"))
+      val ledger = batch.filter(col("l_orderkey") % 7 === 0).select(
+        col("company_id"),
+        when(col("l_orderkey") % 2 === 0, col("checksum")).otherwise(lit("x")).as("checksum"),
+        when(col("l_orderkey") % 2 === 1, col("etl_checksum")).otherwise(lit("y")).as("etl_checksum"))
+      Dedup.againstLedger(batch, ledger)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      |WITH batch AS (
+      |  SELECT 'c' || CAST(l_orderkey % 5 AS VARCHAR) AS company_id,
+      |    md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS checksum,
+      |    md5('e-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)) AS etl_checksum,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |ledger AS (
+      |  SELECT company_id,
+      |    CASE WHEN l_orderkey % 2 = 0 THEN checksum ELSE 'x' END AS checksum,
+      |    CASE WHEN l_orderkey % 2 = 1 THEN etl_checksum ELSE 'y' END AS etl_checksum
+      |  FROM batch WHERE l_orderkey % 7 = 0)
+      |SELECT b.l_orderkey, b.l_linenumber FROM batch b
+      |WHERE NOT EXISTS (SELECT 1 FROM ledger l
+      |        WHERE l.company_id = b.company_id AND l.checksum = b.checksum)
+      |  AND NOT EXISTS (SELECT 1 FROM ledger l
+      |        WHERE l.company_id = b.company_id AND l.etl_checksum = b.etl_checksum)
+      |ORDER BY 1, 2
+      |""".stripMargin.trim))
+
+  val q15: Q = Q(
+    "q15_partition_paths",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val path = concat(
+        lit("year=2024/month="), col("l_orderkey") % 12 + 1,
+        lit("/day="), col("l_linenumber"),
+        lit("/company_id=c"), col("l_suppkey"),
+        lit("/part.parquet"))
+      val m = Ingest.parsePartitionPath(path)
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          try_element_at(m, lit("year")).as("year"),
+          try_element_at(m, lit("month")).as("month"),
+          try_element_at(m, lit("company_id")).as("company_id"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      |SELECT l_orderkey, l_linenumber, '2024' AS "year",
+      |  CAST(l_orderkey % 12 + 1 AS VARCHAR) AS "month",
+      |  'c' || CAST(l_suppkey AS VARCHAR) AS company_id
+      |FROM lineitem ORDER BY 1, 2
+      |""".stripMargin.trim))
+
+  // ==========================================================================
+  // Similarity / anomaly surface (A1–A3) — SURVEY.md §2.4
+  // ==========================================================================
+  val q16: Q = Q(
+    "q16_pair_similarity",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_custkey").as("id1"), col("c_acctbal").as("bal1"),
+        col("c_nationkey").as("nat1"), col("c_mktsegment").as("seg"))
+      val b = c.select(col("c_custkey").as("id2"), col("c_acctbal").as("bal2"),
+        col("c_nationkey").as("nat2"), col("c_mktsegment").as("seg"))
+      val score = Similarity.weightedScore(
+        Similarity.exactMatch(col("nat1"), col("nat2")),
+        Similarity.numericCloseness(col("bal1"), col("bal2")),
+        lit(1.0))
+      a.join(b, "seg").filter(col("id1") < col("id2"))
+        .withColumn("similarity_score", score)
+        .filter(col("similarity_score") >= 0.9)
+        .select(col("id1"), col("id2"), col("similarity_score"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |  (CASE WHEN a.c_nationkey = b.c_nationkey THEN 1.0 ELSE 0.0 END) * 0.8
+      |  + (CASE WHEN a.c_acctbal = b.c_acctbal THEN 1.0
+      |          ELSE 1.0 - abs(a.c_acctbal - b.c_acctbal)
+      |               / greatest(abs(a.c_acctbal), abs(b.c_acctbal)) END) * 0.1
+      |  + 1.0 * 0.1 AS similarity_score
+      |FROM customer a JOIN customer b
+      |  ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey < b.c_custkey
+      |WHERE (CASE WHEN a.c_nationkey = b.c_nationkey THEN 1.0 ELSE 0.0 END) * 0.8
+      |  + (CASE WHEN a.c_acctbal = b.c_acctbal THEN 1.0
+      |          ELSE 1.0 - abs(a.c_acctbal - b.c_acctbal)
+      |               / greatest(abs(a.c_acctbal), abs(b.c_acctbal)) END) * 0.1
+      |  + 1.0 * 0.1 >= 0.9
+      |ORDER BY id1, id2
+      |""".stripMargin.trim))
+
+  val q17: Q = Q(
+    "q17_lsh_neardup",
+    (s, dir) => Similarity.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text", 0.6)
+      .orderBy(col("id1"), col("id2")),
+    None) // spark.ml MinHash is not reproducible in ANSI SQL → rows-only check
+
+  val q18: Q = Q(
+    "q18_tfidf_pairs",
+    (s, dir) => Similarity.tfidfCosinePairs(t(s, dir, "documents"),
+      "doc_id", "text", "lang", 0.5).orderBy(col("id1"), col("id2")),
+    None) // IDF weights not expressible in DuckDB → rows-only check
+
+  // ==========================================================================
+  // Text analysis / dedup families — builder-prompt LLM-pipeline operators
+  // ==========================================================================
+  val q20: Q = Q(
+    "q20_doc_dedup_exact",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy(col("keep_id")),
+    Some("""
+      |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY keep_id
+      |""".stripMargin.trim))
+
+  val q21: Q = Q(
+    "q21_text_quality",
+    (s, dir) =>
+      TextOps.qualityMetrics(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+          col("stopword_ratio"), col("alpha_ratio"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      |WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks,
+      |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+      |    CAST(length(text) AS DOUBLE) AS n_chars
+      |  FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE n_alpha / CAST(len(toks) AS DOUBLE) END AS mean_token_len,
+      |  CASE WHEN len(toks) = 0 THEN 0.0
+      |       ELSE CAST(len(list_filter(toks, t -> list_contains(
+      |              ['the','a','of','and','to','in','is','for','on','with'], t))) AS DOUBLE)
+      |            / CAST(len(toks) AS DOUBLE) END AS stopword_ratio,
+      |  CASE WHEN n_chars = 0 THEN 0.0 ELSE n_alpha / n_chars END AS alpha_ratio
+      |FROM d ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  val q22: Q = Q(
+    "q22_langid",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          TextOps.predictLang(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id")),
+    Some("""
+      |WITH d AS (
+      |  SELECT doc_id, lang AS labeled_lang,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, labeled_lang,
+      |    len(list_filter(toks, t -> list_contains(['the','and','of'], t))) AS s_en,
+      |    len(list_filter(toks, t -> list_contains(['el','la','de'], t))) AS s_es,
+      |    len(list_filter(toks, t -> list_contains(['der','die','und'], t))) AS s_de
+      |  FROM d)
+      |SELECT doc_id, labeled_lang,
+      |  CASE WHEN greatest(s_en, s_es, s_de) = 0 THEN 'und'
+      |       WHEN s_en = greatest(s_en, s_es, s_de) THEN 'en'
+      |       WHEN s_es = greatest(s_en, s_es, s_de) THEN 'es'
+      |       ELSE 'de' END AS pred_lang
+      |FROM sc ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  val q23: Q = Q(
+    "q23_token_counts",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+          TextOps.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+    Some("""
+      |SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpeish,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  val q24: Q = Q(
+    "q24_minhash_neardup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+          TextOps.wordBigrams(TextOps.tokens(col("text"))).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val sig = base.withColumn("sig", TextOps.minhashSignature(col("sh"), 8))
+      val banded = sig.select(col("doc_id"),
+        posexplode(TextOps.lshBandKeys(col("sig"), 4, 2)).as(Seq("band", "bkey")))
+      val cand = banded.alias("x").join(banded.alias("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+      val withSets = cand
+        .join(base.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(base.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      withSets.withColumn("jaccard", TextOps.jaccard(col("sh1"), col("sh2")))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      |WITH base AS (
+      |  SELECT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      list_distinct(CASE WHEN len(toks) < 2 THEN []
+      |        ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS sh
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |          FROM documents))
+      |  WHERE len(sh) > 0),
+      |sig AS (
+      |  SELECT doc_id, sh,
+      |    [list_min(list_transform(sh, s -> md5('0|' || s))),
+      |     list_min(list_transform(sh, s -> md5('1|' || s))),
+      |     list_min(list_transform(sh, s -> md5('2|' || s))),
+      |     list_min(list_transform(sh, s -> md5('3|' || s))),
+      |     list_min(list_transform(sh, s -> md5('4|' || s))),
+      |     list_min(list_transform(sh, s -> md5('5|' || s))),
+      |     list_min(list_transform(sh, s -> md5('6|' || s))),
+      |     list_min(list_transform(sh, s -> md5('7|' || s)))] AS sg
+      |  FROM base),
+      |banded AS (
+      |  SELECT doc_id, 0 AS band, sg[1] || sg[2] AS bkey FROM sig UNION ALL
+      |  SELECT doc_id, 1, sg[3] || sg[4] FROM sig UNION ALL
+      |  SELECT doc_id, 2, sg[5] || sg[6] FROM sig UNION ALL
+      |  SELECT doc_id, 3, sg[7] || sg[8] FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |j AS (
+      |  SELECT id1, id2,
+      |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) END AS jaccard
+      |  FROM cand
+      |  JOIN base a ON a.doc_id = id1
+      |  JOIN base b ON b.doc_id = id2)
+      |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id1, id2
+      |""".stripMargin.trim))
+
+  val q25: Q = Q(
+    "q25_simhash",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.simhash32(TextOps.tokens(col("text"))).as("simhash"))
+        .orderBy(col("doc_id")),
+    None) // 32 bit-vote aggregates are expressible but unwieldy in SQL → unit-tested instead
+
+  // ==========================================================================
+  // Similarity search over embeddings (ANN)
+  // ==========================================================================
+  private def annOracle(bucketed: Boolean): String = {
+    val bucketExpr = (1 to 8).map(i =>
+      s"CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val joinCond = if (bucketed) "q.bucket = c.bucket AND qid <> cid" else "qid <> cid"
+    s"""
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings),
+      |eb AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+      |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM eb WHERE vec_id < 5),
+      |c AS (SELECT vec_id AS cid, v AS cv, bucket FROM eb),
+      |scored AS (
+      |  SELECT qid, cid,
+      |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS dp,
+      |    list_sum(list_transform(qv, x -> x * x)) AS nq,
+      |    list_sum(list_transform(cv, x -> x * x)) AS nc
+      |  FROM q JOIN c ON $joinCond),
+      |cs AS (
+      |  SELECT qid AS query_id, cid AS neighbor_id,
+      |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dp / (sqrt(nq) * sqrt(nc)) END AS cosine_sim
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cosine_sim FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine_sim DESC, neighbor_id) AS rn FROM cs)
+      |WHERE rn <= 10 ORDER BY query_id, cosine_sim DESC, neighbor_id
+      |""".stripMargin.trim
+  }
+
+  val q26: Q = Q(
+    "q26_ann_brute_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorOps.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
+    },
+    Some(annOracle(bucketed = false)))
+
+  val q27: Q = Q(
+    "q27_ann_lsh_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorOps.bucketedTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
+    },
+    Some(annOracle(bucketed = true)))
+
+  // ==========================================================================
+  // Events: sessionization, tumbling rollup, distinct stats, multimodal stub
+  // ==========================================================================
+  val q30: Q = Q(
+    "q30_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = lit(30L * 60 * 1000 * 1000)
+      val e = Ingest.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""
+      |WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |e AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM ev),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+      |                 THEN 1 ELSE 0 END AS new_sess FROM e),
+      |g AS (
+      |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |       MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM g GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin.trim))
+
+  val q31: Q = Q(
+    "q31_hourly_rollup",
+    (s, dir) =>
+      Ingest.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Transforms.exactSum(col("value")).as("sum_value"))
+        .orderBy(col("hour"), col("event_type")),
+    Some("""
+      |SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin.trim))
+
+  val q32: Q = Q(
+    "q32_distinct_stats",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      |SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
+  val q33: Q = Q(
+    "q33_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy(col("l_returnflag")),
+    None) // HLL sketch values are engine-specific → rows-only check
+
+  val q34: Q = Q(
+    "q34_media_decode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media_bytes"))
+      Multimodal.decodeMedia(docs, "doc_id", "media_bytes").toDF()
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+      |  CAST(strlen(text) % 640 AS BIGINT) AS width,
+      |  CAST((strlen(text) * 7) % 480 AS BIGINT) AS height,
+      |  CAST(strlen(text) % 30 AS BIGINT) AS n_frames,
+      |  lower(hex(substr(text, 1, 8))) AS head_hex
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Registration order = SURVEY.md §2 inventory order. */
+  val all: Seq[Q] = Seq(
+    q00, q01, q02, q03, q04, q05, q06, q07, q08,
+    q10, q11, q12, q13, q14, q15,
+    q16, q17, q18,
+    q20, q21, q22, q23, q24, q25,
+    q26, q27,
+    q30, q31, q32, q33, q34)
+}

@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries`/`oracleSql` are derived from the colocated registry in
+  * [[Queries]] so a query and its oracle can never drift apart.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (SURVEY.md §7.2): the full bronze→silver reference
+    * pipeline E2 — build nested bronze, flatten (S1), transform to the
+    * 16-field silver record (T1–T5), dedup in-batch (F3) and against the
+    * ledger (F1), aggregate per company. Driver smoke-checks rows>0 on
+    * sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q00.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all.map(q => q.name -> q.fn).toMap
+
+  /** DuckDB-equivalent SQL for every SQL-expressible query; omitted keys
+    * (spark.ml LSH/TF-IDF, HLL sketches, simhash) get the driver's
+    * weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    Queries.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

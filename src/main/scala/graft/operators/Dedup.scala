@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dedup / anti-join filters (SURVEY.md §2.3, F1–F3, S7).
+  *
+  * The reference's two dedup paths — the BigQuery ledger `NOT IN` scan
+  * (`/root/reference/etl/filters/checksum_bigquery.py:16-30,69-74`) and the
+  * Redis first-writer-wins set (`/root/reference/src/redis_tools.py:42-54`)
+  * — are both anti-joins in disguise. Spark plans them as broadcast-hash
+  * anti-joins when the ledger side is small and shuffled-hash/SMJ otherwise;
+  * nothing custom is needed, and AQE handles the empty-batch early-exit the
+  * reference special-cases (`checksum_bigquery.py:24`).
+  */
+object Dedup {
+
+  /** F1 `unique_ids` two-stage ledger anti-join
+    * (`checksum_bigquery.py:16-30`): drop batch rows whose `checksum`
+    * exists in the ledger for the same company, then rows whose
+    * `etl_checksum` does. `company_id` is a join key, so multi-company and
+    * empty batches are correct by construction (fixes Q5's `rows[0]`
+    * assumption).
+    */
+  def againstLedger(batch: DataFrame, ledger: DataFrame): DataFrame = {
+    val byChecksum = ledger.select("company_id", "checksum").distinct()
+    val byEtl = ledger.select("company_id", "etl_checksum").distinct()
+    batch
+      .join(byChecksum, Seq("company_id", "checksum"), "left_anti")
+      .join(byEtl, Seq("company_id", "etl_checksum"), "left_anti")
+  }
+
+  /** F2 `filter_rows_by_checksums` (`checksum_bigquery.py:69-74`):
+    * membership exclusion. Small exclusion lists → `isin` (codegen'd);
+    * large → use `againstLedger`.
+    */
+  def excludeIds(df: DataFrame, field: String, ids: Seq[String]): DataFrame =
+    if (ids.isEmpty) df else df.filter(!col(field).isin(ids: _*))
+
+  /** F3 `filter_unique_transactions` (`redis_tools.py:42-54`) batch form:
+    * first-writer-wins within the batch by a deterministic order — the
+    * distributed analog of "first worker to SADD wins".
+    */
+  def firstWriterWins(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact whole-row/keyed dedup — hash-shuffle on the key columns. */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, IDF, MinHashLSH, RegexTokenizer}
+import org.apache.spark.ml.linalg.{SparseVector, Vector}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Anomaly / similarity operators (SURVEY.md §2.4, A1–A3).
+  *
+  * The reference scores every pair with a weighted field similarity and
+  * keeps pairs ≥ 0.9 (`/root/reference/src/ai.py:10-60`). Numeric/exact
+  * branches are pure column expressions; the string branch (TF-IDF cosine)
+  * uses spark.ml fitted ONCE per corpus (fixing Q6 — the reference re-fits
+  * on each 2-document pair, making IDF degenerate), and the scale path is
+  * `MinHashLSH.approxSimilarityJoin` instead of the O(n·m) nested loop.
+  */
+object Similarity {
+
+  /** A2 weights (`src/ai.py:11-17`). */
+  val Weights: Map[String, Double] = Map(
+    "concept" -> 0.8, "amount" -> 0.1, "account_number" -> 0.0,
+    "bank" -> 0.0, "transaction_date" -> 0.1)
+
+  /** A1 numeric branch (`src/ai.py:26-28`): relative closeness
+    * 1 − |a−b| / max(|a|,|b|); equal values (incl. 0,0) → 1.
+    */
+  def numericCloseness(a: Column, b: Column): Column =
+    when(a === b, lit(1.0))
+      .otherwise(lit(1.0) - abs(a - b) / greatest(abs(a), abs(b)))
+
+  /** A1 exact-match branch (`src/ai.py:30-31`). */
+  def exactMatch(a: Column, b: Column): Column =
+    when(a === b, lit(1.0)).otherwise(lit(0.0))
+
+  /** A2 weighted combination over silver fields (`src/ai.py:33-40`):
+    * concept treated here with exact-match (string TF-IDF variant below),
+    * amount numeric, date exact.
+    */
+  def weightedScore(concept: Column, amount: Column, date: Column): Column =
+    concept * Weights("concept") + amount * Weights("amount") +
+      date * Weights("transaction_date")
+
+  /** A3 exact theta join (`src/ai.py:42-60`): score all pairs, keep those
+    * ≥ threshold. Callers bound at least one side (or pre-partition by an
+    * equi-key) — an unbounded cross join does not survive 100 TB.
+    */
+  def anomalyPairs(t1: DataFrame, t2: DataFrame, score: Column,
+      threshold: Double): DataFrame =
+    t1.crossJoin(t2).withColumn("similarity_score", score)
+      .filter(col("similarity_score") >= threshold)
+
+  /** TF-IDF pipeline fitted once per corpus (Q6 fix): text → tokens →
+    * hashed TF → IDF vector.
+    */
+  def tfidfVectors(docs: DataFrame, textCol: String, numFeatures: Int = 1 << 18): DataFrame = {
+    val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__toks")
+      .setPattern("\\s+")
+    val tf = new HashingTF().setInputCol("__toks").setOutputCol("__tf")
+      .setNumFeatures(numFeatures)
+    val withTf = tf.transform(tok.transform(docs))
+    val idf = new IDF().setInputCol("__tf").setOutputCol("tfidf").fit(withTf)
+    idf.transform(withTf).drop("__toks", "__tf")
+  }
+
+  private def sparseNorm(v: SparseVector): Double = {
+    var s = 0.0
+    val vals = v.values
+    var i = 0
+    while (i < vals.length) { s += vals(i) * vals(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  // Pure sparse arithmetic — never densify: with 2^18 hashed features a
+  // .toArray per pair is ~500k ops against ~100 for the sparse walk.
+  private val cosineUdf = udf { (a: Vector, b: Vector) =>
+    val sa = a.asInstanceOf[SparseVector]
+    val sb = b.asInstanceOf[SparseVector]
+    val na = sparseNorm(sa)
+    val nb = sparseNorm(sb)
+    if (na == 0 || nb == 0) 0.0
+    else {
+      var i = 0; var j = 0; var d = 0.0
+      while (i < sa.indices.length && j < sb.indices.length) {
+        if (sa.indices(i) == sb.indices(j)) { d += sa.values(i) * sb.values(j); i += 1; j += 1 }
+        else if (sa.indices(i) < sb.indices(j)) i += 1
+        else j += 1
+      }
+      d / (na * nb)
+    }
+  }
+
+  /** A1 string branch at corpus scale: TF-IDF cosine over candidate pairs
+    * (id1 < id2 within a blocking key to stay sub-quadratic).
+    */
+  def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val v = tfidfVectors(docs, textCol)
+      .select(col(idCol), col(blockCol), col("tfidf"))
+    val a = v.select(col(idCol).as("id1"), col(blockCol).as("__b"), col("tfidf").as("v1"))
+    val b = v.select(col(idCol).as("id2"), col(blockCol).as("__b"), col("tfidf").as("v2"))
+    a.join(b, "__b").filter(col("id1") < col("id2"))
+      .withColumn("similarity_score", cosineUdf(col("v1"), col("v2")))
+      .filter(col("similarity_score") >= threshold)
+      .select("id1", "id2", "similarity_score")
+  }
+
+  /** A3 scale path: MinHashLSH approx similarity join on hashed token
+    * sets — candidate generation is a shuffle on hash buckets, not a
+    * cross join (SURVEY.md §4 optimizer note).
+    */
+  def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxJaccardDistance: Double): DataFrame = {
+    val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__toks")
+      .setPattern("\\s+")
+    val tf = new HashingTF().setInputCol("__toks").setOutputCol("__tf")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feats = tf.transform(tok.transform(docs))
+      .filter(size(col("__toks")) > 0)
+    val lsh = new MinHashLSH().setInputCol("__tf").setOutputCol("__hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxJaccardDistance, "jaccard_dist")
+      .select(
+        col(s"datasetA.$idCol").as("id1"),
+        col(s"datasetB.$idCol").as("id2"),
+        col("jaccard_dist"))
+      .filter(col("id1") < col("id2"))
+  }
+}

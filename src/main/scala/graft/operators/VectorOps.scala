@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (builder prompt: ANN over
+  * `ARRAY<FLOAT>` — brute-force cosine top-k baseline + an LSH-bucketed
+  * scale path).
+  *
+  * Determinism design: embeddings are quantized to integer-valued doubles
+  * (`round(x * 1000)`) before any arithmetic. Every product/sum then stays
+  * an exact integer < 2^53, so dot products and norms are EXACT in IEEE
+  * doubles regardless of accumulation order or engine — the DuckDB oracle
+  * matches bit-for-bit, and a 1000-executor shuffle can't perturb results.
+  */
+object VectorOps {
+
+  /** Quantize a float vector to integer-valued doubles (scale 1e3). */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => round(x.cast("double") * scale))
+
+  /** Exact dot product via a sequential higher-order fold (codegen'd,
+    * no UDF). Inputs must be same-length double arrays.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity from exact integer dot/norms: numerator and
+    * denominator are exact, so the single IEEE divide/sqrt is bitwise
+    * deterministic. 0.0 for zero vectors.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val n1 = dot(a, a)
+    val n2 = dot(b, b)
+    when(n1 === 0 || n2 === 0, lit(0.0)).otherwise(dot(a, b) / (sqrt(n1) * sqrt(n2)))
+  }
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against the
+    * corpus — a broadcast nested-loop that scales linearly in corpus size
+    * and parallelizes over corpus partitions; the reference's O(n·m)
+    * `detect_anomalies` loop (`/root/reference/src/ai.py:42-60`) done
+    * Spark-shaped.
+    *
+    * Inputs: `queries`/`corpus` with (`idCol`, `vecCol`); output
+    * (query_id, neighbor_id, cosine_sim), top `k` per query, ties broken
+    * by neighbor_id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim")
+  }
+
+  /** Sign-bit LSH bucket key over the first `nBits` dimensions: candidates
+    * must share the key, replacing the corpus scan with a hash-shuffle
+    * co-partitioned join — the 100-TB path. Recall is approximate by
+    * construction; the oracle reproduces the same key, so results are
+    * still exactly checkable.
+    */
+  def signBucket(vec: Column, nBits: Int): Column =
+    concat((1 to nBits).map(i =>
+      when(element_at(vec, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** LSH-bucketed ANN top-k: join only within matching sign-buckets. */
+  def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("bucket", signBucket(col("qv"), nBits))
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("bucket", signBucket(col("cv"), nBits))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim")
+  }
+}

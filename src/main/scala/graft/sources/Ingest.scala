@@ -1,0 +1,151 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Transforms
+
+/** Scans / sources (SURVEY.md §2.1, S1–S7).
+  *
+  * The reference's extraction is a BigQuery SQL string with a triple
+  * UNNEST (`/root/reference/etl/extraction/bigquery.py:19-46`); here the
+  * same shape is a parquet scan + `explode` chain, with partition pruning,
+  * column pruning and file pruning left to Catalyst.
+  */
+object Ingest {
+
+  /** Load one driver testdata table (TESTDATA.md). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Load the `events` table. Its `ts` column is parquet TIMESTAMP(NANOS),
+    * which vanilla Spark rejects ([PARQUET_TYPE_ILLEGAL]); read it as a
+    * long via the legacy conf and convert nanos → microsecond timestamp
+    * (integer DIV — the values carry µs precision, so this is lossless).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** S5 partition-path parser (`/root/reference/src/utils.py:12-20`):
+    * `year=2024/month=11/day=24/company_id=X/f.avro` → MAP(k→v).
+    * Pure column expression: strips the trailing filename segment, then
+    * `str_to_map` on `/` pairs and `=` key-values.
+    */
+  def parsePartitionPath(path: Column): Column =
+    str_to_map(regexp_replace(path, "/[^/=]*$", ""), lit("/"), lit("="))
+
+  /** S6 filename metadata extraction (`/root/reference/test.py:17`):
+    * regex capture groups over a file path column.
+    */
+  def extractPathField(path: Column, pattern: String, group: Int): Column =
+    regexp_extract(path, pattern, group)
+
+  /** S1/S2 flatten: bronze (nested, FIXTURES.md §1) → one row per line.
+    * `UNNEST(payload)` / `UNNEST(payload.lines)` ≡ two `explode`s.
+    * The third UNNEST (metadata) is deliberately NOT performed: the
+    * reference exploded metadata and then rebuilt the dict with a shared
+    * mutable object (the Q4 accumulation bug, `transactions.py:11,44`);
+    * keeping `line.metadata` intact gives the intended per-transaction
+    * map for free (SURVEY.md Q4 resolution).
+    */
+  def flattenBronze(bronze: DataFrame): DataFrame =
+    bronze
+      .select(col("userId"), col("companyId"), explode(col("payload")).as("p"))
+      .select(col("userId"), col("companyId"), col("p.header").as("header"),
+        explode(col("p.lines")).as("line"))
+
+  /** T1 projection: flattened bronze → 16-field silver record
+    * (FIXTURES.md §2, `transactions.py:28-45`). Q4 fixed via
+    * `map_from_entries` on the intact metadata array; Q5's
+    * userId/companyId pass-through implemented as intended.
+    */
+  def toSilver(flat: DataFrame): DataFrame = {
+    import Transforms._
+    flat.select(
+      col("line.checksum").as("checksum"),
+      etlChecksum(
+        normalizeDateString(col("line.date")),
+        col("line.concept"),
+        centsString(col("line.amount")),
+        centsString(col("line.remaining"))).as("etl_checksum"),
+      col("line.concept").as("concept"),
+      col("line.amount").as("amount"),
+      col("header.account_number").as("account_number"),
+      col("header.bank").as("bank"),
+      col("header.account_alias").as("account_alias"),
+      col("header.currency").as("currency"),
+      col("header.timeframe").as("report_type"),
+      col("header.extraction_timestamp").as("extraction_date"),
+      col("userId").as("user_id"),
+      col("companyId").as("company_id"),
+      normalizeDate(col("line.date")).as("transaction_date"),
+      col("line.remaining").as("reported_remaining"),
+      createdAt(normalizeDateString(col("header.report_date"))).as("created_at"),
+      map_from_entries(col("line.metadata")).as("metadata"))
+  }
+
+  /** Render a timestamp as one of the four reference date formats, keyed
+    * deterministically — produces the multi-format date strings the
+    * reference ingests (`transactions.py:57-81`). Used by the bronze
+    * fixture builder and its DuckDB oracle (same CASE in SQL).
+    */
+  def mixedDateString(ts: Column, key: Column): Column = {
+    val k = pmod(key, lit(4))
+    when(k === 0, date_format(ts, "yyyy-MM-dd"))
+      .when(k === 1, date_format(ts, "dd-MM-yyyy"))
+      .when(k === 2, date_format(ts, "yyyy/MM/dd"))
+      .otherwise(date_format(ts, "dd/MM/yyyy"))
+  }
+
+  /** Build a bronze-shaped nested frame (FIXTURES.md §1) from the flat
+    * testdata: one bronze row per order, one payload element carrying the
+    * order's lineitems as `lines`, metadata as ARRAY<STRUCT<key,value>>.
+    * This is the inverse of `flattenBronze` ∘ projection, so
+    * flatten(build(x)) is value-preserving — which is exactly what the
+    * DuckDB oracle checks.
+    */
+  def bronzeFromTpch(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem.alias("l")
+    val ord = orders.alias("o")
+    val joined = li.join(ord, col("l.l_orderkey") === col("o.o_orderkey"))
+
+    // checksum hashes every line-identifying field: (l_orderkey,
+    // l_linenumber) is NOT unique in the testdata, and a checksum that
+    // functionally determines the whole silver row makes
+    // dropDuplicates(checksum) value-deterministic (any surviving row is
+    // identical) and oracle-expressible as SELECT DISTINCT.
+    val line = struct(
+      md5(concat_ws("-",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        date_format(col("l_shipdate"), "yyyyMMdd"),
+        Transforms.centsString(col("l_quantity")),
+        Transforms.centsString(col("l_extendedprice")),
+        col("l_returnflag"), col("l_linestatus"))).as("checksum"),
+      mixedDateString(col("l_shipdate"), col("l_orderkey") + col("l_linenumber")).as("date"),
+      concat_ws(" ", col("l_returnflag"), col("l_linestatus"), col("l_partkey")).as("concept"),
+      col("l_extendedprice").as("amount"),
+      col("l_quantity").as("remaining"),
+      array(
+        struct(lit("flag").as("key"), col("l_returnflag").as("value")),
+        struct(lit("status").as("key"), col("l_linestatus").as("value"))).as("metadata"))
+
+    joined
+      .groupBy(col("l_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(collect_list(line).as("lines"))
+      .select(
+        col("o_custkey").cast("string").as("userId"),
+        concat(lit("company-"), pmod(col("o_custkey"), lit(10))).as("companyId"),
+        array(struct(
+          struct(
+            col("o_custkey").cast("string").as("account_number"),
+            concat(lit("acct-"), col("o_custkey")).as("account_alias"),
+            lit("EUR").as("currency"),
+            col("o_orderpriority").as("timeframe"),
+            mixedDateString(col("o_orderdate"), col("l_orderkey")).as("report_date"),
+            concat(lit("bank-"), pmod(col("o_custkey"), lit(5))).as("bank"),
+            col("o_orderdate").as("extraction_timestamp")).as("header"),
+          col("lines").as("lines"))).as("payload"))
+  }
+}

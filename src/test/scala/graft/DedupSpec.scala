@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val batch = Seq(
+    ("co1", "ck1", "e1"), ("co1", "ck2", "e2"), ("co1", "ck3", "e3"),
+    ("co2", "ck1", "e1"), // same checksum, different company → must survive
+    ("co2", "ck9", "e9")
+  ).toDF("company_id", "checksum", "etl_checksum")
+
+  test("F1 two-stage anti-join is company-scoped") {
+    val ledger = Seq(("co1", "ck1", "zz"), ("co1", "zz", "e2")).toDF(
+      "company_id", "checksum", "etl_checksum")
+    val out = Dedup.againstLedger(batch, ledger)
+      .select("company_id", "checksum").as[(String, String)].collect().toSet
+    // co1/ck1 dropped by stage 1; co1/ck2 dropped by stage 2 (etl match);
+    // co2 rows untouched despite sharing checksum values with co1's ledger.
+    assert(out == Set(("co1", "ck3"), ("co2", "ck1"), ("co2", "ck9")))
+  }
+
+  test("F1 empty batch and empty ledger are correct by construction (Q5)") {
+    val empty = batch.limit(0)
+    assert(Dedup.againstLedger(empty, batch).count() == 0)
+    assert(Dedup.againstLedger(batch, empty).count() == batch.count())
+  }
+
+  test("F3 first-writer-wins keeps exactly the first row per key") {
+    val df = Seq(("k1", 2, "second"), ("k1", 1, "first"), ("k2", 5, "only"))
+      .toDF("checksum", "seq", "payload")
+    val out = Dedup.firstWriterWins(df, Seq("checksum"), Seq(col("seq")))
+      .select("checksum", "payload").as[(String, String)].collect().toSet
+    assert(out == Set(("k1", "first"), ("k2", "only")))
+  }
+
+  test("F2 isin exclusion, empty list is identity") {
+    assert(Dedup.excludeIds(batch, "checksum", Seq("ck1")).count() == 3)
+    assert(Dedup.excludeIds(batch, "checksum", Nil).count() == 5)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("F3 streaming dedup: first-writer-wins across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val deduped = StreamingOps.dedupExact(mem.toDF(), Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(0), 7, "click", 1.0), Ev(2, ts(1), 7, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts(2), 7, "dup", 9.0), Ev(3, ts(3), 8, "click", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("event_id", "event_type")
+        .as[(Long, String)].collect().toSet
+      // event_id=1 second arrival dropped: the first writer's row survives
+      assert(out == Set((1L, "click"), (2L, "click"), (3L, "click")))
+    } finally q.stop()
+  }
+
+  test("tumbling window counts aggregate by hour + type") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val counts = StreamingOps.tumblingCounts(mem.toDF(), "ts", "1 hour", "2 hours")
+    val q = counts.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        Ev(1, ts(0), 1, "click", 1.0), Ev(2, ts(30), 1, "click", 2.0),
+        Ev(3, Timestamp.valueOf("2024-01-01 11:05:00"), 1, "click", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("win_out")
+        .select(col("window_start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toMap
+      assert(out("2024-01-01 10:00:00") == 2)
+      assert(out("2024-01-01 11:00:00") == 1)
+    } finally q.stop()
+  }
+
+  test("session windows close after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sessions = StreamingOps.sessionCounts(mem.toDF(), "ts", "30 minutes", "2 hours")
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      // two bursts 40 min apart → two sessions for user 1
+      mem.addData(
+        Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(5), 1, "a", 1.0),
+        Ev(3, ts(50), 1, "a", 1.0))
+      q.processAllAvailable()
+      val n = spark.table("sess_out").count()
+      assert(n == 2)
+    } finally q.stop()
+  }
+}

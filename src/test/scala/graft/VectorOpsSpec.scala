@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity 1.0, orthogonal 0.0, zero-vector guarded") {
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (Seq(0f, 0f, 0f), Seq(1f, 1f, 1f))
+    ).toDF("a", "b")
+    val out = df.select(VectorOps.cosine(
+      VectorOps.quantize(col("a")), VectorOps.quantize(col("b")))).collect().map(_.getDouble(0))
+    // self-similarity is n/(sqrt(n)*sqrt(n)) — a hair off 1.0 in IEEE; the
+    // DuckDB oracle uses the identical formula, so cross-engine it's exact
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(out(1) == 0.0)
+    assert(out(2) == 0.0)
+  }
+
+  test("brute-force top-k ranks by cosine, breaks ties by id") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.01f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(out == Seq(3L, 1L)) // exact match first, near-match second
+  }
+
+  test("sign-bucket LSH finds same-orthant neighbors") {
+    val vecs = Seq(
+      (0L, Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (1L, Seq(2f, 1f, 1f, 1f, 1f, 1f, 1f, 3f)),
+      (2L, Seq(-1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f))) // different orthant → pruned
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.bucketedTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
+}
