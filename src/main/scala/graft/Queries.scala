@@ -378,6 +378,79 @@ object Queries {
       |FROM lineitem ORDER BY 1, 2
       |""".stripMargin.trim))
 
+  /** T7 outbound projection: silver minus (created_at, etl_checksum),
+    * metadata map re-exploded to entries (T6) — the Pub/Sub message shape
+    * minus engine-specific JSON rendering (that is spec-tested).
+    */
+  val q19: Q = Q(
+    "q19_outbound_project",
+    (s, dir) => {
+      val silver = Ingest.toSilver(Ingest.flattenBronze(
+        Ingest.bronzeFromTpch(t(s, dir, "lineitem"), t(s, dir, "orders"))))
+      silver.drop("created_at", "etl_checksum")
+        .select(col("checksum"), col("company_id"), col("amount"),
+          explode(map_entries(col("metadata"))).as(Seq("e")))
+        .select(col("checksum"), col("company_id"), col("amount"),
+          col("e.key").as("key"), col("e.value").as("value"))
+        .distinct() // checksum functionally determines the row (see q00)
+        .orderBy(col("checksum"), col("key"))
+    },
+    Some(s"""
+      |WITH s0 AS (
+      |  SELECT DISTINCT
+      |         md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+      |             || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR)
+      |             || '-' || strftime(l_shipdate, '%Y%m%d')
+      |             || '-' || ${sqlCents("l_quantity")} || '-' || ${sqlCents("l_extendedprice")}
+      |             || '-' || l_returnflag || '-' || l_linestatus) AS checksum,
+      |         'company-' || CAST(o_custkey % 10 AS VARCHAR) AS company_id,
+      |         l_extendedprice AS amount,
+      |         l_returnflag, l_linestatus
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT checksum, company_id, amount, "key", "value" FROM (
+      |  SELECT checksum, company_id, amount, 'flag' AS "key", l_returnflag AS "value" FROM s0
+      |  UNION ALL
+      |  SELECT checksum, company_id, amount, 'status', l_linestatus FROM s0)
+      |ORDER BY checksum, "key"
+      |""".stripMargin.trim))
+
+  /** S4 Pub/Sub event decode (`main.py:55-84`): base64 envelope → JSON →
+    * (bucket, name) → partition-path parse (S5). The envelope is built
+    * in-query so the oracle can state the expected decode output directly.
+    */
+  val q35: Q = Q(
+    "q35_event_decode",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val payload = concat(
+        lit("{\"bucket\":\"b-"), col("l_suppkey"),
+        lit("\",\"name\":\"year=2024/month="), col("l_orderkey") % 12 + 1,
+        lit("/day="), col("l_linenumber"),
+        lit("/company_id=c"), col("l_suppkey"),
+        lit("/f.avro\"}"))
+      val decoded = li
+        .withColumn("data", base64(payload.cast("binary"))) // wire shape
+        // single-pass schema'd parse (from_json once beats two
+        // get_json_object scans of the same string)
+        .withColumn("j", from_json(unbase64(col("data")).cast("string"),
+          org.apache.spark.sql.types.StructType.fromDDL("bucket STRING, name STRING")))
+        .withColumn("bucket", col("j.bucket"))
+      // S6 regex extraction on the object name (test.py:17 pattern shape);
+      // the S5 map parser is exercised by q15 — regex-per-key is ~2× faster
+      // when only a couple of keys are needed
+      decoded.select(col("l_orderkey"), col("l_linenumber"), col("bucket"),
+          Ingest.extractPathField(col("j.name"), "month=([^/]*)", 1).as("month"),
+          Ingest.extractPathField(col("j.name"), "company_id=([^/]*)", 1).as("company_id"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      |SELECT l_orderkey, l_linenumber,
+      |  'b-' || CAST(l_suppkey AS VARCHAR) AS bucket,
+      |  CAST(l_orderkey % 12 + 1 AS VARCHAR) AS "month",
+      |  'c' || CAST(l_suppkey AS VARCHAR) AS company_id
+      |FROM lineitem ORDER BY 1, 2
+      |""".stripMargin.trim))
+
   // ==========================================================================
   // Similarity / anomaly surface (A1–A3) — SURVEY.md §2.4
   // ==========================================================================
@@ -416,16 +489,21 @@ object Queries {
       |ORDER BY id1, id2
       |""".stripMargin.trim))
 
+  // spark.ml parity op on a bounded sample: the synthetic corpus shares a
+  // ~40-word vocabulary, so LSH banding degenerates toward O(n²)
+  // candidates — the sample keeps the parity demo cheap while q24 is the
+  // scalable md5-MinHash implementation with real banding.
   val q17: Q = Q(
     "q17_lsh_neardup",
-    (s, dir) => Similarity.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text", 0.6)
+    (s, dir) => Similarity.lshNearDupPairs(
+      t(s, dir, "documents").filter(col("doc_id") % 8 === 0), "doc_id", "text", 0.5)
       .orderBy(col("id1"), col("id2")),
     None) // spark.ml MinHash is not reproducible in ANSI SQL → rows-only check
 
   val q18: Q = Q(
     "q18_tfidf_pairs",
     (s, dir) => Similarity.tfidfCosinePairs(t(s, dir, "documents"),
-      "doc_id", "text", "lang", 0.5).orderBy(col("id1"), col("id2")),
+      "doc_id", "text", "source", 0.5).orderBy(col("id1"), col("id2")),
     None) // IDF weights not expressible in DuckDB → rows-only check
 
   // ==========================================================================
@@ -518,47 +596,62 @@ object Queries {
       val base = docs.select(col("doc_id"),
           TextOps.wordBigrams(TextOps.tokens(col("text"))).as("sh"))
         .filter(size(col("sh")) > 0)
-      val sig = base.withColumn("sig", TextOps.minhashSignature(col("sh"), 8))
+      val sig = base
+        .withColumn("hv", TextOps.shingleHashes(col("sh")))
+        .withColumn("sig", TextOps.minhashSignature(col("hv"), 8))
       val banded = sig.select(col("doc_id"),
         posexplode(TextOps.lshBandKeys(col("sig"), 4, 2)).as(Seq("band", "bkey")))
       val cand = banded.alias("x").join(banded.alias("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
-      val withSets = cand
-        .join(base.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-        .join(base.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
-      withSets.withColumn("jaccard", TextOps.jaccard(col("sh1"), col("sh2")))
+      // Verify candidates WITHOUT shipping shingle arrays per pair:
+      // |A∩B| via exploded-shingle co-count, |A∪B| = |A|+|B|−|A∩B|.
+      // Shuffles (doc, shingle) rows once instead of 2 full arrays per
+      // candidate — the shape that holds at corpus scale.
+      val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val sizes = base.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      val inter = cand
+        .join(ex.select(col("doc_id").as("id1"), col("s")), "id1")
+        .join(ex.select(col("doc_id").as("id2"), col("s")), Seq("id2", "s"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n1") + col("n2") - col("n_inter")).cast("double"))
         .filter(col("jaccard") >= 0.2)
         .select(col("id1"), col("id2"), col("jaccard"))
         .orderBy(col("id1"), col("id2"))
     },
-    Some("""
+    Some(s"""
       |WITH base AS (
       |  SELECT doc_id, sh FROM (
       |    SELECT doc_id,
       |      list_distinct(CASE WHEN len(toks) < 2 THEN []
       |        ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS sh
       |    FROM (SELECT doc_id,
-      |            list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |            list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
       |          FROM documents))
       |  WHERE len(sh) > 0),
+      |hv AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(list_transform(sh, s -> md5(s)), h ->
+      |      list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+      |          * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % ${TextOps.MinhashP}) AS hvals
+      |  FROM base),
       |sig AS (
       |  SELECT doc_id, sh,
-      |    [list_min(list_transform(sh, s -> md5('0|' || s))),
-      |     list_min(list_transform(sh, s -> md5('1|' || s))),
-      |     list_min(list_transform(sh, s -> md5('2|' || s))),
-      |     list_min(list_transform(sh, s -> md5('3|' || s))),
-      |     list_min(list_transform(sh, s -> md5('4|' || s))),
-      |     list_min(list_transform(sh, s -> md5('5|' || s))),
-      |     list_min(list_transform(sh, s -> md5('6|' || s))),
-      |     list_min(list_transform(sh, s -> md5('7|' || s)))] AS sg
-      |  FROM base),
+      |    [${TextOps.MinhashCoeffs.map { case (a, b) =>
+               s"list_min(list_transform(hvals, h -> (h * $a + $b) % ${TextOps.MinhashP}))"
+             }.mkString(",\n      |     ")}] AS sg
+      |  FROM hv),
       |banded AS (
-      |  SELECT doc_id, 0 AS band, sg[1] || sg[2] AS bkey FROM sig UNION ALL
-      |  SELECT doc_id, 1, sg[3] || sg[4] FROM sig UNION ALL
-      |  SELECT doc_id, 2, sg[5] || sg[6] FROM sig UNION ALL
-      |  SELECT doc_id, 3, sg[7] || sg[8] FROM sig),
+      |  ${(0 until 4).map { bd =>
+           s"SELECT doc_id, $bd AS band, CAST(sg[${2 * bd + 1}] AS VARCHAR) || '-' || " +
+             s"CAST(sg[${2 * bd + 2}] AS VARCHAR) AS bkey FROM sig"
+         }.mkString(" UNION ALL\n      |  ")}),
       |cand AS (
       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
       |  FROM banded x JOIN banded y
@@ -576,11 +669,8 @@ object Queries {
 
   val q25: Q = Q(
     "q25_simhash",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          TextOps.simhash32(TextOps.tokens(col("text"))).as("simhash"))
-        .orderBy(col("doc_id")),
+    (s, dir) => TextOps.simhash(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
     None) // 32 bit-vote aggregates are expressible but unwieldy in SQL → unit-tested instead
 
   // ==========================================================================
@@ -729,8 +819,8 @@ object Queries {
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08,
     q10, q11, q12, q13, q14, q15,
-    q16, q17, q18,
+    q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25,
     q26, q27,
-    q30, q31, q32, q33, q34)
+    q30, q31, q32, q33, q34, q35)
 }

@@ -94,7 +94,8 @@ object Similarity {
     */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
-    val v = tfidfVectors(docs, textCol)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val v = tfidfVectors(docs.repartition(par), textCol)
       .select(col(idCol), col(blockCol), col("tfidf"))
     val a = v.select(col(idCol).as("id1"), col(blockCol).as("__b"), col("tfidf").as("v1"))
     val b = v.select(col(idCol).as("id2"), col(blockCol).as("__b"), col("tfidf").as("v2"))
@@ -110,14 +111,17 @@ object Similarity {
     */
   def lshNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxJaccardDistance: Double): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__toks")
       .setPattern("\\s+")
     val tf = new HashingTF().setInputCol("__toks").setOutputCol("__tf")
       .setNumFeatures(1 << 18).setBinary(true)
-    val feats = tf.transform(tok.transform(docs))
+    // repartition: a single parquet file arrives as ONE partition; the
+    // candidate-pair distance pass is CPU-bound and must fan out.
+    val feats = tf.transform(tok.transform(docs.repartition(par)))
       .filter(size(col("__toks")) > 0)
     val lsh = new MinHashLSH().setInputCol("__tf").setOutputCol("__hashes")
-      .setNumHashTables(8).setSeed(42L)
+      .setNumHashTables(4).setSeed(42L)
     val model = lsh.fit(feats)
     model.approxSimilarityJoin(feats, feats, maxJaccardDistance, "jaccard_dist")
       .select(

@@ -35,38 +35,63 @@ object TextOps {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
-  /** One MinHash value: min over the shingle set of md5(seed || '|' || s).
-    * Lexicographic min over fixed-width hex = uniform min-hash; portable
-    * to any engine with md5. Null for empty shingle sets.
+  /** MinHash base: one md5 per shingle → first 15 hex digits as int64 →
+    * mod p. The n-hash family is then affine `(a·h + b) mod p` — one md5
+    * per shingle TOTAL instead of one per (shingle × hash), and every op
+    * is exact int64 arithmetic reproducible in any engine (h < 2^31,
+    * a < 2^31 → a·h < 2^62, no overflow; ANSI-safe).
     */
-  def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(s"$seed|"), s))))
+  val MinhashP: Long = 2147483647L // 2^31 − 1, prime
 
-  /** MinHash signature as an array of `n` independent hashes. */
-  def minhashSignature(shingles: Column, n: Int): Column =
-    array((0 until n).map(i => minhash(shingles, i)): _*)
+  /** Fixed (a, b) coefficient pairs for the affine MinHash family. */
+  val MinhashCoeffs: Seq[(Long, Long)] = Seq(
+    (1103515245L, 12345L), (1214661601L, 987654321L),
+    (747796405L, 1729L), (1181783497L, 7919L),
+    (962731529L, 271828L), (1664525L, 1013904223L),
+    (69069L, 362437L), (1566083941L, 1406932606L))
+
+  /** Per-shingle base hashes (int64 in [0, p)). */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s =>
+      pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinhashP)))
+
+  /** MinHash signature: array of n mins over the affine family. */
+  def minhashSignature(hashes: Column, n: Int): Column =
+    array(MinhashCoeffs.take(n).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(MinhashP))))
+    }: _*)
 
   /** LSH band keys: signature split into `bands` bands of `rowsPerBand`,
-    * each band's hashes concatenated into one bucket key. Docs sharing any
+    * each band's values joined into one bucket key. Docs sharing any
     * band key are candidate near-dups — turns the O(n²) pair scan into a
     * shuffle on band keys (SURVEY.md §2.4 scale note).
     */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
-      concat((0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
+      concat_ws("-",
+        (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
     }: _*)
 
-  /** SimHash over tokens: per-token md5 → first 32 bits → bit-majority
-    * vote → 32-bit fingerprint. Portable (md5-based).
+  /** SimHash over documents: explode tokens → one md5 per token → 32
+    * per-bit majority votes as a hash aggregation → recombine. The
+    * explode/groupBy shape guarantees each token is hashed exactly once
+    * (a column-expression form re-evaluates the md5 array once per bit
+    * after Catalyst's CollapseProject inlining — measured 19s vs ~1s at
+    * sf0.1) and is embarrassingly parallel at cluster scale.
     */
-  def simhash32(toks: Column): Column = {
-    val hashes = transform(toks, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    val bits = (0 until 32).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long")
+    val votes = (0 until 32).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__b$b")
     }
-    bits.reduce(_ + _)
+    val fp = (0 until 32).map { b =>
+      when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col(idCol), explode_outer(tokens(col(textCol))).as("__t"))
+      .withColumn("__h", h)
+      .groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
   }
 
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text

@@ -28,20 +28,23 @@ class TextOpsSpec extends SparkSpec {
     val df = Seq(
       ("d1", Seq("x y", "y z")), ("d2", Seq("y z", "x y")), ("d3", Seq("x y", "q r"))
     ).toDF("id", "sh")
-    val sigs = df.select(col("id"), TextOps.minhashSignature(col("sh"), 4))
-      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val sigs = df.select(col("id"),
+        TextOps.minhashSignature(TextOps.shingleHashes(col("sh")), 4))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(sigs("d1") == sigs("d2")) // order-insensitive
     assert(sigs("d1") != sigs("d3"))
+    assert(sigs("d1").forall(h => h >= 0 && h < TextOps.MinhashP))
   }
 
   test("simhash: deterministic, identical for identical token bags") {
-    val df = Seq("spark scan join", "spark scan join", "totally different words here")
-      .toDF("t")
-    val out = df.select(TextOps.simhash32(TextOps.tokens(col("t"))))
-      .collect().map(_.getLong(0))
-    assert(out(0) == out(1))
-    assert(out(0) != out(2))
-    assert(out(0) >= 0 && out(0) <= 0xFFFFFFFFL)
+    val df = Seq((1L, "spark scan join"), (2L, "spark scan join"),
+      (3L, "totally different words here"), (4L, "")).toDF("id", "t")
+    val out = TextOps.simhash(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    assert(out(1L) >= 0 && out(1L) <= 0xFFFFFFFFL)
+    assert(out(4L) == 0L) // empty doc → zero fingerprint
   }
 
   test("langid: marker voting with first-match tie-break") {
