@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Similarity search over embedding columns (builder prompt: ANN over
   * `ARRAY<FLOAT>` — brute-force cosine top-k baseline + an LSH-bucketed
   * scale path).
@@ -26,15 +28,28 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Native fused-loop dot (graft.functions.ArrayDotProduct): same
+    * accumulation order and results as [[dot]], no intermediate array,
+    * fully inlined by whole-stage codegen. Requires
+    * `GraftFunctions.register(spark)` (done by the top-k operators).
+    */
+  def nativeDot(a: Column, b: Column): Column =
+    call_function(GraftFunctions.DotName, a, b)
+
+  private def cosineWith(dotFn: (Column, Column) => Column)(a: Column, b: Column): Column = {
+    val n1 = dotFn(a, a)
+    val n2 = dotFn(b, b)
+    when(n1 === 0 || n2 === 0, lit(0.0)).otherwise(dotFn(a, b) / (sqrt(n1) * sqrt(n2)))
+  }
+
   /** Cosine similarity from exact integer dot/norms: numerator and
     * denominator are exact, so the single IEEE divide/sqrt is bitwise
     * deterministic. 0.0 for zero vectors.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val n1 = dot(a, a)
-    val n2 = dot(b, b)
-    when(n1 === 0 || n2 === 0, lit(0.0)).otherwise(dot(a, b) / (sqrt(n1) * sqrt(n2)))
-  }
+  def cosine(a: Column, b: Column): Column = cosineWith(dot)(a, b)
+
+  /** Cosine over the native expression — bitwise-identical results. */
+  def nativeCosine(a: Column, b: Column): Column = cosineWith(nativeDot)(a, b)
 
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * corpus — a broadcast nested-loop that scales linearly in corpus size
@@ -48,11 +63,12 @@ object VectorOps {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cosine_sim", nativeCosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
@@ -72,13 +88,14 @@ object VectorOps {
   /** LSH-bucketed ANN top-k: join only within matching sign-buckets. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
       .withColumn("bucket", signBucket(col("qv"), nBits))
     val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
       .withColumn("bucket", signBucket(col("cv"), nBits))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cosine_sim", nativeCosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine_sim").desc, col("neighbor_id"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.VectorOps
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native graft_dot matches the higher-order fold bitwise") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+      .select(VectorOps.quantize(col("a")).as("qa"), VectorOps.quantize(col("b")).as("qb"))
+    val mismatches = df.filter(
+      VectorOps.nativeDot(col("qa"), col("qb")) =!= VectorOps.dot(col("qa"), col("qb"))
+        || VectorOps.nativeCosine(col("qa"), col("qb")) =!= VectorOps.cosine(col("qa"), col("qb")))
+    assert(mismatches.count() == 0)
+  }
+
+  test("native graft_dot participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // non-literal inputs so the projection can't constant-fold away
+    val df = spark.range(3)
+      .select(
+        array(col("id").cast("double"), (col("id") + 1).cast("double")).as("a"),
+        array(lit(3.0), lit(4.0)).as("b"))
+      .select(col("a"), VectorOps.nativeDot(col("a"), col("b")).as("d"))
+    val rows = df.collect().map(r => (r.getSeq[Double](0).head, r.getDouble(1))).toMap
+    assert(rows(1.0) == 1.0 * 3 + 2.0 * 4)
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage in
+    // the compact plan rendering; the graft_dot Project must carry one.
+    val plan = df.queryExecution.executedPlan.toString()
+    val dotLine = plan.linesIterator.find(_.contains("graft_dot")).get
+    assert(dotLine.trim.startsWith("*("))
+    assert(!plan.contains("CodegenFallback"))
+  }
+
+  test("registration is idempotent and null-safe") {
+    GraftFunctions.register(spark)
+    GraftFunctions.register(spark)
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+    val r = df.select(VectorOps.nativeDot(col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+  }
+}
