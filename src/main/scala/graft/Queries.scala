@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps, Transforms, VectorOps}
+import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextOps, Transforms, VectorOps}
 import graft.sources.Ingest
 
 /** Single source of truth: every registered query, colocated with its
@@ -111,10 +111,9 @@ object Queries {
   val q02: Q = Q(
     "q02_top_orders",
     (s, dir) =>
-      t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(10),
+      Analytics.topK(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 10),
     Some("""
       |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
@@ -150,16 +149,12 @@ object Queries {
 
   val q04: Q = Q(
     "q04_running_balance",
-    (s, dir) => {
-      val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "lineitem")
-        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-          sum(col("l_quantity").cast("decimal(18,2)")).over(w)
-            .cast("double").as("running_qty"))
-        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
-    },
+    (s, dir) =>
+      Analytics.runningSum(t(s, dir, "lineitem"), Seq("l_suppkey"),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+          col("l_quantity"), "running_qty")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber")),
     Some("""
       |SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
@@ -172,7 +167,7 @@ object Queries {
     "q05_latest_per_part",
     (s, dir) => {
       val order = Seq(col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc)
-      Dedup.firstWriterWins(t(s, dir, "lineitem"), Seq("l_partkey"), order)
+      Analytics.latestPerKey(t(s, dir, "lineitem"), Seq("l_partkey"), order)
         .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
         .orderBy(col("l_partkey"))
     },
@@ -728,15 +723,8 @@ object Queries {
   val q30: Q = Q(
     "q30_sessionize",
     (s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val gapUs = lit(30L * 60 * 1000 * 1000)
-      val e = Ingest.events(s, dir)
-        .withColumn("ts_us", unix_micros(col("ts")))
-        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
-        .withColumn("session_id", sum(col("new_sess"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val e = Analytics.sessionize(Ingest.events(s, dir),
+        "user_id", "ts", "event_id", 30L * 60 * 1000 * 1000)
       e.groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))

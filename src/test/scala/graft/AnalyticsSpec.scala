@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+import graft.sources.Ingest
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted sum equals direct aggregation (skew path is value-neutral)") {
+    // pathological skew: one key holds 90% of rows
+    val rows = Seq.tabulate(10000)(i =>
+      (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong, i * 0.01))
+    val df = rows.toDF("key", "payload", "v").repartition(8)
+    val salted = Analytics.saltedSum(df, Seq("key"), col("v"), "total",
+        saltFrom = col("payload"), saltBuckets = 16)
+      .select("key", "total", "total_n")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val direct = df.groupBy(col("key"))
+      .agg(sum(col("v").cast("decimal(18,2)")).cast("double").as("t"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(salted == direct) // exact decimal partials → bitwise equal
+  }
+
+  test("sessionize splits on the gap, exact microsecond arithmetic") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = Seq(
+      (1L, ts(0), 100L), (1L, ts(10), 101L), (1L, ts(55), 102L), // gap 45min → 2 sessions
+      (2L, ts(5), 200L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Analytics.sessionize(df, "user_id", "ts", "event_id", 30L * 60 * 1000 * 1000)
+      .select("user_id", "event_id", "session_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L, 1L), (1L, 101L, 1L), (1L, 102L, 2L), (2L, 200L, 1L)))
+  }
+
+  test("runningSum is exact and per-partition monotone") {
+    val li = Ingest.table(spark, "/root/testdata/sf0.001", "lineitem").limit(1000)
+    val out = Analytics.runningSum(li, Seq("l_suppkey"),
+      Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+      col("l_quantity"), "run")
+    val perKey = out.groupBy("l_suppkey")
+      .agg(max("run").as("mx"), sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("tot"))
+    assert(perKey.filter(col("mx") =!= col("tot")).count() == 0)
+  }
+}

@@ -50,6 +50,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: arrival-triggered micro-batches dedup end-to-end") {
+    // the reference's trigger model: files land, each becomes a micro-batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val src = s"$dir/in"
+    Seq(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 1, "a", 1.0))
+      .toDF().write.parquet(s"$src/f1.parquet")
+    Seq(Ev(1, ts(2), 1, "dup", 9.0), Ev(3, ts(3), 2, "a", 1.0))
+      .toDF().write.parquet(s"$src/f2.parquet")
+    val stream = spark.readStream
+      .schema(Seq.empty[Ev].toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*/")
+    val q = StreamingOps.dedupExact(stream, Seq("event_id"))
+      .writeStream.format("memory").queryName("file_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val out = spark.table("file_dedup").select("event_id").as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 3L)) // duplicate event_id=1 dropped across files
+    } finally q.stop()
+  }
+
   test("session windows close after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
