@@ -44,7 +44,10 @@ object Queries {
       val bronze = Ingest.bronzeFromTpch(t(s, dir, "lineitem"), t(s, dir, "orders"))
       val silver = Ingest.toSilver(Ingest.flattenBronze(bronze))
       val inBatch = Dedup.exact(silver, Seq("checksum")) // F3 (no-op on unique keys)
-      val ledger = silver.filter(substring(col("checksum"), 1, 1) === "0")
+      // ledger = independent cheap scan (S7 production shape) — deriving
+      // it from `silver` would recompute the bronze rebuild per stage
+      val ledger = Ingest.tpchSilverKeys(t(s, dir, "lineitem"), t(s, dir, "orders"))
+        .filter(substring(col("checksum"), 1, 1) === "0")
       val surviving = Dedup.againstLedger(inBatch, ledger) // F1 two-stage
       surviving.groupBy(col("company_id"))
         .agg(

@@ -88,6 +88,33 @@ object Ingest {
       map_from_entries(col("line.metadata")).as("metadata"))
   }
 
+  /** The silver dedup keys (company_id, checksum, etl_checksum) computed
+    * directly from the flat testdata join — the production shape of the
+    * ledger scan S7 (a read of the already-materialized silver table).
+    * Value-identical to projecting `toSilver ∘ flattenBronze ∘
+    * bronzeFromTpch` (the nested round-trip preserves every field), but
+    * costs a projection instead of a collect_list + double explode:
+    * deriving a ledger from the batch's own expensive plan would make
+    * Spark recompute that plan once per anti-join stage (measured 3×
+    * full-pipeline scans in q00's physical plan before this existed).
+    */
+  def tpchSilverKeys(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    import Transforms._
+    val flat = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+    flat.select(
+      concat(lit("company-"), pmod(col("o_custkey"), lit(10))).as("company_id"),
+      md5(concat_ws("-",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        date_format(col("l_shipdate"), "yyyyMMdd"),
+        centsString(col("l_quantity")), centsString(col("l_extendedprice")),
+        col("l_returnflag"), col("l_linestatus"))).as("checksum"),
+      etlChecksum(
+        date_format(col("l_shipdate"), "yyyy-MM-dd"),
+        concat_ws(" ", col("l_returnflag"), col("l_linestatus"), col("l_partkey")),
+        centsString(col("l_extendedprice")),
+        centsString(col("l_quantity"))).as("etl_checksum"))
+  }
+
   /** Render a timestamp as one of the four reference date formats, keyed
     * deterministically — produces the multi-format date strings the
     * reference ingests (`transactions.py:57-81`). Used by the bronze
