@@ -234,6 +234,34 @@ object Queries {
       |ORDER BY op, suppkey
       |""".stripMargin.trim))
 
+  /** §2.7 lag reconciliation: the reference stores `reported_remaining`
+    * per line precisely so balances can be checked; this is that check —
+    * flag lines whose quantity jumps against the previous line of the
+    * same supplier.
+    */
+  val q09: Q = Q(
+    "q09_lag_reconcile",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+        .filter(col("prev_qty").isNotNull &&
+          abs(col("l_quantity") - col("prev_qty")) > 40)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("prev_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      |SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity, prev_qty FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |    lag(l_quantity) OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+      |  FROM lineitem)
+      |WHERE prev_qty IS NOT NULL AND abs(l_quantity - prev_qty) > 40
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber
+      |""".stripMargin.trim))
+
   // ==========================================================================
   // Reference-parity transforms (S1/S5, T1–T5, F1) — SURVEY.md §2.1–2.3
   // ==========================================================================
@@ -808,7 +836,7 @@ object Queries {
 
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
-    q00, q01, q02, q03, q04, q05, q06, q07, q08,
+    q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25,
