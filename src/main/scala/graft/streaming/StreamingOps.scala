@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming operators (SURVEY.md §2.3 F3/F4, §2.7).
   *
@@ -13,6 +14,9 @@ import org.apache.spark.sql.functions._
   * are used both on `readStream` sources and (for oracle checks) batch
   * frames — the transformations are identical by construction.
   */
+/** Surviving (key, payload) row from the TTL dedup. */
+case class Row2(key: String, payload: String)
+
 object StreamingOps {
 
   /** F3/F4: first-writer-wins dedup with bounded state — late duplicates
@@ -39,6 +43,54 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** F3/F4 with the reference's EXACT TTL semantics
+    * (`/root/reference/src/redis_tools.py:5,15-24`: a key blocks
+    * duplicates only while its lock lives, then re-admits): custom keyed
+    * state via `flatMapGroupsWithState`. `dropDuplicatesWithinWatermark`
+    * cannot express re-admission, which is why SURVEY.md §7.4 reserves
+    * flatMapGroupsWithState for exactly this case.
+    *
+    * TTL is measured in EVENT time: the state stores the lock expiry;
+    * a row passes iff its event time is at or past the stored expiry
+    * (correct regardless of when timers fire — the event-time timeout
+    * only garbage-collects expired state; a processing-time timeout
+    * would also keep the engine scheduling wall-clock batches, which
+    * never settles under test drivers).
+    */
+  def dedupWithTtl(events: DataFrame, keyCol: String, tsCol: String,
+      ttlMs: Long, watermarkDelay: String = "0 seconds"): Dataset[Row2] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark(tsCol, watermarkDelay)
+      // the watermark-tagged timestamp column must itself reach the
+      // stateful operator (the checker rejects a derived unix_millis)
+      .selectExpr(s"CAST($keyCol AS STRING) AS key", s"$tsCol AS __wm_ts",
+        "to_json(struct(*)) AS payload")
+      .as[(String, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, Row2](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, String)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Vector.newBuilder[Row2]
+            var expiry = state.getOption.getOrElse(Long.MinValue)
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, payload) =>
+              if (ts.getTime >= expiry) { // lock free (or expired) → admit + re-arm
+                out += Row2(key, payload)
+                expiry = ts.getTime + ttlMs
+              } // else: lock live → duplicate dropped
+            }
+            state.update(expiry)
+            state.setTimeoutTimestamp(expiry) // GC once the watermark passes
+            out.result().iterator
+          }
+      }
+  }
 
   /** Session windows per user: built-in `session_window` with a gap —
     * the streaming twin of the batch sessionize query.

@@ -74,6 +74,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL dedup (flatMapGroupsWithState): blocked while lock lives, re-admitted after") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // 30-minute event-time TTL
+    val out = StreamingOps.dedupWithTtl(mem.toDF(), "event_id", "ts",
+      ttlMs = 30L * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("ttl_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 1, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts(5), 1, "dup", 9.0)) // 5 min later: lock live → dropped
+      q.processAllAvailable()
+      mem.addData(Ev(1, Timestamp.valueOf("2024-01-01 10:45:00"), 1, "readmit", 2.0))
+      q.processAllAvailable() // 45 min later: lock expired → re-admitted
+      val byPayload = spark.table("ttl_out").select("key", "payload")
+        .as[(String, String)].collect().groupBy(_._1)
+      assert(byPayload("2").length == 1)
+      assert(byPayload("1").length == 2) // original + re-admission, dup dropped
+      assert(!byPayload("1").exists(_._2.contains("\"dup\"")))
+    } finally q.stop()
+  }
+
   test("session windows close after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
