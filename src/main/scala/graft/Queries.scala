@@ -748,6 +748,16 @@ object Queries {
     },
     Some(annOracle(bucketed = true)))
 
+  val q28: Q = Q(
+    "q28_ann_ivf_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorOps.ivfTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", "label", k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
+    },
+    None) // probed-cell recall is the point, not SQL parity → rows-only
+
   // ==========================================================================
   // Events: sessionization, tumbling rollup, distinct stats, multimodal stub
   // ==========================================================================
@@ -840,6 +850,6 @@ object Queries {
     q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25,
-    q26, q27,
+    q26, q27, q28,
     q30, q31, q32, q33, q34, q35)
 }

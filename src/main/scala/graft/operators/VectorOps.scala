@@ -85,6 +85,40 @@ object VectorOps {
     concat((1 to nBits).map(i =>
       when(element_at(vec, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** IVF-style ANN top-k: corpus vectors live in coarse cells (here the
+    * `cellCol` clustering, e.g. a pre-computed label or k-means id);
+    * each query scores the tiny broadcast centroid table, probes its
+    * `nProbe` nearest cells, and scans only those cells — the
+    * partition-pruning ANN shape (cells ≈ partitions at 100 TB, so a
+    * probe touches nProbe/nCells of the corpus).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(cellCol).as("cell"),
+      quantize(col(vecCol)).as("cv"))
+    // integer-rounded centroids: element-wise mean of the quantized cell,
+    // rounded — keeps all downstream arithmetic exact
+    val dims = 0 until 64
+    val centroids = c.groupBy(col("cell"))
+      .agg(array(dims.map(i =>
+        round(avg(element_at(col("cv"), i + 1)))): _*).as("centroid"))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", nativeDot(col("qv"), col("centroid")))
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell"))))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = probed.join(c, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", nativeCosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim")
+  }
+
   /** LSH-bucketed ANN top-k: join only within matching sign-buckets. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nBits: Int = 8): DataFrame = {

@@ -31,6 +31,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(out == Seq(3L, 1L)) // exact match first, near-match second
   }
 
+  test("IVF probes nearest cells only") {
+    // two well-separated cells; query near cell 0 must not see cell 1
+    // when nProbe=1
+    val mk = (base: Float, n: Int) =>
+      (0 until n).map(i => Seq.tabulate(64)(d => base + (if (d == i % 64) 0.01f else 0f)))
+    val rows = mk(1f, 6).zipWithIndex.map { case (v, i) => (i.toLong, v, 0) } ++
+      mk(-1f, 6).zipWithIndex.map { case (v, i) => ((i + 10).toLong, v, 1) }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = VectorOps.ivfTopK(df.filter(col("vec_id") === 0), df,
+      "vec_id", "embedding", "label", k = 20, nProbe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 3L, 4L, 5L)) // cell-0 members only, self excluded
+  }
+
   test("sign-bucket LSH finds same-orthant neighbors") {
     val vecs = Seq(
       (0L, Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
