@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{AnalysisException, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -84,7 +84,18 @@ object GraftFunctions {
       registry.registerFunction(
         ident,
         new ExpressionInfo(classOf[ArrayDotProduct].getName, DotName),
-        (children: Seq[Expression]) => ArrayDotProduct(children.head, children(1)))
+        (children: Seq[Expression]) => {
+          if (children.length != 2) {
+            throw new AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> DotName,
+                "expectedNum" -> "2",
+                "actualNum" -> children.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          }
+          ArrayDotProduct(children.head, children(1))
+        })
     }
   }
 }

@@ -93,16 +93,24 @@ object VectorOps {
     * probe touches nProbe/nCells of the corpus).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, cellCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+      vecCol: String, cellCol: String, k: Int, nProbe: Int = 2,
+      dim: Int = -1): DataFrame = {
     GraftFunctions.register(queries.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(cellCol).as("cell"),
       quantize(col(vecCol)).as("cv"))
+    // Embedding dimension: caller-supplied, else derived from one corpus
+    // row (a single-row driver lookup — negligible next to the scan).
+    val nDims =
+      if (dim > 0) dim
+      else corpus.select(size(col(vecCol))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
     // integer-rounded centroids: element-wise mean of the quantized cell,
-    // rounded — keeps all downstream arithmetic exact
-    val dims = 0 until 64
+    // rounded — keeps all downstream arithmetic exact. try_element_at:
+    // a vector shorter than nDims contributes null (ignored by avg)
+    // instead of throwing under ANSI mode.
     val centroids = c.groupBy(col("cell"))
-      .agg(array(dims.map(i =>
-        round(avg(element_at(col("cv"), i + 1)))): _*).as("centroid"))
+      .agg(array((0 until nDims).map(i =>
+        round(avg(try_element_at(col("cv"), lit(i + 1))))): _*).as("centroid"))
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
     val probed = q.crossJoin(broadcast(centroids))
       .withColumn("cdist", nativeDot(col("qv"), col("centroid")))

@@ -59,10 +59,18 @@ object StreamingOps {
     * never settles under test drivers).
     */
   def dedupWithTtl(events: DataFrame, keyCol: String, tsCol: String,
-      ttlMs: Long, watermarkDelay: String = "0 seconds"): Dataset[Row2] = {
+      ttlMs: Long, watermarkDelay: String = ""): Dataset[Row2] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events.withWatermark(tsCol, watermarkDelay)
+    // Watermark default = the TTL: with a shorter delay, an event arriving
+    // out of order across micro-batches would be discarded as late before
+    // the stateful operator — neither admitted nor TTL-blocked — silently
+    // diverging from the Redis-TTL re-admission semantics. Callers
+    // expecting more event-time disorder than the TTL must pass a delay
+    // covering it.
+    val delay =
+      if (watermarkDelay.nonEmpty) watermarkDelay else s"$ttlMs milliseconds"
+    events.withWatermark(tsCol, delay)
       // the watermark-tagged timestamp column must itself reach the
       // stateful operator (the checker rejects a derived unix_millis)
       .selectExpr(s"CAST($keyCol AS STRING) AS key", s"$tsCol AS __wm_ts",
