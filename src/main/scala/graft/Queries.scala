@@ -758,6 +758,123 @@ object Queries {
     },
     None) // probed-cell recall is the point, not SQL parity → rows-only
 
+  /** Embedding-cosine near-duplicate detection (dedup family): sign-bucket
+    * LSH blocking + exact quantized cosine — the oracle reproduces both.
+    */
+  val q29: Q = Q(
+    "q29_embed_neardup",
+    (s, dir) => VectorOps.cosineNearDupPairs(
+        t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.3)
+      .orderBy(col("id1"), col("id2")),
+    Some {
+      val bucketExpr = (1 to 8).map(i =>
+        s"CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings),
+      |eb AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+      |p AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS dp,
+      |    list_sum(list_transform(a.v, x -> x * x)) AS n1,
+      |    list_sum(list_transform(b.v, x -> x * x)) AS n2
+      |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |cs AS (
+      |  SELECT id1, id2,
+      |    CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0 ELSE dp / (sqrt(n1) * sqrt(n2)) END AS cosine_sim
+      |  FROM p)
+      |SELECT id1, id2, cosine_sim FROM cs WHERE cosine_sim >= 0.3 ORDER BY id1, id2
+      |""".stripMargin.trim
+    })
+
+  /** Character-trigram Jaccard near-dup (n-gram dedup family): candidate
+    * blocking on (lang, length-centile) — near-dups have near-equal
+    * length — then EXACT set Jaccard per candidate pair. Complements q24
+    * (word-bigram MinHash banding, probabilistic candidates).
+    */
+  val q36: Q = Q(
+    "q36_ngram_jaccard",
+    (s, dir) => {
+      val g = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        floor(length(col("text")) / 100).cast("long").as("lb"),
+        TextOps.charNgrams(col("text"), 3).as("ng"))
+      val a = g.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("ng").as("ng1"))
+      val b = g.select(col("lang"), col("lb"), col("doc_id").as("id2"), col("ng").as("ng2"))
+      a.join(b, Seq("lang", "lb")).filter(col("id1") < col("id2"))
+        .withColumn("jaccard", TextOps.jaccard(col("ng1"), col("ng2")))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      |WITH d AS (
+      |  SELECT doc_id, lang, length(text) // 100 AS lb,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, lang, lb,
+      |    list_distinct(list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))) AS ng
+      |  FROM d),
+      |p AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+      |      / CAST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) AS DOUBLE) AS jaccard
+      |  FROM g a JOIN g b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
+      |SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY id1, id2
+      |""".stripMargin.trim))
+
+  /** As-of join (time-series enrichment): each non-purchase event gets the
+    * latest prior-or-equal purchase (per user). DuckDB's native ASOF JOIN
+    * is the oracle for the engine's single-shuffle union-tag
+    * implementation.
+    */
+  val q37: Q = Q(
+    "q37_asof_join",
+    (s, dir) => {
+      val ev = Ingest.events(s, dir)
+      val right = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+        .withColumn("purchase_ts", col("ts"))
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      Analytics.asofJoin(left, right, "user_id", "ts", "ts",
+          Seq("purchase_value", "purchase_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, ts, max(value) AS purchase_value
+      |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_id, user_id, ts, event_type FROM ev
+      |  WHERE event_type <> 'purchase')
+      |SELECT l.event_id, l.user_id, l.ts, l.event_type,
+      |       r.purchase_value AS asof_purchase_value, r.ts AS asof_purchase_ts
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY event_id
+      |""".stripMargin.trim))
+
+  /** Skew-proofed rollup: the two-phase salted aggregate must be
+    * semantically invisible — the oracle is the PLAIN group-by.
+    */
+  val q38: Q = Q(
+    "q38_salted_rollup",
+    (s, dir) => Analytics.saltedSum(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), col("l_extendedprice"), "sum_price",
+        saltFrom = col("l_orderkey"), saltBuckets = 16)
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS sum_price_n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin.trim))
+
   // ==========================================================================
   // Events: sessionization, tumbling rollup, distinct stats, multimodal stub
   // ==========================================================================
@@ -850,6 +967,7 @@ object Queries {
     q10, q11, q12, q13, q14, q15,
     q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25,
-    q26, q27, q28,
-    q30, q31, q32, q33, q34, q35)
+    q26, q27, q28, q29,
+    q30, q31, q32, q33, q34, q35,
+    q36, q37, q38)
 }

@@ -47,6 +47,40 @@ object Analytics {
       .drop("__ts_us", "__prev_us", "__new")
   }
 
+  /** As-of join: attach to each left row the most recent right row with
+    * `rightTs <= leftTs` for the same key (time-series enrichment — the
+    * operator Spark lacks natively).
+    *
+    * Implementation is a single co-shuffle: tag and union both sides,
+    * sort within key by (ts, tag) — right rows sort BEFORE left rows at
+    * equal timestamps, giving `<=` semantics — and carry the last
+    * non-null right payload forward with an unbounded-preceding window.
+    * One shuffle + one sort, no range cross-join blowup: at 100 TB this
+    * is the same cost as any windowed aggregation over the union.
+    * The right side must be unique per (key, ts) — pre-aggregate if not.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val tagged = left
+      .withColumn("__tag", lit(1))
+      .withColumn("__ts", col(leftTs))
+      .withColumns(payloadCols.map(c => s"__p_$c" -> lit(null).cast(
+        right.schema(c).dataType)).toMap)
+      .unionByName(
+        right.select((col(rightTs).as("__ts") +: col(keyCol).as(keyCol) +:
+            payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
+          .withColumn("__tag", lit(0)),
+        allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1)
+      .select((lCols.map(col) ++ payloadCols.map(c => col(s"asof_$c"))): _*)
+  }
+
   /** Skew-aware aggregation: two-phase salted hash aggregate.
     *
     * A hot key at 100 TB puts one reducer partition orders of magnitude

@@ -94,11 +94,29 @@ object TextOps {
       .select(col(idCol), fp.as("simhash"))
   }
 
+  /** Whitespace-normalized lowercase text — the canonical form both the
+    * exact-dedup fingerprint and character shingling operate on.
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * — the exact-dedup key (hash-groupBy dedup at any scale).
     */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+    md5(normalizedText(text))
+
+  /** Distinct character n-grams of the normalized text (the n-gram-Jaccard
+    * dedup family's shingle set). Empty array for texts shorter than `n` —
+    * guarded because `sequence(1, len-k)` with len-k < 1 would generate a
+    * DESCENDING sequence, not an empty one.
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = normalizedText(text)
+    when(length(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n)))))
+  }
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -127,6 +127,28 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine_sim")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the embedding flavor of the
+    * dedup family): all (id1 < id2) pairs whose cosine similarity meets
+    * `threshold`, candidate-blocked by the sign-bucket LSH key so the
+    * join is a hash-shuffle on buckets instead of an O(n²) cross join —
+    * with 2^nBits buckets the expected pair count drops by ~2^nBits.
+    * Quantized arithmetic keeps every score exactly reproducible (and
+    * DuckDB-checkable) at any parallelism.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("bucket", signBucket(col("v"), nBits))
+    val a = base.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+    val b = base.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine_sim", nativeCosine(col("v1"), col("v2")))
+      .filter(col("cosine_sim") >= threshold)
+      .select("id1", "id2", "cosine_sim")
+  }
+
   /** LSH-bucketed ANN top-k: join only within matching sign-buckets. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nBits: Int = 8): DataFrame = {

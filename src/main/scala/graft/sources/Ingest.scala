@@ -13,9 +13,23 @@ import graft.operators.Transforms
   */
 object Ingest {
 
-  /** Load one driver testdata table (TESTDATA.md). */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Load one driver testdata table (TESTDATA.md).
+    *
+    * Small-file parallelism fix: the testdata tables are single parquet
+    * files with ONE row group, so the scan is a single task — and Spark
+    * fuses every narrow transform (md5, date parsing, tokenization) into
+    * that scan stage, serializing the whole map side onto one core of
+    * local[32]. When the scan's split count is far below the session's
+    * parallelism, a round-robin repartition (one ~10 MB shuffle) unlocks
+    * the other cores. At production scale a table has orders of magnitude
+    * more splits than cores, the condition never fires, and reads stay
+    * shuffle-free — this is purely a small-input adaptation.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
 
   /** Load the `events` table. Its `ts` column is parquet TIMESTAMP(NANOS),
     * which vanilla Spark rejects ([PARQUET_TYPE_ILLEGAL]); read it as a

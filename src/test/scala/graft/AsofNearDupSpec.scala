@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, TextOps, VectorOps}
+
+/** Specs for the round-2 operators: as-of join, char-n-gram Jaccard,
+  * embedding-cosine near-dup.
+  */
+class AsofNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("asofJoin attaches latest right row with rts <= lts, per key") {
+    val left = Seq(
+      (1L, ts(5), "a"), // before any right row → null
+      (1L, ts(10), "b"), // equal ts → matches the ts(10) right row
+      (1L, ts(30), "c"), // between rights → ts(10)
+      (1L, ts(50), "d"), // after both → ts(40)
+      (2L, ts(20), "e") // other key, no right rows → null
+    ).toDF("k", "t", "tag")
+    val right = Seq((1L, ts(10), 100.0), (1L, ts(40), 200.0))
+      .toDF("k", "t", "v")
+    val out = Analytics.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(out == Map("a" -> None, "b" -> Some(100.0), "c" -> Some(100.0),
+      "d" -> Some(200.0), "e" -> None))
+  }
+
+  test("charNgrams: empty below n, distinct, normalized") {
+    val df = Seq("ab", "abcab", "  A  b C  ").toDF("t")
+      .select(TextOps.charNgrams(col("t"), 3).as("ng"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) == Seq.empty)
+    assert(out(1) == Seq("abc", "bca", "cab"))
+    // normalization: lowercased, whitespace collapsed → "a b c"
+    assert(out(2) == Seq("a b", " b ", "b c"))
+  }
+
+  test("jaccard over charNgrams matches hand computation") {
+    val df = Seq(("abcd", "abcd"), ("abcd", "bcde"), ("ab", "ab"))
+      .toDF("x", "y")
+      .select(TextOps.jaccard(
+        TextOps.charNgrams(col("x"), 3), TextOps.charNgrams(col("y"), 3)).as("j"))
+    val out = df.as[Double].collect()
+    assert(out(0) == 1.0)
+    // {abc,bcd} vs {bcd,cde}: inter 1, union 3
+    assert(math.abs(out(1) - 1.0 / 3) < 1e-15)
+    assert(out(2) == 0.0) // both empty → 0 by definition
+  }
+
+  test("cosineNearDupPairs finds planted near-duplicates, blocks by sign bucket") {
+    val mk = (id: Long, v: Seq[Double]) => (id, v)
+    val rows = Seq(
+      mk(1, Seq(1.0, 2.0, 3.0, 4.0, 0.5, 0.5, 0.5, 0.5)),
+      mk(2, Seq(1.0, 2.0, 3.0, 4.001, 0.5, 0.5, 0.5, 0.5)), // near-dup of 1
+      mk(3, Seq(-1.0, 2.0, 3.0, 4.0, 0.5, 0.5, 0.5, 0.5)), // different bucket (sign flip)
+      mk(4, Seq(4.0, 3.0, 2.0, 1.0, 0.5, 0.5, 0.5, 0.5)) // same bucket as 1, cosine ≈ 0.71
+    ).toDF("id", "vec")
+    val out = VectorOps.cosineNearDupPairs(rows, "id", "vec", threshold = 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L))) // 3 is bucket-blocked, 4 is below threshold
+  }
+}
