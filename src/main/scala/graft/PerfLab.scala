@@ -41,6 +41,44 @@ object PerfLab {
           Ingest.toSilver(Ingest.flattenBronze(Ingest.bronzeFromTpch(li, ord))), Seq("checksum")))
         time("e_ledger", reps)(Ingest.tpchSilverKeys(li, ord)
           .filter(substring(col("checksum"), 1, 1) === "0"))
+      case "silverparts" =>
+        import graft.sources.Ingest
+        import graft.operators.Transforms
+        import org.apache.spark.sql.functions._
+        val flat = Ingest.flattenBronze(Ingest.bronzeFromTpch(
+          Ingest.table(spark, sfDir, "lineitem"), Ingest.table(spark, sfDir, "orders")))
+        time("flat_only", reps)(flat)
+        time("silver_nodates", reps)(flat.select(
+          col("line.checksum").as("checksum"),
+          Transforms.etlChecksum(col("line.date"), col("line.concept"),
+            Transforms.centsString(col("line.amount")),
+            Transforms.centsString(col("line.remaining"))).as("etl_checksum"),
+          col("line.amount").as("amount"),
+          col("header.account_number").as("account_number"),
+          col("companyId").as("company_id"),
+          map_from_entries(col("line.metadata")).as("metadata")))
+        time("silver_full", reps)(Ingest.toSilver(flat))
+      case "q24probe" =>
+        import graft.operators.TextOps
+        import graft.sources.Ingest
+        import org.apache.spark.sql.functions._
+        val docs = Ingest.table(spark, sfDir, "documents")
+        val base = docs.select(col("doc_id"),
+          TextOps.wordBigrams(TextOps.tokens(col("text"))).as("sh")).filter(size(col("sh")) > 0)
+        val sig = base.withColumn("hv", TextOps.shingleHashes(col("sh")))
+          .withColumn("sig", TextOps.minhashSignature(col("hv"), 8))
+        val banded = sig.select(col("doc_id"),
+          posexplode(TextOps.lshBandKeys(col("sig"), 4, 2)).as(Seq("band", "bkey")))
+        val cand = banded.alias("x").join(banded.alias("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+        println("docs=" + docs.count() + " cand=" + cand.count())
+        val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
+        println("ex_rows=" + ex.count())
+        val inter = cand.join(ex.select(col("doc_id").as("id1"), col("s")), "id1")
+          .join(ex.select(col("doc_id").as("id2"), col("s")), Seq("id2", "s"))
+        println("inter_rows=" + inter.count())
       case n =>
         Queries.all.find(_.name == n).foreach(q => time(n, reps)(q.fn(spark, sfDir)))
     }

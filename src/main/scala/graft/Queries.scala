@@ -619,9 +619,14 @@ object Queries {
     "q24_minhash_neardup",
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      // The shingle-set base feeds four plan branches (signature, both
+      // sides of the co-count join, sizes); persist materializes the
+      // regex tokenization once instead of four times. At corpus scale
+      // the same role is played by writing the shingle table out once.
       val base = docs.select(col("doc_id"),
           TextOps.wordBigrams(TextOps.tokens(col("text"))).as("sh"))
         .filter(size(col("sh")) > 0)
+        .persist()
       val sig = base
         .withColumn("hv", TextOps.shingleHashes(col("sh")))
         .withColumn("sig", TextOps.minhashSignature(col("hv"), 8))
@@ -790,38 +795,74 @@ object Queries {
 
   /** Character-trigram Jaccard near-dup (n-gram dedup family): candidate
     * blocking on (lang, length-centile) — near-dups have near-equal
-    * length — then EXACT set Jaccard per candidate pair. Complements q24
-    * (word-bigram MinHash banding, probabilistic candidates).
+    * length — then EXACT set Jaccard per candidate pair over md5-hashed
+    * shingles. Complements q24 (word-bigram MinHash banding,
+    * probabilistic candidates).
+    *
+    * Per-pair intersections use the native sorted-merge expression
+    * (graft_sorted_intersect_size) over int64 shingle hashes:
+    * `size(array_intersect(...))` on string arrays builds a hash set per
+    * candidate pair (~500k pairs at sf0.1) and dominated the query
+    * (~20 s → ~2 s). The broadcast keeps pair generation pipelined
+    * across the probe side's partitions instead of shuffling each block
+    * onto one task (~30 distinct block keys → pathological skew); at
+    * full corpus scale the blocked side exceeds broadcast range — band
+    * the blocks further (q24's MinHash path) first.
     */
   val q36: Q = Q(
     "q36_ngram_jaccard",
     (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      // both join sides derive from g: persist tokenizes+hashes once
       val g = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         floor(length(col("text")) / 100).cast("long").as("lb"),
-        TextOps.charNgrams(col("text"), 3).as("ng"))
-      val a = g.select(col("lang"), col("lb"), col("doc_id").as("id1"), col("ng").as("ng1"))
-      val b = g.select(col("lang"), col("lb"), col("doc_id").as("id2"), col("ng").as("ng2"))
-      a.join(b, Seq("lang", "lb")).filter(col("id1") < col("id2"))
-        .withColumn("jaccard", TextOps.jaccard(col("ng1"), col("ng2")))
-        .filter(col("jaccard") >= 0.7)
+        sort_array(array_distinct(TextOps.shingleHashes(
+          TextOps.charNgrams(col("text"), 3)))).as("hv"))
+        .persist()
+      val a = g.select(col("lang"), col("lb"), col("doc_id").as("id1"),
+        col("hv").as("hv1"), size(col("hv")).as("n1"))
+      val b = g.select(col("lang"), col("lb"), col("doc_id").as("id2"),
+        col("hv").as("hv2"), size(col("hv")).as("n2"))
+      // Size-ratio bound prunes before the per-pair intersection:
+      // J ≥ θ forces min(|A|,|B|) / max(|A|,|B|) ≥ θ.
+      val theta = 0.7
+      a.join(broadcast(b), Seq("lang", "lb"))
+        .filter(col("id1") < col("id2") &&
+          least(col("n1"), col("n2")).cast("double") >=
+            greatest(col("n1"), col("n2")) * theta)
+        .withColumn("n_inter", call_function(
+          graft.functions.GraftFunctions.SortedIntersectName, col("hv1"), col("hv2")))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") /
+            (col("n1") + col("n2") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= theta)
         .select(col("id1"), col("id2"), col("jaccard"))
         .orderBy(col("id1"), col("id2"))
     },
-    Some("""
+    Some(s"""
       |WITH d AS (
       |  SELECT doc_id, lang, length(text) // 100 AS lb,
-      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       |  FROM documents),
-      |g AS (
+      |n AS (
       |  SELECT doc_id, lang, lb,
       |    list_distinct(list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))) AS ng
       |  FROM d),
+      |g AS (
+      |  SELECT doc_id, lang, lb,
+      |    list_distinct(list_transform(ng, s ->
+      |      list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1)
+      |          * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % ${TextOps.MinhashP})) AS hv
+      |  FROM n),
       |p AS (
       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |    CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
-      |      / CAST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) AS DOUBLE) AS jaccard
+      |    CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE) AS ni,
+      |    len(a.hv) AS n1, len(b.hv) AS n2
       |  FROM g a JOIN g b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
-      |SELECT id1, id2, jaccard FROM p WHERE jaccard >= 0.7 ORDER BY id1, id2
+      |SELECT id1, id2, ni / CAST(n1 + n2 - ni AS DOUBLE) AS jaccard
+      |FROM p WHERE ni / CAST(n1 + n2 - ni AS DOUBLE) >= 0.7
+      |ORDER BY id1, id2
       |""".stripMargin.trim))
 
   /** As-of join (time-series enrichment): each non-purchase event gets the

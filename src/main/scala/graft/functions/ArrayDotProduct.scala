@@ -76,26 +76,34 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   */
 object GraftFunctions {
   val DotName = "graft_dot"
+  val SortedIntersectName = "graft_sorted_intersect_size"
 
-  def register(spark: SparkSession): Unit = {
+  private def registerBinary(spark: SparkSession, name: String,
+      clazz: Class[_], build: (Expression, Expression) => Expression): Unit = {
     val registry = spark.sessionState.functionRegistry
-    val ident = FunctionIdentifier(DotName)
+    val ident = FunctionIdentifier(name)
     if (!registry.functionExists(ident)) {
       registry.registerFunction(
         ident,
-        new ExpressionInfo(classOf[ArrayDotProduct].getName, DotName),
+        new ExpressionInfo(clazz.getName, name),
         (children: Seq[Expression]) => {
           if (children.length != 2) {
             throw new AnalysisException(
               errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
               messageParameters = Map(
-                "functionName" -> DotName,
+                "functionName" -> name,
                 "expectedNum" -> "2",
                 "actualNum" -> children.length.toString,
                 "docroot" -> "https://spark.apache.org/docs/latest"))
           }
-          ArrayDotProduct(children.head, children(1))
+          build(children.head, children(1))
         })
     }
+  }
+
+  def register(spark: SparkSession): Unit = {
+    registerBinary(spark, DotName, classOf[ArrayDotProduct], ArrayDotProduct(_, _))
+    registerBinary(spark, SortedIntersectName, classOf[SortedArrayIntersectSize],
+      SortedArrayIntersectSize(_, _))
   }
 }

@@ -46,4 +46,30 @@ class GraftFunctionsSpec extends SparkSpec {
     val r = df.select(VectorOps.nativeDot(col("a"), col("b"))).head()
     assert(r.isNullAt(0))
   }
+
+  test("graft_dot rejects wrong arity with an analysis error") {
+    GraftFunctions.register(spark)
+    val df = Seq(Seq(1.0, 2.0)).toDF("a")
+    val e = intercept[Exception] {
+      df.select(call_function(GraftFunctions.DotName, col("a"))).collect()
+    }
+    assert(e.getMessage.contains("2") || e.getMessage.contains("WRONG_NUM_ARGS"))
+  }
+
+  test("sorted intersect size matches array_intersect on random sorted sets") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(300)((
+      Seq.fill(rnd.nextInt(50))(rnd.nextInt(100).toLong).distinct.sorted,
+      Seq.fill(rnd.nextInt(50))(rnd.nextInt(100).toLong).distinct.sorted))
+    val df = rows.toDF("a", "b")
+    val mismatches = df.filter(
+      call_function(GraftFunctions.SortedIntersectName, col("a"), col("b"))
+        =!= size(array_intersect(col("a"), col("b"))))
+    assert(mismatches.count() == 0)
+    // empty-side edge
+    val empty = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(call_function(GraftFunctions.SortedIntersectName, col("a"), col("b")))
+    assert(empty.head().getInt(0) == 0)
+  }
 }
