@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injector — the library-idiomatic way to load
+  * the engine's native functions at session build time:
+  *
+  * {{{
+  * spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions()...)`.
+  * Equivalent to the runtime [[GraftFunctions.register]] path (which the
+  * operators call for sessions built without extensions, e.g. the
+  * driver-owned Verify/Bench sessions); both converge on the same
+  * builders, so behavior is identical either way.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def binary(name: String, clazz: Class[_],
+      build: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"$name requires exactly 2 arguments, got ${children.length}")
+        build(children.head, children(1))
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(binary(GraftFunctions.DotName,
+      classOf[ArrayDotProduct], ArrayDotProduct(_, _)))
+    ext.injectFunction(binary(GraftFunctions.SortedIntersectName,
+      classOf[SortedArrayIntersectSize], SortedArrayIntersectSize(_, _)))
+  }
+}
