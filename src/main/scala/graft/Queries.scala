@@ -1002,6 +1002,99 @@ object Queries {
       |FROM documents ORDER BY doc_id
       |""".stripMargin.trim))
 
+  // ==========================================================================
+  // §2.7 widened: pivot, rollup, exact percentiles, JSON column processing
+  // ==========================================================================
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user event-type counts as columns. The value list is
+    * explicit — at scale an implicit pivot first runs a distinct scan
+    * AND caps out at spark.sql.pivotMaxValues.
+    */
+  val q39: Q = Q(
+    "q39_pivot_counts",
+    (s, dir) =>
+      Ingest.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", EventTypes)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: EventTypes.map(t =>
+          coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy(col("user_id")),
+    Some {
+      val conds = EventTypes.map(t =>
+        s"COUNT(*) FILTER (event_type = '$t') AS n_$t").mkString(",\n      |  ")
+      s"""
+      |SELECT user_id, $conds
+      |FROM events GROUP BY user_id ORDER BY user_id
+      |""".stripMargin.trim
+    })
+
+  /** Rollup: subtotals + grand total in one pass (partial-aggregable —
+    * one shuffle regardless of grouping-set count).
+    */
+  val q40: Q = Q(
+    "q40_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(Transforms.exactSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+      |""".stripMargin.trim))
+
+  /** Exact percentiles over integer cents: interpolation arithmetic is
+    * the same `lo + (hi-lo)*frac` in both engines, and integer-valued
+    * inputs keep it bit-deterministic.
+    */
+  val q41: Q = Q(
+    "q41_percentiles",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          (round(col("l_extendedprice") * 100)).cast("long").as("cents"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(cents, 0.5)").as("median_cents"),
+          expr("percentile(cents, 0.9)").as("p90_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      |SELECT l_returnflag,
+      |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS median_cents,
+      |  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9) AS p90_cents,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
+  /** JSON column processing: schema'd `from_json` over the events.props
+    * JSON strings (single parse, codegen'd) + aggregation on the
+    * extracted field.
+    */
+  val q42: Q = Q(
+    "q42_json_props",
+    (s, dir) =>
+      Ingest.events(s, dir)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(Transforms.exactSum(col("k"), 0).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"),
+          count(when(col("k").isNull, 1)).as("n_null_k"))
+        .orderBy(col("event_type")),
+    Some("""
+      |SELECT event_type,
+      |  CAST(SUM(CAST(CAST(props->>'k' AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) AS sum_k,
+      |  COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_distinct_k,
+      |  COUNT(*) FILTER (CAST(props->>'k' AS BIGINT) IS NULL) AS n_null_k
+      |FROM events GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -1010,5 +1103,5 @@ object Queries {
     q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
-    q36, q37, q38)
+    q36, q37, q38, q39, q40, q41, q42)
 }
