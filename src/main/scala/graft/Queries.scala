@@ -757,8 +757,10 @@ object Queries {
     "q28_ann_ivf_topk",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      VectorOps.ivfTopK(emb.filter(col("vec_id") < 5), emb,
-          "vec_id", "embedding", "label", k = 10, nProbe = 2)
+      // train the coarse quantizer (deterministic k-means), then probe
+      val cells = VectorOps.kmeansCells(emb, "vec_id", "embedding", k = 8, iters = 3)
+      VectorOps.ivfTopK(emb.filter(col("vec_id") < 5), emb.join(cells, "vec_id"),
+          "vec_id", "embedding", "cell", k = 10, nProbe = 2)
         .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
     },
     None) // probed-cell recall is the point, not SQL parity → rows-only

@@ -85,6 +85,58 @@ object VectorOps {
     concat((1 to nBits).map(i =>
       when(element_at(vec, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** Deterministic k-means coarse quantizer for IVF: returns (idCol,
+    * cell) assignments after `iters` Lloyd iterations.
+    *
+    * Scale shape: per iteration one broadcast of k×dim centroids into a
+    * codegen'd argmin projection over the corpus + one k-row groupBy —
+    * the standard distributed k-means layout (centroids always fit the
+    * driver; the corpus never leaves the executors).
+    *
+    * Determinism: vectors are quantized to ints; per-dim centroid
+    * updates use exact integer SUM/COUNT (not avg-of-doubles, whose
+    * value depends on shuffle order) and round once — so assignments,
+    * centroids, and the final cells are identical at any parallelism.
+    * Distances compare `|c|² − 2·v·c` (monotone in true distance) in
+    * exact int64 arithmetic; ties break toward the lower cell id via
+    * struct ordering.
+    */
+  def kmeansCells(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    // persisted: seeding + each Lloyd iteration + the final assignment
+    // all rescan this projection
+    val c = corpus.select(col(idCol).as("__id"), quantize(col(vecCol)).as("__v"))
+      .persist()
+    // deterministic seeding: the k lowest-id vectors
+    var centroids: Array[Seq[Double]] = c.orderBy(col("__id")).limit(k)
+      .select(col("__v")).collect().map(_.getSeq[Double](0))
+    def assign(df: DataFrame): Column = {
+      val scored = centroids.zipWithIndex.map { case (ct, i) =>
+        val norm = ct.map(x => x * x).sum
+        struct((lit(norm) - lit(2.0) * nativeDot(col("__v"), typedlit(ct))).as("d"),
+          lit(i).as("cell"))
+      }
+      array_min(array(scored.toIndexedSeq: _*)).getField("cell")
+    }
+    (1 to iters).foreach { _ =>
+      val assigned = c.withColumn("__cell", assign(c))
+      val dim = centroids.head.length
+      val updated = assigned
+        .select(col("__cell") +: (0 until dim).map(d =>
+          element_at(col("__v"), d + 1).cast("long").as(s"d$d")): _*)
+        .groupBy(col("__cell"))
+        .agg(count(lit(1)).as("n"), (0 until dim).map(d => sum(col(s"d$d")).as(s"s$d")): _*)
+        .collect()
+        .map(r => r.getInt(0) ->
+          (0 until dim).map(d => math.round(r.getLong(d + 2).toDouble / r.getLong(1)).toDouble))
+        .toMap
+      // empty cells keep their previous centroid
+      centroids = centroids.zipWithIndex.map { case (prev, i) => updated.getOrElse(i, prev) }
+    }
+    c.select(col("__id").as(idCol), assign(c).as("cell"))
+  }
+
   /** IVF-style ANN top-k: corpus vectors live in coarse cells (here the
     * `cellCol` clustering, e.g. a pre-computed label or k-means id);
     * each query scores the tiny broadcast centroid table, probes its

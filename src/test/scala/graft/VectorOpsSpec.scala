@@ -45,6 +45,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(out == Set(1L, 2L, 3L, 4L, 5L)) // cell-0 members only, self excluded
   }
 
+  test("kmeansCells separates blobs deterministically; IVF runs on trained cells") {
+    // two tight blobs far apart; k=2 must split them exactly, whatever
+    // the seeding order
+    val mk = (base: Float, ids: Range) =>
+      ids.map(i => (i.toLong, Seq.tabulate(16)(d => base + 0.001f * ((i + d) % 3))))
+    val df = (mk(1f, 0 until 8) ++ mk(-1f, 8 until 16)).toDF("vec_id", "embedding")
+    val cells = VectorOps.kmeansCells(df, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    val blobA = (0L until 8L).map(cells).toSet
+    val blobB = (8L until 16L).map(cells).toSet
+    assert(blobA.size == 1 && blobB.size == 1 && blobA != blobB)
+    // deterministic: a second training run assigns identically
+    val cells2 = VectorOps.kmeansCells(df, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(cells == cells2)
+    // IVF over the trained cells: query in blob A sees only blob A at nProbe=1
+    val out = VectorOps.ivfTopK(df.filter(col("vec_id") === 0),
+        df.join(VectorOps.kmeansCells(df, "vec_id", "embedding", 2, 3), "vec_id"),
+        "vec_id", "embedding", "cell", k = 20, nProbe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out == (1L until 8L).toSet)
+  }
+
   test("sign-bucket LSH finds same-orthant neighbors") {
     val vecs = Seq(
       (0L, Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
