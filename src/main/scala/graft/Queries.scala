@@ -1097,6 +1097,54 @@ object Queries {
       |FROM events GROUP BY 1 ORDER BY 1
       |""".stripMargin.trim))
 
+  /** Corpus-fitted TF-IDF cosine with EXACT integer weights — the
+    * oracle-checked twin of q18 (whose spark.ml IDF is rows-only):
+    * linear inverse-document-frequency, md5 term hashes, packed sparse
+    * vectors, native graft_packed_dot. See
+    * Similarity.exactTfidfCosinePairs.
+    */
+  val q43: Q = Q(
+    "q43_tfidf_exact",
+    (s, dir) => Similarity.exactTfidfCosinePairs(
+        t(s, dir, "documents"), "doc_id", "text", "source", threshold = 0.8)
+      .orderBy(col("id1"), col("id2")),
+    Some(s"""
+      |WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, source,
+      |    list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1)
+      |        * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % ${TextOps.MinhashP} AS h,
+      |    COUNT(*) AS tf
+      |  FROM toks GROUP BY 1, 2, 3),
+      |dfh AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM th GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM documents),
+      |w AS (
+      |  SELECT doc_id, source, th.h, tf * ((100 * (SELECT n FROM nn)) // df) AS w
+      |  FROM th JOIN dfh ON th.h = dfh.h),
+      |vecs AS (
+      |  SELECT doc_id, source, list(h ORDER BY h) AS hs, list(w ORDER BY h) AS ws,
+      |    CAST(SUM(w * w) AS BIGINT) AS nrm
+      |  FROM w GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    CAST(list_sum(list_transform(range(1, len(a.hs) + 1), i ->
+      |      a.ws[i] * coalesce(b.ws[list_position(b.hs, a.hs[i])], 0))) AS BIGINT) AS dot,
+      |    a.nrm AS n1, b.nrm AS n2
+      |  FROM vecs a JOIN vecs b ON a.source = b.source AND a.doc_id < b.doc_id),
+      |cs AS (
+      |  SELECT id1, id2,
+      |    CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+      |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) END
+      |      AS similarity_score
+      |  FROM p)
+      |SELECT id1, id2, similarity_score FROM cs
+      |WHERE similarity_score >= 0.8 ORDER BY id1, id2
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -1105,5 +1153,5 @@ object Queries {
     q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42)
+    q36, q37, q38, q39, q40, q41, q42, q43)
 }

@@ -77,6 +77,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   val DotName = "graft_dot"
   val SortedIntersectName = "graft_sorted_intersect_size"
+  val PackedDotName = "graft_packed_dot"
 
   private def registerBinary(spark: SparkSession, name: String,
       clazz: Class[_], build: (Expression, Expression) => Expression): Unit = {
@@ -105,5 +106,7 @@ object GraftFunctions {
     registerBinary(spark, DotName, classOf[ArrayDotProduct], ArrayDotProduct(_, _))
     registerBinary(spark, SortedIntersectName, classOf[SortedArrayIntersectSize],
       SortedArrayIntersectSize(_, _))
+    registerBinary(spark, PackedDotName, classOf[PackedSparseDotProduct],
+      PackedSparseDotProduct(_, _))
   }
 }

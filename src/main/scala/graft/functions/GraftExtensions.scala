@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[ArrayDotProduct], ArrayDotProduct(_, _)))
     ext.injectFunction(binary(GraftFunctions.SortedIntersectName,
       classOf[SortedArrayIntersectSize], SortedArrayIntersectSize(_, _)))
+    ext.injectFunction(binary(GraftFunctions.PackedDotName,
+      classOf[PackedSparseDotProduct], PackedSparseDotProduct(_, _)))
   }
 }

@@ -105,6 +105,62 @@ object Similarity {
       .select("id1", "id2", "similarity_score")
   }
 
+  /** A1 string branch, ORACLE-EXACT variant: corpus-fitted term weights
+    * in pure integer arithmetic, so pair scores are bit-identical at any
+    * parallelism and reproducible by the DuckDB oracle (q43) — the
+    * verification spark.ml's IDF can't offer.
+    *
+    * Weighting is linear inverse document frequency
+    * `w(term, doc) = tf · (100·N DIV df)` (integer division; documented
+    * divergence from log-IDF, same corpus-fitted spirit — Q6 fix
+    * applies). Each doc's sparse vector is ONE sorted ARRAY<BIGINT> of
+    * `(md5-hash(term) << 32) | w` — hash < 2^31, w < 2^32 — and the
+    * per-pair dot is the native two-pointer `graft_packed_dot`
+    * (exact Σw1·w2 in int64, no per-pair allocation). Hash collisions
+    * merge term counts identically on both engines by construction
+    * (grouping is BY HASH).
+    *
+    * Scale: one explode+groupBy for tf, one groupBy for df, a broadcast
+    * of the blocked side for pair generation (see q36 note on banding
+    * past broadcast range). The `docs.count()` is a driver-side scalar
+    * for the IDF numerator — one cheap count job at plan build.
+    */
+  def exactTfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(docs.sparkSession)
+    val n = docs.count()
+    val toks = docs.select(col(idCol).as("__id"), col(blockCol).as("__b"),
+      explode(TextOps.tokens(col(textCol))).as("__t"))
+    val termHash = pmod(
+      conv(substring(md5(col("__t")), 1, 15), 16, 10).cast("long"),
+      lit(TextOps.MinhashP))
+    val tfh = toks.withColumn("__h", termHash)
+      .groupBy(col("__id"), col("__b"), col("__h"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfh = tfh.groupBy(col("__h")).agg(countDistinct(col("__id")).as("__df"))
+    val weighted = tfh.join(dfh, "__h")
+      .withColumn("__w", col("__tf") * expr(s"CAST(${100L * n} AS BIGINT) DIV __df"))
+      .withColumn("__packed", shiftleft(col("__h"), 32) + col("__w"))
+    val vecs = weighted.groupBy(col("__id"), col("__b"))
+      .agg(sort_array(collect_list(col("__packed"))).as("__pv"),
+        sum(col("__w") * col("__w")).as("__nrm"))
+      .persist() // both pair-join sides read this
+    val a = vecs.select(col("__b"), col("__id").as("id1"),
+      col("__pv").as("pv1"), col("__nrm").as("n1"))
+    val bb = vecs.select(col("__b"), col("__id").as("id2"),
+      col("__pv").as("pv2"), col("__nrm").as("n2"))
+    a.join(broadcast(bb), Seq("__b")).filter(col("id1") < col("id2"))
+      .withColumn("__dot", call_function(GraftFunctions.PackedDotName,
+        col("pv1"), col("pv2")))
+      .withColumn("similarity_score",
+        when(col("n1") === 0 || col("n2") === 0, lit(0.0)).otherwise(
+          col("__dot").cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double")))))
+      .filter(col("similarity_score") >= threshold)
+      .select(col("id1"), col("id2"), col("similarity_score"))
+  }
+
   /** A3 scale path: MinHashLSH approx similarity join on hashed token
     * sets — candidate generation is a shuffle on hash buckets, not a
     * cross join (SURVEY.md §4 optimizer note).

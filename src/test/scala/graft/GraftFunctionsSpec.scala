@@ -56,6 +56,31 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("2") || e.getMessage.contains("WRONG_NUM_ARGS"))
   }
 
+  test("packed sparse dot multiplies weights on matching keys only") {
+    GraftFunctions.register(spark)
+    def pack(kv: (Long, Long)*): Seq[Long] = kv.sortBy(_._1).map { case (k, w) => (k << 32) | w }
+    val rows = Seq((
+      pack(1L -> 2L, 5L -> 3L, 9L -> 7L),
+      pack(1L -> 10L, 9L -> 1L, 11L -> 100L)))
+    val df = rows.toDF("a", "b")
+      .select(call_function(GraftFunctions.PackedDotName, col("a"), col("b")).as("d"))
+    assert(df.head().getLong(0) == 2 * 10 + 7 * 1)
+    // brute-force cross-check on random sparse vectors
+    val rnd = new scala.util.Random(3)
+    val rand = Seq.fill(100)((
+      Seq.fill(20)(rnd.nextInt(50).toLong).distinct.map(k => k -> (rnd.nextInt(1000) + 1).toLong),
+      Seq.fill(20)(rnd.nextInt(50).toLong).distinct.map(k => k -> (rnd.nextInt(1000) + 1).toLong)))
+    val expected = rand.map { case (x, y) =>
+      val ym = y.toMap
+      x.map { case (k, w) => w * ym.getOrElse(k, 0L) }.sum
+    }
+    val got = rand.map { case (x, y) => (pack(x: _*), pack(y: _*)) }
+      .toDF("a", "b")
+      .select(call_function(GraftFunctions.PackedDotName, col("a"), col("b")))
+      .as[Long].collect().toSeq
+    assert(got == expected)
+  }
+
   test("sorted intersect size matches array_intersect on random sorted sets") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(7)
