@@ -74,6 +74,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch-stream equivalence: tumblingCounts over the events fixture") {
+    // the same DataFrame transformation must produce identical results
+    // applied in batch and as a file-source stream (the engine's
+    // batch/streaming unification claim, SURVEY.md §2.7). Watermark far
+    // larger than the fixture's time span so no row is ever late however
+    // files are split into micro-batches.
+    val ev = graft.sources.Ingest.events(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bseq").toString
+    ev.write.parquet(s"$dir/in")
+    val batch = StreamingOps.tumblingCounts(ev, "ts", "1 hour", "365 days")
+      .select(col("window_start").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "7") // force several micro-batches
+      .parquet(s"$dir/in")
+    val q = StreamingOps.tumblingCounts(stream, "ts", "1 hour", "365 days")
+      .writeStream.format("memory").queryName("bseq_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("bseq_out")
+        .select(col("window_start").cast("string"), col("event_type"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("TTL dedup (flatMapGroupsWithState): blocked while lock lives, re-admitted after") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
