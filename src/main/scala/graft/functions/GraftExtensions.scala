@@ -36,5 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[SortedArrayIntersectSize], SortedArrayIntersectSize(_, _)))
     ext.injectFunction(binary(GraftFunctions.PackedDotName,
       classOf[PackedSparseDotProduct], PackedSparseDotProduct(_, _)))
+    ext.injectOptimizerRule(_ => NativeSetOpsRule)
   }
 }

@@ -37,6 +37,19 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT graft_sorted_intersect_size(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS n")
         .head().getInt(0)
       assert(n == 2)
+
+      // optimizer rule: size(array_intersect) over null-free ARRAY<BIGINT>
+      // is rewritten to the native sorted merge — and stays value-correct.
+      // range()-derived arrays: a literal LocalRelation would be constant-
+      // folded before the plan assertion could observe the rewrite.
+      import org.apache.spark.sql.functions.{array, array_intersect, col, lit, size}
+      import s.implicits._
+      val df = s.range(1, 3).select(
+          array(col("id"), col("id") + 1, lit(9L)).as("a"),
+          array(col("id") + 1, lit(9L)).as("b"))
+        .select(size(array_intersect(col("a"), col("b"))).as("n"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("graft_sorted_intersect_size"))
+      assert(df.as[Int].collect().toSeq == Seq(2, 2))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
