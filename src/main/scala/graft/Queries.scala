@@ -414,11 +414,14 @@ object Queries {
       val silver = Ingest.toSilver(Ingest.flattenBronze(
         Ingest.bronzeFromTpch(t(s, dir, "lineitem"), t(s, dir, "orders"))))
       silver.drop("created_at", "etl_checksum")
+        .select(col("checksum"), col("company_id"), col("amount"), col("metadata"))
+        // checksum functionally determines the row (see q00), so dedup
+        // BEFORE exploding entries — half the rows through the shuffle
+        .dropDuplicates("checksum")
         .select(col("checksum"), col("company_id"), col("amount"),
           explode(map_entries(col("metadata"))).as(Seq("e")))
         .select(col("checksum"), col("company_id"), col("amount"),
           col("e.key").as("key"), col("e.value").as("value"))
-        .distinct() // checksum functionally determines the row (see q00)
         .orderBy(col("checksum"), col("key"))
     },
     Some(s"""
