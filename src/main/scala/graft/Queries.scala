@@ -45,9 +45,12 @@ object Queries {
       val silver = Ingest.toSilver(Ingest.flattenBronze(bronze))
       val inBatch = Dedup.exact(silver, Seq("checksum")) // F3 (no-op on unique keys)
       // ledger = independent cheap scan (S7 production shape) — deriving
-      // it from `silver` would recompute the bronze rebuild per stage
+      // it from `silver` would recompute the bronze rebuild per stage.
+      // persist: both anti-join stages read it (in production the ledger
+      // is an already-materialized silver table, so this models a scan)
       val ledger = Ingest.tpchSilverKeys(t(s, dir, "lineitem"), t(s, dir, "orders"))
         .filter(substring(col("checksum"), 1, 1) === "0")
+        .persist()
       val surviving = Dedup.againstLedger(inBatch, ledger) // F1 two-stage
       surviving.groupBy(col("company_id"))
         .agg(
