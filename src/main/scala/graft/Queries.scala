@@ -1151,6 +1151,33 @@ object Queries {
       |WHERE similarity_score >= 0.8 ORDER BY id1, id2
       |""".stripMargin.trim))
 
+  /** Binned range join: error events paired with click events within
+    * ±5 minutes (any user) — the non-equi time-window join done as an
+    * equi-join on time bins (Analytics.rangeJoinBinned), never a cross
+    * join. Oracle states the range predicate directly.
+    */
+  val q44: Q = Q(
+    "q44_range_join",
+    (s, dir) => {
+      val ev = Ingest.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("ts").as("error_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+      Analytics.rangeJoinBinned(errors, clicks, "error_ts", "click_ts",
+          toleranceMicros = 5L * 60 * 1000 * 1000)
+        .select(col("error_id"), col("click_id"), col("error_ts"), col("click_ts"))
+        .orderBy(col("error_id"), col("click_id"))
+    },
+    Some("""
+      |WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |e AS (SELECT event_id AS error_id, ts AS error_ts FROM ev WHERE event_type = 'error'),
+      |c AS (SELECT event_id AS click_id, ts AS click_ts FROM ev WHERE event_type = 'click')
+      |SELECT error_id, click_id, error_ts, click_ts
+      |FROM e JOIN c ON abs(epoch_us(error_ts) - epoch_us(click_ts)) <= 300000000
+      |ORDER BY error_id, click_id
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -1159,5 +1186,5 @@ object Queries {
     q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42, q43)
+    q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

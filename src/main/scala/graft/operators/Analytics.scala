@@ -81,6 +81,35 @@ object Analytics {
       .select((lCols.map(col) ++ payloadCols.map(c => col(s"asof_$c"))): _*)
   }
 
+  /** Range join by binning: all (left, right) pairs with
+    * `|leftTs − rightTs| <= toleranceMicros`, WITHOUT a cross join.
+    *
+    * Left rows land in time bins of `tolerance` width and are exploded
+    * to {bin−1, bin, bin+1}; right rows keep their single bin; the join
+    * is then a plain hash-shuffle equi-join on the bin plus the exact
+    * range filter. Any qualifying pair differs by < tolerance, so the
+    * right row's bin is always within ±1 of the left's — candidates are
+    * complete, and each pair arises from exactly one (left-bin, right)
+    * combination — no dedup needed. Work scales with true match density
+    * per bin, not |L|×|R|; a hot bin is a data-skew problem (salt or
+    * AQE), not an algorithmic one.
+    */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, toleranceMicros: Long): DataFrame = {
+    val lb = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__bin", explode(array(
+        floor(col("__lus") / toleranceMicros) - 1,
+        floor(col("__lus") / toleranceMicros),
+        floor(col("__lus") / toleranceMicros) + 1)))
+    val rb = right
+      .withColumn("__rus", unix_micros(col(rightTs)))
+      .withColumn("__bin", floor(col("__rus") / toleranceMicros))
+    lb.join(rb, "__bin")
+      .filter(abs(col("__lus") - col("__rus")) <= toleranceMicros)
+      .drop("__bin", "__lus", "__rus")
+  }
+
   /** Skew-aware aggregation: two-phase salted hash aggregate.
     *
     * A hot key at 100 TB puts one reducer partition orders of magnitude

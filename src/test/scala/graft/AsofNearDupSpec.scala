@@ -27,6 +27,22 @@ class AsofNearDupSpec extends SparkSpec {
       "d" -> Some(200.0), "e" -> None))
   }
 
+  test("rangeJoinBinned: inclusive tolerance, bin-edge pairs found, no duplicates") {
+    val tol = 60L * 1000 * 1000 // 1 minute in micros
+    val left = Seq((1L, ts(10)), (2L, ts(30))).toDF("lid", "lts")
+    val right = Seq(
+      (10L, ts(9)), // 60s before left 1 → inclusive boundary, matches
+      (11L, ts(11)), // 60s after left 1 → matches
+      (12L, ts(13)), // 3 min from left 1 → out
+      (13L, ts(30)) // exact equality with left 2 → matches
+    ).toDF("rid", "rts")
+    val out = Analytics.rangeJoinBinned(left, right, "lts", "rts", tol)
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    // no duplicates: each qualifying pair appears exactly once
+    assert(out.size == out.toSet.size)
+    assert(out.toSet == Set((1L, 10L), (1L, 11L), (2L, 13L)))
+  }
+
   test("charNgrams: empty below n, distinct, normalized") {
     val df = Seq("ab", "abcab", "  A  b C  ").toDF("t")
       .select(TextOps.charNgrams(col("t"), 3).as("ng"))
