@@ -43,6 +43,44 @@ class AsofNearDupSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 10L), (1L, 11L), (2L, 13L)))
   }
 
+  test("rangeJoinBinned equals the brute-force cross join on random data") {
+    val rnd = new scala.util.Random(42)
+    val tol = 90L * 1000 * 1000 // 90s
+    val mkTs = (s: Int) => new java.sql.Timestamp(1704100000000L + s * 1000L)
+    val ls = Seq.tabulate(80)(i => (i.toLong, mkTs(rnd.nextInt(3000))))
+    val rs = Seq.tabulate(80)(i => (i.toLong, mkTs(rnd.nextInt(3000))))
+    val left = ls.toDF("lid", "lts")
+    val right = rs.toDF("rid", "rts")
+    val binned = Analytics.rangeJoinBinned(left, right, "lts", "rts", tol)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (li, lt) <- ls; (ri, rt) <- rs
+      if math.abs(lt.getTime - rt.getTime) * 1000L <= tol
+    } yield (li, ri)).toSet
+    assert(binned == brute)
+    assert(brute.nonEmpty)
+  }
+
+  test("asofJoin equals the brute-force per-row max lookup on random data") {
+    val rnd = new scala.util.Random(7)
+    val mkTs = (s: Int) => new java.sql.Timestamp(1704100000000L + s * 1000L)
+    val ls = Seq.tabulate(120)(i => (rnd.nextInt(5).toLong, mkTs(rnd.nextInt(2000)), i.toLong))
+    // unique (key, ts) on the right, as the operator contract requires
+    val rs = Seq.tabulate(120)(i => ((rnd.nextInt(5).toLong, mkTs(rnd.nextInt(2000))), i.toLong))
+      .toMap.toSeq.map { case ((k, t), v) => (k, t, v.toDouble) }
+    val left = ls.toDF("k", "t", "lid")
+    val right = rs.toDF("k", "t", "v")
+    val got = Analytics.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .select("lid", "asof_v").as[(Long, Option[Double])].collect().toMap
+    val expected = ls.map { case (k, lt, lid) =>
+      val cands = rs.filter { case (rk, rt, _) => rk == k && !rt.after(lt) }
+      lid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(_._2.getTime)._3))
+    }.toMap
+    assert(got == expected)
+    assert(expected.values.exists(_.isDefined))
+  }
+
   test("charNgrams: empty below n, distinct, normalized") {
     val df = Seq("ab", "abcab", "  A  b C  ").toDF("t")
       .select(TextOps.charNgrams(col("t"), 3).as("ng"))
