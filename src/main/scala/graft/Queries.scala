@@ -1178,6 +1178,34 @@ object Queries {
       |ORDER BY error_id, click_id
       |""".stripMargin.trim))
 
+  /** Rolling time-window aggregation: RANGE frame over days (q04 is the
+    * ROWS-frame twin). Exact decimal sums; the frame is defined on an
+    * integer day column so both engines see identical window bounds.
+    */
+  val q45: Q = Q(
+    "q45_rolling_7day",
+    (s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(unix_date(col("l_shipdate").cast("date")))
+        .rangeBetween(-6, Window.currentRow)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"),
+          sum(col("l_quantity").cast("decimal(18,2)")).over(w)
+            .cast("double").as("qty_7d"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+    },
+    Some("""
+      |SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_7d
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -1186,5 +1214,5 @@ object Queries {
     q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42, q43, q44)
+    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }
