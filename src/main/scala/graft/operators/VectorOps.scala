@@ -111,6 +111,9 @@ object VectorOps {
     // deterministic seeding: the k lowest-id vectors
     var centroids: Array[Seq[Double]] = c.orderBy(col("__id")).limit(k)
       .select(col("__v")).collect().map(_.getSeq[Double](0))
+    // an empty corpus would make the argmin an empty array() whose
+    // NullType fails analysis — fail fast with a real message instead
+    require(centroids.nonEmpty, "kmeansCells: corpus has no vectors")
     def assign(df: DataFrame): Column = {
       val scored = centroids.zipWithIndex.map { case (ct, i) =>
         val norm = ct.map(x => x * x).sum
