@@ -1206,6 +1206,55 @@ object Queries {
       |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
       |""".stripMargin.trim))
 
+  /** Deterministic dataset splitting (training-data staple): md5-hash
+    * each doc id into 100 buckets → 80/10/10 train/valid/test. Unlike
+    * `sampleBy` (seeded rand, partitioning-dependent), the assignment is
+    * a pure function of the key — stable across engines, parallelism,
+    * and reruns, which is what makes a split reproducible at 100 TB.
+    */
+  val q46: Q = Q(
+    "q46_hash_split",
+    (s, dir) => {
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+        lit(100))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid").otherwise("test"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |SELECT doc_id, lang,
+      |  CAST(list_sum(list_transform(range(1, 16), i ->
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+      |      * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % 100 AS BIGINT) AS bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Corpus heavy hitters: top-k terms by document frequency —
+    * vocabulary statistics for corpus curation. Exact (hash aggregate +
+    * top-k), deterministic tie-break on the term.
+    */
+  val q47: Q = Q(
+    "q47_heavy_hitters",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(20),
+    Some("""
+      |SELECT tok AS term, COUNT(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id,
+      |        unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+      |      FROM documents)
+      |GROUP BY 1 ORDER BY df DESC, term LIMIT 20
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -1214,5 +1263,5 @@ object Queries {
     q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
+    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }
