@@ -708,7 +708,40 @@ object Queries {
     "q25_simhash",
     (s, dir) => TextOps.simhash(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id")),
-    None) // 32 bit-vote aggregates are expressible but unwieldy in SQL → unit-tested instead
+    Some {
+      // 32 per-bit majority votes, generated: SUM(±1) per bit, then the
+      // fingerprint reassembled from positive votes. Token hash = first
+      // 8 md5 hex digits as int (mirrors TextOps.simhash). Tokenless
+      // docs keep a NULL-token row (explode_outer parity): CASE on a
+      // NULL hash votes -1 on every bit in both engines.
+      val votes = (0 until 32).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n      |    ")
+      val fp = (0 until 32).map(b =>
+        s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+        .mkString("\n      |    + ")
+      s"""
+      |WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id,
+      |    unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS t
+      |  FROM d),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(1, 9), i ->
+      |      (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+      |        * (CAST(1 AS BIGINT) << (4 * (8 - i))))) AS h
+      |  FROM tk),
+      |votes AS (
+      |  SELECT doc_id,
+      |    $votes
+      |  FROM hashed GROUP BY doc_id)
+      |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+      |FROM votes ORDER BY doc_id
+      |""".stripMargin.trim
+    })
 
   // ==========================================================================
   // Similarity search over embeddings (ANN)
