@@ -108,5 +108,12 @@ object GraftFunctions {
       SortedArrayIntersectSize(_, _))
     registerBinary(spark, PackedDotName, classOf[PackedSparseDotProduct],
       PackedSparseDotProduct(_, _))
+    // Parity with the GraftExtensions path: sessions registered at runtime
+    // get the size(array_intersect) fusion too, not just the functions.
+    val experimental = spark.experimental
+    if (!experimental.extraOptimizations.contains(NativeSetOpsRule)) {
+      experimental.extraOptimizations =
+        experimental.extraOptimizations :+ NativeSetOpsRule
+    }
   }
 }

@@ -14,8 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or `SparkSession.builder().withExtensions(new GraftExtensions()...)`.
   * Equivalent to the runtime [[GraftFunctions.register]] path (which the
   * operators call for sessions built without extensions, e.g. the
-  * driver-owned Verify/Bench sessions); both converge on the same
-  * builders, so behavior is identical either way.
+  * driver-owned Verify/Bench sessions): both converge on the same
+  * expression builders, and both install [[NativeSetOpsRule]] — here via
+  * `injectOptimizerRule`, there via `experimental.extraOptimizations` —
+  * so plans are identical either way.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

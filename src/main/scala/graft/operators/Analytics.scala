@@ -58,27 +58,34 @@ object Analytics {
     * One shuffle + one sort, no range cross-join blowup: at 100 TB this
     * is the same cost as any windowed aggregation over the union.
     * The right side must be unique per (key, ts) — pre-aggregate if not.
+    *
+    * All payload columns are carried as ONE struct per right row, so every
+    * `asof_*` column comes from the same matched row and that row's NULL
+    * payload values are preserved (a per-column `last(..., ignoreNulls)`
+    * would silently substitute an older row's non-null value).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val lCols = left.columns
+    val payloadType = StructType(payloadCols.map(c =>
+      StructField(c, right.schema(c).dataType, nullable = true)))
     val tagged = left
       .withColumn("__tag", lit(1))
       .withColumn("__ts", col(leftTs))
-      .withColumns(payloadCols.map(c => s"__p_$c" -> lit(null).cast(
-        right.schema(c).dataType)).toMap)
+      .withColumn("__p", lit(null).cast(payloadType))
       .unionByName(
-        right.select((col(rightTs).as("__ts") +: col(keyCol).as(keyCol) +:
-            payloadCols.map(c => col(c).as(s"__p_$c"))): _*)
+        right.select(col(rightTs).as("__ts"), col(keyCol).as(keyCol),
+            struct(payloadCols.map(col): _*).as("__p"))
           .withColumn("__tag", lit(0)),
         allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1)
-      .select((lCols.map(col) ++ payloadCols.map(c => col(s"asof_$c"))): _*)
+    tagged
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select((lCols.map(col) ++
+        payloadCols.map(c => col(s"__asof.$c").as(s"asof_$c"))): _*)
   }
 
   /** Range join by binning: all (left, right) pairs with

@@ -144,13 +144,31 @@ object Similarity {
       .withColumn("__packed", shiftleft(col("__h"), 32) + col("__w"))
     val vecs = weighted.groupBy(col("__id"), col("__b"))
       .agg(sort_array(collect_list(col("__packed"))).as("__pv"),
-        sum(col("__w") * col("__w")).as("__nrm"))
-      .persist() // both pair-join sides read this
+        sum(col("__w") * col("__w")).as("__nrm"),
+        max(col("__w")).as("__mw"), count(lit(1)).as("__len"))
+      .persist() // the bounds check + both pair-join sides read this
+    // Packing/overflow contract — fail loudly instead of corrupting keys:
+    // every w must fit the low 32 bits of the packed int64, and
+    // maxW²·maxLen must stay below 2^63 so neither a per-doc norm Σw²
+    // nor a pair dot Σw1·w2 can overflow int64. max() and count() are
+    // themselves exact, so checking AFTER the aggregation is sound even
+    // though __nrm was computed in the same pass — if the bound holds,
+    // no intermediate could have overflowed.
+    val stats = vecs.agg(max(col("__mw")), max(col("__len"))).head()
+    if (!stats.isNullAt(0)) {
+      val maxW = stats.getLong(0)
+      val maxLen = stats.getLong(1)
+      require(maxW < (1L << 32) &&
+        BigInt(maxW) * BigInt(maxW) * BigInt(maxLen) < (BigInt(1) << 63),
+        s"exactTfidfCosinePairs: corpus breaks the exact-int64 packing " +
+          s"contract (max w=$maxW, max vector length=$maxLen); " +
+          s"shrink the IDF numerator scale for this corpus size")
+    }
     val a = vecs.select(col("__b"), col("__id").as("id1"),
       col("__pv").as("pv1"), col("__nrm").as("n1"))
     val bb = vecs.select(col("__b"), col("__id").as("id2"),
       col("__pv").as("pv2"), col("__nrm").as("n2"))
-    a.join(broadcast(bb), Seq("__b")).filter(col("id1") < col("id2"))
+    val pairs = a.join(broadcast(bb), Seq("__b")).filter(col("id1") < col("id2"))
       .withColumn("__dot", call_function(GraftFunctions.PackedDotName,
         col("pv1"), col("pv2")))
       .withColumn("similarity_score",
@@ -159,6 +177,12 @@ object Similarity {
             (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double")))))
       .filter(col("similarity_score") >= threshold)
       .select(col("id1"), col("id2"), col("similarity_score"))
+    // materialize eagerly (lineage-truncating local checkpoint), then drop
+    // the cache — the caller gets a self-contained result and no cache
+    // entry outlives the call; checkpoint blocks are GC-managed
+    val out = pairs.localCheckpoint()
+    vecs.unpersist(blocking = false)
+    out
   }
 
   /** A3 scale path: MinHashLSH approx similarity join on hashed token

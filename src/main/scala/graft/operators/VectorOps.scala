@@ -137,6 +137,11 @@ object VectorOps {
       // empty cells keep their previous centroid
       centroids = centroids.zipWithIndex.map { case (prev, i) => updated.getOrElse(i, prev) }
     }
+    // the cache only serves the driver-side iteration actions above; the
+    // final assignment uses the (already collected) centroids, so release
+    // the cache before handing the plan back — one extra source scan for
+    // the caller's action instead of a cache entry that outlives the call
+    c.unpersist(blocking = false)
     c.select(col("__id").as(idCol), assign(c).as("cell"))
   }
 
@@ -159,6 +164,9 @@ object VectorOps {
       if (dim > 0) dim
       else corpus.select(size(col(vecCol))).limit(1).collect()
         .headOption.map(_.getInt(0)).getOrElse(0)
+    // same fail-fast as kmeansCells: an empty corpus would otherwise build
+    // array() (NullType) centroids and die with an obscure analysis error
+    require(nDims > 0, "ivfTopK: corpus has no vectors")
     // integer-rounded centroids: element-wise mean of the quantized cell,
     // rounded — keeps all downstream arithmetic exact. try_element_at:
     // a vector shorter than nDims contributes null (ignored by avg)

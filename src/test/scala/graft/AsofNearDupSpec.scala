@@ -27,6 +27,23 @@ class AsofNearDupSpec extends SparkSpec {
       "d" -> Some(200.0), "e" -> None))
   }
 
+  test("asofJoin preserves the matched row's NULL payloads (no older-row substitution)") {
+    val left = Seq((1L, ts(20), "x"), (1L, ts(45), "y")).toDF("k", "t", "tag")
+    // the ts(40) right row has v=null, note="n2": an as-of lookup at ts(45)
+    // must return (null, "n2") — all payloads from THAT row — not carry
+    // v=100.0 forward from the older ts(10) row
+    val right = Seq(
+      (1L, ts(10), Option(100.0), Option("n1")),
+      (1L, ts(40), None: Option[Double], Option("n2"))
+    ).toDF("k", "t", "v", "note")
+    val out = Analytics.asofJoin(left, right, "k", "t", "t", Seq("v", "note"))
+      .select("tag", "asof_v", "asof_note")
+      .as[(String, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map("x" -> ((Some(100.0), Some("n1"))),
+      "y" -> ((None, Some("n2")))))
+  }
+
   test("rangeJoinBinned: inclusive tolerance, bin-edge pairs found, no duplicates") {
     val tol = 60L * 1000 * 1000 // 1 minute in micros
     val left = Seq((1L, ts(10)), (2L, ts(30))).toDF("lid", "lts")
