@@ -36,6 +36,10 @@ object Bench {
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           false
         }
+      // queries are independent: drop any cache a query built (e.g. a
+      // persisted ledger) so storage memory can't squeeze execution
+      // memory for the remaining queries and timings stay isolated
+      spark.catalog.clearCache()
       // failed queries record the sentinel -1, never a healthy-looking
       // near-zero elapsed time
       q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -31,6 +31,12 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Ingest.table(s, dir, name)
 
+  /** Dimension-role read (broadcast build side / tiny table): no fan-out
+    * repartition — see Ingest.dim.
+    */
+  private def d(s: SparkSession, dir: String, name: String): DataFrame =
+    Ingest.dim(s, dir, name)
+
   /** Exact-cents rendering in DuckDB, mirroring Transforms.centsString. */
   private def sqlCents(c: String): String =
     s"CAST(CAST(round($c*100,0) AS BIGINT) AS VARCHAR)"
@@ -41,14 +47,14 @@ object Queries {
   val q00: Q = Q(
     "q00_silver_pipeline",
     (s, dir) => {
-      val bronze = Ingest.bronzeFromTpch(t(s, dir, "lineitem"), t(s, dir, "orders"))
+      val bronze = Ingest.bronzeFromTpch(t(s, dir, "lineitem"), d(s, dir, "orders"))
       val silver = Ingest.toSilver(Ingest.flattenBronze(bronze))
       val inBatch = Dedup.exact(silver, Seq("checksum")) // F3 (no-op on unique keys)
       // ledger = independent cheap scan (S7 production shape) — deriving
       // it from `silver` would recompute the bronze rebuild per stage.
       // persist: both anti-join stages read it (in production the ledger
       // is an already-materialized silver table, so this models a scan)
-      val ledger = Ingest.tpchSilverKeys(t(s, dir, "lineitem"), t(s, dir, "orders"))
+      val ledger = Ingest.tpchSilverKeys(t(s, dir, "lineitem"), d(s, dir, "orders"))
         .filter(substring(col("checksum"), 1, 1) === "0")
         .persist()
       val surviving = Dedup.againstLedger(inBatch, ledger) // F1 two-stage
@@ -118,7 +124,7 @@ object Queries {
     "q02_top_orders",
     (s, dir) =>
       Analytics.topK(
-        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        d(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
         Seq(col("o_totalprice").desc, col("o_orderkey")), 10),
     Some("""
       |SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -129,8 +135,8 @@ object Queries {
     "q03_revenue_by_segment",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-      val o = t(s, dir, "orders")
-      val c = t(s, dir, "customer")
+      val o = d(s, dir, "orders")
+      val c = d(s, dir, "customer")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
@@ -187,8 +193,8 @@ object Queries {
   val q06: Q = Q(
     "q06_customers_no_orders",
     (s, dir) => {
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val c = d(s, dir, "customer")
+      val o = d(s, dir, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
@@ -202,8 +208,8 @@ object Queries {
   val q07: Q = Q(
     "q07_customers_open_orders",
     (s, dir) => {
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      val c = d(s, dir, "customer")
+      val o = d(s, dir, "orders").filter(col("o_orderstatus") === "O")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
@@ -220,7 +226,7 @@ object Queries {
     (s, dir) => {
       val shipping = t(s, dir, "lineitem")
         .select(col("l_suppkey").cast("long").as("suppkey")).distinct()
-      val positive = t(s, dir, "supplier").filter(col("s_acctbal") > 0)
+      val positive = d(s, dir, "supplier").filter(col("s_acctbal") > 0)
         .select(col("s_suppkey").cast("long").as("suppkey"))
       shipping.intersect(positive).withColumn("op", lit("intersect"))
         .union(shipping.except(positive).withColumn("op", lit("except")))
@@ -415,7 +421,7 @@ object Queries {
     "q19_outbound_project",
     (s, dir) => {
       val silver = Ingest.toSilver(Ingest.flattenBronze(
-        Ingest.bronzeFromTpch(t(s, dir, "lineitem"), t(s, dir, "orders"))))
+        Ingest.bronzeFromTpch(t(s, dir, "lineitem"), d(s, dir, "orders"))))
       silver.drop("created_at", "etl_checksum")
         .select(col("checksum"), col("company_id"), col("amount"), col("metadata"))
         // checksum functionally determines the row (see q00), so dedup
@@ -1288,6 +1294,291 @@ object Queries {
       |GROUP BY 1 ORDER BY df DESC, term LIMIT 20
       |""".stripMargin.trim))
 
+  /** Cube: all four grouping sets in one pass (q40's rollup widened);
+    * GROUPING() flags disambiguate "NULL because subtotal" from a NULL
+    * group value — still a single shuffle (partial-aggregable).
+    */
+  val q48: Q = Q(
+    "q48_cube_grouping",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(Transforms.exactSum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status,
+      |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+      |""".stripMargin.trim))
+
+  /** Window rank family: rank/dense_rank/percent_rank over a tied order
+    * (date only — tie semantics are the point) and positional functions
+    * (ntile/first_value/lead) over a TOTAL order — (shipdate, orderkey,
+    * linenumber, quantity) is verified unique per supplier, so positional
+    * results are engine-independent. One shuffle, two sorts.
+    */
+  val q49: Q = Q(
+    "q49_rank_family",
+    (s, dir) => {
+      val byDate = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      val total = Window.partitionBy(col("l_suppkey")).orderBy(
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_quantity"),
+          rank().over(byDate).cast("long").as("rnk"),
+          dense_rank().over(byDate).cast("long").as("drnk"),
+          percent_rank().over(byDate).as("prnk"),
+          ntile(4).over(total).cast("long").as("quartile"),
+          first_value(col("l_quantity")).over(total).as("first_qty"),
+          lead(col("l_quantity"), 1).over(total).as("next_qty"))
+        .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+    },
+    Some("""
+      |SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+      |  rank() OVER w1 AS rnk,
+      |  dense_rank() OVER w1 AS drnk,
+      |  percent_rank() OVER w1 AS prnk,
+      |  CAST(ntile(4) OVER w2 AS BIGINT) AS quartile,
+      |  first_value(l_quantity) OVER w2 AS first_qty,
+      |  lead(l_quantity) OVER w2 AS next_qty
+      |FROM lineitem
+      |WINDOW
+      |  w1 AS (PARTITION BY l_suppkey ORDER BY l_shipdate),
+      |  w2 AS (PARTITION BY l_suppkey
+      |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity
+      |""".stripMargin.trim))
+
+  /** Conditional / filtered aggregation: per-supplier metrics where each
+    * aggregate sees a different predicate-filtered slice — one scan, one
+    * shuffle, no per-predicate passes.
+    */
+  val q50: Q = Q(
+    "q50_filtered_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          count(when(col("l_returnflag") === "R", 1)).as("n_returns"),
+          Transforms.exactSum(when(col("l_quantity") > 30, col("l_extendedprice"))
+            .otherwise(lit(null))).as("bulk_rev"),
+          max(when(col("l_linestatus") === "O", col("l_quantity"))).as("max_open_qty"))
+        .withColumn("return_ratio",
+          col("n_returns").cast("double") / col("n_lines").cast("double"))
+        .orderBy(col("l_suppkey")),
+    Some("""
+      |SELECT l_suppkey,
+      |  COUNT(*) AS n_lines,
+      |  COUNT(*) FILTER (l_returnflag = 'R') AS n_returns,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |       FILTER (l_quantity > 30) AS DOUBLE) AS bulk_rev,
+      |  max(l_quantity) FILTER (l_linestatus = 'O') AS max_open_qty,
+      |  CAST(COUNT(*) FILTER (l_returnflag = 'R') AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS return_ratio
+      |FROM lineitem GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
+  /** Ordered string aggregation: collect_set is shuffle-order-dependent,
+    * so a deterministic engine must sort before joining — array_sort +
+    * array_join ≡ string_agg(DISTINCT … ORDER BY …).
+    */
+  val q51: Q = Q(
+    "q51_string_agg",
+    (s, dir) =>
+      d(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+          countDistinct(col("c_mktsegment")).as("n_segments"),
+          count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey")),
+    Some("""
+      |SELECT c_nationkey,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |  COUNT(DISTINCT c_mktsegment) AS n_segments,
+      |  COUNT(*) AS n_customers
+      |FROM customer GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
+  /** Lexical-diversity scoring (text-quality family): per-document
+    * type/token ratio and hapax count from one explode + two partial-
+    * aggregable groupBys (term counts shuffle on (doc, term), then
+    * per-doc rollup — no collect of token lists).
+    */
+  val q52: Q = Q(
+    "q52_ttr_hapax",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          count(when(col("tf") === 1, 1)).as("n_hapax"))
+        .withColumn("ttr", col("n_types").cast("double") / col("n_tokens").cast("double"))
+        .orderBy(col("doc_id")),
+    Some("""
+      |WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  COUNT(*) FILTER (tf = 1) AS n_hapax,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS BIGINT) AS ttr
+      |FROM tf GROUP BY 1 ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Histogram / binning: exact integer bins over order totals (cents DIV
+    * bin width — float division never touches bin identity).
+    */
+  val q53: Q = Q(
+    "q53_histogram",
+    (s, dir) =>
+      d(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 100000").as("bin"),
+          col("o_totalprice"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          Transforms.exactSum(col("o_totalprice")).as("total"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bin")),
+    Some("""
+      |SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 100000 AS bin,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  min(o_totalprice) AS lo,
+      |  max(o_totalprice) AS hi
+      |FROM orders GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
+  /** Average-pooling centroids + similarity-to-centroid (embedding
+    * family): per-label integer-mean centroid (VectorOps.labelCentroids)
+    * broadcast back against the corpus — cluster-summary shape whose
+    * shuffle is |labels|·dims rows, independent of corpus size.
+    */
+  val q54: Q = Q(
+    "q54_centroid_similarity",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = VectorOps.labelCentroids(emb, "label", "embedding")
+      emb.select(col("vec_id"), col("label"),
+          VectorOps.quantize(col("embedding")).as("qv"))
+        .join(broadcast(cents), "label")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          VectorOps.cosine(col("qv"), col("centroid")).as("cosine_to_centroid"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      |WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      |  FROM embeddings),
+      |e AS (SELECT label, generate_subscripts(qv, 1) AS i, unnest(qv) AS x FROM q),
+      |c AS (SELECT label, i, round(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS cx
+      |      FROM e GROUP BY 1, 2),
+      |cent AS (SELECT label, list(cx ORDER BY i) AS cv FROM c GROUP BY 1),
+      |j AS (
+      |  SELECT vec_id, q.label,
+      |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS dot,
+      |    list_sum(list_transform(qv, x -> x * x)) AS n1,
+      |    list_sum(list_transform(cv, x -> x * x)) AS n2
+      |  FROM q JOIN cent ON q.label = cent.label)
+      |SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |  CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+      |       ELSE dot / (sqrt(n1) * sqrt(n2)) END AS cosine_to_centroid
+      |FROM j ORDER BY vec_id
+      |""".stripMargin.trim))
+
+  /** Ordered funnel (view → click → purchase): each stage's timestamp is
+    * the min event time at-or-after the previous stage — conditional
+    * aggregation + two small equi-joins on user_id, no window needed and
+    * no per-user event collection.
+    */
+  val q55: Q = Q(
+    "q55_funnel",
+    (s, dir) => {
+      val ev = Ingest.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") >= col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") >= col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left")
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT ev.user_id, min(ev.ts) AS t_click
+      |      FROM ev JOIN v ON ev.user_id = v.user_id
+      |      WHERE ev.event_type = 'click' AND ev.ts >= v.t_view GROUP BY 1),
+      |p AS (SELECT ev.user_id, min(ev.ts) AS t_purchase
+      |      FROM ev JOIN c ON ev.user_id = c.user_id
+      |      WHERE ev.event_type = 'purchase' AND ev.ts >= c.t_click GROUP BY 1)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id
+      |""".stripMargin.trim))
+
+  /** Forward as-of join: each error event picks the EARLIEST click at or
+    * after it for the same user (q37 is the backward twin) — same
+    * single-shuffle union-tag plan with the within-key sort reversed.
+    */
+  val q56: Q = Q(
+    "q56_asof_forward",
+    (s, dir) => {
+      val ev = Ingest.events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // right side unique per (key, ts), per the operator contract
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+        .withColumn("click_ts", col("ts"))
+      Analytics.asofJoin(errors, clicks, "user_id", "ts", "ts",
+          Seq("click_value", "click_ts"), direction = "forward")
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, ts, max(value) AS click_value
+      |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error')
+      |SELECT l.event_id, l.user_id, l.ts,
+      |       r.click_value AS asof_click_value, r.ts AS asof_click_ts
+      |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+      |ORDER BY event_id
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -1296,5 +1587,6 @@ object Queries {
     q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
-    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47)
+    q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
+    q48, q49, q50, q51, q52, q53, q54, q55, q56)
 }

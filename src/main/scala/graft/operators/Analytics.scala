@@ -63,10 +63,18 @@ object Analytics {
     * `asof_*` column comes from the same matched row and that row's NULL
     * payload values are preserved (a per-column `last(..., ignoreNulls)`
     * would silently substitute an older row's non-null value).
+    *
+    * `direction`: "backward" (default) matches the most recent right row
+    * with `rightTs <= leftTs`; "forward" the earliest right row with
+    * `rightTs >= leftTs` — the same single-shuffle union-tag plan, with
+    * the within-key sort reversed.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      leftTs: String, rightTs: String, payloadCols: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, payloadCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got $direction")
     val lCols = left.columns
     val payloadType = StructType(payloadCols.map(c =>
       StructField(c, right.schema(c).dataType, nullable = true)))
@@ -79,7 +87,12 @@ object Analytics {
             struct(payloadCols.map(col): _*).as("__p"))
           .withColumn("__tag", lit(0)),
         allowMissingColumns = true)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__ts"), col("__tag"))
+    // right rows sort BEFORE left rows at equal timestamps (tag 0 first in
+    // both directions), making the bound inclusive either way
+    val order =
+      if (direction == "backward") Seq(col("__ts").asc, col("__tag").asc)
+      else Seq(col("__ts").desc, col("__tag").asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))

@@ -190,6 +190,25 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine_sim")
   }
 
+  /** Per-label centroid (average pooling): element-wise integer mean of
+    * the quantized vectors in each label group, rounded once — the
+    * deterministic building block shared with kmeansCells' update step,
+    * exposed as an operator (class prototypes, cluster summaries).
+    *
+    * Scale shape: posexplode fans each vector into (label, dim, value)
+    * rows — dims × rows, but the aggregate is partial-map-side (SUM/COUNT
+    * per (label, dim)), so the shuffle carries only |labels|·dims rows.
+    * Output: (labelCol, centroid ARRAY<DOUBLE> of integer-valued means).
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(quantize(col(vecCol))).as(Seq("__i", "__x")))
+      .groupBy(col(labelCol), col("__i"))
+      .agg(sum(col("__x").cast("long")).as("__s"), count(lit(1)).as("__n"))
+      .groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__i"), round(col("__s") / col("__n")).as("__c")))),
+        e => e.getField("__c")).as("centroid"))
+
   /** Embedding-cosine near-duplicate pairs (the embedding flavor of the
     * dedup family): all (id1 < id2) pairs whose cosine similarity meets
     * `threshold`, candidate-blocked by the sign-bucket LSH key so the

@@ -31,6 +31,14 @@ object Ingest {
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
+  /** Load a table destined for a broadcast build side (dimension role).
+    * Skips [[table]]'s fan-out repartition: a broadcast input is collected
+    * to the driver whole, so a pre-shuffle is pure overhead (it showed up
+    * as an extra Exchange under every BroadcastExchange in q00/q19).
+    */
+  def dim(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
   /** Load the `events` table. Its `ts` column is parquet TIMESTAMP(NANOS),
     * which vanilla Spark rejects ([PARQUET_TYPE_ILLEGAL]); read it as a
     * long via the legacy conf and convert nanos → microsecond timestamp

@@ -44,6 +44,23 @@ class AsofNearDupSpec extends SparkSpec {
       "y" -> ((None, Some("n2")))))
   }
 
+  test("asofJoin forward: earliest right row with rts >= lts, inclusive") {
+    val left = Seq(
+      (1L, ts(5), "a"), // before both rights → ts(10)
+      (1L, ts(10), "b"), // equal ts → inclusive, matches ts(10)
+      (1L, ts(30), "c"), // between → ts(40)
+      (1L, ts(50), "d"), // after both → null
+      (2L, ts(20), "e") // other key → null
+    ).toDF("k", "t", "tag")
+    val right = Seq((1L, ts(10), 100.0), (1L, ts(40), 200.0))
+      .toDF("k", "t", "v")
+    val out = Analytics.asofJoin(left, right, "k", "t", "t", Seq("v"),
+        direction = "forward")
+      .select("tag", "asof_v").as[(String, Option[Double])].collect().toMap
+    assert(out == Map("a" -> Some(100.0), "b" -> Some(100.0),
+      "c" -> Some(200.0), "d" -> None, "e" -> None))
+  }
+
   test("rangeJoinBinned: inclusive tolerance, bin-edge pairs found, no duplicates") {
     val tol = 60L * 1000 * 1000 // 1 minute in micros
     val left = Seq((1L, ts(10)), (2L, ts(30))).toDF("lid", "lts")

@@ -45,6 +45,16 @@ class VectorOpsSpec extends SparkSpec {
     assert(out == Set(1L, 2L, 3L, 4L, 5L)) // cell-0 members only, self excluded
   }
 
+  test("labelCentroids: per-dim integer mean in index order") {
+    val df = Seq(
+      (0L, 0, Seq(1f, 2f)), (1L, 0, Seq(3f, 5f)), // label 0: means (2000, 3500)
+      (2L, 1, Seq(10f, 0f)) // label 1: itself
+    ).toDF("vec_id", "label", "embedding")
+    val out = VectorOps.labelCentroids(df, "label", "embedding")
+      .orderBy(col("label")).as[(Int, Seq[Double])].collect()
+    assert(out.toSeq == Seq((0, Seq(2000.0, 3500.0)), (1, Seq(10000.0, 0.0))))
+  }
+
   test("kmeansCells separates blobs deterministically; IVF runs on trained cells") {
     // two tight blobs far apart; k=2 must split them exactly, whatever
     // the seeding order
