@@ -1579,6 +1579,149 @@ object Queries {
       |ORDER BY event_id
       |""".stripMargin.trim))
 
+  /** Benchmark-contamination check (training-data staple): fraction of
+    * each document's distinct word 5-grams that appear anywhere in a
+    * "benchmark" subset (stand-in: doc_id % 50 == 0). Explode + equi-join
+    * on the shingle + per-doc aggregate — work scales with shingle count,
+    * never pairs of documents.
+    */
+  val q57: Q = Q(
+    "q57_contamination",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextOps.wordNgrams(TextOps.tokens(col("text")), 5)).as("shingle"))
+      val bench = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("shingle")).distinct().withColumn("__hit", lit(1))
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(bench, Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_contaminated"))
+        .withColumn("contamination",
+          col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(tk) - 3), i ->
+      |      tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))
+      |      AS shingle
+      |  FROM toks),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0)
+      |SELECT doc_id, COUNT(*) AS n_shingles,
+      |  COUNT(*) FILTER (shingle IN (SELECT shingle FROM bench)) AS n_contaminated,
+      |  CAST(COUNT(*) FILTER (shingle IN (SELECT shingle FROM bench)) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS contamination
+      |FROM sh WHERE doc_id % 50 <> 0 GROUP BY 1 ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** PII scrubbing: count and redact emails / phone-shaped tokens with
+    * engine-portable character-class regexes (no lookaround — Java regex
+    * and RE2 agree). The synthetic corpus carries no PII, so the query
+    * plants deterministic emails/phones per doc_id on BOTH sides first;
+    * the scrubbed text is md5'd to keep the comparison compact.
+    */
+  val q58: Q = Q(
+    "q58_pii_scrub",
+    (s, dir) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("text"), lit(phoneRe)).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("text"),
+            lit(emailRe), lit("<EMAIL>")), lit(phoneRe), lit("<PHONE>"))).as("scrubbed_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH d AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 3 = 0
+      |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |            ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0
+      |            THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |            ELSE '' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(text,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_fp
+      |FROM d ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Repetition detection (quality family): top-term frequency ratio and
+    * duplicate-bigram ratio per document — high values flag boilerplate /
+    * degenerate generations. Term stats from one explode + two partial
+    * aggregates; bigram stats as pure column expressions, joined per doc.
+    */
+  val q59: Q = Q(
+    "q59_repetition",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val termAgg = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("tf")).as("max_tf"), sum(col("tf")).as("n_tokens"))
+      val tk = TextOps.tokens(col("text"))
+      val bigramStats = docs.select(col("doc_id"),
+        greatest(size(tk) - 1, lit(0)).cast("long").as("n_bigrams"),
+        size(TextOps.wordBigrams(tk)).cast("long").as("n_distinct_bigrams"))
+      termAgg.join(bigramStats, "doc_id")
+        .select(col("doc_id"), col("max_tf"), col("n_tokens"),
+          (col("max_tf").cast("double") / col("n_tokens").cast("double"))
+            .as("top_term_ratio"),
+          col("n_bigrams"), col("n_distinct_bigrams"),
+          when(col("n_bigrams") === 0, 0.0)
+            .otherwise(lit(1.0) -
+              col("n_distinct_bigrams").cast("double") / col("n_bigrams").cast("double"))
+            .as("dup_bigram_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |tfc AS (
+      |  SELECT doc_id, t, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, max(c) AS max_tf, CAST(SUM(c) AS BIGINT) AS n_tokens
+      |  FROM tfc GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id,
+      |    CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bigrams,
+      |    CAST(len(list_distinct(list_transform(range(1, len(tk)), i ->
+      |      tk[i] || ' ' || tk[i+1]))) AS BIGINT) AS n_distinct_bigrams
+      |  FROM toks)
+      |SELECT a.doc_id, max_tf, n_tokens,
+      |  CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_term_ratio,
+      |  n_bigrams, n_distinct_bigrams,
+      |  CASE WHEN n_bigrams = 0 THEN 0.0
+      |       ELSE 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END
+      |    AS dup_bigram_ratio
+      |FROM agg a JOIN bg ON a.doc_id = bg.doc_id ORDER BY a.doc_id
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -1588,5 +1731,5 @@ object Queries {
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q56)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }

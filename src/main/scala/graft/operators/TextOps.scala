@@ -28,6 +28,16 @@ object TextOps {
         (a, b) => concat_ws(" ", a, b)),
       s => s.isNotNull && length(s) - length(regexp_replace(s, " ", "")) === 1))
 
+  /** Distinct word n-grams joined with single spaces. Guarded like
+    * charNgrams: `sequence(1, size-n+1)` DESCENDS when size < n, so short
+    * docs return an explicit empty array.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+
   /** Jaccard similarity of two shingle sets; 0 when both empty. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -6,6 +6,18 @@ import graft.operators.TextOps
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("wordNgrams: short docs empty, distinct sliding windows otherwise") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.col
+    val df = Seq("", "a b", "a b c d", "x y x y x y").toDF("t")
+      .select(TextOps.wordNgrams(TextOps.tokens(col("t")), 3).as("ng"))
+    val out = df.as[Seq[String]].collect()
+    assert(out(0) == Seq.empty && out(1) == Seq.empty)
+    assert(out(2) == Seq("a b c", "b c d"))
+    // distinct: "x y x" and "y x y" each appear twice in the slide
+    assert(out(3) == Seq("x y x", "y x y"))
+  }
+
   test("bigrams: empty / one-token docs yield empty shingle sets") {
     val df = Seq("", "one", "one two", "a b c").toDF("t")
     val out = df.select(TextOps.wordBigrams(TextOps.tokens(col("t"))))
