@@ -1722,6 +1722,56 @@ object Queries {
       |FROM agg a JOIN bg ON a.doc_id = bg.doc_id ORDER BY a.doc_id
       |""".stripMargin.trim))
 
+  /** KMV distinct sketch (custom TypedImperativeAggregate graft_kmv):
+    * approximate distinct counting that — unlike HLL (q33, rows-only) —
+    * is a pure function of the value set over a portable md5 hash, so
+    * the DuckDB oracle reproduces sketch AND estimate exactly. Groups
+    * under k distinct values are exact by construction; the estimator is
+    * (k−1)·2^60 / h_k above that. Partial aggregation ships ≤ k longs
+    * per group per map task.
+    */
+  val q60: Q = Q(
+    "q60_kmv_distinct",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val k = 64
+      val h = conv(substring(md5(col("l_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_partkey"), h.as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(call_function(graft.functions.GraftFunctions.KmvName,
+            col("h"), lit(k)).as("mins"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+        .select(col("l_returnflag"),
+          when(size(col("mins")) < k, size(col("mins")).cast("double"))
+            .otherwise(lit((k - 1) * graft.functions.KmvDistinctSketch.HashRange) /
+              element_at(col("mins"), k).cast("double")).as("est_distinct"),
+          col("n_exact"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      |WITH h AS (
+      |  SELECT l_returnflag, l_partkey,
+      |    list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef', substr(md5(CAST(l_partkey AS VARCHAR)), i, 1)) - 1)
+      |        * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS hv
+      |  FROM lineitem),
+      |d AS (SELECT DISTINCT l_returnflag, hv FROM h),
+      |km AS (
+      |  SELECT l_returnflag, list(hv ORDER BY hv)[1:64] AS mins, COUNT(*) AS nd
+      |  FROM d GROUP BY 1),
+      |x AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact
+      |      FROM lineitem GROUP BY 1)
+      |SELECT km.l_returnflag,
+      |  CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+      |       ELSE 63.0 * 1152921504606846976.0 / CAST(mins[64] AS DOUBLE) END
+      |    AS est_distinct,
+      |  n_exact
+      |FROM km JOIN x ON km.l_returnflag = x.l_returnflag
+      |ORDER BY km.l_returnflag
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -1731,5 +1781,5 @@ object Queries {
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
 }

@@ -78,6 +78,7 @@ object GraftFunctions {
   val DotName = "graft_dot"
   val SortedIntersectName = "graft_sorted_intersect_size"
   val PackedDotName = "graft_packed_dot"
+  val KmvName = "graft_kmv"
 
   private def registerBinary(spark: SparkSession, name: String,
       clazz: Class[_], build: (Expression, Expression) => Expression): Unit = {
@@ -108,6 +109,8 @@ object GraftFunctions {
       SortedArrayIntersectSize(_, _))
     registerBinary(spark, PackedDotName, classOf[PackedSparseDotProduct],
       PackedSparseDotProduct(_, _))
+    registerBinary(spark, KmvName, classOf[KmvDistinctSketch],
+      KmvDistinctSketch(_, _))
     // Parity with the GraftExtensions path: sessions registered at runtime
     // get the size(array_intersect) fusion too, not just the functions.
     val experimental = spark.experimental

@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[SortedArrayIntersectSize], SortedArrayIntersectSize(_, _)))
     ext.injectFunction(binary(GraftFunctions.PackedDotName,
       classOf[PackedSparseDotProduct], PackedSparseDotProduct(_, _)))
+    ext.injectFunction(binary(GraftFunctions.KmvName,
+      classOf[KmvDistinctSketch], KmvDistinctSketch(_, _)))
     ext.injectOptimizerRule(_ => NativeSetOpsRule)
   }
 }

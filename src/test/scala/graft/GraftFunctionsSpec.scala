@@ -81,6 +81,27 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("graft_kmv: exact below k, k-bounded, sorted, partitioning-invariant") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    // 500 distinct hashes (values 0..499 scrambled via a fixed affine map),
+    // plus duplicates and nulls
+    val vals = (0 until 500).map(i => ((i * 2654435761L) % 1000003L)) ++
+      (0 until 100).map(i => ((i * 2654435761L) % 1000003L))
+    val df = (vals.map(Option(_)) :+ (None: Option[Long])).toDF("h")
+    def run(d: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+      d.agg(call_function(GraftFunctions.KmvName, col("h"), lit(k)).as("m"))
+        .collect().head.getSeq[Long](0)
+    val expected = vals.distinct.sorted
+    // below k: the sketch IS the distinct set (nulls ignored)
+    assert(run(df, 1000) == expected)
+    // at k: exactly the k smallest, ascending
+    assert(run(df, 64) == expected.take(64))
+    // partitioning must not change the sketch (merge path exercised)
+    assert(run(df.repartition(13), 64) == expected.take(64))
+    assert(run(df.repartition(1), 64) == expected.take(64))
+  }
+
   test("sorted intersect size matches array_intersect on random sorted sets") {
     GraftFunctions.register(spark)
     val rnd = new scala.util.Random(7)
