@@ -856,38 +856,41 @@ object Queries {
     * full corpus scale the blocked side exceeds broadcast range — band
     * the blocks further (q24's MinHash path) first.
     */
-  val q36: Q = Q(
-    "q36_ngram_jaccard",
-    (s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      // both join sides derive from g: persist tokenizes+hashes once
-      val g = t(s, dir, "documents").select(col("doc_id"), col("lang"),
-        floor(length(col("text")) / 100).cast("long").as("lb"),
-        sort_array(array_distinct(TextOps.shingleHashes(
-          TextOps.charNgrams(col("text"), 3)))).as("hv"))
-        .persist()
-      val a = g.select(col("lang"), col("lb"), col("doc_id").as("id1"),
-        col("hv").as("hv1"), size(col("hv")).as("n1"))
-      val b = g.select(col("lang"), col("lb"), col("doc_id").as("id2"),
-        col("hv").as("hv2"), size(col("hv")).as("n2"))
-      // Size-ratio bound prunes before the per-pair intersection:
-      // J ≥ θ forces min(|A|,|B|) / max(|A|,|B|) ≥ θ.
-      val theta = 0.7
-      a.join(broadcast(b), Seq("lang", "lb"))
-        .filter(col("id1") < col("id2") &&
-          least(col("n1"), col("n2")).cast("double") >=
-            greatest(col("n1"), col("n2")) * theta)
-        .withColumn("n_inter", call_function(
-          graft.functions.GraftFunctions.SortedIntersectName, col("hv1"), col("hv2")))
-        .withColumn("jaccard",
-          col("n_inter").cast("double") /
-            (col("n1") + col("n2") - col("n_inter")).cast("double"))
-        .filter(col("jaccard") >= theta)
-        .select(col("id1"), col("id2"), col("jaccard"))
-        .orderBy(col("id1"), col("id2"))
-    },
-    Some(s"""
-      |WITH d AS (
+  /** Shared by q36/q61: blocked char-trigram Jaccard pairs at `theta`.
+    * The shingle projection is persisted because both join sides read it;
+    * Bench/Verify clear per-query caches, and q61 additionally runs
+    * through connectedComponents' self-contained-result contract.
+    */
+  private def ngramJaccardPairs(s: SparkSession, dir: String, theta: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // both join sides derive from g: persist tokenizes+hashes once
+    val g = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      floor(length(col("text")) / 100).cast("long").as("lb"),
+      sort_array(array_distinct(TextOps.shingleHashes(
+        TextOps.charNgrams(col("text"), 3)))).as("hv"))
+      .persist()
+    val a = g.select(col("lang"), col("lb"), col("doc_id").as("id1"),
+      col("hv").as("hv1"), size(col("hv")).as("n1"))
+    val b = g.select(col("lang"), col("lb"), col("doc_id").as("id2"),
+      col("hv").as("hv2"), size(col("hv")).as("n2"))
+    // Size-ratio bound prunes before the per-pair intersection:
+    // J ≥ θ forces min(|A|,|B|) / max(|A|,|B|) ≥ θ.
+    a.join(broadcast(b), Seq("lang", "lb"))
+      .filter(col("id1") < col("id2") &&
+        least(col("n1"), col("n2")).cast("double") >=
+          greatest(col("n1"), col("n2")) * theta)
+      .withColumn("n_inter", call_function(
+        graft.functions.GraftFunctions.SortedIntersectName, col("hv1"), col("hv2")))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= theta)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** q36/q61 oracle prefix: the same pairs in DuckDB SQL (CTE `pr`). */
+  private def ngramPairsSql(theta: Double): String = s"""
+      |WITH RECURSIVE d AS (
       |  SELECT doc_id, lang, length(text) // 100 AS lb,
       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
       |  FROM documents),
@@ -906,11 +909,18 @@ object Queries {
       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
       |    CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE) AS ni,
       |    len(a.hv) AS n1, len(b.hv) AS n2
-      |  FROM g a JOIN g b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id)
-      |SELECT id1, id2, ni / CAST(n1 + n2 - ni AS DOUBLE) AS jaccard
-      |FROM p WHERE ni / CAST(n1 + n2 - ni AS DOUBLE) >= 0.7
-      |ORDER BY id1, id2
-      |""".stripMargin.trim))
+      |  FROM g a JOIN g b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id),
+      |pr AS (
+      |  SELECT id1, id2, ni / CAST(n1 + n2 - ni AS DOUBLE) AS jaccard
+      |  FROM p WHERE ni / CAST(n1 + n2 - ni AS DOUBLE) >= $theta)"""
+
+  val q36: Q = Q(
+    "q36_ngram_jaccard",
+    (s, dir) => ngramJaccardPairs(s, dir, theta = 0.7)
+      .orderBy(col("id1"), col("id2")),
+    Some((ngramPairsSql(0.7) + """
+      |SELECT id1, id2, jaccard FROM pr ORDER BY id1, id2
+      |""").stripMargin.trim))
 
   /** As-of join (time-series enrichment): each non-purchase event gets the
     * latest prior-or-equal purchase (per user). DuckDB's native ASOF JOIN
@@ -1772,6 +1782,39 @@ object Queries {
       |ORDER BY km.l_returnflag
       |""".stripMargin.trim))
 
+  /** Dedup clustering: near-dup PAIRS (q36's blocked n-gram Jaccard) →
+    * canonical CLUSTERS via connected components (min-label propagation);
+    * every document gets a cluster id (its component's smallest doc_id,
+    * itself when unpaired) and a keep flag — the step that turns
+    * pairwise similarity into an actual dedup decision. The oracle
+    * replays the same pairs and closes them with a recursive CTE.
+    */
+  val q61: Q = Q(
+    "q61_dedup_clusters",
+    (s, dir) => {
+      val pairs = ngramJaccardPairs(s, dir, theta = 0.7)
+      val comp = Analytics.connectedComponents(pairs, "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep",
+          when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    },
+    Some((ngramPairsSql(0.7) + """,
+      |e AS (SELECT id1 AS a, id2 AS b FROM pr
+      |      UNION ALL SELECT id2, id1 FROM pr),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS l FROM documents
+      |  UNION
+      |  SELECT e.a, reach.l FROM e JOIN reach ON e.b = reach.id)
+      |SELECT id AS doc_id, min(l) AS cluster_id,
+      |  CAST(CASE WHEN id = min(l) THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id
+      |""").stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -1781,5 +1824,5 @@ object Queries {
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
 }

@@ -130,6 +130,59 @@ object Analytics {
       .drop("__bin", "__lus", "__rus")
   }
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node's label converges to the smallest
+    * node id in its component — the canonical-representative step that
+    * turns near-duplicate PAIRS into dedup CLUSTERS.
+    *
+    * Each round is one hash-shuffle join (neighbor labels) + one
+    * partial-aggregable min; rounds needed = component diameter, which
+    * for near-dup clusters is small by construction (dups of one document
+    * chain through it). For deep graphs at 100 TB, the
+    * large-star/small-star variant (alternating two join shapes,
+    * O(log n) rounds) drops in behind the same signature; plain
+    * propagation is the right default for the dedup workload.
+    *
+    * Convergence is detected exactly: the label total (exact decimal sum)
+    * strictly decreases every non-converged round, so equal consecutive
+    * totals == fixpoint. Deterministic at any parallelism (min is
+    * order-free). Returns (id BIGINT, component BIGINT) for every node
+    * that appears in an edge; isolated nodes never enter and callers
+    * left-join + coalesce to themselves.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id")).persist()
+    var prevTotal: java.math.BigDecimal = null
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val nbr = sym.join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), labels("component").as("component"))
+      val next = labels.union(nbr)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .persist()
+      val total = next.agg(sum(col("component")).cast("decimal(38,0)"))
+        .head().getDecimal(0)
+      done = prevTotal != null && total.compareTo(prevTotal) == 0
+      prevTotal = total
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    // hand back a self-contained result: materialize, then release every
+    // cache this operator created (same contract as exactTfidfCosinePairs)
+    val out = labels.localCheckpoint()
+    labels.unpersist(blocking = false)
+    sym.unpersist(blocking = false)
+    out
+  }
+
   /** Skew-aware aggregation: two-phase salted hash aggregate.
     *
     * A hot key at 100 TB puts one reducer partition orders of magnitude

@@ -5,6 +5,23 @@ import graft.operators.Analytics
 import graft.sources.Ingest
 
 class AnalyticsSpec extends SparkSpec {
+
+  test("connectedComponents: chains, separate components, partitioning-invariant") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // component {1,2,3,4} as a chain (diameter 3), component {10,11},
+    // self-loop singleton {20}
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("s", "d")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Analytics.connectedComponents(df, "s", "d")
+        .as[(Long, Long)].collect().toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    assert(run(edges) == expected)
+    assert(run(edges.repartition(7)) == expected)
+  }
+
   import spark.implicits._
 
   test("salted sum equals direct aggregation (skew path is value-neutral)") {
