@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextOps, Transforms, VectorOps}
+import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextOps, TrainPrep, Transforms, VectorOps}
 import graft.sources.Ingest
 
 /** Single source of truth: every registered query, colocated with its
@@ -1815,6 +1815,153 @@ object Queries {
       |FROM reach GROUP BY id ORDER BY doc_id
       |""").stripMargin.trim))
 
+  // ==========================================================================
+  // Training-data preparation family (operators/TrainPrep.scala) — the
+  // corpus-shaping steps between raw documents and training shards.
+  // ==========================================================================
+
+  /** DuckDB emulation of Spark's `conv(substring(md5(x),1,15),16,10) % m`
+    * deterministic hash bucket (no conv() in DuckDB — fold hex digits).
+    */
+  private def sqlMd5Bucket(x: String, m: Int): String =
+    s"""CAST(list_sum(list_transform(range(1, 16), i ->
+       |    (strpos('0123456789abcdef', substr(md5($x), i, 1)) - 1)
+       |      * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % $m AS BIGINT)""".stripMargin
+
+  /** RAG / long-context chunking: fixed 200-char chunks, 50-char overlap,
+    * provenance offsets + content hash per chunk. Narrow posexplode —
+    * zero shuffle; scales with the scan.
+    */
+  val q62: Q = Q(
+    "q62_doc_chunks",
+    (s, dir) => TrainPrep.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 200, overlap = 50)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      |SELECT doc_id,
+      |  CAST((start - 1) // 150 AS BIGINT) AS chunk_idx,
+      |  CAST(start AS BIGINT) AS start,
+      |  CAST(length(substr(text, CAST(start AS INTEGER), 200)) AS BIGINT) AS chunk_len,
+      |  md5(substr(text, CAST(start AS INTEGER), 200)) AS chunk_md5
+      |FROM documents,
+      |  unnest(generate_series(1, greatest(length(text), 1), 150)) AS u(start)
+      |ORDER BY doc_id, chunk_idx
+      |""".stripMargin.trim))
+
+  /** Deterministic greedy sequence packing into 512-token packs per
+    * source shard (contiguous fill; integer cumsum window — one
+    * bucket-key shuffle).
+    */
+  val q63: Q = Q(
+    "q63_seq_packing",
+    (s, dir) => {
+      val withTok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      TrainPrep.packSequences(withTok, "doc_id", "source", "n_tok", budget = 512L)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+      |SELECT doc_id, source, n_tok,
+      |  CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+      |  CAST((cum - n_tok) % 512 AS BIGINT) AS pack_offset
+      |FROM c ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Stratified dataset mixing: per-language keep rates via the md5
+    * hash bucket (reproducible sampling — no RNG, restartable at 100 TB).
+    */
+  val q64: Q = Q(
+    "q64_stratified_mix",
+    (s, dir) => TrainPrep.stratifiedSample(t(s, dir, "documents"), "doc_id",
+        "lang", Map("en" -> 80, "de" -> 50, "fr" -> 50, "es" -> 30, "zh" -> 20))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id")),
+    Some(s"""
+      |WITH b AS (
+      |  SELECT doc_id, lang,
+      |    ${sqlMd5Bucket("CAST(doc_id AS VARCHAR)", 100)} AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket FROM b
+      |WHERE bucket < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50
+      |  WHEN 'fr' THEN 50 WHEN 'es' THEN 30 WHEN 'zh' THEN 20 ELSE -1 END
+      |ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Corpus-fitted unigram rarity score (quality-signal proxy): integer
+    * surprisal weights `T DIV ctf`, one exact final division.
+    */
+  val q65: Q = Q(
+    "q65_token_rarity",
+    (s, dir) => TrainPrep.tokenRarity(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id, t FROM documents,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS u(t)),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |ctf AS (SELECT t, SUM(tf) AS ctf FROM tf GROUP BY 1),
+      |tot AS (SELECT SUM(ctf) AS total FROM ctf)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+      |  CAST(SUM(tf * (total // ctf)) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS rarity_score
+      |FROM tf JOIN ctf USING (t) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Symmetric int8 embedding quantization — integer summaries hash-match
+    * the oracle; the qvec array itself feeds downstream ANN.
+    */
+  val q66: Q = Q(
+    "q66_vec_quantize",
+    (s, dir) => TrainPrep.quantizeVectors(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .drop("qvec")
+      .orderBy(col("vec_id")),
+    Some("""
+      |WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+      |      ELSE CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5) AS BIGINT) END) AS qv
+      |  FROM s)
+      |SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims, scale,
+      |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+      |  CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS qnorm,
+      |  CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat
+      |FROM q ORDER BY vec_id
+      |""".stripMargin.trim))
+
+  /** Canonical representative per exact-dup cluster: `max_by` over an
+    * integer quality key (longest text, doc_id tiebreak) — no self-join,
+    * partial-aggregable.
+    */
+  val q67: Q = Q(
+    "q67_cluster_reps",
+    (s, dir) => {
+      val members = t(s, dir, "documents")
+        .select(TextOps.fingerprint(col("text")).as("cluster_fp"),
+          col("doc_id"), col("n_chars"))
+      TrainPrep.clusterRepresentatives(members, "cluster_fp", "doc_id",
+          col("n_chars") * 1000000L - col("doc_id"))
+        .orderBy(col("rep_id"))
+    },
+    Some("""
+      |SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS cluster_fp,
+      |  arg_max(doc_id, n_chars * 1000000 - doc_id) AS rep_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(MAX(n_chars * 1000000 - doc_id) AS BIGINT) AS rep_quality
+      |FROM documents GROUP BY 1 ORDER BY rep_id
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -1824,5 +1971,6 @@ object Queries {
     q26, q27, q28, q29,
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
-    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61)
+    q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
+    q62, q63, q64, q65, q66, q67)
 }

@@ -157,8 +157,14 @@ object Analytics {
       col(dstCol).cast("long").as("b"))
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
+    // localCheckpoint, not persist, for the per-round labeling: the
+    // pointer-doubling self-join references the previous round's plan
+    // several times, so without lineage TRUNCATION the logical plan tree
+    // grows ~3^rounds and exhausts the driver heap long before the data
+    // does (persist caches rows but keeps the full plan). Checkpoint
+    // blocks of dropped rounds are GC-managed by the ContextCleaner.
     var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id")).persist()
+      .withColumn("component", col("id")).localCheckpoint()
     var prevTotal: java.math.BigDecimal = null
     var iter = 0
     var done = false
@@ -171,21 +177,16 @@ object Analytics {
         .select(labels("id").as("id"), l2("pcomp").as("component"))
       val next = labels.union(nbr).union(jumped)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .persist()
+        .localCheckpoint()
       val total = next.agg(sum(col("component")).cast("decimal(38,0)"))
         .head().getDecimal(0)
       done = prevTotal != null && total.compareTo(prevTotal) == 0
       prevTotal = total
-      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
-    // hand back a self-contained result: materialize, then release every
-    // cache this operator created (same contract as exactTfidfCosinePairs)
-    val out = labels.localCheckpoint()
-    labels.unpersist(blocking = false)
     sym.unpersist(blocking = false)
-    out
+    labels
   }
 
   /** Skew-aware aggregation: two-phase salted hash aggregate.

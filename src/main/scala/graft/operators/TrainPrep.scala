@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators (builder-prompt first-class
+  * additions beyond the reference inventory): the corpus-shaping steps a
+  * large-scale LLM data pipeline runs between raw documents and training
+  * shards — chunking, sequence packing, stratified mixing, rarity
+  * scoring, embedding quantization, cluster-representative selection.
+  *
+  * Determinism contract (same as Queries.scala): every operator is exact
+  * integer arithmetic until at most ONE final IEEE division, hashes are
+  * md5, so results are bit-identical at any parallelism and match the
+  * DuckDB oracle.
+  */
+object TrainPrep {
+
+  /** Fixed-size overlapping character chunks with provenance offsets —
+    * the RAG/long-context splitting step. One narrow projection +
+    * `posexplode` over a generated start-offset sequence: no shuffle at
+    * all, chunking is embarrassingly parallel and scales with the scan.
+    *
+    * `step = chunkSize - overlap` must be positive. Final short chunk is
+    * kept (real pipelines pad or drop it downstream). Empty text yields
+    * one empty chunk — callers filter if unwanted.
+    */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"chunkDocs: need chunkSize > overlap >= 0, got ($chunkSize, $overlap)")
+    val step = chunkSize - overlap
+    val len = length(col(textCol))
+    docs.select(col(idCol), col(textCol),
+        posexplode(sequence(lit(1), greatest(len, lit(1)), lit(step)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        length(col(textCol).substr(col("start"), lit(chunkSize)))
+          .cast("long").as("chunk_len"),
+        md5(col(textCol).substr(col("start"), lit(chunkSize))).as("chunk_md5"))
+  }
+
+  /** Deterministic greedy sequence packing: assign each document a pack
+    * id so every pack holds ~`budget` tokens, preserving doc order within
+    * a bucket (the streaming-friendly "contiguous fill" variant — a doc
+    * belongs to the pack where its first token lands, so packs can
+    * overflow by at most one document rather than splitting documents).
+    *
+    * One window over (bucket, order) = one hash-shuffle on the bucket
+    * column; buckets (e.g. source shards) bound window state, so no
+    * single-partition sort at 100 TB. Pure integer cumsum + DIV → exact.
+    */
+  def packSequences(docs: DataFrame, idCol: String, bucketCol: String,
+      nTokCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"packSequences: budget must be positive, got $budget")
+    val w = Window.partitionBy(col(bucketCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("__cum", sum(col(nTokCol)).over(w))
+      .select(col(idCol), col(bucketCol), col(nTokCol),
+        ((col("__cum") - col(nTokCol)) / budget).cast("long").as("pack_id"),
+        (col("__cum") - col(nTokCol) - (((col("__cum") - col(nTokCol)) / budget)
+          .cast("long") * budget)).cast("long").as("pack_offset"))
+  }
+
+  /** Stratified deterministic sampling / dataset mixing: per-stratum keep
+    * rates applied via an md5 hash bucket of the id — reproducible across
+    * engines, runs, and retries (no RNG state), the property that makes a
+    * 100-TB sampling job restartable. `rates` maps stratum → percent
+    * (0–100); unlisted strata are dropped.
+    *
+    * Narrow filter, no shuffle; the scan's predicate is the sample.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Int]): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100))
+    val rate = rates.foldLeft(lit(-1)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", bucket).filter(col("bucket") < rate)
+  }
+
+  /** Corpus-fitted token rarity score — the unigram-LM quality-signal
+    * proxy: rare-token-heavy documents score high, boilerplate scores
+    * low. score(doc) = Σ_terms tf_doc·(T DIV ctf) / n_tok where ctf is
+    * the corpus frequency of the term and T the total token count.
+    *
+    * Integer end-to-end (one final exact division), so the score is
+    * reproducible at any parallelism. Two shuffles — (doc, term) tf and
+    * term ctf — both partial-aggregable; the corpus total T rides along
+    * as a broadcast scalar, never a driver-side collect of data rows.
+    */
+  def tokenRarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(TextOps.tokens(col(textCol))).as("__t"))
+    val tf = toks.groupBy(col("__id"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+    val ctf = tf.groupBy(col("__t"))
+      .agg(sum(col("__tf")).as("__ctf"))
+    val total = ctf.agg(sum(col("__ctf")).as("__total"))
+    tf.join(ctf, "__t").crossJoin(broadcast(total))
+      .groupBy(col("__id"))
+      .agg(sum(col("__tf") * expr("__total DIV __ctf")).as("__rar"),
+        sum(col("__tf")).as("n_tok"))
+      .select(col("__id").as(idCol), col("n_tok"),
+        (col("__rar").cast("double") / col("n_tok").cast("double"))
+          .as("rarity_score"))
+  }
+
+  /** Symmetric int8 quantization of an embedding column — the
+    * vector-compression step before ANN index build (4× smaller than
+    * float32, distance-preserving to ~1%). Per-vector scale = max |x|;
+    * q_i = floor(x_i·127/scale + 0.5) (explicit floor: identical
+    * round-half-up on every engine; `round()` half-away/half-even rules
+    * differ across engines).
+    *
+    * Emits exact integer summaries (qsum, qnorm, saturation count) the
+    * oracle can hash-match; the quantized array itself stays available
+    * as `qvec` for downstream ANN. Narrow, codegen'd, no shuffle.
+    */
+  def quantizeVectors(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("scale", array_max(transform(col("__v"), v => abs(v.cast("double")))))
+      .withColumn("qvec", transform(col("__v"), v =>
+        when(col("scale") === 0.0, lit(0L)).otherwise(
+          floor(v.cast("double") * lit(127.0) / col("scale") + lit(0.5))
+            .cast("long"))))
+      .select(col(idCol),
+        size(col("qvec")).cast("long").as("n_dims"),
+        col("scale"),
+        aggregate(col("qvec"), lit(0L), (acc, v) => acc + v).as("qsum"),
+        aggregate(col("qvec"), lit(0L), (acc, v) => acc + v * v).as("qnorm"),
+        size(filter(col("qvec"), v => abs(v) === 127L)).cast("long").as("n_sat"),
+        col("qvec"))
+
+  /** Per-cluster representative selection: given (member, cluster) pick
+    * one canonical member per cluster by an integer quality key —
+    * `max_by` keeps the argmax without a self-join or window sort, and
+    * partial `max_by` aggregation reduces map-side, so the shuffle
+    * carries one candidate per (cluster × partition), not the members.
+    */
+  def clusterRepresentatives(members: DataFrame, clusterCol: String,
+      memberCol: String, qualityKey: Column): DataFrame =
+    members.groupBy(col(clusterCol))
+      .agg(max_by(col(memberCol), qualityKey).as("rep_id"),
+        count(lit(1)).as("n_members"),
+        max(qualityKey).as("rep_quality"))
+}

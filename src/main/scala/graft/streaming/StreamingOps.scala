@@ -100,6 +100,55 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream interval join: match each left event to right events
+    * for the same user within `[0, within]` AFTER the left event (the
+    * view→click attribution shape). Both sides carry watermarks and the
+    * join condition bounds event-time distance, so the state store holds
+    * only `watermark + within` of history per side — bounded state, the
+    * only stream-stream join shape that survives an unbounded run.
+    *
+    * Column names are suffixed `_l`/`_r` so callers can join a stream to
+    * itself (the common attribution case) without ambiguity.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, within: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(left.columns.map(c => col(c).as(s"${c}_l")): _*)
+    val r = right.withWatermark(tsCol, watermark)
+      .select(right.columns.map(c => col(c).as(s"${c}_r")): _*)
+    l.join(r,
+      col(s"${keyCol}_l") === col(s"${keyCol}_r") &&
+        col(s"${tsCol}_r") >= col(s"${tsCol}_l") &&
+        col(s"${tsCol}_r") <= col(s"${tsCol}_l") + expr(s"INTERVAL $within"))
+  }
+
+  /** Idempotent keyed upsert into a parquet ledger via `foreachBatch` —
+    * the streaming version of F1's anti-join dedup: each micro-batch
+    * drops rows whose key is already in the ledger, then appends the
+    * survivors. `foreachBatch` gives at-least-once batch delivery;
+    * the anti-join makes the append idempotent under replays, which is
+    * the production contract the reference approximates with Redis
+    * SETNX. At scale the ledger read prunes on the key column
+    * (parquet min/max), so the anti-join is a broadcast of batch keys
+    * against a pruned scan, not a full-ledger shuffle.
+    */
+  def upsertStream(stream: DataFrame, keyCols: Seq[String], ledgerPath: String) = {
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = batch.dropDuplicates(keyCols)
+        val survivors =
+          try {
+            val existing = spark.read.parquet(ledgerPath).select(
+              keyCols.map(col): _*)
+            fresh.join(existing, keyCols, "left_anti")
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => fresh // first batch
+          }
+        survivors.write.mode("append").parquet(ledgerPath)
+    }
+  }
+
   /** Session windows per user: built-in `session_window` with a gap —
     * the streaming twin of the batch sessionize query.
     */

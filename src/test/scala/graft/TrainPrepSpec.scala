@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TrainPrep
+
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkDocs: offsets, overlap, final short chunk, empty text") {
+    val df = Seq((1L, "a" * 450), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val out = TrainPrep.chunkDocs(df, "doc_id", "text", chunkSize = 200, overlap = 50)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "start", "chunk_len")
+      .as[(Long, Long, Long, Long)].collect()
+    // doc 1: starts 1, 151, 301 — lens 200, 200, 150 (len 450)
+    assert(out.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0L, 1L, 200L), (1L, 1L, 151L, 200L), (1L, 2L, 301L, 150L)))
+    // doc 2: single short chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 2L)))
+    // doc 3: empty text still yields one (empty) chunk row
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, 1L, 0L)))
+  }
+
+  test("chunkDocs: chunks reassemble the original text (zero overlap)") {
+    val text = (1 to 97).map(i => ('a' + i % 26).toChar).mkString
+    val df = Seq((7L, text)).toDF("doc_id", "text")
+    val chunks = TrainPrep.chunkDocs(df, "doc_id", "text", chunkSize = 10, overlap = 0)
+      .orderBy("chunk_idx")
+      .select(expr("substr('" + text + "', cast(start as int), 10)"))
+      .as[String].collect()
+    assert(chunks.mkString == text)
+  }
+
+  test("packSequences: contiguous fill, per-bucket reset, overflow by one doc max") {
+    val df = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 300L), (4L, "a", 50L),
+      (10L, "b", 600L), (11L, "b", 10L)).toDF("doc_id", "src", "n_tok")
+    val out = TrainPrep.packSequences(df, "doc_id", "src", "n_tok", budget = 512L)
+      .orderBy("doc_id")
+      .select("doc_id", "pack_id", "pack_offset").as[(Long, Long, Long)].collect()
+    // bucket a: cum-start offsets 0,300,600,900 → packs 0,0,1,1
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L), (4L, 1L, 388L),
+      // bucket b restarts: offsets 0, 600
+      (10L, 0L, 0L), (11L, 1L, 88L)))
+  }
+
+  test("stratifiedSample: unlisted strata dropped, rates honored, deterministic") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "xx"))
+      .toDF("id", "lang")
+    val kept = TrainPrep.stratifiedSample(df, "id", "lang", Map("en" -> 50))
+    val rows = kept.select("lang").as[String].collect()
+    assert(rows.forall(_ == "en"))
+    // md5 buckets are uniform-ish: 50% rate over 500 'en' docs → 200..300
+    assert(rows.length > 200 && rows.length < 300)
+    // deterministic: same result on rerun
+    assert(kept.select("id").as[Long].collect().toSet ==
+      TrainPrep.stratifiedSample(df, "id", "lang", Map("en" -> 50))
+        .select("id").as[Long].collect().toSet)
+  }
+
+  test("tokenRarity: rare-token docs outscore common-token docs; exact values") {
+    // corpus: 'the' x3, 'zyzzyva' x1  → T=4; weight(the)=4 DIV 3=1, weight(zyzzyva)=4
+    val df = Seq((1L, "the the"), (2L, "the zyzzyva")).toDF("doc_id", "text")
+    val out = TrainPrep.tokenRarity(df, "doc_id", "text")
+      .orderBy("doc_id").select("doc_id", "n_tok", "rarity_score")
+      .as[(Long, Long, Double)].collect()
+    assert(out(0) == ((1L, 2L, 1.0)))          // (1+1)/2
+    assert(out(1) == ((2L, 2L, 2.5)))          // (1+4)/2
+  }
+
+  test("quantizeVectors: exact int8 summaries, saturation, zero vector") {
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(2.0f))).toDF("vec_id", "embedding")
+    val out = TrainPrep.quantizeVectors(df, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .select("vec_id", "n_dims", "scale", "qsum", "qnorm", "n_sat")
+      .as[(Long, Long, Double, Long, Long, Long)].collect()
+    // vec 1: q = [127, -127, 64] (floor(63.5+0.5)=64)
+    assert(out(0) == ((1L, 3L, 1.0, 64L, 2 * 127L * 127L + 64L * 64L, 2L)))
+    // vec 2: zero scale → all-zero q, no NaN
+    assert(out(1) == ((2L, 2L, 0.0, 0L, 0L, 0L)))
+    // vec 3: single element saturates at 127
+    assert(out(2) == ((3L, 1L, 2.0, 127L, 127L * 127L, 1L)))
+    // qvec column survives for downstream ANN use
+    val qv = TrainPrep.quantizeVectors(df, "vec_id", "embedding")
+      .filter(col("vec_id") === 1L).select("qvec").as[Seq[Long]].head()
+    assert(qv == Seq(127L, -127L, 64L))
+  }
+
+  test("clusterRepresentatives: argmax by quality key, tiebreak by key uniqueness") {
+    val df = Seq(
+      ("c1", 1L, 100L), ("c1", 2L, 300L), ("c1", 3L, 300L),
+      ("c2", 9L, 5L)).toDF("cluster", "member", "len")
+    val out = TrainPrep.clusterRepresentatives(df, "cluster", "member",
+        col("len") * 1000000L - col("member"))
+      .orderBy("cluster")
+      .select("cluster", "rep_id", "n_members").as[(String, Long, Long)].collect()
+    // c1: len 300 tie between members 2 and 3 → lower member wins (higher key)
+    assert(out.toSeq == Seq(("c1", 2L, 3L), ("c2", 9L, 1L)))
+  }
+}
