@@ -127,6 +127,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: right events within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = StreamingOps.intervalJoin(
+      views.toDF(), clicks.toDF(), "user_id", "ts", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      views.addData(Ev(1, ts(0), 7, "view", 0.0), Ev(2, ts(0), 8, "view", 0.0))
+      clicks.addData(
+        Ev(10, ts(5), 7, "click", 1.0),   // 5 min after view → match
+        Ev(11, ts(20), 7, "click", 1.0),  // 20 min after → outside window
+        Ev(12, ts(5), 9, "click", 1.0))   // no matching user
+      q.processAllAvailable()
+      val out = spark.table("ij_out").select("event_id_l", "event_id_r")
+        .as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch ledger upsert: appends only unseen keys across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ledger").toString + "/t"
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.upsertStream(mem.toDF(), Seq("event_id"), dir).start()
+    try {
+      mem.addData(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(1), 1, "a", 2.0),
+        Ev(2, ts(1), 1, "intra-batch-dup", 9.0))
+      q.processAllAvailable()
+      // replayed key 1 (cross-batch dup) + fresh key 3
+      mem.addData(Ev(1, ts(5), 1, "cross-batch-dup", 9.0), Ev(3, ts(6), 2, "a", 3.0))
+      q.processAllAvailable()
+      val ledger = spark.read.parquet(dir)
+      assert(ledger.count() == 3)
+      assert(ledger.select("event_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+      assert(!ledger.select("event_type").as[String].collect().exists(_.contains("dup")))
+    } finally q.stop()
+  }
+
   test("session windows close after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
