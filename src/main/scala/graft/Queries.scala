@@ -534,13 +534,18 @@ object Queries {
   val q17: Q = Q(
     "q17_lsh_neardup",
     (s, dir) => Similarity.lshNearDupPairs(
-      t(s, dir, "documents").filter(col("doc_id") % 8 === 0), "doc_id", "text", 0.5)
+      t(s, dir, "documents").filter(col("doc_id") % 16 === 0), "doc_id", "text", 0.5)
       .orderBy(col("id1"), col("id2")),
     None) // spark.ml MinHash is not reproducible in ANSI SQL → rows-only check
 
+  // same bounded-sample rationale: with the shared synthetic vocabulary the
+  // per-block pair count is quadratic, and q43 is the full-corpus
+  // oracle-exact TF-IDF path — the spark.ml demo keeps a representative
+  // slice of every block.
   val q18: Q = Q(
     "q18_tfidf_pairs",
-    (s, dir) => Similarity.tfidfCosinePairs(t(s, dir, "documents"),
+    (s, dir) => Similarity.tfidfCosinePairs(
+      t(s, dir, "documents").filter(col("doc_id") % 4 === 0),
       "doc_id", "text", "source", 0.5).orderBy(col("id1"), col("id2")),
     None) // IDF weights not expressible in DuckDB → rows-only check
 
@@ -1962,6 +1967,98 @@ object Queries {
       |FROM documents GROUP BY 1 ORDER BY rep_id
       |""".stripMargin.trim))
 
+  /** Interval overlap join with NO equi key — binned time-bucket join
+    * (one emit per pair, no distinct), the operator a raw theta overlap
+    * predicate would plan as an O(n²) cross join. Intervals: event start
+    * + floor(value) minutes (floor on BOTH sides — Spark ANSI casts
+    * truncate where DuckDB's round).
+    */
+  val q68: Q = Q(
+    "q68_interval_overlap",
+    (s, dir) => {
+      val iv = Ingest.events(s, dir).filter(col("user_id") % 50 === 0)
+        .select(col("event_id"), unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts"))
+            + floor(col("value")).cast("long") * 60000000L).as("e"))
+      Analytics.intervalOverlapJoin(iv, iv, "event_id", "s", "e",
+          "event_id", "s", "e", binMicros = 3600000000L)
+        .filter(col("id1") < col("id2"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some("""
+      |WITH iv AS (
+      |  SELECT event_id, epoch_us(ts) AS s,
+      |         epoch_us(ts) + CAST(floor(value) AS BIGINT) * 60000000 AS e
+      |  FROM events WHERE user_id % 50 = 0),
+      |g AS (SELECT * FROM iv WHERE s <= e)
+      |SELECT a.event_id AS id1, b.event_id AS id2,
+      |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_micros
+      |FROM g a JOIN g b
+      |  ON a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+      |ORDER BY id1, id2
+      |""".stripMargin.trim))
+
+  /** SCD2 dimension-history build: collapse the orders change log into
+    * `[valid_from, valid_to)` priority versions per customer.
+    */
+  val q69: Q = Q(
+    "q69_scd2_history",
+    (s, dir) => Analytics.scd2(
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+        "o_custkey", "o_orderdate", "o_orderkey", Seq("o_orderpriority"))
+      .select(col("o_custkey"), col("o_orderpriority"),
+        col("valid_from"), col("valid_to"),
+        col("is_current").cast("long").as("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority")),
+    Some("""
+      |WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |    LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> o_orderpriority)
+      |SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+      |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |  CAST(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) IS NULL AS BIGINT) AS is_current
+      |FROM ch ORDER BY o_custkey, valid_from, o_orderpriority
+      |""".stripMargin.trim))
+
+  /** Daily gap fill + forward fill per user over the events stream —
+    * calendar explode from per-key bounds, `last(ignoreNulls)` carry.
+    */
+  val q70: Q = Q(
+    "q70_gap_fill",
+    (s, dir) => {
+      val daily = Ingest.events(s, dir).filter(col("user_id") % 100 === 0)
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(Transforms.exactSum(col("value")).as("day_value"))
+      Analytics.gapFillDaily(daily, "user_id", "day", "day_value")
+        .withColumn("was_gap", col("was_gap").cast("long"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""
+      |WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      |  FROM events WHERE user_id % 100 = 0 GROUP BY 1, 2),
+      |b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+      |cal AS (SELECT user_id, CAST(u.d AS DATE) AS day
+      |        FROM b, unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |          CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)),
+      |j AS (SELECT cal.user_id, cal.day, daily.day_value,
+      |        CAST(daily.day_value IS NULL AS BIGINT) AS was_gap
+      |      FROM cal LEFT JOIN daily USING (user_id, day))
+      |SELECT user_id, day,
+      |  last_value(day_value IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value,
+      |  was_gap
+      |FROM j ORDER BY user_id, day
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -1972,5 +2069,5 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
-    q62, q63, q64, q65, q66, q67)
+    q62, q63, q64, q65, q66, q67, q68, q69, q70)
 }

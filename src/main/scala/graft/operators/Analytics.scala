@@ -189,6 +189,90 @@ object Analytics {
     labels
   }
 
+  /** Interval overlap join WITHOUT an equi key: pairs of intervals (in
+    * integer micros) that overlap in time. Each interval explodes to the
+    * fixed-width bins it spans and pairs join per bin — a hash shuffle on
+    * bin ids instead of the O(n²) cross join a raw
+    * `a.start <= b.end AND b.start <= a.end` theta predicate plans.
+    *
+    * Each overlapping pair is emitted exactly ONCE without a distinct
+    * pass: a pair is claimed only by the bin containing the overlap's
+    * start (`greatest(s1, s2)`), the standard dedup-free binned interval
+    * join. Bin width trades fan-out (long intervals explode into
+    * `len/width` bins) against per-bin pair density — size it near the
+    * typical interval length. All arithmetic is exact int64.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      idL: String, startL: String, endL: String,
+      idR: String, startR: String, endR: String,
+      binMicros: Long): DataFrame = {
+    require(binMicros > 0, "intervalOverlapJoin: binMicros must be positive")
+    def binned(df: DataFrame, id: String, s: String, e: String, side: String) =
+      df.select(col(id).as(s"id$side"),
+          col(s).cast("long").as(s"s$side"), col(e).cast("long").as(s"e$side"))
+        .where(col(s"s$side") <= col(s"e$side"))
+        .withColumn("__bin", explode(sequence(
+          floor(col(s"s$side") / binMicros), floor(col(s"e$side") / binMicros))))
+    val l = binned(left, idL, startL, endL, "1")
+    val r = binned(right, idR, startR, endR, "2")
+    l.join(r, Seq("__bin"))
+      .filter(col("s1") <= col("e2") && col("s2") <= col("e1"))
+      // claim each pair in exactly one bin: the one holding overlap start
+      .filter(col("__bin") === floor(greatest(col("s1"), col("s2")) / binMicros))
+      .select(col("id1"), col("id2"),
+        (least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")))
+          .as("overlap_micros"))
+  }
+
+  /** SCD2 (type-2 slowly changing dimension) history build from a change
+    * log: per key ordered by (orderCol, tieCol), collapse consecutive
+    * rows with identical tracked attributes, then derive
+    * `[valid_from, valid_to)` with `valid_to = next version's valid_from`
+    * (NULL = current). Two window passes over ONE shuffle on the key —
+    * Spark reuses the (key, order) sort for both lag and lead.
+    *
+    * Attribute comparison is null-safe (`<=>` over a struct), so NULL
+    * attribute values neither open spurious versions nor crash ANSI mode.
+    */
+  def scd2(df: DataFrame, keyCol: String, orderCol: String, tieCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+    val attrs = struct(attrCols.map(col): _*)
+    val changed = df
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrs))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(tieCol))
+    changed
+      .withColumn("valid_from", col(orderCol))
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__prev")
+  }
+
+  /** Time-series gap fill: expand each key's daily series to EVERY day
+    * between its first and last observation, then forward-fill values
+    * from the most recent observed day. Input must be one row per
+    * (key, day).
+    *
+    * The calendar explode is per-key `sequence()` (narrow after one
+    * groupBy for the min/max bounds); the fill is
+    * `last(value, ignoreNulls)` over the per-key day order — one shuffle
+    * on the key, state bounded by the key's span. Filled values are
+    * exact copies, so determinism is inherited from the input.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, dayCol: String,
+      valCol: String): DataFrame = {
+    val bounds = df.groupBy(col(keyCol))
+      .agg(min(col(dayCol)).as("__d0"), max(col(dayCol)).as("__d1"))
+    val calendar = bounds.select(col(keyCol),
+      explode(sequence(col("__d0"), col("__d1"))).as(dayCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(df, Seq(keyCol, dayCol), "left")
+      .withColumn("was_gap", col(valCol).isNull)
+      .withColumn(valCol, last(col(valCol), ignoreNulls = true).over(w))
+  }
+
   /** Skew-aware aggregation: two-phase salted hash aggregate.
     *
     * A hot key at 100 TB puts one reducer partition orders of magnitude

@@ -51,6 +51,65 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Set((1L, 100L, 1L), (1L, 101L, 1L), (1L, 102L, 2L), (2L, 200L, 1L)))
   }
 
+  test("intervalOverlapJoin: exact pairs, one emit each, cross-bin overlaps found") {
+    // bin width 10: intervals spanning bins + pairs overlapping across bins
+    val iv = Seq(
+      (1L, 0L, 12L),   // spans bins 0-1
+      (2L, 11L, 15L),  // bin 1; overlaps 1 in bin 1
+      (3L, 14L, 30L),  // bins 1-3; overlaps 2 in bin 1
+      (4L, 40L, 45L),  // bin 4; overlaps nothing
+      (5L, 29L, 31L)   // bins 2-3; overlaps 3
+    ).toDF("id", "s", "e")
+    val out = Analytics.intervalOverlapJoin(iv, iv, "id", "s", "e", "id", "s", "e", 10L)
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "overlap_micros")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 1L), (2L, 3L, 1L), (3L, 5L, 1L)))
+  }
+
+  test("intervalOverlapJoin: each pair exactly once even over many shared bins") {
+    val iv = Seq((1L, 0L, 100L), (2L, 5L, 95L)).toDF("id", "s", "e")
+    val rows = Analytics.intervalOverlapJoin(iv, iv, "id", "s", "e", "id", "s", "e", 10L)
+      .filter(col("id1") < col("id2")).collect()
+    assert(rows.length == 1 && rows.head.getLong(2) == 90L)
+  }
+
+  test("scd2: consecutive-duplicate collapse, version ranges, A-B-A reopens") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val df = Seq(
+      (1L, 10L, d("2024-01-01"), "gold"),
+      (1L, 11L, d("2024-02-01"), "gold"),   // no change → collapsed
+      (1L, 12L, d("2024-03-01"), "silver"), // change
+      (1L, 13L, d("2024-04-01"), "gold"),   // A-B-A: reopens a NEW gold version
+      (2L, 20L, d("2024-01-15"), "bronze")
+    ).toDF("k", "ord_id", "dt", "tier")
+    val out = Analytics.scd2(df, "k", "dt", "ord_id", Seq("tier"))
+      .select("k", "tier", "valid_from", "valid_to")
+      .as[(Long, String, java.sql.Date, Option[java.sql.Date])].collect().toSet
+    assert(out == Set(
+      (1L, "gold", d("2024-01-01"), Some(d("2024-03-01"))),
+      (1L, "silver", d("2024-03-01"), Some(d("2024-04-01"))),
+      (1L, "gold", d("2024-04-01"), None),
+      (2L, "bronze", d("2024-01-15"), None)))
+  }
+
+  test("gapFillDaily: calendar holes filled forward, flags set, no fill before first") {
+    val d = (s: String) => java.sql.Date.valueOf(s)
+    val df = Seq(
+      (1L, d("2024-01-01"), 10.0), (1L, d("2024-01-04"), 40.0),
+      (2L, d("2024-02-01"), 5.0)
+    ).toDF("k", "day", "v")
+    val out = Analytics.gapFillDaily(df, "k", "day", "v")
+      .select("k", "day", "v", "was_gap")
+      .as[(Long, java.sql.Date, Double, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, d("2024-01-01"), 10.0, false),
+      (1L, d("2024-01-02"), 10.0, true),
+      (1L, d("2024-01-03"), 10.0, true),
+      (1L, d("2024-01-04"), 40.0, false),
+      (2L, d("2024-02-01"), 5.0, false)))
+  }
+
   test("runningSum is exact and per-partition monotone") {
     val li = Ingest.table(spark, "/root/testdata/sf0.001", "lineitem").limit(1000)
     val out = Analytics.runningSum(li, Seq("l_suppkey"),
