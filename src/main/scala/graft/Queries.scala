@@ -2059,6 +2059,63 @@ object Queries {
       |FROM j ORDER BY user_id, day
       |""".stripMargin.trim))
 
+  /** Batch MERGE/upsert (warehouse `MERGE INTO` shape): order-derived
+    * balance updates override the customer base rows on key match,
+    * unmatched base rows survive.
+    */
+  val q71: Q = Q(
+    "q71_merge_upsert",
+    (s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").as("balance"),
+          lit("base").as("src"))
+      val updates = d(s, dir, "orders")
+        .filter(col("o_custkey") % 3 === 0)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(Transforms.exactSum(col("o_totalprice")).as("balance"))
+        .withColumn("src", lit("update"))
+      Dedup.mergeUpsert(base, updates, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      |WITH u AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+      |    'update' AS src
+      |  FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1)
+      |SELECT * FROM u
+      |UNION ALL
+      |SELECT c_custkey, c_acctbal AS balance, 'base' AS src FROM customer
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM u)
+      |ORDER BY c_custkey
+      |""".stripMargin.trim))
+
+  /** UNPIVOT / melt (`Dataset.unpivot`): wide measures → long
+    * (measure, value) rows, aggregated exactly per measure.
+    */
+  val q72: Q = Q(
+    "q72_unpivot_measures",
+    (s, dir) => t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), Transforms.exactSum(col("val")).as("total"))
+      .orderBy(col("measure")),
+    Some("""
+      |SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+      |GROUP BY measure ORDER BY measure
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -2069,5 +2126,5 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
-    q62, q63, q64, q65, q66, q67, q68, q69, q70)
+    q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }

@@ -48,6 +48,18 @@ object Dedup {
   }
 
   /** Exact whole-row/keyed dedup — hash-shuffle on the key columns. */
+  /** Batch MERGE / upsert: updates win on key match, unmatched target
+    * rows survive — the warehouse `MERGE INTO` shape (and the batch twin
+    * of `StreamingOps.upsertStream`). One anti-join + union: Spark
+    * broadcasts the update keys when the batch is small (the common
+    * incremental-load case), so the target never shuffles; at
+    * ledger-vs-ledger scale AQE picks shuffled-hash on the keys.
+    * Schemas must match by name (`unionByName`).
+    */
+  def mergeUpsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(
+      target.join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
 }

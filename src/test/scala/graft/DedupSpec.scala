@@ -40,4 +40,17 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.excludeIds(batch, "checksum", Seq("ck1")).count() == 3)
     assert(Dedup.excludeIds(batch, "checksum", Nil).count() == 5)
   }
+
+  test("mergeUpsert: updates win on match, unmatched target survives, empty edges") {
+    val target = Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("k", "v")
+    val updates = Seq((2L, "new2"), (4L, "new4")).toDF("k", "v")
+    val out = Dedup.mergeUpsert(target, updates, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "old1"), (2L, "new2"), (3L, "old3"), (4L, "new4")))
+    // empty updates → target unchanged; empty target → updates
+    assert(Dedup.mergeUpsert(target, updates.limit(0), Seq("k"))
+      .as[(Long, String)].collect().toSet == Set((1L, "old1"), (2L, "old2"), (3L, "old3")))
+    assert(Dedup.mergeUpsert(target.limit(0), updates, Seq("k"))
+      .as[(Long, String)].collect().toSet == Set((2L, "new2"), (4L, "new4")))
+  }
 }
