@@ -39,4 +39,29 @@ object Sink {
     * side-effect-free smoke — count survivors instead of per-row logs.
     */
   def logged(df: DataFrame): Long = df.count()
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. Streaming appends and per-micro-batch
+    * partitioned writes accumulate small files; at 100 TB the resulting
+    * task-per-file scheduling and footer overhead dominate scans, so
+    * compaction is a first-class maintenance operator.
+    *
+    * File count is derived from the directory's ON-DISK size (Hadoop FS
+    * listing, not a data scan); the rewrite itself is one pass with a
+    * round-robin repartition — no shuffle key needed, output files are
+    * near-uniform. Writes to `outPath` (atomic swap is the caller's
+    * rename: rewriting in place would lose data on job failure).
+    */
+  def compact(df: DataFrame, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(inPath != outPath,
+      "compact: refusing in-place rewrite — write to a new path, then rename")
+    val spark = df.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    df.repartition(nFiles.toInt).write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
 }

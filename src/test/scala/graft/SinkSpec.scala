@@ -40,4 +40,21 @@ class SinkSpec extends SparkSpec {
     assert(back.count() == silver.count())
     assert(Sink.logged(silver) == silver.count()) // L4
   }
+
+  test("compact: many small files rewritten to the size-derived count, rows intact") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val in = dir + "/in"
+    val out = dir + "/out"
+    // 40 tiny files
+    spark.range(0, 4000).repartition(40).write.parquet(in)
+    val small = spark.read.parquet(in)
+    // target sized so the listing-derived count lands well under 40
+    val n = Sink.compact(small, in, out, targetBytes = 64L * 1024)
+    assert(n < 40)
+    val files = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == n)
+    assert(spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq == (0L until 4000L))
+    // refuses in-place rewrite
+    intercept[IllegalArgumentException](Sink.compact(small, in, in))
+  }
 }
