@@ -2116,6 +2116,60 @@ object Queries {
       |GROUP BY measure ORDER BY measure
       |""".stripMargin.trim))
 
+  /** Flagship training-data composition — the end-to-end corpus prep a
+    * 100-TB LLM pipeline runs, four operators chained: quality filter
+    * (≥20 tokens, ≥50% alpha) → exact dedup (lowest doc_id per
+    * fingerprint) → stratified language mixing (md5 buckets) → sequence
+    * packing (512-token packs per language). Every stage is the
+    * already-verified operator; the pipeline oracle proves the
+    * COMPOSITION is deterministic too.
+    */
+  val q73: Q = Q(
+    "q73_corpus_pipeline",
+    (s, dir) => {
+      val quality = TextOps.qualityMetrics(t(s, dir, "documents"), "text")
+        .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5)
+      val deduped = quality
+        .withColumn("fp", TextOps.fingerprint(col("text")))
+        .withColumn("__rn",
+          row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+      val mixed = TrainPrep.stratifiedSample(deduped, "doc_id", "lang",
+        Map("en" -> 70, "de" -> 60, "fr" -> 60, "es" -> 50, "zh" -> 40))
+      TrainPrep.packSequences(
+          mixed.select(col("doc_id"), col("lang"), col("n_tokens").as("n_tok")),
+          "doc_id", "lang", "n_tok", budget = 512L)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH d AS (
+      |  SELECT doc_id, lang, text,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks,
+      |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS n_alpha,
+      |    CAST(length(text) AS DOUBLE) AS n_chars
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, lang, text, CAST(len(toks) AS BIGINT) AS n_tok FROM d
+      |  WHERE len(toks) >= 20 AND n_chars > 0 AND n_alpha / n_chars >= 0.5),
+      |dd AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      |    ORDER BY doc_id) AS rn FROM q),
+      |kept AS (SELECT doc_id, lang, n_tok FROM dd WHERE rn = 1),
+      |mix AS (
+      |  SELECT * FROM kept
+      |  WHERE ${sqlMd5Bucket("CAST(doc_id AS VARCHAR)", 100)}
+      |    < CASE lang WHEN 'en' THEN 70 WHEN 'de' THEN 60 WHEN 'fr' THEN 60
+      |      WHEN 'es' THEN 50 WHEN 'zh' THEN 40 ELSE -1 END),
+      |c AS (
+      |  SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM mix)
+      |SELECT doc_id, lang, n_tok,
+      |  CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id,
+      |  CAST((cum - n_tok) % 512 AS BIGINT) AS pack_offset
+      |FROM c ORDER BY doc_id
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -2126,5 +2180,5 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
-    q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }
