@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, StringType}
 
@@ -80,4 +80,18 @@ object Transforms {
   /** l_extendedprice * (1 - l_discount) in exact decimal arithmetic. */
   def discountedPrice(price: Column, discount: Column): Column =
     price.cast(DecimalType(18, 2)) * (lit(1).cast(DecimalType(18, 2)) - discount.cast(DecimalType(18, 2)))
+
+  /** Bad-records quarantine: split a frame into (good, quarantined) on a
+    * validity predicate, treating NULL-valued predicates as BAD (a
+    * three-valued `!cond` would silently drop them from both sides —
+    * the classic quarantine bug). The reference silently raises/drops
+    * malformed rows (Q1); a production engine side-channels them so the
+    * main pipeline stays total and reprocessing is possible.
+    *
+    * Both frames are filters over the same plan — Spark scans the source
+    * once per sink but pushes each predicate down; callers writing both
+    * should persist upstream if the scan is expensive.
+    */
+  def quarantine(df: DataFrame, valid: Column): (DataFrame, DataFrame) =
+    (df.filter(valid), df.filter(!coalesce(valid, lit(false))))
 }

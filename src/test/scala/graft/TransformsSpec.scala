@@ -52,6 +52,16 @@ class TransformsSpec extends SparkSpec {
     assert(r.toSeq == Seq("123456", "2500", "10"))
   }
 
+  test("quarantine: NULL predicate rows land in quarantine, partition is total") {
+    val df = Seq(("2024-01-01", 1), (null, 2), ("garbage", 3)).toDF("d", "id")
+    val (good, bad) = Transforms.quarantine(df,
+      Transforms.normalizeDate(col("d")).isNotNull)
+    assert(good.select("id").collect().map(_.getInt(0)).toSet == Set(1))
+    // null date AND unparseable date both quarantined — nothing vanishes
+    assert(bad.select("id").collect().map(_.getInt(0)).toSet == Set(2, 3))
+    assert(good.count() + bad.count() == df.count())
+  }
+
   test("exactSum is order-independent (decimal, not double)") {
     val vals = (1 to 1000).map(i => i * 0.01)
     val a = vals.toDF("v").repartition(7).agg(Transforms.exactSum(col("v"))).head().getDouble(0)
