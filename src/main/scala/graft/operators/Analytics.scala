@@ -180,7 +180,9 @@ object Analytics {
         .localCheckpoint()
       val total = next.agg(sum(col("component")).cast("decimal(38,0)"))
         .head().getDecimal(0)
-      done = prevTotal != null && total.compareTo(prevTotal) == 0
+      // null total == empty graph: converged trivially (otherwise the
+      // null-vs-null comparison would spin all maxIters empty rounds)
+      done = total == null || (prevTotal != null && total.compareTo(prevTotal) == 0)
       prevTotal = total
       labels = next
       iter += 1

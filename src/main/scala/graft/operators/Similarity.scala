@@ -94,6 +94,13 @@ object Similarity {
     */
   def tfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    // spark.ml IDF.fit throws on an empty corpus ("Haven't seen any
+    // document yet") — empty batches are routine at scale (retries,
+    // backfills), so short-circuit to a typed empty result instead.
+    if (docs.isEmpty) {
+      return docs.select(col(idCol).as("id1"), col(idCol).as("id2"),
+        lit(0.0).as("similarity_score")).limit(0)
+    }
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val v = tfidfVectors(docs.repartition(par), textCol)
       .select(col(idCol), col(blockCol), col("tfidf"))

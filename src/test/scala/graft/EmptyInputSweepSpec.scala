@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+
+/** Crash sweep: every registered query must run (not necessarily return
+  * rows) against EMPTY tables with the production schemas — the
+  * empty-batch path the reference special-cases by hand
+  * (`checksum_bigquery.py:24`) and the shape 100-TB retries/backfills hit
+  * constantly. Operators with a documented fail-fast on an empty corpus
+  * (k-means seeding) are asserted to throw their REAL message, not an
+  * obscure analysis error.
+  */
+class EmptyInputSweepSpec extends SparkSpec {
+
+  // k-means/IVF require a non-empty corpus by contract
+  private val documentedFailFast = Set("q28_ann_ivf_topk")
+
+  test("all registered queries survive empty inputs (or fail fast by contract)") {
+    val dir = Files.createTempDirectory("graft-empty").toString
+    // events is TIMESTAMP(NANOS) — must read through the nanosAsLong conf
+    // (same as Ingest.events); the empty copy keeps ts as BIGINT nanos,
+    // which Ingest.events converts identically.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .limit(0).write.parquet(s"$dir/$t.parquet")
+    }
+    val failures = Queries.all.flatMap { q =>
+      try {
+        q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+        if (documentedFailFast(q.name)) Some(s"${q.name}: expected fail-fast, ran")
+        else None
+      } catch {
+        case e: IllegalArgumentException if documentedFailFast(q.name) =>
+          None // contract: require() with a real message
+        case e: Throwable =>
+          Some(s"${q.name}: ${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
