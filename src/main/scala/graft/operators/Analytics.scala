@@ -209,18 +209,25 @@ object Analytics {
       idR: String, startR: String, endR: String,
       binMicros: Long): DataFrame = {
     require(binMicros > 0, "intervalOverlapJoin: binMicros must be positive")
+    // exact integer FLOOR division at any magnitude: subtract the
+    // nonnegative pmod first, then integer-DIV the exactly-divisible
+    // value (truncation == floor once the division is exact).
+    // floor(a / b) in doubles loses precision past 2^53 and a bare
+    // `DIV` truncates toward zero (wrong bin for pre-epoch times).
+    def floorDiv(a: Column): Column =
+      call_function("div", a - pmod(a, lit(binMicros)), lit(binMicros))
     def binned(df: DataFrame, id: String, s: String, e: String, side: String) =
       df.select(col(id).as(s"id$side"),
           col(s).cast("long").as(s"s$side"), col(e).cast("long").as(s"e$side"))
         .where(col(s"s$side") <= col(s"e$side"))
         .withColumn("__bin", explode(sequence(
-          floor(col(s"s$side") / binMicros), floor(col(s"e$side") / binMicros))))
+          floorDiv(col(s"s$side")), floorDiv(col(s"e$side")))))
     val l = binned(left, idL, startL, endL, "1")
     val r = binned(right, idR, startR, endR, "2")
     l.join(r, Seq("__bin"))
       .filter(col("s1") <= col("e2") && col("s2") <= col("e1"))
       // claim each pair in exactly one bin: the one holding overlap start
-      .filter(col("__bin") === floor(greatest(col("s1"), col("s2")) / binMicros))
+      .filter(col("__bin") === floorDiv(greatest(col("s1"), col("s2"))))
       .select(col("id1"), col("id2"),
         (least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")))
           .as("overlap_micros"))

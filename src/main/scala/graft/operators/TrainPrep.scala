@@ -58,11 +58,14 @@ object TrainPrep {
     require(budget > 0, s"packSequences: budget must be positive, got $budget")
     val w = Window.partitionBy(col(bucketCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // DIV/pmod, not `/` + cast: Spark's long/long is DOUBLE division, so
+    // the truncation would only match integer semantics below 2^53 —
+    // integer division keeps the pack math exact at any corpus size.
     docs.withColumn("__cum", sum(col(nTokCol)).over(w))
+      .withColumn("__start", col("__cum") - col(nTokCol))
       .select(col(idCol), col(bucketCol), col(nTokCol),
-        ((col("__cum") - col(nTokCol)) / budget).cast("long").as("pack_id"),
-        (col("__cum") - col(nTokCol) - (((col("__cum") - col(nTokCol)) / budget)
-          .cast("long") * budget)).cast("long").as("pack_offset"))
+        expr(s"__start DIV ${budget}L").as("pack_id"),
+        pmod(col("__start"), lit(budget)).as("pack_offset"))
   }
 
   /** Stratified deterministic sampling / dataset mixing: per-stratum keep

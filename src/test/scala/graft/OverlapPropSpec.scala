@@ -15,9 +15,10 @@ class OverlapPropSpec extends SparkSpec {
 
   test("binned overlap join ≡ brute-force theta join for every bin width") {
     val rnd = new scala.util.Random(7)
-    // 300 intervals over a 10k-tick span, lengths 0–400 (incl. points)
+    // 300 intervals over a span straddling zero (pre-epoch times must bin
+    // by FLOOR division, not truncation), lengths 0–400 (incl. points)
     val iv = (1L to 300L).map { id =>
-      val s = rnd.nextInt(10000).toLong
+      val s = (rnd.nextInt(10000) - 5000).toLong
       (id, s, s + rnd.nextInt(401).toLong)
     }
     val df = iv.toDF("id", "s", "e")
