@@ -116,15 +116,19 @@ object Analytics {
     */
   def rangeJoinBinned(left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String, toleranceMicros: Long): DataFrame = {
+    // exact integer floor division (same idiom as intervalOverlapJoin):
+    // double-division floor drifts past 2^53 micros
+    def floorDiv(a: Column): Column =
+      call_function("div", a - pmod(a, lit(toleranceMicros)), lit(toleranceMicros))
     val lb = left
       .withColumn("__lus", unix_micros(col(leftTs)))
       .withColumn("__bin", explode(array(
-        floor(col("__lus") / toleranceMicros) - 1,
-        floor(col("__lus") / toleranceMicros),
-        floor(col("__lus") / toleranceMicros) + 1)))
+        floorDiv(col("__lus")) - 1,
+        floorDiv(col("__lus")),
+        floorDiv(col("__lus")) + 1)))
     val rb = right
       .withColumn("__rus", unix_micros(col(rightTs)))
-      .withColumn("__bin", floor(col("__rus") / toleranceMicros))
+      .withColumn("__bin", floorDiv(col("__rus")))
     lb.join(rb, "__bin")
       .filter(abs(col("__lus") - col("__rus")) <= toleranceMicros)
       .drop("__bin", "__lus", "__rus")
