@@ -2170,6 +2170,89 @@ object Queries {
       |FROM c ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Ratio-to-report: each nation's revenue share within its region.
+    * Both numerator and denominator are EXACT decimal sums (a window SUM
+    * over doubles would be accumulation-order-dependent); share is one
+    * final IEEE division.
+    */
+  val q74: Q = Q(
+    "q74_share_of_total",
+    (s, dir) => {
+      val nationRev = d(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(d(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_name"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("__rev"))
+      nationRev
+        .withColumn("__reg",
+          sum(col("__rev")).over(Window.partitionBy(col("n_regionkey"))))
+        .select(col("n_regionkey"), col("n_name"),
+          col("__rev").cast("double").as("nation_rev"),
+          (col("__rev").cast("double") / col("__reg").cast("double"))
+            .as("share"))
+        .orderBy(col("n_regionkey"), col("n_name"))
+    },
+    Some("""
+      |WITH nr AS (
+      |  SELECT n_regionkey, n_name,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT n_regionkey, n_name, CAST(rev AS DOUBLE) AS nation_rev,
+      |  CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY n_regionkey) AS DOUBLE) AS share
+      |FROM nr ORDER BY n_regionkey, n_name
+      |""".stripMargin.trim))
+
+  /** Clickstream transition counts: (event_type → next event_type) per
+    * user on the (ts, event_id) total order — one window shuffle, then a
+    * partial-aggregable count.
+    */
+  val q75: Q = Q(
+    "q75_event_transitions",
+    (s, dir) => Ingest.events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("next_type")),
+    Some("""
+      |WITH t AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM t WHERE next_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin.trim))
+
+  /** Cohort retention: users grouped by first-activity day, distinct
+    * active users per (cohort, days-since-cohort) — the canonical
+    * retention triangle, exact integer date arithmetic.
+    */
+  val q76: Q = Q(
+    "q76_cohort_retention",
+    (s, dir) => {
+      val ev = Ingest.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("days_since"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("days_since"))
+    },
+    Some("""
+      |WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1)
+      |SELECT cohort_day,
+      |  CAST(date_diff('day', cohort_day, day) AS INTEGER) AS days_since,
+      |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+      |FROM ev JOIN c ON ev.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -2180,5 +2263,5 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
-    q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+    q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }
