@@ -2178,8 +2178,8 @@ object Queries {
   val q74: Q = Q(
     "q74_share_of_total",
     (s, dir) => {
-      val nationRev = d(s, dir, "orders")
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      val nationRev = t(s, dir, "orders")
+        .join(d(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(d(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_regionkey"), col("n_name"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("__rev"))
