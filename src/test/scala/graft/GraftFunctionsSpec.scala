@@ -118,4 +118,29 @@ class GraftFunctionsSpec extends SparkSpec {
       .select(call_function(GraftFunctions.SortedIntersectName, col("a"), col("b")))
     assert(empty.head().getInt(0) == 0)
   }
+
+  test("SQL surface: graft functions callable from spark.sql over temp views") {
+    GraftFunctions.register(spark)
+    // the engine's other entry point — a user writing ANSI SQL text
+    // against registered views gets the same native expressions
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql("""
+      SELECT vec_id,
+             graft_dot(transform(embedding, x -> CAST(round(x * 1000) AS DOUBLE)),
+                       transform(embedding, x -> CAST(round(x * 1000) AS DOUBLE))) AS nrm
+      FROM emb_sql WHERE vec_id < 10 ORDER BY vec_id""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaDf = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), VectorOps.nativeDot(
+        VectorOps.quantize(col("embedding")), VectorOps.quantize(col("embedding"))).as("nrm"))
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaSql.toSeq == viaDf.toSeq)
+    // and a full SQL query with aggregation over the KMV sketch aggregate
+    val sketch = spark.sql(
+      "SELECT graft_kmv(vec_id, 64) FROM emb_sql").head().getSeq[Long](0)
+    assert(sketch.nonEmpty && sketch.length <= 64 && sketch == sketch.sorted)
+  }
 }
