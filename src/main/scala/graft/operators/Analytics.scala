@@ -142,11 +142,12 @@ object Analytics {
     * Each round propagates labels across edges (one hash-shuffle join +
     * a partial-aggregable min) AND across the current labeling itself
     * (pointer doubling: node → label(label(node))), so rounds needed are
-    * O(log diameter), not diameter — measured 21 s → ~6 s on the sf0.1
+    * O(log diameter), not diameter — measured 21 s → ~5-6 s on the sf0.1
     * near-dup chain graph. The full large-star/small-star formulation
-    * (alternating star shapes, provably O(log n) with bounded
-    * intermediate sizes) drops in behind the same signature if edge
-    * multiplicity ever becomes the bottleneck at 100 TB.
+    * (provably O(log n) with bounded intermediate sizes) is implemented
+    * as [[connectedComponentsStar]] behind the same contract
+    * (property-tested equivalent) for graphs where edge multiplicity
+    * makes propagation's neighbor joins the bottleneck at 100 TB.
     *
     * Convergence is detected exactly: the label total (exact decimal sum)
     * strictly decreases every non-converged round, so equal consecutive
@@ -284,6 +285,83 @@ object Analytics {
     calendar.join(df, Seq(keyCol, dayCol), "left")
       .withColumn("was_gap", col(valCol).isNull)
       .withColumn(valCol, last(col(valCol), ignoreNulls = true).over(w))
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SOCC'14) — the deep-graph fallback behind the same
+    * contract as [[connectedComponents]]: O(log n) rounds with BOUNDED
+    * intermediate edge growth, where plain min-label propagation can
+    * amplify high-degree neighborhoods.
+    *
+    *  - large-star(u): every STRICTLY LARGER neighbor of u re-points to
+    *    `m(u) = min(Γ(u) ∪ u)`;
+    *  - small-star(u): on the (larger → smaller) canonical edges, every
+    *    smaller neighbor and u itself re-point to m(u).
+    *
+    * Both steps are one groupBy-min + one equi-join — partial-aggregable,
+    * no windows. Convergence is exact: the canonical edge set is compared
+    * by anti-join (`except`-style count), not a lossy checksum; per-round
+    * `localCheckpoint()` truncates lineage (same driver-heap reasoning as
+    * the propagation variant). Returns (id, component) for every node in
+    * an edge, component = smallest node id, identical to
+    * [[connectedComponents]] (property-tested equivalence).
+    */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIters: Int = 50): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    // every node that appears in ANY edge (self-loops included) gets a
+    // label — same contract as connectedComponents
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct()
+    var e = raw
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+
+    def largeStar(cur: DataFrame): DataFrame = {
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(cur: DataFrame): DataFrame = {
+      // cur is canonical (u > v) after largeStar's (bigger → min) emits
+      val canon = cur.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = canon.groupBy(col("u")).agg(min(col("v")).as("m"))
+      canon.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    }
+
+    var iter = 0
+    var done = e.isEmpty
+    while (!done && iter < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // exact convergence: identical canonical edge sets in both directions
+      done = next.count() == e.count() &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = next
+      iter += 1
+    }
+    // converged edges are stars (node → component root); roots and
+    // nodes with only self-loop edges label themselves
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(nodes.select(col("id"), col("id").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
   }
 
   /** Skew-aware aggregation: two-phase salted hash aggregate.
