@@ -2253,6 +2253,37 @@ object Queries {
       |GROUP BY 1, 2 ORDER BY 1, 2
       |""".stripMargin.trim))
 
+  /** q61's dedup clustering driven by the large-star/small-star CC
+    * variant — same pair pipeline, same recursive-CTE oracle, so the
+    * O(log n) algorithm is hash-checked end to end, not just
+    * property-tested against its sibling.
+    */
+  val q77: Q = Q(
+    "q77_dedup_clusters_star",
+    (s, dir) => {
+      val pairs = ngramJaccardPairs(s, dir, theta = 0.7)
+      val comp = Analytics.connectedComponentsStar(pairs, "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep",
+          when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    },
+    Some((ngramPairsSql(0.7) + """,
+      |e AS (SELECT id1 AS a, id2 AS b FROM pr
+      |      UNION ALL SELECT id2, id1 FROM pr),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS l FROM documents
+      |  UNION
+      |  SELECT e.a, reach.l FROM e JOIN reach ON e.b = reach.id)
+      |SELECT id AS doc_id, min(l) AS cluster_id,
+      |  CAST(CASE WHEN id = min(l) THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id
+      |""").stripMargin.trim))
+
   /** Registration order = SURVEY.md §2 inventory order. */
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
@@ -2263,5 +2294,5 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
-    q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+    q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
 }
