@@ -2285,6 +2285,277 @@ object Queries {
       |""").stripMargin.trim))
 
   /** Registration order = SURVEY.md §2 inventory order. */
+  /** Fuzzy record linkage: all customer-name pairs within Levenshtein
+    * distance 1, via deletion-neighborhood blocking (exactly the
+    * brute-force pairs, never a cross join) — the typo-matching flavor of
+    * the dedup family. Oracle is the brute-force theta self-join.
+    */
+  val q78: Q = Q(
+    "q78_fuzzy_names",
+    (s, dir) => TextOps.editDistanceOnePairs(
+        t(s, dir, "customer"), "c_custkey", "c_name")
+      .orderBy(col("id1"), col("id2")),
+    Some("""
+      |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id1, id2
+      |""".stripMargin.trim))
+
+  /** Statistical moments (stddev/skewness/kurtosis) from EXACT integer
+    * power sums: Σx..Σx⁴ over cents accumulate in DECIMAL(38,0) (order-
+    * independent), and the final moment formulas are the SAME IEEE
+    * expression tree on both engines — so even the catastrophic-
+    * cancellation bits agree. The one-pass power-sum layout is the
+    * map-side-combinable form (a naive two-pass mean-then-deviation scan
+    * reads the fact table twice at 100 TB).
+    */
+  val q79: Q = Q(
+    "q79_moments",
+    (s, dir) => {
+      val c = round(col("l_extendedprice") * 100).cast("long").cast("decimal(38,0)")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(c).as("__s1"), sum(c * c).as("__s2"),
+          sum(c * c * c).as("__s3"), sum(c * c * c * c).as("__s4"))
+        .withColumn("__nd", col("n").cast("double"))
+        .withColumn("mean_cents", col("__s1").cast("double") / col("__nd"))
+        .withColumn("__r2", col("__s2").cast("double") / col("__nd"))
+        .withColumn("__r3", col("__s3").cast("double") / col("__nd"))
+        .withColumn("__r4", col("__s4").cast("double") / col("__nd"))
+        .withColumn("var_pop",
+          col("__r2") - col("mean_cents") * col("mean_cents"))
+        .withColumn("stddev_pop", sqrt(col("var_pop")))
+        .withColumn("skewness",
+          (col("__r3") - lit(3.0) * col("mean_cents") * col("__r2")
+            + lit(2.0) * col("mean_cents") * col("mean_cents") * col("mean_cents"))
+          / (col("stddev_pop") * col("stddev_pop") * col("stddev_pop")))
+        .withColumn("kurtosis",
+          (col("__r4") - lit(4.0) * col("mean_cents") * col("__r3")
+            + lit(6.0) * col("mean_cents") * col("mean_cents") * col("__r2")
+            - lit(3.0) * col("mean_cents") * col("mean_cents")
+              * col("mean_cents") * col("mean_cents"))
+          / (col("var_pop") * col("var_pop")) - lit(3.0))
+        .select(col("l_returnflag"), col("n"), col("mean_cents"), col("var_pop"),
+          col("stddev_pop"), col("skewness"), col("kurtosis"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      |WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(round(l_extendedprice*100,0) AS BIGINT) AS HUGEINT) AS c
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(c) AS s1, SUM(c*c) AS s2, SUM(c*c*c) AS s3, SUM(c*c*c*c) AS s4
+      |  FROM c GROUP BY 1),
+      |m AS (
+      |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      |  FROM a),
+      |v AS (SELECT *, r2 - mean_cents * mean_cents AS var_pop FROM m),
+      |sd AS (SELECT *, sqrt(var_pop) AS stddev_pop FROM v)
+      |SELECT l_returnflag, n, mean_cents, var_pop, stddev_pop,
+      |  (r3 - 3.0 * mean_cents * r2 + 2.0 * mean_cents * mean_cents * mean_cents)
+      |    / (stddev_pop * stddev_pop * stddev_pop) AS skewness,
+      |  (r4 - 4.0 * mean_cents * r3 + 6.0 * mean_cents * mean_cents * r2
+      |    - 3.0 * mean_cents * mean_cents * mean_cents * mean_cents)
+      |    / (var_pop * var_pop) - 3.0 AS kurtosis
+      |FROM sd ORDER BY l_returnflag
+      |""".stripMargin.trim))
+
+  /** Integer PageRank (10 power iterations) over the part–supplier
+    * co-occurrence graph — see Analytics.pageRank for the exact-arithmetic
+    * and scale design. The oracle unrolls the iterations as chained CTEs
+    * (generated, below) since recursive CTEs cannot aggregate over the
+    * recursive reference.
+    */
+  val q80: Q = Q(
+    "q80_pagerank",
+    (s, dir) => Analytics.pageRank(
+        t(s, dir, "lineitem").select(col("l_partkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst")),
+        "src", "dst", iters = 10)
+      .orderBy(col("node")),
+    Some {
+      val scale = 1000000000L
+      val base = 15L * scale / 100L
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS (
+        |  SELECT ed.v AS node,
+        |    CAST($base + (85 * CAST(SUM(r${i - 1}.rank // ed.deg) AS BIGINT)) // 100 AS BIGINT) AS rank
+        |  FROM ed JOIN r${i - 1} ON ed.u = r${i - 1}.node GROUP BY ed.v)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      |WITH e0 AS (SELECT l_partkey AS u, 1000000 + l_suppkey AS v FROM lineitem),
+      |sym AS (
+      |  SELECT DISTINCT u, v FROM (
+      |    SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)
+      |  WHERE u <> v),
+      |d AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+      |ed AS (SELECT sym.u, sym.v, d.deg FROM sym JOIN d USING (u)),
+      |r0 AS (SELECT u AS node, CAST($scale AS BIGINT) AS rank FROM d),
+      |$rounds
+      |SELECT node, rank FROM r10 ORDER BY node
+      |""".stripMargin.trim
+    })
+
+  /** Ledger anti-join dedup with a Bloom prefilter (exact semantics —
+    * false positives are removed by the real anti-join, so the oracle is
+    * a plain NOT EXISTS). See Dedup.bloomPrefilteredAntiJoin for the
+    * 100-TB rationale.
+    */
+  val q81: Q = Q(
+    "q81_bloom_dedup",
+    (s, dir) => {
+      val ledger = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      Dedup.bloomPrefilteredAntiJoin(t(s, dir, "lineitem"), ledger,
+          "l_orderkey", expectedItems = 1L << 20)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          Transforms.exactSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      |SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_orderstatus = 'F' AND o_orderkey = l_orderkey)
+      |GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
+  /** Clickstream journey paths: sessionize (q30's operator), concatenate
+    * each session's event types in time order, count sessions per path,
+    * top 50. The per-session path build is an ordered-collect window-free
+    * aggregation (sort inside the group, not a global sort).
+    */
+  val q82: Q = Q(
+    "q82_journey_paths",
+    (s, dir) =>
+      Analytics.sessionize(Ingest.events(s, dir),
+          "user_id", "ts", "event_id", 30L * 60 * 1000 * 1000)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(unix_micros(col("ts")).as("t"),
+            col("event_id").as("e"), col("event_type").as("et")))),
+          x => x.getField("et")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(50),
+    Some("""
+      |WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |e AS (
+      |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+      |  FROM ev),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |                 THEN 1 ELSE 0 END AS new_sess FROM e),
+      |g AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session_id FROM f),
+      |p AS (
+      |  SELECT user_id, session_id,
+      |    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      |  FROM g GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_sessions FROM p
+      |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 50
+      |""".stripMargin.trim))
+
+  /** Time-weighted average (TWAP): per user, each event's value holds
+    * until the next event; the average is weighted by the exact µs
+    * interval. Numerator and denominator are exact integer sums (value
+    * cents × µs), so one final divide is bit-deterministic — the
+    * time-series analog of the exact-decimal money rule.
+    */
+  val q83: Q = Q(
+    "q83_twap",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__us"), col("event_id"))
+      Ingest.events(s, dir)
+        .withColumn("__us", unix_micros(col("ts")))
+        .withColumn("__vc", round(col("value") * 100).cast("long"))
+        .withColumn("__dt", lead(col("__us"), 1).over(w) - col("__us"))
+        .filter(col("__dt").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum((col("__vc") * col("__dt")).cast("decimal(38,0)")).as("__num"),
+          sum(col("__dt").cast("decimal(38,0)")).as("__den"))
+        .select(col("user_id"), col("n_intervals"),
+          (col("__num").cast("double") / col("__den").cast("double")).as("twap_cents"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      |WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(round(value*100,0) AS BIGINT) AS vc FROM events),
+      |l AS (
+      |  SELECT user_id, vc,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+      |  FROM ev),
+      |f AS (SELECT * FROM l WHERE dt IS NOT NULL)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(CAST(SUM(vc*dt) AS DECIMAL(38,0)) AS DOUBLE)
+      |    / CAST(CAST(SUM(dt) AS DECIMAL(38,0)) AS DOUBLE) AS twap_cents
+      |FROM f GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
+  /** Multi-table star join (TPC-H Q5 shape): fact table joins broadcast
+    * dimensions (customer/supplier/nation/region), revenue in exact cents
+    * (price·(100−disc) int64 → DECIMAL sum → one divide). The plan to
+    * want at 100 TB: ONE shuffle pair for lineitem⋈orders, every
+    * dimension a BroadcastHashJoin, partial aggregation before the final
+    * 5-row exchange.
+    */
+  val q84: Q = Q(
+    "q84_star_revenue",
+    (s, dir) => {
+      val ord = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val revc = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(d(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(d(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(d(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(d(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(revc.cast("decimal(38,0)")).cast("double") / lit(10000.0)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      |SELECT n_name,
+      |  CAST(CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)
+      |    * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS DECIMAL(38,0)) AS DOUBLE)
+      |    / 10000.0 AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -2294,5 +2565,6 @@ object Queries {
     q30, q31, q32, q33, q34, q35,
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
-    q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
+    q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
+    q78, q79, q80, q81, q82, q83, q84)
 }

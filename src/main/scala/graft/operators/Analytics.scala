@@ -364,6 +364,50 @@ object Analytics {
       .groupBy(col("id")).agg(min(col("component")).as("component"))
   }
 
+  /** PageRank over an undirected graph (symmetrized edge list), EXACT
+    * integer arithmetic end to end: ranks are integers at `scale`
+    * (initial rank = scale), and each round computes
+    * `rank'(v) = (15·scale) DIV 100 + (85 · Σ_{u~v} (rank(u) DIV deg(u))) DIV 100`.
+    * Integer DIV makes every round's result independent of accumulation
+    * order — bit-identical at any parallelism and reproducible by a SQL
+    * oracle (floating-point PageRank is not: the Σ over neighbors would
+    * depend on shuffle order).
+    *
+    * Scale shape per round: one hash-shuffle equi-join (degree-annotated
+    * edges ⋈ ranks on the source node) + one partial-aggregable SUM by
+    * destination — the standard distributed power-iteration layout. The
+    * degree-annotated symmetric edge list is materialized ONCE
+    * (`localCheckpoint`) and reused every round; per-round checkpoints
+    * truncate lineage (same driver-heap reasoning as
+    * [[connectedComponents]]). Symmetry means every node has deg ≥ 1 and
+    * an incoming edge, so there are no dangling-mass corrections.
+    * Self-loops are dropped. Overflow headroom: node ranks stay O(scale),
+    * so Σ over a node's neighbors is < |V|·scale — keep |V|·scale·85
+    * under 2^63 (10^9 scale supports ~10^8 nodes).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 10, scale: Long = 1000000000L): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val ed = sym.join(deg, "u").localCheckpoint()
+    val base = 15L * scale / 100L
+    var ranks = deg.select(col("u").as("node"), lit(scale).as("rank"))
+    (1 to iters).foreach { _ =>
+      ranks = ed.join(ranks, ed("u") === ranks("node"))
+        .select(ed("v").as("v"), expr("rank DIV deg").as("__c"))
+        .groupBy(col("v"))
+        .agg(sum(col("__c")).as("__s"))
+        .select(col("v").as("node"),
+          (lit(base) + expr("(85 * __s) DIV 100")).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
   /** Skew-aware aggregation: two-phase salted hash aggregate.
     *
     * A hot key at 100 TB puts one reducer partition orders of magnitude

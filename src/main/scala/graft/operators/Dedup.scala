@@ -62,4 +62,42 @@ object Dedup {
 
   def exact(df: DataFrame, cols: Seq[String]): DataFrame =
     if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** Bloom-prefiltered ledger anti-join — EXACT anti-join semantics, with
+    * a Bloom filter as the scale optimization: rows the filter rules out
+    * ("definitely not in the ledger") skip the join entirely; only the
+    * `maybe` rows (true duplicates + fpp false positives) shuffle into the
+    * exact anti-join that removes the false positives. At 100 TB the
+    * filter is built once over the ledger keys (a few bytes per key,
+    * broadcast to executors) and the join input drops from |batch| to
+    * ≈ |dups| + fpp·|batch| — the standard bloom-join pruning Spark
+    * applies to shuffle joins internally, surfaced as an operator so the
+    * ledger filter can be REUSED across micro-batches instead of rebuilt
+    * per query. Results are independent of fpp (false positives only cost
+    * join work), so the query stays oracle-checkable as a plain anti-join.
+    *
+    * The batch is evaluated twice (once per branch) — persist upstream if
+    * it is expensive to recompute. Key column must be string or integral.
+    */
+  def bloomPrefilteredAntiJoin(batch: DataFrame, ledger: DataFrame,
+      key: String, expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    // an empty ledger builds a null-buffered BloomFilter that NPEs at eval
+    // time — and the anti-join against it is the identity anyway (empty
+    // batches/ledgers are routine: retries, backfills)
+    if (ledger.isEmpty) return batch
+    val bf = ledger.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bf)
+    val maybe = batch.schema(key).dataType match {
+      case StringType => udf((k: String) => k == null || bc.value.mightContainString(k))
+      case LongType => udf((k: java.lang.Long) => k == null || bc.value.mightContainLong(k))
+      case IntegerType => udf((k: java.lang.Integer) =>
+        k == null || bc.value.mightContainLong(k.longValue()))
+      case t => throw new IllegalArgumentException(
+        s"bloomPrefilteredAntiJoin: unsupported key type $t")
+    }
+    val keys = ledger.select(col(key)).distinct()
+    batch.filter(!maybe(col(key)))
+      .unionByName(batch.filter(maybe(col(key))).join(keys, Seq(key), "left_anti"))
+  }
 }

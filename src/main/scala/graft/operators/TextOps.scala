@@ -128,6 +128,42 @@ object TextOps {
         transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n)))))
   }
 
+  /** Fuzzy self-join: all (id1 < id2) pairs with Levenshtein distance ≤ 1,
+    * via DELETION-NEIGHBORHOOD blocking — never a cross join.
+    *
+    * Two strings within edit distance 1 must share a key in
+    * `{s} ∪ {s with one char deleted}`: equal strings share `s`;
+    * a substitution at position i makes both single-deletions at i equal;
+    * an insertion/deletion makes the shorter string itself equal one
+    * deletion of the longer. So exploding each row to its `len+1` variant
+    * keys and hash-joining on the key yields a candidate superset, and the
+    * exact `levenshtein` filter (codegen'd, cheap on short strings) makes
+    * the result EXACTLY the brute-force O(n²) pairs — verified against a
+    * theta-join oracle. Fan-out is `len+1` rows per input (bounded, narrow);
+    * the join is one hash shuffle on the variant key; a popular variant key
+    * is a skew problem (AQE), not a correctness one. For distance k > 1 the
+    * same scheme generalizes to k-deletion neighborhoods (k·len^k fan-out —
+    * use length+prefix blocking past k=2).
+    */
+  def editDistanceOnePairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = col("__s")
+    val variants = array_distinct(concat(
+      array(s),
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s) - i)))))
+    val keyed = df.select(col(idCol).as("__id"), col(textCol).as("__s"))
+      .where(s.isNotNull)
+      .select(col("__id"), col("__s"), explode(variants).as("__k"))
+    val a = keyed.select(col("__k"), col("__id").as("id1"), col("__s").as("s1"))
+    val b = keyed.select(col("__k"), col("__id").as("id2"), col("__s").as("s2"))
+    a.join(b, Seq("__k"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2") // equal/near strings share several keys
+      .filter(levenshtein(col("s1"), col("s2")) <= 1)
+      .select(col("id1"), col("id2"),
+        levenshtein(col("s1"), col("s2")).cast("long").as("dist"))
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
