@@ -79,6 +79,18 @@ object PerfLab {
         val inter = cand.join(ex.select(col("doc_id").as("id1"), col("s")), "id1")
           .join(ex.select(col("doc_id").as("id2"), col("s")), Seq("id2", "s"))
         println("inter_rows=" + inter.count())
+      case "prphases" =>
+        import graft.operators.Analytics
+        import graft.sources.Ingest
+        import org.apache.spark.sql.functions._
+        val edges = Ingest.table(spark, sfDir, "lineitem")
+          .select(col("l_partkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+        Seq(0, 1, 3, 10).foreach { it =>
+          val t0 = System.nanoTime()
+          Analytics.pageRank(edges, "src", "dst", iters = it)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[perf] pr_iters$it ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
       case n =>
         Queries.all.find(_.name == n).foreach(q => time(n, reps)(q.fn(spark, sfDir)))
     }

@@ -2376,8 +2376,11 @@ object Queries {
     */
   val q80: Q = Q(
     "q80_pagerank",
+    // dim-role read: pageRank's own repartition-by-u is the fan-out, so
+    // table()'s full-width pre-shuffle would just move 11 columns to
+    // project 2 (the 2-col parquet scan itself is cheap even single-split)
     (s, dir) => Analytics.pageRank(
-        t(s, dir, "lineitem").select(col("l_partkey").as("src"),
+        d(s, dir, "lineitem").select(col("l_partkey").as("src"),
           (col("l_suppkey") + lit(1000000L)).as("dst")),
         "src", "dst", iters = 10)
       .orderBy(col("node")),

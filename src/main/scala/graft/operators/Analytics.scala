@@ -351,9 +351,15 @@ object Analytics {
     var done = e.isEmpty
     while (!done && iter < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // exact convergence: identical canonical edge sets in both directions
-      done = next.count() == e.count() &&
-        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      // exact convergence, ONE job: both sides are distinct sets, so the
+      // symmetric difference is empty iff every (u,v) appears with +1 and
+      // −1 — a single union+groupBy probe over the two checkpointed RDDs
+      // (was count+count+anti-join = 3 jobs per round; driver round-trips
+      // dominate the small-tail rounds)
+      done = next.withColumn("__side", lit(1))
+        .unionByName(e.withColumn("__side", lit(-1)))
+        .groupBy(col("u"), col("v")).agg(sum(col("__side")).as("__d"))
+        .filter(col("__d") =!= 0).isEmpty
       e = next
       iter += 1
     }
@@ -389,15 +395,26 @@ object Analytics {
       iters: Int = 10, scale: Long = 1000000000L): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
-    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    // ONE shuffle builds the whole reusable state: hash-partition the
+    // symmetrized list by u, then dedup, per-u degree (window count), and
+    // the initial ranks all run exchange-free on that layout
+    // (HashPartitioning(u) satisfies every later (u…) clustering), and
+    // `localCheckpoint` preserves the partitioning — so the per-round join
+    // moves only the |V|-row ranks side (as a broadcast), never the edge
+    // list. Deriving deg/ranks from the checkpoint also means the
+    // symmetrize+dedup pipeline runs exactly once (a deg-from-source
+    // formulation re-ran it per broadcast — measured ~2× the fixed cost).
+    val ed = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))
-      .distinct()
-    val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val ed = sym.join(deg, "u").localCheckpoint()
+      .repartition(col("u"))
+      .dropDuplicates("u", "v")
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("u"))))
+      .localCheckpoint()
     val base = 15L * scale / 100L
-    var ranks = deg.select(col("u").as("node"), lit(scale).as("rank"))
+    var ranks = ed.select(col("u").as("node")).distinct()
+      .withColumn("rank", lit(scale))
     (1 to iters).foreach { _ =>
-      ranks = ed.join(ranks, ed("u") === ranks("node"))
+      ranks = ed.join(broadcast(ranks), ed("u") === ranks("node"))
         .select(ed("v").as("v"), expr("rank DIV deg").as("__c"))
         .groupBy(col("v"))
         .agg(sum(col("__c")).as("__s"))

@@ -114,13 +114,20 @@ object VectorOps {
     // an empty corpus would make the argmin an empty array() whose
     // NullType fails analysis — fail fast with a real message instead
     require(centroids.nonEmpty, "kmeansCells: corpus has no vectors")
+    // argmin as ONE expression over array-literal centroids (complex-type
+    // literals land in the codegen references array, so the generated
+    // source is independent of k AND of the centroid values — one compile
+    // serves every Lloyd iteration; the unrolled per-centroid form
+    // recompiled a k×dim-literal kernel each iteration)
     def assign(df: DataFrame): Column = {
-      val scored = centroids.zipWithIndex.map { case (ct, i) =>
-        val norm = ct.map(x => x * x).sum
-        struct((lit(norm) - lit(2.0) * nativeDot(col("__v"), typedlit(ct))).as("d"),
-          lit(i).as("cell"))
-      }
-      array_min(array(scored.toIndexedSeq: _*)).getField("cell")
+      val cents = typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+      val norms = typedlit(centroids.map(ct => ct.map(x => x * x).sum).toIndexedSeq)
+      array_min(transform(sequence(lit(0), lit(centroids.length - 1)),
+        i => struct(
+          (element_at(norms, i + 1)
+            - lit(2.0) * nativeDot(col("__v"), element_at(cents, i + 1))).as("d"),
+          i.as("cell"))))
+        .getField("cell")
     }
     (1 to iters).foreach { _ =>
       val assigned = c.withColumn("__cell", assign(c))
