@@ -2559,6 +2559,127 @@ object Queries {
       |GROUP BY n_name ORDER BY revenue DESC, n_name
       |""".stripMargin.trim))
 
+  /** Hopping (sliding) window rollup: 6-hour windows advancing every
+    * hour — each event lands in 6 windows (`window(ts, "6 hours",
+    * "1 hour")`, epoch-aligned like the oracle's
+    * `date_trunc('hour') − k·1h`). The streaming twin is
+    * StreamingOps' watermarked tumbling/session windows; fan-out is
+    * windows-per-event (bounded), aggregation stays partial-map-side.
+    */
+  val q85: Q = Q(
+    "q85_hopping_windows",
+    (s, dir) =>
+      Ingest.events(s, dir)
+        .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Transforms.exactSum(col("value")).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("wstart"), col("event_type")),
+    Some("""
+      |WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |h AS (
+      |  SELECT date_trunc('hour', ts) - to_hours(k.range) AS wstart, event_type, value
+      |  FROM ev CROSS JOIN range(0, 6) AS k)
+      |SELECT wstart, wstart + to_hours(6) AS wend, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM h GROUP BY 1, 3 ORDER BY 1, 3
+      |""".stripMargin.trim))
+
+  /** Order-independent table fingerprints: per group, SUM of a 60-bit
+    * integer digest of each row's canonical rendering (md5 → int64),
+    * accumulated exactly in DECIMAL — equal groups ⇒ equal fingerprints
+    * regardless of row order, partitioning, or engine. The cheap
+    * cross-system reconciliation primitive: fingerprint both sides per
+    * partition key at 100 TB (one scan, partial-aggregable), compare the
+    * tiny summaries, and only drill into groups that differ.
+    */
+  val q86: Q = Q(
+    "q86_group_fingerprint",
+    (s, dir) => {
+      val row = concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        Transforms.centsString(col("l_quantity")),
+        Transforms.centsString(col("l_extendedprice")),
+        col("l_returnflag"), col("l_linestatus"))
+      val digest = conv(substring(md5(row), 1, 15), 16, 10).cast("long")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(digest.cast("decimal(38,0)")).as("fingerprint"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("fingerprint").cast("string").as("fingerprint"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""
+      |WITH r AS (
+      |  SELECT l_returnflag,
+      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+      |      || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)
+      |      || '|' || ${sqlCents("l_quantity")} || '|' || ${sqlCents("l_extendedprice")}
+      |      || '|' || l_returnflag || '|' || l_linestatus AS row_str
+      |  FROM lineitem),
+      |d AS (
+      |  SELECT l_returnflag,
+      |    list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef', substr(md5(row_str), i, 1)) - 1)
+      |        * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS digest
+      |  FROM r)
+      |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(CAST(SUM(CAST(digest AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+      |FROM d GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
+  /** Per-group top-k: 3 highest-revenue parts per brand (dense window
+    * rank over a two-level order with unique tie-break). The grouped
+    * flavor of q02's global top-k — one shuffle on the group key, no
+    * global sort.
+    */
+  val q87: Q = Q(
+    "q87_group_topk",
+    (s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, dir, "part")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("rk").cast("long").as("rk"),
+          col("p_partkey"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("p_brand"), col("rk"))
+    },
+    Some("""
+      |SELECT p_brand,
+      |  CAST(row_number() OVER (PARTITION BY p_brand
+      |    ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk,
+      |  p_partkey, p_name, p_retailprice
+      |FROM part QUALIFY rk <= 3 ORDER BY p_brand, rk
+      |""".stripMargin.trim))
+
+  /** Rolling 7-day distinct users per day (trailing DAU/WAU shape): each
+    * event contributes its user to the 7 daily windows ending on or after
+    * its day; explode-to-window + exact distinct — a RANGE-frame
+    * count-distinct window (which Spark does not support directly),
+    * restated as a bounded fan-out groupBy.
+    */
+  val q88: Q = Q(
+    "q88_rolling_dau",
+    (s, dir) =>
+      Ingest.events(s, dir)
+        .select(explode(sequence(to_date(col("ts")),
+          date_add(to_date(col("ts")), 6))).as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_users_7d"))
+        .orderBy(col("day")),
+    Some("""
+      |WITH ev AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id FROM events),
+      |x AS (
+      |  SELECT CAST(d + CAST(k.range AS INTEGER) AS DATE) AS day, user_id
+      |  FROM ev CROSS JOIN range(0, 7) AS k)
+      |SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
+      |FROM x GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -2569,5 +2690,5 @@ object Queries {
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }
