@@ -2680,6 +2680,86 @@ object Queries {
       |FROM x GROUP BY 1 ORDER BY 1
       |""".stripMargin.trim))
 
+  /** Incremental re-aggregation: daily PARTIAL states (exact decimal sum,
+    * count, min/max per key per day — what an incremental pipeline
+    * materializes per batch) merged into monthly finals, with avg derived
+    * at merge time. The oracle computes the monthly totals DIRECTLY, so
+    * the hash-match proves partial+merge ≡ one-shot for the decomposable
+    * aggregate family — the correctness contract that lets a 100 TB
+    * pipeline aggregate each arriving partition once and never rescan.
+    */
+  val q89: Q = Q(
+    "q89_incremental_rollup",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("day"), col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("psum"),
+          count(lit(1)).as("pn"),
+          min(col("l_quantity")).as("pmin"), max(col("l_quantity")).as("pmax"))
+      daily
+        .groupBy(date_trunc("month", col("day")).cast("date").as("month"),
+          col("l_returnflag"))
+        .agg(sum(col("psum")).cast("double").as("sum_qty"),
+          sum(col("pn")).as("n_rows"),
+          min(col("pmin")).as("min_qty"), max(col("pmax")).as("max_qty"),
+          (sum(col("psum")).cast("double") / sum(col("pn")).cast("double")).as("avg_qty"))
+        .orderBy(col("month"), col("l_returnflag"))
+    },
+    Some("""
+      |SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin.trim))
+
+  /** Keyword search: exact corpus-fitted TF-IDF scoring of a term query
+    * (linear integer IDF, q43's weighting without the hashing) → top 20
+    * docs. Per-term df comes from one groupBy over the exploded token
+    * table; scoring joins only rows whose token IS a query term (filter
+    * pushed below the join), so work scales with postings of the query
+    * terms, not the corpus vocabulary — the inverted-index probe shape.
+    */
+  val q90: Q = Q(
+    "q90_keyword_search",
+    (s, dir) => {
+      val terms = Seq("merge", "stream", "window")
+      val docs = t(s, dir, "documents")
+      val n = docs.count()
+      val toks = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      val tf = toks.filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dft = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("tok").isin(terms: _*))
+      tf.join(dft, "tok")
+        .withColumn("w", col("tf") * expr(s"CAST(${100L * n} AS BIGINT) DIV df"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w")).as("score"), count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some(s"""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tok
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+      |  WHERE tok IN ('merge', 'stream', 'window') GROUP BY 1, 2),
+      |dfr AS (
+      |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks
+      |  WHERE tok IN ('merge', 'stream', 'window') GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id,
+      |  CAST(SUM(tf * ((100 * (SELECT n FROM nn)) // df)) AS BIGINT) AS score,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+      |FROM tf JOIN dfr USING (tok)
+      |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -2690,5 +2770,5 @@ object Queries {
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 }
