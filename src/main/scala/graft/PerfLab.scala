@@ -84,7 +84,7 @@ object PerfLab {
         import graft.sources.Ingest
         import org.apache.spark.sql.functions._
         val edges = Ingest.table(spark, sfDir, "lineitem")
-          .select(col("l_partkey").as("src"), (col("l_suppkey") + lit(1000000L)).as("dst"))
+          .select(col("l_partkey").as("src"), (col("l_suppkey") + lit(1L << 40)).as("dst"))
         Seq(0, 1, 3, 10).foreach { it =>
           val t0 = System.nanoTime()
           Analytics.pageRank(edges, "src", "dst", iters = it)

@@ -2310,6 +2310,11 @@ object Queries {
     * cancellation bits agree. The one-pass power-sum layout is the
     * map-side-combinable form (a naive two-pass mean-then-deviation scan
     * reads the fact table twice at 100 TB).
+    *
+    * Exactness bound: Σc⁴ in DECIMAL(38,0) holds to ~10^38, i.e. ~10^9
+    * rows per group at 10^7 cents. Beyond that (a 100-TB single group),
+    * pre-center per partition (power sums of c − c₀) or drop to Σc³ —
+    * the overflow is a loud ANSI error, not silent corruption.
     */
   val q79: Q = Q(
     "q79_moments",
@@ -2378,10 +2383,13 @@ object Queries {
     "q80_pagerank",
     // dim-role read: pageRank's own repartition-by-u is the fan-out, so
     // table()'s full-width pre-shuffle would just move 11 columns to
-    // project 2 (the 2-col parquet scan itself is cheap even single-split)
+    // project 2 (the 2-col parquet scan itself is cheap even single-split).
+    // Supplier ids live at bit 40 — an offset any TPC-H-scale partkey
+    // space (2·10^5·SF) can never reach, keeping the bipartite node sets
+    // disjoint at every SF.
     (s, dir) => Analytics.pageRank(
         d(s, dir, "lineitem").select(col("l_partkey").as("src"),
-          (col("l_suppkey") + lit(1000000L)).as("dst")),
+          (col("l_suppkey") + lit(1L << 40)).as("dst")),
         "src", "dst", iters = 10)
       .orderBy(col("node")),
     Some {
@@ -2394,7 +2402,7 @@ object Queries {
         |  FROM ed JOIN r${i - 1} ON ed.u = r${i - 1}.node GROUP BY ed.v)""".stripMargin
       }.mkString(",\n")
       s"""
-      |WITH e0 AS (SELECT l_partkey AS u, 1000000 + l_suppkey AS v FROM lineitem),
+      |WITH e0 AS (SELECT l_partkey AS u, ${1L << 40} + l_suppkey AS v FROM lineitem),
       |sym AS (
       |  SELECT DISTINCT u, v FROM (
       |    SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)
@@ -2491,7 +2499,10 @@ object Queries {
         .filter(col("__dt").isNotNull)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_intervals"),
-          sum((col("__vc") * col("__dt")).cast("decimal(38,0)")).as("__num"),
+          // cast BEFORE the multiply: a long×long product wraps silently
+          // past 2^63 (vc ~2e7 cents × a year-long gap ~3e13 µs), decimal
+          // arithmetic keeps the product exact
+          sum(col("__vc").cast("decimal(38,0)") * col("__dt")).as("__num"),
           sum(col("__dt").cast("decimal(38,0)")).as("__den"))
         .select(col("user_id"), col("n_intervals"),
           (col("__num").cast("double") / col("__den").cast("double")).as("twap_cents"))
@@ -2507,7 +2518,7 @@ object Queries {
       |  FROM ev),
       |f AS (SELECT * FROM l WHERE dt IS NOT NULL)
       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
-      |  CAST(CAST(SUM(vc*dt) AS DECIMAL(38,0)) AS DOUBLE)
+      |  CAST(CAST(SUM(CAST(vc AS HUGEINT) * dt) AS DECIMAL(38,0)) AS DOUBLE)
       |    / CAST(CAST(SUM(dt) AS DECIMAL(38,0)) AS DOUBLE) AS twap_cents
       |FROM f GROUP BY 1 ORDER BY 1
       |""".stripMargin.trim))
@@ -2593,15 +2604,24 @@ object Queries {
     * cross-system reconciliation primitive: fingerprint both sides per
     * partition key at 100 TB (one scan, partial-aggregable), compare the
     * tiny summaries, and only drill into groups that differ.
+    *
+    * Every field is null-coalesced to '' BEFORE joining with the
+    * separator (a bare `concat_ws` SKIPS null slots, so (a,NULL,c) and
+    * (a,c,NULL) would collide; the oracle's `||` would instead null the
+    * whole rendering — both engines must see the same canonical string).
+    * NULL and '' therefore render alike — acceptable for a drift
+    * detector; use an out-of-band sentinel if that distinction matters.
     */
   val q86: Q = Q(
     "q86_group_fingerprint",
     (s, dir) => {
+      def f(c: Column): Column = coalesce(c.cast("string"), lit(""))
       val row = concat_ws("|",
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
-        Transforms.centsString(col("l_quantity")),
-        Transforms.centsString(col("l_extendedprice")),
-        col("l_returnflag"), col("l_linestatus"))
+        f(col("l_orderkey")), f(col("l_linenumber")),
+        f(col("l_partkey")), f(col("l_suppkey")),
+        f(Transforms.centsString(col("l_quantity"))),
+        f(Transforms.centsString(col("l_extendedprice"))),
+        f(col("l_returnflag")), f(col("l_linestatus")))
       val digest = conv(substring(md5(row), 1, 15), 16, 10).cast("long")
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -2614,10 +2634,13 @@ object Queries {
     Some(s"""
       |WITH r AS (
       |  SELECT l_returnflag,
-      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
-      |      || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)
-      |      || '|' || ${sqlCents("l_quantity")} || '|' || ${sqlCents("l_extendedprice")}
-      |      || '|' || l_returnflag || '|' || l_linestatus AS row_str
+      |    COALESCE(CAST(l_orderkey AS VARCHAR), '') || '|'
+      |      || COALESCE(CAST(l_linenumber AS VARCHAR), '') || '|'
+      |      || COALESCE(CAST(l_partkey AS VARCHAR), '') || '|'
+      |      || COALESCE(CAST(l_suppkey AS VARCHAR), '') || '|'
+      |      || COALESCE(${sqlCents("l_quantity")}, '') || '|'
+      |      || COALESCE(${sqlCents("l_extendedprice")}, '') || '|'
+      |      || COALESCE(l_returnflag, '') || '|' || COALESCE(l_linestatus, '') AS row_str
       |  FROM lineitem),
       |d AS (
       |  SELECT l_returnflag,

@@ -159,9 +159,11 @@ object TextOps {
     a.join(b, Seq("__k"))
       .filter(col("id1") < col("id2"))
       .dropDuplicates("id1", "id2") // equal/near strings share several keys
-      .filter(levenshtein(col("s1"), col("s2")) <= 1)
-      .select(col("id1"), col("id2"),
-        levenshtein(col("s1"), col("s2")).cast("long").as("dist"))
+      // compute the distance once (Filter and Project don't CSE across
+      // operator boundaries), then filter on the materialized column
+      .withColumn("dist", levenshtein(col("s1"), col("s2")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id1"), col("id2"), col("dist"))
   }
 
   /** Whitespace token count. */

@@ -13,7 +13,7 @@ class PlanAuditSpec extends SparkSpec {
   test("no registered query plans a CartesianProduct") {
     // crossJoin against a broadcast side plans BroadcastNestedLoopJoin
     // (bounded: |small| × partition) — an unhinted CartesianProduct is the
-    // O(n²) shuffle explosion none of the 89 queries should ever produce.
+    // O(n²) shuffle explosion no registered query should ever produce.
     Queries.all.foreach { q =>
       val plan = q.fn(spark, sfDir).queryExecution.sparkPlan.toString
       assert(!plan.contains("CartesianProduct"),
