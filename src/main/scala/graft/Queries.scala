@@ -2783,6 +2783,85 @@ object Queries {
       |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20
       |""".stripMargin.trim))
 
+  /** Period-over-period comparison: monthly revenue per flag with
+    * month-over-month delta (exact cents via lag) and growth ratio (one
+    * IEEE divide) — the reporting pattern layered on q89's incremental
+    * rollup shape: aggregate first (tiny result), THEN window over the
+    * aggregate, so the lag shuffles months×flags rows, not the fact
+    * table.
+    */
+  val q91: Q = Q(
+    "q91_mom_growth",
+    (s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("month"))
+      t(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+          col("l_returnflag"))
+        .agg(sum(cents.cast("decimal(38,0)")).as("__rev"))
+        .withColumn("__prev", lag(col("__rev"), 1).over(w))
+        .select(col("month"), col("l_returnflag"),
+          (col("__rev").cast("double") / lit(100.0)).as("revenue"),
+          (col("__prev").cast("double") / lit(100.0)).as("prev_revenue"),
+          ((col("__rev") - col("__prev")).cast("double") / lit(100.0)).as("mom_delta"),
+          (col("__rev").cast("double") / col("__prev").cast("double")).as("growth"))
+        .orderBy(col("l_returnflag"), col("month"))
+    },
+    Some("""
+      |WITH m AS (
+      |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, l_returnflag,
+      |    CAST(SUM(CAST(CAST(round(l_extendedprice*100,0) AS BIGINT) AS DECIMAL(38,0)))
+      |      AS DECIMAL(38,0)) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |l AS (
+      |  SELECT *, lag(rev) OVER (PARTITION BY l_returnflag ORDER BY month) AS prev
+      |  FROM m)
+      |SELECT month, l_returnflag,
+      |  CAST(rev AS DOUBLE) / 100.0 AS revenue,
+      |  CAST(prev AS DOUBLE) / 100.0 AS prev_revenue,
+      |  CAST(rev - prev AS DOUBLE) / 100.0 AS mom_delta,
+      |  CAST(rev AS DOUBLE) / CAST(prev AS DOUBLE) AS growth
+      |FROM l ORDER BY l_returnflag, month
+      |""".stripMargin.trim))
+
+  /** Column profiling (data-quality audit): one output row per profiled
+    * column with null count, distinct count, and min/max rendered as
+    * strings — the schema-drift / quality dashboard primitive. One scan
+    * computes every column's aggregates in a single pass (k×3 aggregate
+    * expressions, all partial-map-side); the per-column rows are then a
+    * constant-width reshape of that single row, NOT k scans.
+    */
+  val q92: Q = Q(
+    "q92_column_profile",
+    (s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val agg = t(s, dir, "orders").agg(
+        count(lit(1)).as("__n"),
+        cols.flatMap(c => Seq(
+          count(when(col(c).isNull, 1)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__mn"),
+          max(col(c)).cast("string").as(s"${c}__mx"))): _*)
+      val entries = explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col("__n").as("n_rows"),
+        col(s"${c}__nn").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+        col(s"${c}__mn").as("min_str"), col(s"${c}__mx").as("max_str"))): _*))
+      agg.select(entries.as("e")).select(col("e.*"))
+        .orderBy(col("column_name"))
+    },
+    Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) FILTER ($c IS NULL) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+        |  CAST(MIN($c) AS VARCHAR) AS min_str, CAST(MAX($c) AS VARCHAR) AS max_str
+        |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    })
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -2793,5 +2872,5 @@ object Queries {
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
 }
