@@ -2862,6 +2862,29 @@ object Queries {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
     })
 
+  /** Approximate percentiles — the 100-TB scale path for q41's exact
+    * percentiles: `approx_percentile` (KLL-style mergeable sketch,
+    * partial-aggregable, bounded memory per group) where exact
+    * `percentile` must buffer each group. Rows-only (like q33's HLL):
+    * the sketch's answer is engine-specific by design; q41 remains the
+    * exact oracle-checked twin. Accuracy parameter 10000 ⇒ rank error
+    * ≤ 1/10000.
+    */
+  val q93: Q = Q(
+    "q93_approx_percentiles",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          (round(col("l_extendedprice") * 100)).cast("long").as("cents"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(cents, array(0.5, 0.9), 10000)").as("approx_p"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("approx_p"), 1).as("approx_median_cents"),
+          element_at(col("approx_p"), 2).as("approx_p90_cents"), col("n"))
+        .orderBy(col("l_returnflag")),
+    None)
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -2872,5 +2895,5 @@ object Queries {
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
 }
