@@ -33,6 +33,17 @@ object StreamingOps {
   def dedupExact(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.dropDuplicates(keyCols)
 
+  /** Stream–static enrichment: join the event stream against a static
+    * dimension table (company/account attributes — the reference's
+    * "header" lookup done stream-shaped). Spark re-plans the static side
+    * per micro-batch, so a small dim is a per-batch broadcast-hash join:
+    * no streaming state at all, and dim updates are picked up on the
+    * next batch when the static frame is a table/path read.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      keyCols: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keyCols, "left")
+
   /** §2.7 streaming generalization of the per-batch counters: tumbling
     * window counts/sums per event_type.
     */

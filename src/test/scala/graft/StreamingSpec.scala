@@ -183,4 +183,23 @@ class StreamingSpec extends SparkSpec {
       assert(n == 2)
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins the dim per micro-batch, left-preserving") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Ev]
+    val enriched = StreamingOps.enrichWithDim(mem.toDF(), dim, Seq("user_id"))
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(0), 7, "click", 1.0), Ev(2, ts(1), 9, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(2), 8, "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out").select("event_id", "tier")
+        .as[(Long, String)].collect().toMap
+      // matched rows carry the dim attribute; unmatched (9) survives with null
+      assert(out == Map(1L -> "gold", 2L -> null, 3L -> "basic"))
+    } finally q.stop()
+  }
 }
