@@ -2804,7 +2804,12 @@ object Queries {
           (col("__rev").cast("double") / lit(100.0)).as("revenue"),
           (col("__prev").cast("double") / lit(100.0)).as("prev_revenue"),
           ((col("__rev") - col("__prev")).cast("double") / lit(100.0)).as("mom_delta"),
-          (col("__rev").cast("double") / col("__prev").cast("double")).as("growth"))
+          // guarded division (oracle-determinism rule): ANSI Spark ERRORS
+          // on exact /0.0 where DuckDB yields NULL — a zero-revenue month
+          // must produce NULL growth on both engines, not crash one
+          when(col("__prev") === 0, lit(null).cast("double"))
+            .otherwise(col("__rev").cast("double") / col("__prev").cast("double"))
+            .as("growth"))
         .orderBy(col("l_returnflag"), col("month"))
     },
     Some("""
@@ -2820,16 +2825,21 @@ object Queries {
       |  CAST(rev AS DOUBLE) / 100.0 AS revenue,
       |  CAST(prev AS DOUBLE) / 100.0 AS prev_revenue,
       |  CAST(rev - prev AS DOUBLE) / 100.0 AS mom_delta,
-      |  CAST(rev AS DOUBLE) / CAST(prev AS DOUBLE) AS growth
+      |  CASE WHEN prev = 0 THEN NULL
+      |       ELSE CAST(rev AS DOUBLE) / CAST(prev AS DOUBLE) END AS growth
       |FROM l ORDER BY l_returnflag, month
       |""".stripMargin.trim))
 
   /** Column profiling (data-quality audit): one output row per profiled
     * column with null count, distinct count, and min/max rendered as
     * strings — the schema-drift / quality dashboard primitive. One scan
-    * computes every column's aggregates in a single pass (k×3 aggregate
-    * expressions, all partial-map-side); the per-column rows are then a
-    * constant-width reshape of that single row, NOT k scans.
+    * computes every column's aggregates (vs k scans for k per-column
+    * queries); the per-column rows are a constant-width reshape of that
+    * single row. Cost note: the k countDistinct aggregates plan through
+    * an Expand (k+1 projections of the scan) + a distinct shuffle — only
+    * the null/min/max aggregates are fully partial-map-side; swap in
+    * approx_count_distinct to make the whole profile one-pass cheap at
+    * 100 TB.
     */
   val q92: Q = Q(
     "q92_column_profile",

@@ -35,14 +35,20 @@ object StreamingOps {
 
   /** Stream–static enrichment: join the event stream against a static
     * dimension table (company/account attributes — the reference's
-    * "header" lookup done stream-shaped). Spark re-plans the static side
-    * per micro-batch, so a small dim is a per-batch broadcast-hash join:
-    * no streaming state at all, and dim updates are picked up on the
-    * next batch when the static frame is a table/path read.
+    * "header" lookup done stream-shaped). No streaming state at all:
+    * the join re-executes per micro-batch, and AQE picks broadcast-hash
+    * when the dim is small (no forced hint — an oversized dim falls back
+    * to a shuffle join instead of an 8 GB broadcast failure).
+    *
+    * Staleness caveat: a plain `spark.read.parquet(path)` dim SNAPSHOTS
+    * its file listing when the DataFrame is built — rows added to the
+    * path after stream start are never seen. Per-batch refresh requires
+    * a source that re-resolves snapshots (a transactional table format)
+    * or rebuilding the dim frame inside `foreachBatch`.
     */
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
       keyCols: Seq[String]): DataFrame =
-    stream.join(broadcast(dim), keyCols, "left")
+    stream.join(dim, keyCols, "left")
 
   /** §2.7 streaming generalization of the per-batch counters: tumbling
     * window counts/sums per event_type.
