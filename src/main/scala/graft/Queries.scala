@@ -2895,6 +2895,67 @@ object Queries {
         .orderBy(col("l_returnflag")),
     None)
 
+  /** Point-in-time join: asofJoin ∘ scd2 — attach to each fact the
+    * dimension attribute that was CURRENT at the fact's event time (the
+    * label-leakage guard for training-data feature joins: never join
+    * tomorrow's attribute onto today's example). The SCD2 history is
+    * deduped to one version per (key, valid_from) — same-instant changes
+    * resolve to the last writer — because the as-of carry is only
+    * deterministic when the right side is unique per (key, ts). Oracle is
+    * DuckDB's native ASOF JOIN over the same deduped history.
+    */
+  val q94: Q = Q(
+    "q94_pit_join",
+    (s, dir) => {
+      val ord = d(s, dir, "orders")
+      val hist = Analytics.scd2(
+          ord.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority")),
+          "o_custkey", "o_orderdate", "o_orderkey", Seq("o_orderpriority"))
+        .select(col("o_custkey"), col("valid_from"), col("o_orderkey"),
+          col("o_orderpriority").as("pit_priority"))
+      val histDedup = Dedup.firstWriterWins(hist, Seq("o_custkey", "valid_from"),
+          Seq(col("o_orderkey").desc))
+        .drop("o_orderkey")
+      val facts = t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_shipdate"),
+          round(col("l_extendedprice") * 100).cast("long").as("__cents"))
+      Analytics.asofJoin(facts, histDedup, "o_custkey",
+          "l_shipdate", "valid_from", Seq("pit_priority"))
+        .groupBy(col("asof_pit_priority").as("pit_priority"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("__cents").cast("decimal(38,0)")).cast("double") / lit(100.0))
+            .as("revenue"))
+        .orderBy(col("pit_priority"))
+    },
+    Some("""
+      |WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |    LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |ch AS (SELECT * FROM o WHERE prev IS NULL OR prev <> o_orderpriority),
+      |v AS (
+      |  SELECT o_custkey, o_orderdate AS valid_from, o_orderpriority,
+      |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |      ORDER BY o_orderkey DESC) AS rn
+      |  FROM ch),
+      |h AS (SELECT o_custkey, valid_from, o_orderpriority FROM v WHERE rn = 1),
+      |f AS (
+      |  SELECT o_custkey AS custkey, l_shipdate AS ship,
+      |    CAST(round(l_extendedprice*100,0) AS BIGINT) AS cents
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |pit AS (
+      |  SELECT f.cents, h.o_orderpriority AS pit_priority
+      |  FROM f ASOF LEFT JOIN h
+      |    ON f.custkey = h.o_custkey AND f.ship >= h.valid_from)
+      |SELECT pit_priority, COUNT(*) AS n_items,
+      |  CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE)
+      |    / 100.0 AS revenue
+      |FROM pit GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -2905,5 +2966,5 @@ object Queries {
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
 }
