@@ -2956,6 +2956,46 @@ object Queries {
       |FROM pit GROUP BY 1 ORDER BY 1
       |""".stripMargin.trim))
 
+  /** Snapshot diff between two deterministic versions of the orders
+    * table (v2 drops every 97th key and rewrites open-order priorities —
+    * the simulated incremental load): per-category counts. See
+    * Analytics.snapshotDiff.
+    */
+  val q95: Q = Q(
+    "q95_snapshot_diff",
+    (s, dir) => {
+      val v1 = t(s, dir, "orders")
+      val v2 = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderstatus") === "P", lit("9-UPDATED"))
+            .otherwise(col("o_orderpriority")))
+      Analytics.snapshotDiff(v1, v2, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_orderpriority", "o_totalprice"))
+        .groupBy(col("diff_status"))
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("diff_status"))
+    },
+    Some("""
+      |WITH v2 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'P' THEN '9-UPDATED'
+      |         ELSE o_orderpriority END AS o_orderpriority,
+      |    o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 <> 0),
+      |d AS (
+      |  SELECT CASE
+      |    WHEN v2.o_orderkey IS NULL THEN 'removed'
+      |    WHEN o.o_orderkey IS NULL THEN 'added'
+      |    WHEN o.o_orderstatus IS NOT DISTINCT FROM v2.o_orderstatus
+      |     AND o.o_orderpriority IS NOT DISTINCT FROM v2.o_orderpriority
+      |     AND o.o_totalprice IS NOT DISTINCT FROM v2.o_totalprice
+      |    THEN 'unchanged' ELSE 'changed' END AS diff_status
+      |  FROM orders o FULL OUTER JOIN v2 ON o.o_orderkey = v2.o_orderkey)
+      |SELECT diff_status, COUNT(*) AS n_keys FROM d
+      |GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -2966,5 +3006,5 @@ object Queries {
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
 }

@@ -425,6 +425,30 @@ object Analytics {
     ranks
   }
 
+  /** Snapshot diff: row-level reconciliation of two versions of a keyed
+    * table — every key classified `added` (v2 only), `removed` (v1 only),
+    * `changed` (both, compared columns differ), or `unchanged`. The
+    * drill-down companion to group fingerprinting (q86): fingerprints say
+    * WHICH partition drifted, this says WHICH rows and HOW. One full
+    * outer hash join on the key; the comparison is a null-safe struct
+    * equality (`<=>`), so NULL attribute values diff correctly. Keys must
+    * be unique per side (pre-aggregate if not).
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val a = v1.select((keyCols.map(col) :+
+      struct(compareCols.map(col): _*).as("__a")): _*)
+    val b = v2.select((keyCols.map(col) :+
+      struct(compareCols.map(col): _*).as("__b")): _*)
+    a.join(b, keyCols, "full_outer")
+      .withColumn("diff_status",
+        when(col("__b").isNull, lit("removed"))
+          .when(col("__a").isNull, lit("added"))
+          .when(col("__a") <=> col("__b"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .drop("__a", "__b")
+  }
+
   /** Skew-aware aggregation: two-phase salted hash aggregate.
     *
     * A hot key at 100 TB puts one reducer partition orders of magnitude

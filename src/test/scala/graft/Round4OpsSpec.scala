@@ -96,6 +96,18 @@ class Round4OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safe") {
+    val v1 = Seq((1L, "a", Some(1.0)), (2L, "b", None), (3L, "c", Some(3.0)),
+      (4L, "d", Some(4.0))).toDF("k", "s", "x")
+    val v2 = Seq((1L, "a", Some(1.0)), (2L, "b", None), (3L, "CHANGED", Some(3.0)),
+      (5L, "e", Some(5.0))).toDF("k", "s", "x")
+    val got = Analytics.snapshotDiff(v1, v2, Seq("k"), Seq("s", "x"))
+      .select("k", "diff_status").as[(Long, String)].collect().toMap
+    // key 2 has NULL x on both sides → unchanged (null-safe <=>), not changed
+    assert(got == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("bloom-prefiltered anti-join on string keys, null-safe") {
     val batch = Seq(("a", 1), ("b", 2), (null, 3), ("d", 4))
       .toDF("k", "v")
