@@ -2682,17 +2682,24 @@ object Queries {
     * event contributes its user to the 7 daily windows ending on or after
     * its day; explode-to-window + exact distinct — a RANGE-frame
     * count-distinct window (which Spark does not support directly),
-    * restated as a bounded fan-out groupBy.
+    * restated as a bounded fan-out groupBy. Windows ending AFTER the last
+    * observed event day are partial (their trailing days can still
+    * receive data) and are dropped — the cap is a 1-row broadcast of the
+    * global max day, not a driver-side scalar.
     */
   val q88: Q = Q(
     "q88_rolling_dau",
-    (s, dir) =>
-      Ingest.events(s, dir)
-        .select(explode(sequence(to_date(col("ts")),
-          date_add(to_date(col("ts")), 6))).as("day"), col("user_id"))
+    (s, dir) => {
+      val ev = Ingest.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+      val maxDay = ev.agg(max(col("d")).as("__maxd"))
+      ev.select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
+          col("user_id"))
+        .join(broadcast(maxDay), col("day") <= col("__maxd"))
         .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("n_users_7d"))
-        .orderBy(col("day")),
+        .orderBy(col("day"))
+    },
     Some("""
       |WITH ev AS (
       |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id FROM events),
@@ -2700,7 +2707,8 @@ object Queries {
       |  SELECT CAST(d + CAST(k.range AS INTEGER) AS DATE) AS day, user_id
       |  FROM ev CROSS JOIN range(0, 7) AS k)
       |SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
-      |FROM x GROUP BY 1 ORDER BY 1
+      |FROM x WHERE day <= (SELECT MAX(d) FROM ev)
+      |GROUP BY 1 ORDER BY 1
       |""".stripMargin.trim))
 
   /** Incremental re-aggregation: daily PARTIAL states (exact decimal sum,

@@ -300,8 +300,10 @@ object Analytics {
     *    smaller neighbor and u itself re-point to m(u).
     *
     * Both steps are one groupBy-min + one equi-join — partial-aggregable,
-    * no windows. Convergence is exact: the canonical edge set is compared
-    * by anti-join (`except`-style count), not a lossy checksum; per-round
+    * no windows. Convergence is exact AND single-job: the old and new
+    * canonical edge sets are tagged ±1, unioned, and groupBy-summed — the
+    * symmetric difference is empty iff every (u,v) nets to zero — instead
+    * of a lossy checksum or a 3-job count+count+anti-join probe; per-round
     * `localCheckpoint()` truncates lineage (same driver-heap reasoning as
     * the propagation variant). Returns (id, component) for every node in
     * an edge, component = smallest node id, identical to
@@ -390,9 +392,21 @@ object Analytics {
     * Self-loops are dropped. Overflow headroom: node ranks stay O(scale),
     * so Σ over a node's neighbors is < |V|·scale — keep |V|·scale·85
     * under 2^63 (10^9 scale supports ~10^8 nodes).
+    *
+    * The per-round join strategy is SIZE-AWARE: the |V|-row rank table is
+    * broadcast only when its estimated bytes fit
+    * `spark.sql.autoBroadcastJoinThreshold` (an unconditional broadcast
+    * would ship a multi-GB table to every executor per round at
+    * |V| ≈ 10⁷–10⁸ and hit the 8 GB broadcast cap / driver OOM). Past the
+    * threshold the rank side shuffle-joins instead: the checkpointed edge
+    * state is already hash-partitioned by `u`, so only the small rank
+    * side moves — the edge list never re-shuffles either way.
+    * `broadcastRanks` overrides the auto decision for callers that know
+    * their graph.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 10, scale: Long = 1000000000L): DataFrame = {
+      iters: Int = 10, scale: Long = 1000000000L,
+      broadcastRanks: Option[Boolean] = None): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
     // ONE shuffle builds the whole reusable state: hash-partition the
@@ -400,29 +414,56 @@ object Analytics {
     // the initial ranks all run exchange-free on that layout
     // (HashPartitioning(u) satisfies every later (u…) clustering), and
     // `localCheckpoint` preserves the partitioning — so the per-round join
-    // moves only the |V|-row ranks side (as a broadcast), never the edge
-    // list. Deriving deg/ranks from the checkpoint also means the
-    // symmetrize+dedup pipeline runs exactly once (a deg-from-source
-    // formulation re-ran it per broadcast — measured ~2× the fixed cost).
-    val ed = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    // moves only the |V|-row ranks side (broadcast when small, shuffled
+    // when not), never the edge list. Deriving deg/ranks from the
+    // checkpoint also means the symmetrize+dedup pipeline runs exactly
+    // once (a deg-from-source formulation re-ran it per round — measured
+    // ~2× the fixed cost).
+    val ed = pageRankEdgeState(e0)
+    val base = 15L * scale / 100L
+    var ranks = ed.select(col("u").as("node")).distinct()
+      .withColumn("rank", lit(scale))
+    val doBroadcast = broadcastRanks.getOrElse {
+      // ~32 bytes per (node, rank) entry in a broadcast hash relation;
+      // a disabled threshold (-1) disables broadcasting too. The count is
+      // one cheap job over the checkpointed edge state.
+      val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      thr > 0 && ranks.count() * 32L <= thr
+    }
+    (1 to iters).foreach { _ =>
+      ranks = pageRankRound(ed, ranks, base, doBroadcast)
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
+  /** The reusable per-round state: symmetrized, deduped, degree-annotated
+    * edge list, hash-partitioned by `u` and checkpointed once (see
+    * [[pageRank]] scaladoc). Package-private for PlanAuditSpec.
+    */
+  private[graft] def pageRankEdgeState(e0: DataFrame): DataFrame =
+    e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))
       .repartition(col("u"))
       .dropDuplicates("u", "v")
       .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("u"))))
       .localCheckpoint()
-    val base = 15L * scale / 100L
-    var ranks = ed.select(col("u").as("node")).distinct()
-      .withColumn("rank", lit(scale))
-    (1 to iters).foreach { _ =>
-      ranks = ed.join(broadcast(ranks), ed("u") === ranks("node"))
-        .select(ed("v").as("v"), expr("rank DIV deg").as("__c"))
-        .groupBy(col("v"))
-        .agg(sum(col("__c")).as("__s"))
-        .select(col("v").as("node"),
-          (lit(base) + expr("(85 * __s) DIV 100")).as("rank"))
-        .localCheckpoint(eager = false)
-    }
-    ranks
+
+  /** One power-iteration round — exposed (package-private) so
+    * PlanAuditSpec can assert the join strategy on the UN-checkpointed
+    * plan: `doBroadcast = false` must plan no BroadcastExchange on the
+    * rank side (the localCheckpoint in [[pageRank]] hides the join from
+    * `queryExecution`, so the audit hooks in here).
+    */
+  private[graft] def pageRankRound(ed: DataFrame, ranks: DataFrame,
+      base: Long, doBroadcast: Boolean): DataFrame = {
+    val rside = if (doBroadcast) broadcast(ranks) else ranks
+    ed.join(rside, ed("u") === ranks("node"))
+      .select(ed("v").as("v"), expr("rank DIV deg").as("__c"))
+      .groupBy(col("v"))
+      .agg(sum(col("__c")).as("__s"))
+      .select(col("v").as("node"),
+        (lit(base) + expr("(85 * __s) DIV 100")).as("rank"))
   }
 
   /** Snapshot diff: row-level reconciliation of two versions of a keyed

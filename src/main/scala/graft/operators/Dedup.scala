@@ -76,22 +76,26 @@ object Dedup {
     * per query. Results are independent of fpp (false positives only cost
     * join work), so the query stays oracle-checkable as a plain anti-join.
     *
-    * The ledger is scanned ONCE: the distinct key projection is cached
-    * and feeds the empty probe, the filter build, and the anti-join (the
-    * cache holds keys only — a few bytes per key, the in-session
-    * stand-in for the filter a production pipeline materializes and
-    * reuses). The batch is evaluated twice (once per branch) — persist
-    * upstream if it is expensive to recompute. Key column must be string
-    * or integral.
+    * The ledger is scanned ONCE: the distinct key projection is
+    * materialized via an eager `localCheckpoint` and feeds the empty
+    * probe, the filter build, and the anti-join (it holds keys only — a
+    * few bytes per key, the in-session stand-in for the filter a
+    * production pipeline materializes and reuses). A checkpoint, not a
+    * `persist`, deliberately: checkpoint blocks are released when the
+    * returned DataFrame is GC'd, so repeated invocations (per
+    * micro-batch, per bench rep) don't accumulate cache entries that only
+    * an explicit unpersist would free. The batch is evaluated twice (once
+    * per branch) — persist upstream if it is expensive to recompute. Key
+    * column must be string or integral.
     */
   def bloomPrefilteredAntiJoin(batch: DataFrame, ledger: DataFrame,
       key: String, expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-    val keys = ledger.select(col(key)).distinct().persist()
+    val keys = ledger.select(col(key)).distinct().localCheckpoint()
     // an empty ledger builds a null-buffered BloomFilter that NPEs at eval
     // time — and the anti-join against it is the identity anyway (empty
     // batches/ledgers are routine: retries, backfills)
-    if (keys.isEmpty) { keys.unpersist(blocking = false); return batch }
+    if (keys.isEmpty) return batch
     val bf = keys.stat.bloomFilter(key, expectedItems, fpp)
     val bc = batch.sparkSession.sparkContext.broadcast(bf)
     val maybe = batch.schema(key).dataType match {

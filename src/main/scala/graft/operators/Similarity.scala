@@ -40,11 +40,27 @@ object Similarity {
     concept * Weights("concept") + amount * Weights("amount") +
       date * Weights("transaction_date")
 
-  /** A3 exact theta join (`src/ai.py:42-60`): score all pairs, keep those
-    * ≥ threshold. Callers bound at least one side (or pre-partition by an
-    * equi-key) — an unbounded cross join does not survive 100 TB.
+  /** A3 theta join (`src/ai.py:42-60`): score candidate pairs within a
+    * REQUIRED blocking equi-condition and keep those ≥ threshold.
+    * Candidate generation is a hash-shuffle equi-join on `blockOn`, so
+    * the pair count is Σ per-block |t1ᵦ|·|t2ᵦ| — never the unbounded
+    * |t1|·|t2| the reference's nested loop implies, which does not
+    * survive 100 TB. The raw cross-join parity form still exists but
+    * only under the explicitly-named opt-in
+    * [[anomalyPairsUnblocked]] — this signature cannot express the
+    * O(n²) mistake.
     */
-  def anomalyPairs(t1: DataFrame, t2: DataFrame, score: Column,
+  def anomalyPairs(t1: DataFrame, t2: DataFrame, blockOn: Column,
+      score: Column, threshold: Double): DataFrame =
+    t1.join(t2, blockOn).withColumn("similarity_score", score)
+      .filter(col("similarity_score") >= threshold)
+
+  /** A3 exact parity form: score ALL pairs — an unbounded O(|t1|·|t2|)
+    * cross join. Explicit opt-in for callers that have already bounded a
+    * side (a broadcast-size dim, a single-entity probe); everywhere else
+    * use [[anomalyPairs]] with a blocking key.
+    */
+  def anomalyPairsUnblocked(t1: DataFrame, t2: DataFrame, score: Column,
       threshold: Double): DataFrame =
     t1.crossJoin(t2).withColumn("similarity_score", score)
       .filter(col("similarity_score") >= threshold)
@@ -127,13 +143,34 @@ object Similarity {
     * merge term counts identically on both engines by construction
     * (grouping is BY HASH).
     *
-    * Scale: one explode+groupBy for tf, one groupBy for df, a broadcast
-    * of the blocked side for pair generation (see q36 note on banding
-    * past broadcast range). The `docs.count()` is a driver-side scalar
-    * for the IDF numerator — one cheap count job at plan build.
+    * Scale: one explode+groupBy for tf, one groupBy for df, and an
+    * UNHINTED equi-join on the block key for pair generation — AQE picks
+    * broadcast when the blocked side fits `autoBroadcastJoinThreshold`
+    * and a shuffled hash/sort-merge join when it doesn't, so a 100-TB
+    * corpus never attempts an impossible whole-side broadcast (band the
+    * block key per the q36 note if single blocks themselves grow hot).
+    * The `docs.count()` is a driver-side scalar for the IDF numerator —
+    * one cheap count job at plan build.
     */
   def exactTfidfCosinePairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    val (pairs, vecs) = exactTfidfCosinePairsImpl(docs, idCol, textCol,
+      blockCol, threshold)
+    // materialize eagerly (lineage-truncating local checkpoint), then drop
+    // the cache — the caller gets a self-contained result and no cache
+    // entry outlives the call; checkpoint blocks are GC-managed
+    val out = pairs.localCheckpoint()
+    vecs.unpersist(blocking = false)
+    out
+  }
+
+  /** Builds (pairs, cached vecs) WITHOUT the final localCheckpoint —
+    * package-private so PlanAuditSpec can assert the pair join carries no
+    * forced broadcast (the checkpoint in the public method hides the
+    * plan from `queryExecution`). Callers own unpersisting `vecs`.
+    */
+  private[graft] def exactTfidfCosinePairsImpl(docs: DataFrame, idCol: String,
+      textCol: String, blockCol: String, threshold: Double): (DataFrame, DataFrame) = {
     import graft.functions.GraftFunctions
     GraftFunctions.register(docs.sparkSession)
     val n = docs.count()
@@ -175,7 +212,7 @@ object Similarity {
       col("__pv").as("pv1"), col("__nrm").as("n1"))
     val bb = vecs.select(col("__b"), col("__id").as("id2"),
       col("__pv").as("pv2"), col("__nrm").as("n2"))
-    val pairs = a.join(broadcast(bb), Seq("__b")).filter(col("id1") < col("id2"))
+    val pairs = a.join(bb, Seq("__b")).filter(col("id1") < col("id2"))
       .withColumn("__dot", call_function(GraftFunctions.PackedDotName,
         col("pv1"), col("pv2")))
       .withColumn("similarity_score",
@@ -184,12 +221,7 @@ object Similarity {
             (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double")))))
       .filter(col("similarity_score") >= threshold)
       .select(col("id1"), col("id2"), col("similarity_score"))
-    // materialize eagerly (lineage-truncating local checkpoint), then drop
-    // the cache — the caller gets a self-contained result and no cache
-    // entry outlives the call; checkpoint blocks are GC-managed
-    val out = pairs.localCheckpoint()
-    vecs.unpersist(blocking = false)
-    out
+    (pairs, vecs)
   }
 
   /** A3 scale path: MinHashLSH approx similarity join on hashed token

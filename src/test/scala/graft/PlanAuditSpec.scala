@@ -40,6 +40,63 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads pruned columns: $readSchema")
   }
 
+  private def withBroadcastThreshold[A](value: String)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try { spark.conf.set("spark.sql.autoBroadcastJoinThreshold", value); body }
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("pageRank rank-side join is size-aware: no broadcast past threshold (q80)") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    val edges = (0L until 64L).map(i => (i, (i + 1) % 64)).toDF("u", "v")
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val ed = Analytics.pageRankEdgeState(edges)
+    val ranks = ed.select(col("u").as("node")).distinct()
+      .withColumn("rank", lit(1000000000L))
+    withBroadcastThreshold("-1") {
+      // past the threshold (disabled ⇒ everything is past it) the rank
+      // side must shuffle-join — an unconditional broadcast() was the
+      // 100×-scale driver-OOM hazard flagged in round 4
+      val plan = Analytics.pageRankRound(ed, ranks, 150000000L, doBroadcast = false)
+        .queryExecution.sparkPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"rank side broadcast past the threshold:\n$plan")
+    }
+    // the explicit opt-in still forces the broadcast form
+    val planB = Analytics.pageRankRound(ed, ranks, 150000000L, doBroadcast = true)
+      .queryExecution.sparkPlan.toString
+    assert(planB.contains("BroadcastExchange") || planB.contains("BroadcastHashJoin"),
+      s"broadcastRanks=true did not plan a broadcast:\n$planB")
+  }
+
+  test("pageRank results are join-strategy invariant (broadcast vs shuffle)") {
+    import graft.operators.Analytics
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L), (1L, 5L)).toDF("src", "dst")
+    def run(bc: Boolean) = Analytics
+      .pageRank(edges, "src", "dst", iters = 6, broadcastRanks = Some(bc))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(bc = true)
+    val b = run(bc = false)
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("exact TF-IDF pair join carries no forced broadcast (q43)") {
+    import graft.operators.Similarity
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    withBroadcastThreshold("-1") {
+      val (pairs, vecs) = Similarity.exactTfidfCosinePairsImpl(
+        docs, "doc_id", "text", "source", threshold = 0.8)
+      try {
+        val plan = pairs.queryExecution.sparkPlan.toString
+        assert(!plan.contains("BroadcastExchange"),
+          s"blocked side force-broadcast past the threshold:\n$plan")
+      } finally vecs.unpersist(blocking = false)
+    }
+  }
+
   test("partition-column filters are pushed to the parquet scan") {
     val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(col("l_returnflag") === "R")
