@@ -3004,6 +3004,39 @@ object Queries {
       |GROUP BY 1 ORDER BY 1
       |""".stripMargin.trim))
 
+  /** Avro landing-format round trip (S3 — the reference's actual file
+    * format, `/root/reference/etl/extraction/avro.py:6-17`): lineitem →
+    * AvroSource.write (one container file per partition) →
+    * AvroSource.read → aggregate. The oracle aggregates the SAME rows
+    * straight from parquet, so the hash match proves the Avro path
+    * preserves longs, decimals-as-doubles, strings and timestamps
+    * bit-exactly through the container encode/decode.
+    */
+  val q96: Q = Q(
+    "q96_avro_roundtrip",
+    (s, dir) => {
+      import graft.sources.AvroSource
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q96-avro").toString
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+          col("l_shipdate"))
+      AvroSource.write(li, s"$tmp/lineitem_avro")
+      AvroSource.read(s, s"$tmp/lineitem_avro")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_orderkey").cast("decimal(38,0)")).cast("double").as("sum_key"),
+          max(col("l_shipdate")).cast("string").as("max_ship"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      |SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_orderkey AS DECIMAL(38,0))) AS DOUBLE) AS sum_key,
+      |  CAST(MAX(l_shipdate) AS VARCHAR) AS max_ship
+      |FROM lineitem GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -3014,5 +3047,5 @@ object Queries {
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
 }

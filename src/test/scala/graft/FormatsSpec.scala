@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.sources.Ingest
 
@@ -7,9 +8,10 @@ import graft.sources.Ingest
   * sinks are `spark.read`/`write` format strings, so ORC / JSON / CSV
   * round-trip the same frames parquet does. The reference's actual
   * format is Avro (`/root/reference/etl/extraction/avro.py`); the
-  * spark-avro connector jar is not in this container, so ORC stands in
-  * as the second columnar binary format — the swap is the format string
-  * only.
+  * spark-avro connector module is not in this container, so the REAL
+  * Avro path is graft's own [[graft.sources.AvroSource]] — a distributed
+  * container-file read/write on Avro core + avro-mapred (which ARE Spark
+  * runtime jars) — exercised end to end below.
   */
 class FormatsSpec extends SparkSpec {
   import spark.implicits._
@@ -43,6 +45,49 @@ class FormatsSpec extends SparkSpec {
     val d = (df: org.apache.spark.sql.DataFrame) =>
       df.agg(max(col("l_shipdate")).cast("string")).head().getString(0)
     assert(d(back) == d(li))
+  }
+
+  test("Avro round-trips the lineitem projection bit-exactly (S3 real path)") {
+    import graft.sources.AvroSource
+    AvroSource.write(li, s"$dir/avro")
+    val back = AvroSource.read(spark, s"$dir/avro")
+    // dates survive as dates (logical type `date`), not strings/ints
+    assert(back.schema("l_shipdate").dataType == li.schema("l_shipdate").dataType)
+    assert(key(back) == key(li))
+    val d = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(max(col("l_shipdate")).cast("string")).head().getString(0)
+    assert(d(back) == d(li))
+  }
+
+  test("Avro round-trips nullables, timestamps, binaries, arrays, maps and structs") {
+    import graft.sources.AvroSource
+    val df = Seq(
+      (1L, Option("a"), Option(java.sql.Timestamp.valueOf("2024-11-24 01:02:03.123456")),
+        Array[Byte](1, 2, 3), Seq(1.5, 2.5), Map("k" -> 7L), ("x", 9)),
+      (2L, None, None, Array.empty[Byte], Seq.empty[Double],
+        Map.empty[String, Long], ("y", -1)))
+      .toDF("id", "s", "ts", "bin", "arr", "m", "st")
+    AvroSource.write(df, s"$dir/avro_types")
+    val back = AvroSource.read(spark, s"$dir/avro_types").orderBy("id")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val rows = back.collect()
+    assert(rows(0).getAs[String]("s") == "a")
+    assert(rows(0).getAs[java.sql.Timestamp]("ts") ==
+      java.sql.Timestamp.valueOf("2024-11-24 01:02:03.123456"))
+    assert(rows(0).getAs[Array[Byte]]("bin").toSeq == Seq[Byte](1, 2, 3))
+    assert(rows(0).getSeq[Double](rows(0).fieldIndex("arr")) == Seq(1.5, 2.5))
+    assert(rows(0).getMap[String, Long](rows(0).fieldIndex("m")) == Map("k" -> 7L))
+    assert(rows(0).getAs[Row]("st") == Row("x", 9))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("s")) && rows(1).isNullAt(rows(1).fieldIndex("ts")))
+  }
+
+  test("Avro read is executor-parallel: one input split per part file") {
+    import graft.sources.AvroSource
+    AvroSource.write(li.repartition(3), s"$dir/avro_split")
+    val back = AvroSource.read(spark, s"$dir/avro_split")
+    assert(back.rdd.getNumPartitions >= 3, "container files must arrive as separate splits")
+    assert(back.count() == li.count())
   }
 
   test("partitioned ORC write prunes partitions at read (layout parity with parquet silver)") {
