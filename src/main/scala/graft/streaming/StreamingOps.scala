@@ -42,13 +42,33 @@ object StreamingOps {
     *
     * Staleness caveat: a plain `spark.read.parquet(path)` dim SNAPSHOTS
     * its file listing when the DataFrame is built — rows added to the
-    * path after stream start are never seen. Per-batch refresh requires
-    * a source that re-resolves snapshots (a transactional table format)
-    * or rebuilding the dim frame inside `foreachBatch`.
+    * path after stream start are never seen. For per-batch freshness use
+    * [[enrichWithRefreshedDim]], which rebuilds the dim inside
+    * `foreachBatch` (or a source that re-resolves snapshots, i.e. a
+    * transactional table format).
     */
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
       keyCols: Seq[String]): DataFrame =
     stream.join(dim, keyCols, "left")
+
+  /** Stream enrichment with PER-BATCH dimension refresh: the dim frame is
+    * rebuilt from `dimPath` inside `foreachBatch`, so its file listing
+    * re-resolves every micro-batch and rows added mid-stream are joined
+    * from the next batch on — the reference re-queries its lookup on
+    * every event (`/root/reference/etl/transformation/adapt.py` reads the
+    * header per message), and this is that freshness contract with batch
+    * amortization. Trade-off vs [[enrichWithDim]]: a re-list + re-read
+    * per batch (cheap for a dim table; the scan still prunes columns) in
+    * exchange for bounded staleness = one micro-batch. Enriched rows
+    * append to `outPath` as parquet.
+    */
+  def enrichWithRefreshedDim(stream: DataFrame, dimPath: String,
+      keyCols: Seq[String], outPath: String) =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val dim = batch.sparkSession.read.parquet(dimPath)
+        batch.join(dim, keyCols, "left").write.mode("append").parquet(outPath)
+    }
 
   /** §2.7 streaming generalization of the per-batch counters: tumbling
     * window counts/sums per event_type.

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Ingest
+
+/** Error-bound contracts for the two sketch queries whose driver check is
+  * rows-only (sketch answers are engine-specific, so no DuckDB hash
+  * parity is possible):
+  *
+  *  - q33 `approx_count_distinct` (HyperLogLog++): Spark's default
+  *    relative standard deviation is 0.05; the gate is 3σ = 15% relative
+  *    error against the oracle-checked exact distinct counts (q32's
+  *    shape) — on this data the observed error is ~1-3%.
+  *  - q93 `approx_percentile` (mergeable quantile sketch, accuracy
+  *    10000): the published guarantee is RANK error ≤ 1/accuracy, so the
+  *    returned element's rank in the exact sorted group must fall within
+  *    n/10000 (+1 for rounding) of the target rank q·n — checked against
+  *    q41's exact-percentile data.
+  */
+class SketchBoundsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val li = Ingest.table(spark, sfDir, "lineitem")
+
+  test("q33 HLL distinct counts within 3*rsd (15%) of exact (q32 twin)") {
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      Seq(("parts", r.getLong(1), r.getLong(2)),
+          ("orders", r.getLong(3), r.getLong(4))).foreach {
+        case (what, exact, approx) =>
+          val rel = math.abs(approx - exact).toDouble / exact
+          info(f"$flag/$what: exact=$exact approx=$approx rel-err=$rel%.4f")
+          assert(rel <= 0.15,
+            f"$flag/$what HLL error $rel%.4f exceeds the 3-sigma 0.15 bound")
+      }
+    }
+  }
+
+  test("q93 approx percentiles within the 1/accuracy rank bound of exact (q41 twin)") {
+    val cents = li.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val sketched = cents.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(cents, array(0.5, 0.9), 10000)").as("p"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(sketched.nonEmpty)
+    sketched.foreach { r =>
+      val flag = r.getString(0)
+      val ps = r.getSeq[Long](1)
+      val n = r.getLong(2)
+      val tol = n / 10000.0 + 1 // rank guarantee + integer-rank rounding
+      Seq((0.5, ps.head), (0.9, ps(1))).foreach { case (q, approxVal) =>
+        val grp = cents.filter(col("l_returnflag") === flag)
+        val rankLt = grp.filter(col("cents") < approxVal).count()
+        val rankLe = grp.filter(col("cents") <= approxVal).count()
+        val target = q * n
+        info(f"$flag p$q%.1f: approx=$approxVal rank-interval=[$rankLt,$rankLe] target=$target%.0f tol=$tol%.1f n=$n")
+        assert(rankLt - tol <= target && target <= rankLe + tol,
+          f"$flag p$q%.1f: approx value $approxVal rank [$rankLt,$rankLe] misses target $target%.0f by more than $tol%.1f")
+      }
+    }
+  }
+}

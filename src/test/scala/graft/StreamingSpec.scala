@@ -167,6 +167,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart + batch replay: ledger upsert stays exactly-once") {
+    // The production contract the reference's Redis SETNX approximates
+    // (/root/reference/src/redis_tools.py:15-36): output must be
+    // exactly-once even though foreachBatch delivery is at-least-once.
+    // Simulate the worst crash window — AFTER the batch's writes, BEFORE
+    // its commit marker — by deleting the latest checkpoint commit and
+    // restarting: Spark redelivers that batch, and the anti-join must
+    // absorb the replay.
+    val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val src = s"$base/in"; val ledger = s"$base/ledger"; val ckpt = s"$base/ckpt"
+    val schema = Seq.empty[Ev].toDF().schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$src/*/")
+      val q = StreamingOps.upsertStream(stream, Seq("event_id"), ledger)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    Seq(Ev(1, ts(0), 1, "orig", 1.0), Ev(2, ts(1), 1, "orig", 2.0))
+      .toDF().write.parquet(s"$src/f1.parquet")
+    run()
+    assert(spark.read.parquet(ledger).count() == 2)
+    // crash window: drop the newest commit marker → batch replays on restart
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    commits.sortBy(_.getName.toLong).lastOption.foreach { f =>
+      assert(f.delete())
+      // the local ChecksumFs keeps a hidden .N.crc twin; a stale one
+      // blocks the replayed commit's atomic rename
+      new java.io.File(f.getParent, s".${f.getName}.crc").delete()
+    }
+    // new data lands too: a cross-restart duplicate key + a fresh key
+    Seq(Ev(1, ts(5), 1, "cross-restart-dup", 9.0), Ev(3, ts(6), 2, "orig", 3.0))
+      .toDF().write.parquet(s"$src/f2.parquet")
+    run()
+    val out = spark.read.parquet(ledger)
+    assert(out.count() == 3, "replayed batch or duplicate key re-appended")
+    assert(out.select("event_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // the replayed/duplicate rows never overwrote the first writer
+    assert(out.select("event_type").as[String].collect().forall(_ == "orig"))
+  }
+
+  test("per-batch dim refresh: a dim row added mid-stream is picked up") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_dimref").toString
+    val dimPath = s"$base/dim"; val outPath = s"$base/out"
+    Seq((7L, "gold")).toDF("user_id", "tier").write.parquet(dimPath)
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.enrichWithRefreshedDim(
+      mem.toDF(), dimPath, Seq("user_id"), outPath).start()
+    try {
+      mem.addData(Ev(1, ts(0), 7, "click", 1.0), Ev(2, ts(1), 8, "view", 2.0))
+      q.processAllAvailable()
+      // dim grows mid-stream; the next micro-batch must see the new row
+      Seq((8L, "basic")).toDF("user_id", "tier")
+        .write.mode("append").parquet(dimPath)
+      mem.addData(Ev(3, ts(2), 8, "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outPath).select("event_id", "tier")
+        .as[(Long, String)].collect().toMap
+      // batch 1: user 8 unknown yet; batch 2: refreshed dim resolves it
+      assert(out == Map(1L -> "gold", 2L -> null, 3L -> "basic"))
+    } finally q.stop()
+  }
+
   test("session windows close after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -45,6 +45,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(out == Set(1L, 2L, 3L, 4L, 5L)) // cell-0 members only, self excluded
   }
 
+  test("IVF recall@10 >= 0.6 vs oracle-checked brute force (q28 quality gate)") {
+    // q28 is rows-only at the driver (probed-cell ANN has no SQL parity);
+    // this is its quality contract: replicate q28's exact setup at sf0.01
+    // (k=8 trained cells, nProbe=2) and gate mean recall@10 against the
+    // oracle-checked q26 brute force.
+    val emb = graft.sources.Ingest.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(VectorOps.bruteForceTopK(queries, emb, "vec_id", "embedding", 10))
+    val cells = VectorOps.kmeansCells(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val ivf = topSets(VectorOps.ivfTopK(queries, emb.join(cells, "vec_id"),
+      "vec_id", "embedding", "cell", k = 10, nProbe = 2))
+    val recalls = brute.map { case (q, exact) =>
+      ivf.getOrElse(q, Set.empty).intersect(exact).size.toDouble / exact.size }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@10 (8 cells, nProbe=2, sf0.01): $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.6, f"mean recall@10 $mean%.3f below the 0.6 gate")
+  }
+
   test("labelCentroids: per-dim integer mean in index order") {
     val df = Seq(
       (0L, 0, Seq(1f, 2f)), (1L, 0, Seq(3f, 5f)), // label 0: means (2000, 3500)
