@@ -97,6 +97,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a deliberately hot-keyed join (skew path, complements saltedSum)") {
+    // At 100 TB one hot key puts a single reducer orders of magnitude
+    // above the rest; AQE's skew-join splitting is the engine's runtime
+    // answer (SCALE.md). Reproduce at test scale: key 0 carries 50k
+    // padded rows vs ~50 for every other key, thresholds scaled down so
+    // the hot partition trips the (threshold, factor×median) detector.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // payload must be per-row distinct — a constant pad would compress
+      // to nothing in the shuffle and the hot partition would never trip
+      // the byte threshold
+      val left = spark.range(0, 110000)
+        .select(when(col("id") < 100000, lit(0L)).otherwise(col("id") % 100).as("k"),
+          expr("repeat(md5(cast(id as string)), 6)").as("payload"))
+      val right = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("attr"))
+      val joined = left.join(right, "k")
+      // execute THIS plan (count() would build its own collapsed query
+      // tree and leave `joined`'s adaptive plan unfinalized)
+      assert(joined.collect().length == 110000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the hot partition:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("partition-column filters are pushed to the parquet scan") {
     val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(col("l_returnflag") === "R")
