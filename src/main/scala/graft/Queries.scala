@@ -2684,20 +2684,26 @@ object Queries {
     * count-distinct window (which Spark does not support directly),
     * restated as a bounded fan-out groupBy. Windows ending AFTER the last
     * observed event day are partial (their trailing days can still
-    * receive data) and are dropped — the cap is a 1-row broadcast of the
-    * global max day, not a driver-side scalar.
+    * receive data) and are dropped — SINGLE-PASS: the explode position
+    * marks which fan-out rows are real event days (offset 0), the
+    * aggregation keeps a per-day "saw a real event" flag, and a global
+    * window max over the tiny aggregated result derives the cap (a
+    * separate max-day scan of events measured +60% on the query).
     */
   val q88: Q = Q(
     "q88_rolling_dau",
     (s, dir) => {
-      val ev = Ingest.events(s, dir)
-        .select(to_date(col("ts")).as("d"), col("user_id"))
-      val maxDay = ev.agg(max(col("d")).as("__maxd"))
-      ev.select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
-          col("user_id"))
-        .join(broadcast(maxDay), col("day") <= col("__maxd"))
+      val all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Ingest.events(s, dir)
+        .select(posexplode(sequence(to_date(col("ts")),
+          date_add(to_date(col("ts")), 6))).as(Seq("__k", "day")), col("user_id"))
         .groupBy(col("day"))
-        .agg(countDistinct(col("user_id")).as("n_users_7d"))
+        .agg(countDistinct(col("user_id")).as("n_users_7d"),
+          max(when(col("__k") === 0, col("day"))).as("__evday"))
+        .withColumn("__maxd", max(col("__evday")).over(all))
+        .filter(col("day") <= col("__maxd"))
+        .select(col("day"), col("n_users_7d"))
         .orderBy(col("day"))
     },
     Some("""

@@ -164,7 +164,7 @@ object AvroSource {
       s"AvroSource: cannot convert ${x.getClass} to $t")
   }
 
-  private def recordToRow(rec: GenericRecord, struct: StructType): Row =
+  private[sources] def recordToRow(rec: GenericRecord, struct: StructType): Row =
     Row.fromSeq(struct.fields.map(f => avroToSql(rec.get(f.name), f.dataType)).toSeq)
 
   private def sqlToAvro(v: Any, dt: DataType, schema: Schema): Any = {
