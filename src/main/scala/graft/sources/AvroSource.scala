@@ -197,7 +197,7 @@ object AvroSource {
     }
   }
 
-  private def rowToRecord(row: Row, struct: StructType, schema: Schema): GenericRecord = {
+  private[sources] def rowToRecord(row: Row, struct: StructType, schema: Schema): GenericRecord = {
     val rec = new GenericData.Record(schema)
     struct.fields.zipWithIndex.foreach { case (f, i) =>
       rec.put(f.name,

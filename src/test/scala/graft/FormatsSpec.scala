@@ -103,6 +103,17 @@ class FormatsSpec extends SparkSpec {
     assert(pruned.count() == li.count())
   }
 
+  test("graft-avro DSv2 write: overwrite and append modes round-trip") {
+    li.write.format("graft-avro").mode("overwrite").save(s"$dir/avro_w")
+    assert(key(spark.read.format("graft-avro").load(s"$dir/avro_w")) == key(li))
+    // append adds a second copy (per-query file names never collide)
+    li.write.format("graft-avro").mode("append").save(s"$dir/avro_w")
+    assert(spark.read.format("graft-avro").load(s"$dir/avro_w").count() == 2 * li.count())
+    // overwrite truncates back down
+    li.limit(10).write.format("graft-avro").mode("overwrite").save(s"$dir/avro_w")
+    assert(spark.read.format("graft-avro").load(s"$dir/avro_w").count() == 10)
+  }
+
   test("Avro read is executor-parallel: one input split per part file") {
     import graft.sources.AvroSource
     AvroSource.write(li.repartition(3), s"$dir/avro_split")
