@@ -715,23 +715,24 @@ object Queries {
       |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id1, id2
       |""".stripMargin.trim))
 
-  val q25: Q = Q(
-    "q25_simhash",
-    (s, dir) => TextOps.simhash(t(s, dir, "documents"), "doc_id", "text")
-      .orderBy(col("doc_id")),
-    Some {
-      // 32 per-bit majority votes, generated: SUM(±1) per bit, then the
-      // fingerprint reassembled from positive votes. Token hash = first
-      // 8 md5 hex digits as int (mirrors TextOps.simhash). Tokenless
-      // docs keep a NULL-token row (explode_outer parity): CASE on a
-      // NULL hash votes -1 on every bit in both engines.
-      val votes = (0 until 32).map(b =>
-        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n      |    ")
-      val fp = (0 until 32).map(b =>
-        s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
-        .mkString("\n      |    + ")
-      s"""
-      |WITH d AS (
+  /** Shared by q25/q97: the DuckDB CTE chain reproducing
+    * `TextOps.simhash` bit-for-bit, ending in relation
+    * `fp(doc_id, simhash)`.
+    *
+    * 32 per-bit majority votes, generated: SUM(±1) per bit, then the
+    * fingerprint reassembled from positive votes. Token hash = first
+    * 8 md5 hex digits as int (mirrors TextOps.simhash). Tokenless
+    * docs keep a NULL-token row (explode_outer parity): CASE on a
+    * NULL hash votes -1 on every bit in both engines.
+    */
+  private def simhashSqlCtes: String = {
+    val votes = (0 until 32).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(",\n      |    ")
+    val fp = (0 until 32).map(b =>
+      s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+      .mkString("\n      |    + ")
+    s"""
+      |d AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
       |  FROM documents),
@@ -748,11 +749,20 @@ object Queries {
       |votes AS (
       |  SELECT doc_id,
       |    $votes
-      |  FROM hashed GROUP BY doc_id)
-      |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
-      |FROM votes ORDER BY doc_id
+      |  FROM hashed GROUP BY doc_id),
+      |fp AS (
+      |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes)
       |""".stripMargin.trim
-    })
+  }
+
+  val q25: Q = Q(
+    "q25_simhash",
+    (s, dir) => TextOps.simhash(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      |WITH $simhashSqlCtes
+      |SELECT doc_id, simhash FROM fp ORDER BY doc_id
+      |""".stripMargin.trim))
 
   // ==========================================================================
   // Similarity search over embeddings (ANN)
@@ -3043,6 +3053,376 @@ object Queries {
       |FROM lineitem GROUP BY 1 ORDER BY 1
       |""".stripMargin.trim))
 
+  /** SimHash Hamming near-dup pairs (dedup family): 4×8-bit banded
+    * blocking over q25's fingerprints, exact `bit_count(xor)` verify —
+    * pigeonhole-exact for distance ≤ 3 (see
+    * `TextOps.simhashHammingPairs`). Completes the SimHash story: q25
+    * computes fingerprints, this turns them into near-dup pairs without
+    * a cross join. The oracle reuses q25's generated simhash CTEs and
+    * reproduces the same banding.
+    */
+  val q97: Q = Q(
+    "q97_simhash_hamming",
+    (s, dir) => TextOps.simhashHammingPairs(
+        t(s, dir, "documents"), "doc_id", "text", maxDist = 3)
+      .orderBy(col("id1"), col("id2")),
+    Some(s"""
+      |WITH $simhashSqlCtes,
+      |banded AS (
+      |  SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS bkey
+      |  FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+      |    x.simhash AS s1, y.simhash AS s2
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+      |ORDER BY id1, id2
+      |""".stripMargin.trim))
+
+  /** Single-scan correlation matrix: Pearson r and covariance for three
+    * column pairs from ONE pass of exact integer power sums (the
+    * bivariate extension of q79's moments). Values are quantized to
+    * centi-units, every sum is exact DECIMAL (order-independent at any
+    * parallelism), and both engines apply the identical IEEE formula to
+    * the identical sums — bit-exact without any tolerance. At 100 TB this
+    * is one partial-aggregable scan, no shuffle beyond the 1-row merge.
+    */
+  val q98: Q = Q(
+    "q98_corr_matrix",
+    (s, dir) => {
+      val c100 = (c: Column) => round(c * 100).cast("long")
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val xy = (a: Column, b: Column) =>
+        (a.cast("decimal(19,0)") * b.cast("decimal(19,0)")).cast("decimal(38,0)")
+      val li = t(s, dir, "lineitem").select(
+        c100(col("l_quantity")).as("q"), c100(col("l_extendedprice")).as("p"),
+        c100(col("l_discount")).as("d"), c100(col("l_tax")).as("x"))
+      val agg = li.agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("q"))).as("s_q"), sum(dec(col("p"))).as("s_p"),
+        sum(dec(col("d"))).as("s_d"), sum(dec(col("x"))).as("s_x"),
+        sum(xy(col("q"), col("q"))).as("s_qq"), sum(xy(col("p"), col("p"))).as("s_pp"),
+        sum(xy(col("d"), col("d"))).as("s_dd"), sum(xy(col("x"), col("x"))).as("s_xx"),
+        sum(xy(col("q"), col("p"))).as("s_qp"), sum(xy(col("q"), col("d"))).as("s_qd"),
+        sum(xy(col("p"), col("x"))).as("s_px"))
+      def stats(sa: String, sb: String, sab: String, saa: String, sbb: String) = {
+        val n = col("n").cast("double")
+        val (a, b, ab) = (col(sa).cast("double"), col(sb).cast("double"),
+          col(sab).cast("double"))
+        val (aa, bb) = (col(saa).cast("double"), col(sbb).cast("double"))
+        val num = n * ab - a * b
+        (num / (sqrt(n * aa - a * a) * sqrt(n * bb - b * b)), num / (n * n))
+      }
+      val (rQp, cQp) = stats("s_q", "s_p", "s_qp", "s_qq", "s_pp")
+      val (rQd, cQd) = stats("s_q", "s_d", "s_qd", "s_qq", "s_dd")
+      val (rPx, cPx) = stats("s_p", "s_x", "s_px", "s_pp", "s_xx")
+      agg.select(explode(array(
+          struct(lit("price_tax").as("pair"), rPx.as("corr"), cPx.as("cov")),
+          struct(lit("qty_disc").as("pair"), rQd.as("corr"), cQd.as("cov")),
+          struct(lit("qty_price").as("pair"), rQp.as("corr"), cQp.as("cov"))))
+          .as("r"))
+        .select(col("r.pair").as("pair"), col("r.corr").as("corr"), col("r.cov").as("cov"))
+        .orderBy(col("pair"))
+    },
+    Some {
+      def pairSql(name: String, a: String, b: String, ab: String,
+          aa: String, bb: String) =
+        s"""SELECT '$name' AS pair,
+      |    (nd*CAST($ab AS DOUBLE) - CAST($a AS DOUBLE)*CAST($b AS DOUBLE))
+      |      / (sqrt(nd*CAST($aa AS DOUBLE) - CAST($a AS DOUBLE)*CAST($a AS DOUBLE))
+      |         * sqrt(nd*CAST($bb AS DOUBLE) - CAST($b AS DOUBLE)*CAST($b AS DOUBLE))) AS corr,
+      |    (nd*CAST($ab AS DOUBLE) - CAST($a AS DOUBLE)*CAST($b AS DOUBLE)) / (nd*nd) AS cov
+      |  FROM s"""
+      s"""
+      |WITH c AS (
+      |  SELECT CAST(round(l_quantity*100, 0) AS BIGINT) AS q,
+      |         CAST(round(l_extendedprice*100, 0) AS BIGINT) AS p,
+      |         CAST(round(l_discount*100, 0) AS BIGINT) AS d,
+      |         CAST(round(l_tax*100, 0) AS BIGINT) AS x
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+      |    SUM(CAST(q AS DECIMAL(38,0))) AS s_q, SUM(CAST(p AS DECIMAL(38,0))) AS s_p,
+      |    SUM(CAST(d AS DECIMAL(38,0))) AS s_d, SUM(CAST(x AS DECIMAL(38,0))) AS s_x,
+      |    SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0))) AS s_qq,
+      |    SUM(CAST(p AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0))) AS s_pp,
+      |    SUM(CAST(d AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS s_dd,
+      |    SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS s_xx,
+      |    SUM(CAST(q AS DECIMAL(19,0)) * CAST(p AS DECIMAL(19,0))) AS s_qp,
+      |    SUM(CAST(q AS DECIMAL(19,0)) * CAST(d AS DECIMAL(19,0))) AS s_qd,
+      |    SUM(CAST(p AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS s_px
+      |  FROM c)
+      |${pairSql("price_tax", "s_p", "s_x", "s_px", "s_pp", "s_xx")}
+      |UNION ALL
+      |${pairSql("qty_disc", "s_q", "s_d", "s_qd", "s_qq", "s_dd")}
+      |UNION ALL
+      |${pairSql("qty_price", "s_q", "s_p", "s_qp", "s_qq", "s_pp")}
+      |ORDER BY pair
+      |""".stripMargin.trim
+    })
+
+  /** IQR outlier detection (Tukey fences): exact positional quartiles
+    * (percentile-disc at ceil(p·n)) per group, then outliers counted with
+    * PURE INTEGER fence arithmetic (2·x ≷ 2·q ± 3·iqr — no 1.5·iqr
+    * float). Two passes over the group: one window sort for the
+    * quartiles, then a 3-row broadcast join back; the data never
+    * collects. The data-quality audit twin of q41's percentiles.
+    */
+  val q99: Q = Q(
+    "q99_iqr_outliers",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("flag")).orderBy(col("cents"))
+      val ranked = li
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("flag"))))
+      val quarts = ranked
+        .withColumn("isq1", col("rn") === ceil(col("n") * lit(0.25)))
+        .withColumn("isq3", col("rn") === ceil(col("n") * lit(0.75)))
+        .filter(col("isq1") || col("isq3"))
+        .groupBy(col("flag"))
+        .agg(min(when(col("isq1"), col("cents"))).as("q1_cents"),
+          min(when(col("isq3"), col("cents"))).as("q3_cents"))
+      val iqr = col("q3_cents") - col("q1_cents")
+      li.join(broadcast(quarts), Seq("flag"))
+        .groupBy(col("flag"))
+        .agg(min(col("q1_cents")).as("q1_cents"), min(col("q3_cents")).as("q3_cents"),
+          count(lit(1)).as("n_rows"),
+          sum(when(lit(2) * col("cents") > lit(2) * col("q3_cents") + lit(3) * iqr ||
+                   lit(2) * col("cents") < lit(2) * col("q1_cents") - lit(3) * iqr,
+            1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("flag"))
+    },
+    Some("""
+      |WITH c AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice*100, 0) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT flag, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+      |    COUNT(*) OVER (PARTITION BY flag) AS n
+      |  FROM c),
+      |qs AS (
+      |  SELECT flag,
+      |    MIN(CASE WHEN rn = CAST(ceil(n*0.25) AS BIGINT) THEN cents END) AS q1_cents,
+      |    MIN(CASE WHEN rn = CAST(ceil(n*0.75) AS BIGINT) THEN cents END) AS q3_cents
+      |  FROM r WHERE rn = CAST(ceil(n*0.25) AS BIGINT)
+      |     OR rn = CAST(ceil(n*0.75) AS BIGINT)
+      |  GROUP BY flag)
+      |SELECT c.flag, MIN(q1_cents) AS q1_cents, MIN(q3_cents) AS q3_cents,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN 2*cents > 2*q3_cents + 3*(q3_cents - q1_cents)
+      |                  OR 2*cents < 2*q1_cents - 3*(q3_cents - q1_cents)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM c JOIN qs ON c.flag = qs.flag
+      |GROUP BY c.flag ORDER BY c.flag
+      |""".stripMargin.trim))
+
+  /** Per-label embedding norm profile via HIGHER-ORDER array functions
+    * (`transform` + `aggregate` — the brief's `functions.aggregate`
+    * path, whole-stage-codegen'd, no UDF): quantized norm² is an exact
+    * integer, so min/max/avg are engine-portable. The audit query a
+    * vector pipeline runs before ANN (zero vectors, scale drift per
+    * label).
+    */
+  val q100: Q = Q(
+    "q100_vector_norms",
+    (s, dir) => {
+      val v = VectorOps.quantize(col("embedding"))
+      val norm2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x).cast("long")
+      t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          size(col("embedding")).cast("long").as("dim"), norm2.as("norm2"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"), max(col("dim")).as("dim"),
+          min(col("norm2")).as("min_norm2"), max(col("norm2")).as("max_norm2"),
+          (sum(col("norm2")).cast("double") / count(lit(1)).cast("double"))
+            .as("avg_norm2"))
+        .orderBy(col("label"))
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(len(embedding) AS BIGINT) AS dim,
+      |    CAST(list_sum(list_transform(
+      |      list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)),
+      |      x -> x * x)) AS BIGINT) AS norm2
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n_vecs, MAX(dim) AS dim,
+      |  MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2,
+      |  CAST(SUM(norm2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_norm2
+      |FROM e GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
+  /** Pareto frontier (2-D skyline): customers not dominated on
+    * (total spend, order count) — the "best tradeoff" slice every
+    * curation pipeline wants (quality vs length, score vs cost). Engine
+    * side is the two-phase local-then-global window sweep
+    * (`Analytics.paretoFrontier` — no self-join); the oracle is the
+    * definitional NOT EXISTS dominance test, so the hash match proves
+    * the sweep ≡ brute force.
+    */
+  val q101: Q = Q(
+    "q101_pareto_frontier",
+    (s, dir) => {
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spend_cents"),
+          count(lit(1)).as("n_orders"))
+      Analytics.paretoFrontier(cust, "spend_cents", "n_orders")
+        .select(col("custkey"), col("spend_cents"), col("n_orders"))
+        .orderBy(col("spend_cents").desc, col("custkey"))
+    },
+    Some("""
+      |WITH c AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS spend_cents,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT custkey, spend_cents, n_orders FROM c a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM c b
+      |  WHERE b.spend_cents >= a.spend_cents AND b.n_orders >= a.n_orders
+      |    AND (b.spend_cents > a.spend_cents OR b.n_orders > a.n_orders))
+      |ORDER BY spend_cents DESC, custkey
+      |""".stripMargin.trim))
+
+  /** Mutual k-NN graph over embeddings: reciprocal bucket-local top-5
+    * pairs (`VectorOps.mutualTopK`) — the sparsification step before
+    * graph clustering; mutuality prunes non-reciprocating hub vectors.
+    * Everything shuffles on bucket keys / ids, never broadcast-scales
+    * with the corpus. The oracle replays bucketing, top-k, and the
+    * reciprocity join.
+    */
+  val q102: Q = Q(
+    "q102_mutual_knn",
+    (s, dir) => VectorOps.mutualTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+      .orderBy(col("id1"), col("id2")),
+    Some {
+      val bucketExpr = (1 to 8).map(i =>
+        s"CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings),
+      |eb AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+      |scored AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+      |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS dp,
+      |    list_sum(list_transform(a.v, x -> x * x)) AS nq,
+      |    list_sum(list_transform(b.v, x -> x * x)) AS nc
+      |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |cs AS (
+      |  SELECT qid, nid,
+      |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dp / (sqrt(nq) * sqrt(nc)) END AS cosine_sim
+      |  FROM scored),
+      |topk AS (
+      |  SELECT qid, nid, cosine_sim FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY cosine_sim DESC, nid) AS rn FROM cs)
+      |  WHERE rn <= 5)
+      |SELECT t1.qid AS id1, t1.nid AS id2, t1.cosine_sim
+      |FROM topk t1 JOIN topk t2 ON t1.qid = t2.nid AND t1.nid = t2.qid
+      |WHERE t1.qid < t1.nid
+      |ORDER BY id1, id2
+      |""".stripMargin.trim
+    })
+
+  /** Rolling 7-day MEDIAN of daily revenue per company — an exact
+    * holistic (non-decomposable) rolling statistic, which no RANGE-frame
+    * built-in computes: each day's total is exploded to the ≤ 7 window
+    * ends it belongs to (q88's bounded-explode pattern, capped at the
+    * corpus max day — no phantom trailing windows), then each window
+    * sorts its ≤ 7 values and takes the positional median in pure
+    * integer cents. Constant 7× fan-out, one hash aggregate — scales
+    * like any groupBy, unlike a per-key sorted-window median.
+    */
+  val q103: Q = Q(
+    "q103_rolling_median",
+    (s, dir) => {
+      val daily = t(s, dir, "orders")
+        .select(concat(lit("company-"), col("o_custkey") % 10).as("company"),
+          to_date(col("o_orderdate")).as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("company"), col("day"))
+        .agg(sum(col("cents")).as("rev"))
+      val maxDay = daily.agg(max(col("day")).as("max_day"))
+      val lo = element_at(col("vals"), floor((col("n_days") + 1) / lit(2.0)).cast("int"))
+      val hi = element_at(col("vals"), (floor(col("n_days") / lit(2.0)) + 1).cast("int"))
+      daily.crossJoin(broadcast(maxDay))
+        .select(col("company"), col("rev"),
+          explode(sequence(col("day"),
+            least(date_add(col("day"), 6), col("max_day")))).as("win_end"))
+        .groupBy(col("company"), col("win_end"))
+        .agg(sort_array(collect_list(col("rev"))).as("vals"))
+        .withColumn("n_days", size(col("vals")).cast("long"))
+        .select(col("company"), col("win_end").cast("string").as("win_end"),
+          col("n_days"),
+          ((lo + hi).cast("double") / 2).as("median_rev_cents"))
+        .orderBy(col("company"), col("win_end"))
+    },
+    Some("""
+      |WITH daily AS (
+      |  SELECT 'company-' || CAST(o_custkey % 10 AS VARCHAR) AS company,
+      |    CAST(o_orderdate AS DATE) AS day,
+      |    SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |mx AS (SELECT MAX(day) AS max_day FROM daily),
+      |g AS (
+      |  SELECT company, day + CAST(u.i AS INTEGER) AS win_end, rev
+      |  FROM daily, mx, (SELECT unnest(range(0, 7)) AS i) u
+      |  WHERE day + CAST(u.i AS INTEGER) <= max_day),
+      |med AS (
+      |  SELECT company, win_end, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    list_sort(list(rev)) AS vals
+      |  FROM g GROUP BY 1, 2)
+      |SELECT company, CAST(win_end AS VARCHAR) AS win_end, n_days,
+      |  CAST(vals[CAST(floor((n_days + 1) / 2.0) AS BIGINT)]
+      |     + vals[CAST(floor(n_days / 2.0) + 1 AS BIGINT)] AS DOUBLE) / 2
+      |    AS median_rev_cents
+      |FROM med ORDER BY company, win_end
+      |""".stripMargin.trim))
+
+  /** Triangle census of the co-purchase graph (parts sharing an order):
+    * `Analytics.triangleCount` — two hash joins over the canonicalized
+    * edge list, never a cross join. Triangle counting is the standard
+    * graph-health probe before clustering a near-dup graph (q61/q77):
+    * triangle-dense components are real dup groups, triangle-free stars
+    * are hub artifacts. The oracle is the definitional 3-way join.
+    */
+  val q104: Q = Q(
+    "q104_triangle_count",
+    (s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = lp.as("a").join(lp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      Analytics.triangleCount(edges, "u", "v")
+        .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
+    },
+    Some("""
+      |WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.pk AS u, b.pk AS v
+      |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk),
+      |tri AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+      |       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT)
+      |     FROM (SELECT u AS id FROM e UNION SELECT v FROM e)) AS n_vertices,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+      |  n_triangles
+      |FROM tri
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -3053,5 +3433,6 @@ object Queries {
     q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46, q47,
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
-    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96)
+    q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
+    q97, q98, q99, q100, q101, q102, q103, q104)
 }

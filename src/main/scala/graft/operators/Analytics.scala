@@ -509,4 +509,77 @@ object Analytics {
     partial.groupBy(keys.map(col): _*)
       .agg(sum(col("__psum")).cast("double").as(as), sum(col("__pn")).as(s"${as}_n"))
   }
+
+  /** One skyline sweep within each group of `partCols` (empty = global):
+    * keeps rows not dominated by another row OF THE SAME GROUP. Dominance
+    * (maximize both): (x', y') dominates (x, y) iff x' ≥ x, y' ≥ y and at
+    * least one is strict. Two window probes on the x-descending order
+    * decide it — `max(y)` over rows with strictly larger x (RANGE
+    * … 1 PRECEDING on integer x), and `max(y)` among equal-x rows — so a
+    * group is ONE sort, no self-join.
+    */
+  private def skylineSweep(df: DataFrame, xCol: String, yCol: String,
+      partCols: Seq[Column]): DataFrame = {
+    val wRange = Window.partitionBy(partCols: _*).orderBy(col(xCol).desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wTie = Window.partitionBy(partCols :+ col(xCol): _*)
+    df.withColumn("__hi", max(col(yCol)).over(wRange))
+      .withColumn("__tie", max(col(yCol)).over(wTie))
+      .filter((col("__hi").isNull || col("__hi") < col(yCol)) &&
+        col("__tie") <= col(yCol))
+      .drop("__hi", "__tie")
+  }
+
+  /** 2-D Pareto frontier (skyline), both dimensions maximized, over
+    * integer-valued columns (exact decimal/long inputs — the RANGE frame
+    * needs a numeric order and exact ties).
+    *
+    * Scale shape: a naive skyline is a global sort into ONE task. This is
+    * the classic two-phase layout instead: a LOCAL sweep per existing
+    * partition first (any point dominated within its partition is not on
+    * the global frontier — dominance is transitive, so discarding it is
+    * safe), then the global sweep runs on the survivors only. Local
+    * frontiers of random data are ~O(log n) points, so the global pass
+    * sees partitions × log(n) rows, not n. Worst case (input already on
+    * one frontier) degrades to the single sort, which is the output size
+    * anyway.
+    */
+  def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val local = skylineSweep(df.withColumn("__p", spark_partition_id()),
+      xCol, yCol, Seq(col("__p"))).drop("__p")
+    skylineSweep(local, xCol, yCol, Seq.empty)
+  }
+
+  /** Exact global triangle count (+ vertex/edge counts) of an undirected
+    * graph given as an edge list (either direction, duplicates/self-loops
+    * tolerated). One row: (n_vertices, n_edges, n_triangles).
+    *
+    * Canonicalizes to u < v, then counts closed wedges with
+    * u < v < w — each triangle exactly once: two hash joins
+    * (edges⋈edges on the shared middle vertex, then a semi join against
+    * the closing edge), never a cross join. The id-orientation bounds
+    * wedge fan-out by per-vertex out-degree; for power-law graphs the
+    * standard upgrade is DEGREE ordering (orient low-degree → high-degree
+    * endpoint: wedge count drops to O(m^1.5) regardless of hubs — same
+    * joins, one extra degree computation), worth it when a hub's id-order
+    * out-degree explodes; AQE skew-split covers the middle ground.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    // persisted: the wedge build reads it twice, the counts once more
+    val e = edges.select(least(s, d).as("u"), greatest(s, d).as("v"))
+      .filter(col("u") < col("v")).distinct().persist()
+    val wedges = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("u"), col("e1.v").as("m"), col("e2.v").as("v"))
+    val triangles = wedges.join(e, Seq("u", "v"), "left_semi")
+    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val nV = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .distinct().agg(count(lit(1)).as("n_vertices"))
+    // persist is left to the caller's cache lifecycle (Bench/Verify clear
+    // per-query caches): unpersisting here would evict BEFORE the lazy
+    // result ever runs
+    nV.crossJoin(nE).crossJoin(nTri) // three 1-row inputs
+  }
 }

@@ -166,6 +166,51 @@ object TextOps {
       .select(col("id1"), col("id2"), col("dist"))
   }
 
+  /** SimHash near-dup self-join: all (id1 < id2) pairs whose 32-bit
+    * [[simhash]] fingerprints differ in at most `maxDist` bits, via
+    * BANDED blocking — never a cross join.
+    *
+    * Pigeonhole exactness: the fingerprint is split into 4 disjoint
+    * 8-bit bands; a pair at Hamming distance ≤ 3 has at most 3 differing
+    * bits, which can dirty at most 3 of the 4 bands, so the pair agrees
+    * EXACTLY on at least one band and is generated as a candidate. The
+    * final `bit_count(xor)` filter is exact, so the result equals the
+    * brute-force O(n²) Hamming join (spec-verified). Requires
+    * `maxDist ≤ 3`; larger radii need more/smaller bands (the
+    * multi-index Hamming scheme generalizes: b bands catch distance
+    * b−1).
+    *
+    * Scale shape: fan-out is a constant 4 rows per doc; candidates hash-
+    * shuffle on (band, key) — 2^8 values per band spreads uniformly
+    * (simhash bits are md5-derived, ~unbiased). A corpus of near-
+    * identical boilerplate makes one band key hot → AQE skew split, same
+    * playbook as [[editDistanceOnePairs]].
+    */
+  def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x8-bit banding is exact only for maxDist <= 3, got $maxDist")
+    val sh = simhash(df, idCol, textCol)
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))
+    }
+    val keyed = sh.select(col(idCol).as("__id"), col("simhash"),
+        explode(array(bands: _*)).as("__b"))
+      .select(col("__id"), col("simhash"),
+        col("__b.band").as("band"), col("__b.bkey").as("bkey"))
+    val a = keyed.select(col("band"), col("bkey"), col("__id").as("id1"),
+      col("simhash").as("s1"))
+    val b = keyed.select(col("band"), col("bkey"), col("__id").as("id2"),
+      col("simhash").as("s2"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2") // close pairs agree on several bands
+      .withColumn("hamming", bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -238,6 +238,41 @@ object VectorOps {
       .select("id1", "id2", "cosine_sim")
   }
 
+  /** Mutual k-NN graph: pairs (id1 < id2) where EACH vector is in the
+    * other's bucket-local cosine top-k — the standard sparsification step
+    * before graph clustering / near-dup partitioning (mutuality prunes
+    * hub vectors that appear in everyone's neighbor list without
+    * reciprocating).
+    *
+    * Unlike [[bucketedTopK]] (few queries → broadcast), here EVERY vector
+    * is a query, so the candidate join is a plain hash shuffle on the
+    * sign-bucket key (both sides ~equal size; a broadcast would ship the
+    * whole corpus). Top-k per query is one window over the candidates;
+    * the mutual filter is a self-join of the (k·n)-row top-k list on the
+    * swapped pair — both shuffles are on ids, never on vectors.
+    */
+  def mutualTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBits: Int = 8): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val base = corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("bucket", signBucket(col("v"), nBits))
+    val a = base.select(col("bucket"), col("id").as("query_id"), col("v").as("qv"))
+    val b = base.select(col("bucket"), col("id").as("neighbor_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    val topk = a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine_sim", nativeCosine(col("qv"), col("cv")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim")
+    val fwd = topk.select(col("query_id").as("id1"),
+      col("neighbor_id").as("id2"), col("cosine_sim"))
+    val rev = topk.select(col("neighbor_id").as("id1"), col("query_id").as("id2"))
+    fwd.join(rev, Seq("id1", "id2"), "left_semi")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2", "cosine_sim")
+  }
+
   /** LSH-bucketed ANN top-k: join only within matching sign-buckets. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
