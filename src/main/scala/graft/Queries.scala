@@ -3423,6 +3423,31 @@ object Queries {
       |FROM tri
       |""".stripMargin.trim))
 
+  /** Misra–Gries frequent-items sketch over the corpus token stream
+    * (`graft_freq` — custom mergeable TypedImperativeAggregate): the
+    * bounded-memory twin of the exact heavy hitters (q47), completing
+    * the sketch suite (KMV q60 / HLL q33 / percentile q93). O(k)
+    * counters at every stage, so it works when the vocabulary fits
+    * nowhere; reported counts carry the (dec, n) certificate —
+    * cnt ≤ true ≤ cnt + dec, dec ≤ n/(k+1). Sketch contents are
+    * merge-order-dependent (like every MG), so this is rows-only; the
+    * bounds are spec-gated against exact counts (SketchBoundsSpec).
+    */
+  val q105: Q = Q(
+    "q105_freq_sketch",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .agg(expr("graft_freq(term, 64)").as("sk"))
+        .select(explode(slice(col("sk.items"), 1, 20)).as("e"),
+          col("sk.dec").as("dec_bound"), col("sk.n").as("n_tokens"))
+        .select(col("e.item").as("term"), col("e.cnt").as("cnt_lo"),
+          col("dec_bound"), col("n_tokens"))
+        .orderBy(col("cnt_lo").desc, col("term"))
+    },
+    None) // merge-order-dependent sketch → rows-only + spec bounds
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -3434,5 +3459,5 @@ object Queries {
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105)
 }

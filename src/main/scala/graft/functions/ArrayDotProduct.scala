@@ -79,6 +79,7 @@ object GraftFunctions {
   val SortedIntersectName = "graft_sorted_intersect_size"
   val PackedDotName = "graft_packed_dot"
   val KmvName = "graft_kmv"
+  val FreqName = "graft_freq"
 
   private def registerBinary(spark: SparkSession, name: String,
       clazz: Class[_], build: (Expression, Expression) => Expression): Unit = {
@@ -111,6 +112,8 @@ object GraftFunctions {
       PackedSparseDotProduct(_, _))
     registerBinary(spark, KmvName, classOf[KmvDistinctSketch],
       KmvDistinctSketch(_, _))
+    registerBinary(spark, FreqName, classOf[FreqItemsSketch],
+      FreqItemsSketch(_, _))
     // Parity with the GraftExtensions path: sessions registered at runtime
     // get the size(array_intersect) fusion too, not just the functions.
     val experimental = spark.experimental

@@ -40,6 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[PackedSparseDotProduct], PackedSparseDotProduct(_, _)))
     ext.injectFunction(binary(GraftFunctions.KmvName,
       classOf[KmvDistinctSketch], KmvDistinctSketch(_, _)))
+    ext.injectFunction(binary(GraftFunctions.FreqName,
+      classOf[FreqItemsSketch], FreqItemsSketch(_, _)))
     ext.injectOptimizerRule(_ => NativeSetOpsRule)
   }
 }

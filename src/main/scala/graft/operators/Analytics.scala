@@ -570,9 +570,16 @@ object Analytics {
     // persisted: the wedge build reads it twice, the counts once more
     val e = edges.select(least(s, d).as("u"), greatest(s, d).as("v"))
       .filter(col("u") < col("v")).distinct().persist()
-    val wedges = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+    // SHUFFLE_HASH on the edge side: the wedge stream is |wedges| ≈
+    // Σ outdeg·indeg rows — orders of magnitude wider than the edge
+    // list — and the default sort-merge join SORTS it (measured: the
+    // 49M-row sort dominated the query at sf0.1). Hashing the edge side
+    // per partition streams the wedges unsorted; AQE still owns
+    // partition sizing/skew.
+    val wedges = e.as("e1").join(e.as("e2").hint("shuffle_hash"),
+        col("e1.v") === col("e2.u"))
       .select(col("e1.u").as("u"), col("e1.v").as("m"), col("e2.v").as("v"))
-    val triangles = wedges.join(e, Seq("u", "v"), "left_semi")
+    val triangles = wedges.join(e.hint("shuffle_hash"), Seq("u", "v"), "left_semi")
     val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
     val nE = e.agg(count(lit(1)).as("n_edges"))
     val nV = e.select(col("u").as("id")).union(e.select(col("v").as("id")))

@@ -190,15 +190,19 @@ object TextOps {
       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4x8-bit banding is exact only for maxDist <= 3, got $maxDist")
-    val sh = simhash(df, idCol, textCol)
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))
     }
-    val keyed = sh.select(col(idCol).as("__id"), col("simhash"),
+    // persisted: both self-join sides read the fingerprints — without it
+    // the whole tokenize+vote aggregation runs twice (caller's cache
+    // lifecycle clears it, same as the q36 shingle base)
+    val keyed = simhash(df, idCol, textCol)
+      .select(col(idCol).as("__id"), col("simhash"),
         explode(array(bands: _*)).as("__b"))
       .select(col("__id"), col("simhash"),
         col("__b.band").as("band"), col("__b.bkey").as("bkey"))
+      .persist()
     val a = keyed.select(col("band"), col("bkey"), col("__id").as("id1"),
       col("simhash").as("s1"))
     val b = keyed.select(col("band"), col("bkey"), col("__id").as("id2"),

@@ -107,6 +107,43 @@ class Round5OpsSpec extends SparkSpec {
     assert(triCounts(messy) === ((3L, 3L, 1L)))
   }
 
+  // ------------------------------------------------------ frequent items MG
+
+  test("graft_freq is exact (dec=0) when k covers the whole domain") {
+    graft.functions.GraftFunctions.register(spark)
+    val items = Seq("a", "a", "a", "b", "b", "c").toDF("it").repartition(3)
+    val r = items.agg(expr("graft_freq(it, 10)").as("sk")).select("sk.*")
+      .collect().head
+    val got = r.getSeq[Row](0).map(x => (x.getString(0), x.getLong(1)))
+    // sorted by (cnt desc, item); no decrements ever fired
+    assert(got === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    assert(r.getLong(1) === 0L) // dec
+    assert(r.getLong(2) === 6L) // n
+  }
+
+  test("graft_freq certificate holds under forced decrements and merges") {
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(3)
+    // zipf-ish: item i appears ~ 600/i times
+    val data = (1 to 40).flatMap(i => Seq.fill(600 / i)(s"item$i"))
+    val shuffled = rnd.shuffle(data)
+    val exact = data.groupBy(identity).map { case (k2, v) => (k2, v.size.toLong) }
+    val k = 8
+    val r = shuffled.toDF("it").repartition(13)
+      .agg(expr(s"graft_freq(it, $k)").as("sk")).select("sk.*")
+      .collect().head
+    val got = r.getSeq[Row](0).map(x => (x.getString(0), x.getLong(1)))
+    val dec = r.getLong(1)
+    assert(r.getLong(2) === data.size.toLong)
+    assert(dec <= data.size.toLong / (k + 1))
+    got.foreach { case (it, cnt) =>
+      val c = exact(it)
+      assert(cnt <= c && c <= cnt + dec, s"$it: $cnt vs true $c (dec=$dec)")
+    }
+    exact.filter(_._2 > dec).keys.foreach(it =>
+      assert(got.exists(_._1 == it), s"heavy $it missing"))
+  }
+
   // ------------------------------------------------------------- mutual kNN
 
   test("mutualTopK pairs are reciprocal members of bucket-local top-k") {

@@ -43,6 +43,35 @@ class SketchBoundsSpec extends SparkSpec {
     }
   }
 
+  test("q105 Misra-Gries counts within the dec certificate of exact (q47 twin)") {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 64
+    val toks = Ingest.table(spark, sfDir, "documents")
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val sk = toks.agg(expr(s"graft_freq(term, $k)").as("sk")).select("sk.*")
+      .collect().head
+    val items = sk.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dec = sk.getLong(1)
+    assert(sk.getLong(2) === n, "sketch n must equal the stream length")
+    // published MG bound: total decrement <= n/(k+1)
+    info(s"n=$n dec=$dec bound=${n / (k + 1)} counters=${items.size}")
+    assert(dec <= n / (k + 1))
+    // per-item certificate: cnt <= true <= cnt + dec
+    items.foreach { case (term, cnt) =>
+      val c = exact.getOrElse(term, 0L)
+      assert(cnt <= c && c <= cnt + dec,
+        s"$term: sketch $cnt not within [true - dec, true] (true=$c, dec=$dec)")
+    }
+    // completeness: anything with true count > dec must have survived
+    exact.filter(_._2 > dec).keys.foreach { term =>
+      assert(items.contains(term), s"heavy item $term (c=${exact(term)}) missing")
+    }
+  }
+
   test("q93 approx percentiles within the 1/accuracy rank bound of exact (q41 twin)") {
     val cents = li.select(col("l_returnflag"),
       round(col("l_extendedprice") * 100).cast("long").as("cents"))
