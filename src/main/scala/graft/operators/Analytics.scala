@@ -554,39 +554,90 @@ object Analytics {
     * graph given as an edge list (either direction, duplicates/self-loops
     * tolerated). One row: (n_vertices, n_edges, n_triangles).
     *
-    * Canonicalizes to u < v, then counts closed wedges with
-    * u < v < w — each triangle exactly once: two hash joins
-    * (edges⋈edges on the shared middle vertex, then a semi join against
-    * the closing edge), never a cross join. The id-orientation bounds
-    * wedge fan-out by per-vertex out-degree; for power-law graphs the
-    * standard upgrade is DEGREE ordering (orient low-degree → high-degree
-    * endpoint: wedge count drops to O(m^1.5) regardless of hubs — same
-    * joins, one extra degree computation), worth it when a hub's id-order
-    * out-degree explodes; AQE skew-split covers the middle ground.
+    * DEGREE-ORDERED orientation (the "forward" algorithm): every
+    * undirected edge {a,b} is oriented from its lower-rank endpoint to
+    * its higher-rank endpoint, where rank(x) = (degree(x), x). Wedges are
+    * pairs of out-neighbours of a common apex, closed by a semi join
+    * against the oriented closing edge — two hash joins, never a cross
+    * join, each triangle counted exactly once (at its lowest-rank
+    * vertex). Because the orientation caps every out-degree at O(√m),
+    * the wedge stream is O(m^1.5) REGARDLESS of hubs — a power-law graph
+    * whose hub would explode id-ordered wedges (star center with the
+    * lowest id → C(deg,2) wedges) generates ~0 wedges at that hub here,
+    * since all its edges point INTO it. Cost over id-ordering: one
+    * degree aggregation plus two joins against the vertex-sized degree
+    * table (broadcast-able when small; hash otherwise — left to AQE).
+    *
+    * NOTE on caching: the canonical edge list is `persist()`-ed and the
+    * handle is NOT released here — unpersisting before the lazy result
+    * runs would evict it. Callers own the cache lifecycle (Bench/Verify
+    * clear per-query caches; a long-lived application should call
+    * `spark.catalog.clearCache()` or track the returned plan's
+    * completion).
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val s = col(srcCol).cast("long")
-    val d = col(dstCol).cast("long")
-    // persisted: the wedge build reads it twice, the counts once more
-    val e = edges.select(least(s, d).as("u"), greatest(s, d).as("v"))
-      .filter(col("u") < col("v")).distinct().persist()
-    // SHUFFLE_HASH on the edge side: the wedge stream is |wedges| ≈
-    // Σ outdeg·indeg rows — orders of magnitude wider than the edge
-    // list — and the default sort-merge join SORTS it (measured: the
-    // 49M-row sort dominated the query at sf0.1). Hashing the edge side
-    // per partition streams the wedges unsorted; AQE still owns
+    val e = canonicalEdges(edges, srcCol, dstCol).persist()
+    val o = orientByDegree(e).persist()
+    // SHUFFLE_HASH on the build side: the wedge stream is orders of
+    // magnitude wider than the edge list and the default sort-merge join
+    // SORTS it (measured: a 49M-row sort dominated the query at sf0.1).
+    // Hashing the build side streams the wedges unsorted; AQE still owns
     // partition sizing/skew.
-    val wedges = e.as("e1").join(e.as("e2").hint("shuffle_hash"),
-        col("e1.v") === col("e2.u"))
-      .select(col("e1.u").as("u"), col("e1.v").as("m"), col("e2.v").as("v"))
-    val triangles = wedges.join(e.hint("shuffle_hash"), Seq("u", "v"), "left_semi")
+    val wedges = o.as("e1").join(o.as("e2").hint("shuffle_hash"),
+        col("e1.a") === col("e2.a") &&
+          (col("e1.rd") < col("e2.rd") ||
+            (col("e1.rd") === col("e2.rd") && col("e1.b") < col("e2.b"))))
+      .select(col("e1.b").as("a"), col("e2.b").as("b"))
+    val triangles = wedges.join(o.select("a", "b").hint("shuffle_hash"),
+      Seq("a", "b"), "left_semi")
     val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
     val nE = e.agg(count(lit(1)).as("n_edges"))
     val nV = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .distinct().agg(count(lit(1)).as("n_vertices"))
-    // persist is left to the caller's cache lifecycle (Bench/Verify clear
-    // per-query caches): unpersisting here would evict BEFORE the lazy
-    // result ever runs
     nV.crossJoin(nE).crossJoin(nTri) // three 1-row inputs
+  }
+
+  /** De-duplicated undirected edge list canonicalized to u < v (reversed
+    * duplicates collapse, self-loops drop). */
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val s = col(srcCol).cast("long")
+    val d = col(dstCol).cast("long")
+    edges.select(least(s, d).as("u"), greatest(s, d).as("v"))
+      .filter(col("u") < col("v")).distinct()
+  }
+
+  /** Orient each canonical edge from its (degree, id)-lower endpoint `a`
+    * to its higher endpoint `b`; `rd` carries rank-degree of `b` so the
+    * wedge join can order out-neighbour pairs without a third join. */
+  private def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val uLower = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    e.join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(uLower, col("u")).otherwise(col("v")).as("a"),
+        when(uLower, col("v")).otherwise(col("u")).as("b"),
+        when(uLower, col("dv")).otherwise(col("du")).as("rd"))
+  }
+
+  /** Test/audit probe: number of wedges the triangle join would
+    * enumerate under degree ordering vs the naive id ordering (orient
+    * low-id → high-id). Degree ordering bounds this at O(m^1.5); id
+    * ordering is unbounded on hub graphs. */
+  private[graft] def wedgeCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): (Long, Long) = {
+    val e = canonicalEdges(edges, srcCol, dstCol).persist()
+    val o = orientByDegree(e)
+    val byDeg = o.as("e1").join(o.as("e2"),
+        col("e1.a") === col("e2.a") &&
+          (col("e1.rd") < col("e2.rd") ||
+            (col("e1.rd") === col("e2.rd") && col("e1.b") < col("e2.b"))))
+      .count()
+    val byId = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u")).count()
+    e.unpersist()
+    (byDeg, byId)
   }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 operator specs: degree-ordered triangle orientation. */
+class Round6OpsSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+  import graft.operators.Analytics
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val df = edges.toDF("u", "v")
+    val Array(r: Row) = Analytics.triangleCount(df, "u", "v").collect()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("degree ordering collapses hub-star wedge fan-out") {
+    // star: hub 300 (a MIDDLE id — the id-ordered worst case: 200 lower-id
+    // and 200 higher-id neighbours make the hub a wedge middle) plus 10
+    // triangles among low leaves 1..30
+    val star = (1L to 200L).map(h => (h, 300L)) ++
+      (401L to 600L).map(h => (300L, h))
+    val tris = (0 until 10).flatMap { i =>
+      val (a, b, c) = (3L * i + 1, 3L * i + 2, 3L * i + 3)
+      Seq((a, b), (b, c), (a, c))
+    }
+    val edges = star ++ tris
+    val df = edges.toDF("u", "v")
+
+    val (byDeg, byId) = Analytics.wedgeCounts(df, "u", "v")
+    // id ordering: every (low, hub)×(hub, high) pair is a wedge through
+    // the hub: 200 × 200 = 40000 (+ the triangle wedges)
+    assert(byId >= 40000L)
+    // degree ordering: all 400 star edges point INTO the hub (deg 400
+    // beats deg ≤ 3) → zero wedges at the hub; only the triangle leaves
+    // fan out. m = 430 edges → m^1.5 ≈ 8900 is the theoretical cap;
+    // actual is far below even the edge count.
+    assert(byDeg <= 430L, s"degree-ordered wedges $byDeg exceed edge count")
+    assert(byDeg * 100 < byId, s"expected >=100x reduction, got $byDeg vs $byId")
+
+    // count agrees with the definitional answer regardless of orientation:
+    // 10 leaf triangles + 30 (hub, triangle-edge) closures
+    val Array(r: Row) = Analytics.triangleCount(df, "u", "v").collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((401L, 430L, 40L)))
+  }
+
+  test("degree-ordered triangleCount matches known graphs (regression)") {
+    val k4 = for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j)
+    assert(tri(k4) === ((4L, 6L, 4L)))
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    assert(tri(c5) === ((5L, 5L, 0L)))
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    assert(tri(bowtie) === ((4L, 5L, 2L)))
+    // wheel: hub 10 connected to a 6-cycle 1..6 → 6 triangles; ties in
+    // degree (cycle vertices all deg 3) exercise the id tiebreak
+    val wheel = (1L to 6L).map(i => (10L, i)) ++
+      (1L to 6L).map(i => (i, i % 6 + 1))
+    assert(tri(wheel) === ((7L, 12L, 6L)))
+  }
+}
