@@ -818,9 +818,14 @@ object Queries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       // train the coarse quantizer (deterministic k-means), then probe
-      val cells = VectorOps.kmeansCells(emb, "vec_id", "embedding", k = 8, iters = 3)
+      // against the FITTED centroids: they are already on the driver, so
+      // the probe plan carries a k-row local relation instead of
+      // re-aggregating the corpus — one corpus scan total in the probe
+      // (round 6; the fit itself is one job per Lloyd iteration, see
+      // kmeansFit's scaladoc + PlanAuditSpec's job-count gate)
+      val (cells, cents) = VectorOps.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)
       VectorOps.ivfTopK(emb.filter(col("vec_id") < 5), emb.join(cells, "vec_id"),
-          "vec_id", "embedding", "cell", k = 10, nProbe = 2)
+          "vec_id", "embedding", "cell", cents, k = 10, nProbe = 2)
         .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
     },
     None) // probed-cell recall is the point, not SQL parity → rows-only

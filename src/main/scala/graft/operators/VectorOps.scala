@@ -102,7 +102,24 @@ object VectorOps {
     * struct ordering.
     */
   def kmeansCells(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int = 3): DataFrame = {
+      k: Int, iters: Int = 3): DataFrame =
+    kmeansFit(corpus, idCol, vecCol, k, iters)._1
+
+  /** `kmeansCells` plus the fitted centroids themselves (index = cell
+    * id, quantized-int units). The centroids are already ON THE DRIVER
+    * when the fit finishes — handing them to `ivfTopK` lets the probe
+    * build its centroid table as a k-row local relation instead of
+    * re-aggregating the full corpus (one whole corpus scan + two-level
+    * aggregate removed from the probe plan).
+    *
+    * Job-count invariant (PlanAuditSpec): the fit runs exactly ONE Spark
+    * job per Lloyd iteration (the integer SUM/COUNT update collect) —
+    * the assignment argmin is a projection fused into that job over the
+    * persisted corpus, never a separate action. Fixed overhead: one
+    * seeding collect + the first-use cache materialization.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 3): (DataFrame, Array[Seq[Double]]) = {
     GraftFunctions.register(corpus.sparkSession)
     // persisted: seeding + each Lloyd iteration + the final assignment
     // all rescan this projection
@@ -149,7 +166,7 @@ object VectorOps {
     // the cache before handing the plan back — one extra source scan for
     // the caller's action instead of a cache entry that outlives the call
     c.unpersist(blocking = false)
-    c.select(col("__id").as(idCol), assign(c).as("cell"))
+    (c.select(col("__id").as(idCol), assign(c).as("cell")), centroids)
   }
 
   /** IVF-style ANN top-k: corpus vectors live in coarse cells (here the
@@ -162,7 +179,6 @@ object VectorOps {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, cellCol: String, k: Int, nProbe: Int = 2,
       dim: Int = -1): DataFrame = {
-    GraftFunctions.register(queries.sparkSession)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(cellCol).as("cell"),
       quantize(col(vecCol)).as("cv"))
     // Embedding dimension: caller-supplied, else derived from one corpus
@@ -181,6 +197,31 @@ object VectorOps {
     val centroids = c.groupBy(col("cell"))
       .agg(array((0 until nDims).map(i =>
         round(avg(try_element_at(col("cv"), lit(i + 1))))): _*).as("centroid"))
+    ivfProbe(queries, c, idCol, vecCol, centroids, k, nProbe)
+  }
+
+  /** IVF probe against PRE-FITTED centroids (index = cell id), e.g. the
+    * ones `kmeansFit` just returned: the k-row centroid table becomes a
+    * local relation — no corpus re-aggregation in the probe plan, and
+    * the corpus is scanned exactly once (the cell-pruned scoring join).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, centroids: Array[Seq[Double]],
+      k: Int, nProbe: Int): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(cellCol).as("cell"),
+      quantize(col(vecCol)).as("cv"))
+    val centroidDf = centroids.zipWithIndex
+      .map { case (ct, i) => (i, ct) }.toSeq.toDF("cell", "centroid")
+    ivfProbe(queries, c, idCol, vecCol, centroidDf, k, nProbe)
+  }
+
+  /** Shared IVF probe: broadcast the (cell, centroid) table, keep each
+    * query's `nProbe` nearest cells, score only those cells' vectors. */
+  private def ivfProbe(queries: DataFrame, c: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
     val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
     val probed = q.crossJoin(broadcast(centroids))
       .withColumn("cdist", nativeDot(col("qv"), col("centroid")))

@@ -141,4 +141,47 @@ class PlanAuditSpec extends SparkSpec {
       || scan.contains("EqualTo(l_returnflag,R)"),
       s"filter not pushed to scan:\n$scan")
   }
+
+  test("kmeansFit runs a constant job count per Lloyd iteration (q28)") {
+    // Round-5 verdict: q28's 6→102 s swing correlated with the k-means
+    // fit's iterative jobs. The invariant that keeps the fit
+    // contention-proportional (not superlinear) is: each extra Lloyd
+    // iteration costs exactly the same number of Spark jobs — the
+    // argmin assignment is a projection FUSED into the update
+    // aggregate's job over the persisted corpus, never its own action.
+    import graft.operators.VectorOps
+    val emb = graft.sources.Ingest.table(spark, sfDir, "embeddings")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    // listener events post asynchronously — poll until the count stops
+    // moving before reading it
+    def settled(): Int = {
+      var prev = -1; var cur = counter.get()
+      while (prev != cur) { prev = cur; Thread.sleep(250); cur = counter.get() }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def jobsFor(iters: Int): Int = {
+        val before = settled()
+        VectorOps.kmeansFit(emb, "vec_id", "embedding", k = 4, iters = iters)
+        settled() - before
+      }
+      val j2 = jobsFor(2); val j4 = jobsFor(4); val j6 = jobsFor(6)
+      val d1 = j4 - j2; val d2 = j6 - j4
+      assert(d1 === d2,
+        s"jobs per iteration drifted: +2 iters cost $d1 then $d2 (j2=$j2 j4=$j4 j6=$j6)")
+      // one ACTION per iteration; under AQE each action executes as 2
+      // jobs (the update aggregate's shuffle-map stage + the result
+      // stage), so the constant is 2 jobs/iteration — what matters is
+      // that it can never scale with k, dim, or iteration index
+      assert(d1 <= 4, // ≤ 2 jobs per Lloyd iteration
+        s"expected <=2 jobs/iteration, got ${d1 / 2.0} (j2=$j2 j4=$j4 j6=$j6)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
