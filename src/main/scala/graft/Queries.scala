@@ -3093,6 +3093,9 @@ object Queries {
     * parallelism), and both engines apply the identical IEEE formula to
     * the identical sums — bit-exact without any tolerance. At 100 TB this
     * is one partial-aggregable scan, no shuffle beyond the 1-row merge.
+    * `cov` is reported in natural units (the centi-quantized covariance
+    * divided by 100², the same op on both sides); `corr` is
+    * scale-invariant.
     */
   val q98: Q = Q(
     "q98_corr_matrix",
@@ -3118,7 +3121,11 @@ object Queries {
           col(sab).cast("double"))
         val (aa, bb) = (col(saa).cast("double"), col(sbb).cast("double"))
         val num = n * ab - a * b
-        (num / (sqrt(n * aa - a * a) * sqrt(n * bb - b * b)), num / (n * n))
+        // cov rescaled out of centi-unit² (÷100²) back to natural units —
+        // one extra double division, applied IDENTICALLY in the oracle,
+        // so the result is still bit-deterministic
+        (num / (sqrt(n * aa - a * a) * sqrt(n * bb - b * b)),
+          num / (n * n) / lit(1e4))
       }
       val (rQp, cQp) = stats("s_q", "s_p", "s_qp", "s_qq", "s_pp")
       val (rQd, cQd) = stats("s_q", "s_d", "s_qd", "s_qq", "s_dd")
@@ -3138,7 +3145,7 @@ object Queries {
       |    (nd*CAST($ab AS DOUBLE) - CAST($a AS DOUBLE)*CAST($b AS DOUBLE))
       |      / (sqrt(nd*CAST($aa AS DOUBLE) - CAST($a AS DOUBLE)*CAST($a AS DOUBLE))
       |         * sqrt(nd*CAST($bb AS DOUBLE) - CAST($b AS DOUBLE)*CAST($b AS DOUBLE))) AS corr,
-      |    (nd*CAST($ab AS DOUBLE) - CAST($a AS DOUBLE)*CAST($b AS DOUBLE)) / (nd*nd) AS cov
+      |    (nd*CAST($ab AS DOUBLE) - CAST($a AS DOUBLE)*CAST($b AS DOUBLE)) / (nd*nd) / 1e4 AS cov
       |  FROM s"""
       s"""
       |WITH c AS (
@@ -3232,7 +3239,9 @@ object Queries {
     * path, whole-stage-codegen'd, no UDF): quantized norm² is an exact
     * integer, so min/max/avg are engine-portable. The audit query a
     * vector pipeline runs before ANN (zero vectors, scale drift per
-    * label).
+    * label). Zero-LENGTH embeddings: the engine's fold yields norm² = 0;
+    * DuckDB's `list_sum` over an empty list yields NULL — the oracle
+    * coalesces it to 0 so both sides agree if such a row ever appears.
     */
   val q100: Q = Q(
     "q100_vector_norms",
@@ -3253,9 +3262,9 @@ object Queries {
       |WITH e AS (
       |  SELECT CAST(label AS BIGINT) AS label,
       |    CAST(len(embedding) AS BIGINT) AS dim,
-      |    CAST(list_sum(list_transform(
+      |    COALESCE(CAST(list_sum(list_transform(
       |      list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)),
-      |      x -> x * x)) AS BIGINT) AS norm2
+      |      x -> x * x)) AS BIGINT), 0) AS norm2
       |  FROM embeddings)
       |SELECT label, COUNT(*) AS n_vecs, MAX(dim) AS dim,
       |  MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2,
@@ -3453,6 +3462,62 @@ object Queries {
     },
     None) // merge-order-dependent sketch → rows-only + spec bounds
 
+  /** Exact-mode Misra–Gries: with k ≥ the domain size no counter is
+    * ever evicted, so `graft_freq` degenerates to exact GROUP-BY counts
+    * with dec = 0 for EVERY merge order (Round5OpsSpec proves the
+    * property on toy data; this registration makes it a hard
+    * CORRECTNESS row). p_brand's 25-value domain sits well under k=64,
+    * so the sketch output — sorted (cnt desc, item) with its (dec, n)
+    * certificate — is hash-checkable against a plain GROUP BY oracle.
+    * q105 stays the bounded (rows-only, spec-gated) registration.
+    */
+  val q106: Q = Q(
+    "q106_freq_exact",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "part")
+        .agg(expr("graft_freq(p_brand, 64)").as("sk"))
+        .select(explode(col("sk.items")).as("e"),
+          col("sk.dec").as("dec_bound"), col("sk.n").as("n_rows"))
+        .select(col("e.item").as("brand"), col("e.cnt").as("cnt"),
+          col("dec_bound"), col("n_rows"))
+        .orderBy(col("cnt").desc, col("brand"))
+    },
+    Some("""
+      |SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(0 AS BIGINT) AS dec_bound,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM part) AS n_rows
+      |FROM part GROUP BY 1
+      |ORDER BY cnt DESC, brand
+      |""".stripMargin.trim))
+
+  /** Per-domain quota over the document corpus
+    * (`TrainPrep.domainQuota`): at most 10 docs per derived domain key,
+    * hash-ranked (md5, RNG-free) so the kept set is identical at any
+    * parallelism — the web-corpus curation step between exact dedup
+    * (q20) and near-dup (q24). Two exact phases (salted local top-cap,
+    * then global re-rank over ≤ cap·nSalts survivors per domain) keep a
+    * mega-domain from becoming a single-task straggler at 100 TB. The
+    * oracle is the single-window row_number form — the two-phase result
+    * must equal it exactly.
+    */
+  val q107: Q = Q(
+    "q107_domain_quota",
+    (s, dir) =>
+      TrainPrep.domainQuota(t(s, dir, "documents"),
+          lower(col("source")), "doc_id", cap = 10)
+        .select(col("domain"), col("doc_id"), col("quota_rank"))
+        .orderBy(col("domain"), col("quota_rank")),
+    Some("""
+      |SELECT domain, doc_id, CAST(r AS INT) AS quota_rank FROM (
+      |  SELECT doc_id, lower(source) AS domain, row_number() OVER (
+      |    PARTITION BY lower(source)
+      |    ORDER BY md5(lower(source) || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+      |  FROM documents)
+      |WHERE r <= 10
+      |ORDER BY domain, quota_rank
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -3464,5 +3529,5 @@ object Queries {
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107)
 }

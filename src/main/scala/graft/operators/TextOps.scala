@@ -185,6 +185,13 @@ object TextOps {
     * (simhash bits are md5-derived, ~unbiased). A corpus of near-
     * identical boilerplate makes one band key hot → AQE skew split, same
     * playbook as [[editDistanceOnePairs]].
+    *
+    * NOTE on caching: the banded fingerprint base is `persist()`-ed and
+    * the handle is NOT released here — unpersisting before the lazy
+    * result runs would evict it. Callers own the cache lifecycle
+    * (Bench/Verify clear per-query caches; a long-lived application
+    * should call `spark.catalog.clearCache()` or unpersist via
+    * `spark.sharedState.cacheManager` once the result is materialized).
     */
   def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {

@@ -152,4 +152,46 @@ object TrainPrep {
       .agg(max_by(col(memberCol), qualityKey).as("rep_id"),
         count(lit(1)).as("n_members"),
         max(qualityKey).as("rep_quality"))
+
+  /** Per-domain quota: keep at most `cap` rows per derived domain key,
+    * chosen DETERMINISTICALLY by md5 rank (RNG-free, like the q64
+    * stratified mix) — the standard web-corpus curation step between
+    * exact dedup and near-dup, stopping any one domain from dominating
+    * the training mix. `domainKey` is caller-derived (host extraction,
+    * lowercasing, www-stripping … — pass the expression), assumed
+    * non-null; null keys should be coalesced by the caller.
+    *
+    * Scale shape: the naive single window puts an entire domain in one
+    * task — a mega-domain (half the crawl) is the textbook straggler.
+    * Instead, two EXACT phases: (1) rows shuffle uniformly on
+    * (domain, salt) where salt = hash(id) mod `nSalts`, each salted
+    * group keeps its local top-`cap` by the SAME global rank; (2) the
+    * global window re-ranks the ≤ cap·nSalts survivors per domain.
+    * Phase-2 input per domain is bounded by cap·nSalts regardless of
+    * domain size, and the result is exactly the naive answer: the
+    * global top-cap of a domain is contained in the union of its
+    * salted top-caps (the rank order is one total order, so any row a
+    * salted prune drops is beaten by ≥ cap rows IN ITS OWN bucket).
+    *
+    * Output: input columns + `domain` + `quota_rank` (1..cap by the
+    * hash order — stable under any partitioning).
+    */
+  def domainQuota(df: DataFrame, domainKey: Column, idCol: String,
+      cap: Int, nSalts: Int = 16): DataFrame = {
+    require(cap > 0 && nSalts > 0,
+      s"domainQuota: need cap > 0 and nSalts > 0, got ($cap, $nSalts)")
+    val keyed = df.withColumn("domain", domainKey)
+      .withColumn("__rk",
+        md5(concat_ws("|", col("domain"), col(idCol).cast("string"))))
+    val salt = pmod(xxhash64(col(idCol)), lit(nSalts.toLong))
+    val local = Window.partitionBy(col("domain"), salt)
+      .orderBy(col("__rk"), col(idCol))
+    val global = Window.partitionBy(col("domain"))
+      .orderBy(col("__rk"), col(idCol))
+    keyed.withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= cap)
+      .withColumn("quota_rank", row_number().over(global))
+      .filter(col("quota_rank") <= cap)
+      .drop("__lr", "__rk")
+  }
 }

@@ -101,4 +101,42 @@ class TrainPrepSpec extends SparkSpec {
     // c1: len 300 tie between members 2 and 3 → lower member wins (higher key)
     assert(out.toSeq == Seq(("c1", 2L, 3L), ("c2", 9L, 1L)))
   }
+
+  test("domainQuota: cap honored, deterministic under repartitioning, two-phase exact") {
+    // 3 domains: a mega-domain (120 rows), a mid one (15), a tiny one (3)
+    val rows = (1L to 120L).map(i => (i, "big.com")) ++
+      (200L to 214L).map(i => (i, "mid.org")) ++
+      (300L to 302L).map(i => (i, "tiny.net"))
+    val df = rows.toDF("doc_id", "host")
+
+    val out = TrainPrep.domainQuota(df, col("host"), "doc_id", cap = 10, nSalts = 4)
+      .select("domain", "doc_id", "quota_rank")
+    val got = out.as[(String, Long, Int)].collect().toSeq.sorted
+
+    // per-domain sizes: min(cap, domain size)
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes == Map("big.com" -> 10, "mid.org" -> 10, "tiny.net" -> 3))
+    // quota_rank is 1..n within each domain
+    got.groupBy(_._1).foreach { case (d, rs) =>
+      assert(rs.map(_._3).sorted == (1 to rs.size).toList, s"ranks broken for $d")
+    }
+
+    // two-phase == naive single-window (the oracle form), and invariant
+    // to input partitioning / salt count
+    val naive = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host"))
+        .orderBy(md5(concat_ws("|", col("host"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      df.withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+        .select(col("host"), col("doc_id"), col("r").cast("int"))
+        .as[(String, Long, Int)].collect().toSeq.sorted
+    }
+    assert(got == naive)
+    val repart = TrainPrep.domainQuota(df.repartition(7, col("doc_id")),
+        col("host"), "doc_id", cap = 10, nSalts = 11)
+      .select("domain", "doc_id", "quota_rank")
+      .as[(String, Long, Int)].collect().toSeq.sorted
+    assert(repart == got)
+  }
 }
