@@ -31,6 +31,46 @@ object Dedup {
       .join(byEtl, Seq("company_id", "etl_checksum"), "left_anti")
   }
 
+  /** `againstLedger`, production layout: the ledger's two key
+    * projections are materialized as BUCKETED tables (bucket+sort on the
+    * exact anti-join keys), so the ledger side of each anti-join reads
+    * co-located buckets with NO shuffle exchange — only the (small)
+    * incoming batch shuffles into the ledger's partitioning. This is the
+    * shape for the real pipeline, where the ledger is a large silver
+    * table re-read every micro-batch: its shuffle is paid ONCE at write
+    * time, not per batch. (At 100 TB the bucketed write replaces the
+    * per-batch `persist()` q00 models; each micro-batch then appends its
+    * survivors back into the same bucketed layout.)
+    *
+    * `warehouseDir`/`tablePrefix` locate the materialized tables
+    * (external, `mode=overwrite` — re-running refreshes them). Bucketed
+    * reads require `spark.sql.sources.bucketing.enabled` (default true);
+    * with broadcast on, Spark may still prefer a broadcast anti-join at
+    * toy sizes — the bucket layout matters precisely when the ledger is
+    * too big to broadcast (BucketingSpec pins the shuffle-free plan with
+    * broadcast disabled).
+    */
+  def againstBucketedLedger(batch: DataFrame, ledger: DataFrame,
+      nBuckets: Int, warehouseDir: String,
+      tablePrefix: String = "graft_ledger"): DataFrame = {
+    val s = batch.sparkSession
+    val ck = s"${tablePrefix}_ck"
+    val eck = s"${tablePrefix}_eck"
+    ledger.select("company_id", "checksum").distinct()
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "company_id", "checksum")
+      .sortBy("company_id", "checksum")
+      .option("path", s"$warehouseDir/$ck").saveAsTable(ck)
+    ledger.select("company_id", "etl_checksum").distinct()
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "company_id", "etl_checksum")
+      .sortBy("company_id", "etl_checksum")
+      .option("path", s"$warehouseDir/$eck").saveAsTable(eck)
+    batch
+      .join(s.table(ck), Seq("company_id", "checksum"), "left_anti")
+      .join(s.table(eck), Seq("company_id", "etl_checksum"), "left_anti")
+  }
+
   /** F2 `filter_rows_by_checksums` (`checksum_bigquery.py:69-74`):
     * membership exclusion. Small exclusion lists → `isin` (codegen'd);
     * large → use `againstLedger`.
