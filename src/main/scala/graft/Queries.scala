@@ -3549,6 +3549,137 @@ object Queries {
     },
     q00.oracle)
 
+  /** EWMA revenue baseline per order priority
+    * (`Analytics.ewmaHalving`): daily revenue smoothed over a trailing
+    * 8-row window with α = 1/2 — the anomaly-detection baseline for the
+    * reference's transaction stream. Power-of-two weights keep every
+    * intermediate an exact DECIMAL; one final double division on both
+    * sides → hash-exact. The oracle is the definitional range self-join
+    * on row numbers; the engine uses the q88/q103 bounded-explode shape
+    * (constant ≤ window fan-out, one hash aggregate — no per-key sorted
+    * state).
+    */
+  val q109: Q = Q(
+    "q109_ewma_revenue",
+    (s, dir) => {
+      val daily = d(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderdate").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      Analytics.ewmaHalving(daily, Seq("pri"), "day", "cents", window = 8)
+        .select(col("pri"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("cents"), col("n_window"), col("ewma"))
+        .orderBy(col("pri"), col("day"))
+    },
+    Some("""
+      |WITH g AS (
+      |  SELECT o_orderpriority AS pri, o_orderdate AS day,
+      |    CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (
+      |  SELECT pri, day, cents,
+      |    row_number() OVER (PARTITION BY pri ORDER BY day) AS rn
+      |  FROM g),
+      |c AS (
+      |  SELECT t.pri, t.rn AS trn, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(s.cents AS DECIMAL(18,0))
+      |        * CAST((CAST(1 AS BIGINT) << (7 - (t.rn - s.rn))) AS DECIMAL(10,0))) AS sc
+      |  FROM r t JOIN r s ON s.pri = t.pri AND s.rn BETWEEN t.rn - 7 AND t.rn
+      |  GROUP BY 1, 2)
+      |SELECT r.pri, strftime(r.day, '%Y-%m-%d') AS day, r.cents, n AS n_window,
+      |  CAST(sc AS DOUBLE)
+      |    / CAST(((CAST(1 AS BIGINT) << CAST(8 - n AS INT))
+      |            * ((CAST(1 AS BIGINT) << CAST(n AS INT)) - 1)) AS DOUBLE) AS ewma
+      |FROM c JOIN r ON r.pri = c.pri AND r.rn = c.trn
+      |ORDER BY r.pri, r.day
+      |""".stripMargin.trim))
+
+  /** Feature hashing over the document corpus (`TextOps.featureHash`,
+    * dim = 64): the vocabulary-free vectorization step — signed md5
+    * buckets, per-bucket sums, only occupied buckets emitted. The
+    * oracle recomputes the md5 bucket and sign digit-by-digit (same
+    * idiom as q36's shingle hashes), so every signed collision sum is
+    * hash-exact.
+    */
+  val q110: Q = Q(
+    "q110_feature_hash",
+    (s, dir) =>
+      TextOps.featureHash(t(s, dir, "documents"), "doc_id", "text", dim = 64)
+        .orderBy(col("doc_id"), col("bucket")),
+    Some("""
+      |WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS t
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(1, 9), i ->
+      |      (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+      |        * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 64 AS BIGINT) AS bucket,
+      |    CASE WHEN (strpos('0123456789abcdef', substr(md5(t), 9, 1)) - 1) % 2 = 0
+      |         THEN 1 ELSE -1 END AS s
+      |  FROM tok)
+      |SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS value,
+      |  COUNT(*) AS n_tokens
+      |FROM h GROUP BY 1, 2
+      |ORDER BY doc_id, bucket
+      |""".stripMargin.trim))
+
+  /** Unrolled k-core peel for the DuckDB oracle: peeling is monotone and
+    * idempotent past the fixpoint, so `rounds` levels equal the true
+    * k-core whenever convergence takes ≤ `rounds` (the engine iterates
+    * to the exact fixpoint; measured peel depth of the k=80 co-purchase
+    * core is 6 rounds at sf0.01 AND sf0.1, 3 at sf0.001 — 12 is 2×
+    * headroom; same precedent as q80's unrolled PageRank CTE). Every
+    * CTE level is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    * doubly-self-referencing levels would otherwise expand the parquet
+    * scan exponentially (measured: file-handle exhaustion at 12
+    * levels).
+    */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb.append(s""",
+        |v$r AS MATERIALIZED (
+        |  SELECT id FROM (SELECT u AS id FROM e${r - 1}
+        |                  UNION ALL SELECT v FROM e${r - 1})
+        |  GROUP BY 1 HAVING COUNT(*) >= $k),
+        |e$r AS MATERIALIZED (
+        |  SELECT e.u, e.v FROM e${r - 1} e
+        |  JOIN v$r a ON e.u = a.id JOIN v$r b ON e.v = b.id)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT id, COUNT(*) AS core_deg
+      |FROM (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+      |GROUP BY 1 ORDER BY id""".stripMargin)
+    sb.toString
+  }
+
+  /** k-core of the co-purchase graph (`Analytics.kCore`, k = 80 —
+    * chosen above the 10th-degree-percentile so the peel genuinely
+    * cascades: 6 rounds and 143 vertices shed at sf0.01): the density
+    * filter between near-dup edges and clustering — vertices that
+    * survive iterative peeling of degree-< k nodes. The engine
+    * peels to the exact fixpoint (one degree agg + two LEFT SEMI prunes
+    * per round, lineage-truncated like CC); the oracle unrolls the peel
+    * 12 levels, idempotent past convergence.
+    */
+  val q111: Q = Q(
+    "q111_kcore",
+    (s, dir) => {
+      val lp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val edges = lp.as("a").join(lp.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      Analytics.kCore(edges, "u", "v", k = 80).orderBy(col("id"))
+    },
+    Some(kcoreSql(k = 80, rounds = 12)))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -3560,5 +3691,6 @@ object Queries {
     q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61,
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
-    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108)
+    q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
+    q109, q110, q111)
 }

@@ -623,6 +623,107 @@ object Analytics {
         when(uLower, col("dv")).otherwise(col("du")).as("rd"))
   }
 
+  /** Bounded-window exponentially-weighted moving average with α = 1/2 —
+    * time-series smoothing (anomaly baselines, trend dashboards) that
+    * stays EXACT until one final division. The usual EWMA recurrence
+    * (s_i = αx_i + (1−α)s_{i−1}) is order-serial and float-accumulating;
+    * restated over the trailing `window` rows with power-of-two weights:
+    *
+    *   scaled_i = Σ_{o=0..n−1} x_{i−o} · 2^(window−1−o)   (exact DECIMAL)
+    *   ewma_i   = scaled_i / (2^(window−n) · (2^n − 1))   (one division)
+    *
+    * where n = min(window, i) is the ramp-up count; the denominator
+    * normalizes the geometric weights to sum to 1, making ewma a true
+    * weighted average. All weights are integer powers of two, so both
+    * the engine and a SQL oracle compute bit-identical values at any
+    * parallelism.
+    *
+    * Scale shape: q88/q103's bounded-explode pattern — each row
+    * contributes to ≤ `window` downstream windows (constant fan-out, one
+    * hash aggregate, partial map-side), then one join back to the base
+    * rows; never a per-key sorted state machine. `orderCol` must be
+    * unique within each key group (pre-aggregate first), or row_number
+    * ties make results partition-dependent. `window` ≤ 30 keeps every
+    * weight in DECIMAL(10,0).
+    *
+    * Output: keyCols + orderCol + `valueCol` + `n_window` + `ewma`.
+    */
+  def ewmaHalving(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valueCol: String, window: Int): DataFrame = {
+    require(window >= 1 && window <= 30,
+      s"ewmaHalving: need 1 <= window <= 30, got $window")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(orderCol))
+    val base = df.withColumn("__rn", row_number().over(w))
+    val contrib = base
+      .select(keys ++ Seq(col("__rn"), col(valueCol).as("__x")): _*)
+      .withColumn("__o", explode(sequence(lit(0), lit(window - 1))))
+      .select(keys ++ Seq(
+        (col("__rn") + col("__o")).as("__t"),
+        (col("__x").cast("decimal(18,0)") *
+          expr(s"cast(shiftleft(1L, ${window - 1} - __o) as decimal(10,0))"))
+          .as("__wx")): _*)
+    val agg = contrib.groupBy(keys :+ col("__t"): _*)
+      .agg(sum(col("__wx")).cast("decimal(38,0)").as("__s"),
+        count(lit(1)).as("__n"))
+      .withColumn("__den",
+        expr(s"shiftleft(1L, cast($window - __n as int))") *
+          (expr("shiftleft(1L, cast(__n as int))") - lit(1L)))
+    // base and agg share lineage — alias both sides so the self-join
+    // resolves unambiguously
+    base.alias("__b").join(agg.alias("__g"),
+        keyCols.map(k => col(s"__b.$k") <=> col(s"__g.$k")).reduce(_ && _) &&
+          col("__b.__rn") === col("__g.__t"))
+      .select((keyCols.map(k => col(s"__b.$k")) ++ Seq(
+        col(s"__b.$orderCol"), col(s"__b.$valueCol"),
+        col("__g.__n").as("n_window"),
+        (col("__g.__s").cast("double") / col("__g.__den").cast("double"))
+          .as("ewma"))): _*)
+  }
+
+  /** k-core decomposition: the maximal subgraph in which every vertex
+    * has degree ≥ k — the standard graph-density filter between raw
+    * near-dup edges and clustering (a k-core survives noise edges that
+    * connected components happily swallow). Classic iterative peel:
+    * drop vertices with degree < k, drop edges touching them, repeat to
+    * the (unique, order-independent) fixpoint.
+    *
+    * Scale shape: each round is one degree aggregation + two LEFT SEMI
+    * joins of the edge list against the surviving vertex set — all hash
+    * shuffles on vertex ids; `localCheckpoint` truncates lineage per
+    * round (the q61/q77 CC playbook). Rounds ≤ peel depth, which is
+    * O(max degeneracy ordering length) and in practice a handful; the
+    * fixpoint probe is the same one-row count CC uses. Output:
+    * (id, core_deg) for every vertex in the k-core.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    var e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    var prev = -1L
+    var done = false
+    while (!done) {
+      val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("id").localCheckpoint()
+      val cnt = keep.count()
+      // keep sets shrink monotonically, so equal COUNT ⇒ equal SET ⇒
+      // every surviving vertex already has deg ≥ k: fixpoint, and `e`
+      // is already pruned to it
+      if (cnt == prev) done = true
+      else {
+        prev = cnt
+        e = e
+          .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+          .localCheckpoint()
+        if (cnt == 0) done = true // pruned to empty — nothing left to peel
+      }
+    }
+    e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Test/audit probe: number of wedges the triangle join would
     * enumerate under degree ordering vs the naive id ordering (orient
     * low-id → high-id). Degree ordering bounds this at O(m^1.5); id

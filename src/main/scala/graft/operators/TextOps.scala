@@ -222,6 +222,34 @@ object TextOps {
       .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** Hashing-trick featurizer (feature hashing): each token hashes to
+    * one of `dim` buckets with a ±1 sign drawn from an independent hash
+    * bit, and the document's sparse feature vector is the per-bucket
+    * signed sum — the fixed-dimension, vocabulary-free vectorization
+    * step for linear models and fast dedup sketches. The sign makes
+    * bucket collisions unbiased (colliding tokens cancel in
+    * expectation) — the standard trick from the feature-hashing
+    * literature. Both hashes derive from the token's md5 (bucket: first
+    * 8 hex digits mod dim; sign: parity of the 9th), so the oracle
+    * reproduces them digit-by-digit.
+    *
+    * Scale shape: explode → map-side partial aggregate; the shuffle
+    * carries at most |docs|·dim rows regardless of corpus token count.
+    * Output: (idCol, bucket, value, n_tokens) — only occupied buckets.
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"featureHash: dim must be positive, got $dim")
+    val md = md5(col("__t"))
+    val bucket = pmod(conv(substring(md, 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+    val sign = when(conv(substring(md, 9, 1), 16, 10).cast("long") % 2 === 0,
+      lit(1L)).otherwise(lit(-1L))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .select(col(idCol), bucket.as("bucket"), sign.as("__s"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__s")).as("value"), count(lit(1)).as("n_tokens"))
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

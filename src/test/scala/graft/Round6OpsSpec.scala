@@ -45,6 +45,50 @@ class Round6OpsSpec extends AnyFunSuite with SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((401L, 430L, 40L)))
   }
 
+  test("ewmaHalving: exact hand-computed values, ramp-up normalization, key isolation") {
+    val df = Seq(
+      ("a", 1L, 4L), ("a", 2L, 8L), ("a", 3L, 16L),
+      ("b", 1L, 100L)).toDF("k", "t", "x")
+    val got = Analytics.ewmaHalving(df, Seq("k"), "t", "x", window = 3)
+      .select("k", "t", "x", "n_window", "ewma")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sorted
+    // weights (most recent first) after normalization:
+    //   n=1 → [1]; n=2 → [2/3, 1/3]; n=3 → [4/7, 2/7, 1/7]
+    assert(got == Seq(
+      ("a", 1L, 4L, 1L, 4.0),
+      ("a", 2L, 8L, 2L, 20.0 / 3.0),
+      ("a", 3L, 16L, 3L, 12.0),
+      ("b", 1L, 100L, 1L, 100.0)))
+    // partitioning-invariant (exact DECIMAL sums + one final division)
+    val repart = Analytics.ewmaHalving(df.repartition(5), Seq("k"), "t", "x", 3)
+      .select("k", "t", "x", "n_window", "ewma")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(repart == got)
+  }
+
+  test("kCore: known graphs, cascade peeling, empty core") {
+    def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      Analytics.kCore(edges.toDF("u", "v"), "u", "v", k)
+        .as[(Long, Long)].collect().toMap
+
+    // K4 with a pendant chain 4-5-6: 3-core = K4 exactly, chain peels
+    // in cascade (6 first, then 5, needs >1 round)
+    val k4 = (for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j))
+    val g = k4 ++ Seq((4L, 5L), (5L, 6L))
+    assert(core(g, 3) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 2-core keeps K4 (chain still peels: deg(6)=1)
+    assert(core(g, 2) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above max degree → empty core
+    assert(core(g, 5) == Map.empty)
+    // 5-cycle is its own 2-core
+    val c5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    assert(core(c5, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+    // long chain: peeling a 10-vertex path with k=2 cascades from both
+    // ends — the multi-round case the unrolled oracle must cover
+    val path = (1L to 9L).map(i => (i, i + 1))
+    assert(core(path, 2) == Map.empty)
+  }
+
   test("degree-ordered triangleCount matches known graphs (regression)") {
     val k4 = for { i <- 1L to 4L; j <- 1L to 4L if i < j } yield (i, j)
     assert(tri(k4) === ((4L, 6L, 4L)))
