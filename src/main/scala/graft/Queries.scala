@@ -3680,6 +3680,65 @@ object Queries {
     },
     Some(kcoreSql(k = 80, rounds = 12)))
 
+  /** Equi-depth (quantile) bins over order totals
+    * (`Analytics.equiDepthBins`, 10 bins): near-equal-count buckets
+    * with boundaries — the quantile profile for stratified mixes where
+    * the equi-width histogram (q53) under-resolves heavy tails. Cents
+    * quantization + (value, key) tiebreak make the ntile split a total
+    * order, so engine and oracle agree exactly.
+    */
+  val q112: Q = Q(
+    "q112_equidepth_bins",
+    (s, dir) => {
+      val o = d(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      Analytics.equiDepthBins(o, "cents", "o_orderkey", nBins = 10)
+        .orderBy(col("bin"))
+    },
+    Some("""
+      |WITH c AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice*100, 0) AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (
+      |  SELECT cents,
+      |    ntile(10) OVER (ORDER BY cents, o_orderkey) AS bin
+      |  FROM c)
+      |SELECT CAST(bin AS INT) AS bin, COUNT(*) AS n_rows,
+      |  MIN(cents) AS lo, MAX(cents) AS hi
+      |FROM b GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
+  /** Vocabulary coverage / OOV audit (`TextOps.vocabCoverage`, top-500
+    * DF vocabulary): per-document out-of-vocabulary token counts — the
+    * tokenizer-sizing check before training. Vocabulary cutoff is
+    * deterministic (DF desc, token asc); the corpus joins the broadcast
+    * vocab, never reshuffling on token.
+    */
+  val q113: Q = Q(
+    "q113_vocab_coverage",
+    (s, dir) =>
+      TextOps.vocabCoverage(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 500)
+        .orderBy(col("doc_id")),
+    Some("""
+      |WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS t
+      |  FROM documents),
+      |dfq AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |vocab AS (SELECT t FROM dfq ORDER BY df DESC, t LIMIT 500),
+      |sc AS (
+      |  SELECT k.doc_id, COUNT(*) AS n_tokens,
+      |    SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+      |  FROM tok k LEFT JOIN vocab v ON k.t = v.t GROUP BY 1)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_oov AS BIGINT) AS n_oov,
+      |  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+      |FROM sc ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -3692,5 +3751,5 @@ object Queries {
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111)
+    q109, q110, q111, q112, q113)
 }

@@ -623,6 +623,30 @@ object Analytics {
         when(uLower, col("dv")).otherwise(col("du")).as("rd"))
   }
 
+  /** Equi-depth (quantile) binning: split rows into `nBins` buckets of
+    * near-equal COUNT by `valueCol` order (ties broken by `tieCol` for a
+    * total order, so the split is deterministic at any parallelism) and
+    * report each bin's boundaries and population — the quantile-bucket
+    * profile used for stratified training mixes and skew diagnosis,
+    * where the equi-WIDTH histogram (q53) under-resolves heavy tails.
+    * `ntile` follows the SQL-standard floor split (first `n mod nBins`
+    * bins get the extra row), matching every warehouse engine.
+    *
+    * Scale shape: one window sort (a single total-order sort — the same
+    * cost class as any global ORDER BY; at 100 TB use range
+    * partitioning, which Spark's sort already does) + a tiny nBins-row
+    * aggregate. Output: (bin, n_rows, lo, hi).
+    */
+  def equiDepthBins(df: DataFrame, valueCol: String, tieCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1, s"equiDepthBins: nBins must be >= 1, got $nBins")
+    val w = Window.orderBy(col(valueCol), col(tieCol))
+    df.withColumn("__bin", ntile(nBins).over(w))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+  }
+
   /** Bounded-window exponentially-weighted moving average with α = 1/2 —
     * time-series smoothing (anomaly baselines, trend dashboards) that
     * stays EXACT until one final division. The usual EWMA recurrence

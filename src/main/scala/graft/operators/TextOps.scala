@@ -250,6 +250,38 @@ object TextOps {
       .agg(sum(col("__s")).as("value"), count(lit(1)).as("n_tokens"))
   }
 
+  /** Vocabulary coverage / OOV audit: build the top-`vocabSize` token
+    * vocabulary by document frequency (ties broken by token, so the
+    * cutoff is deterministic), then score every document's
+    * out-of-vocabulary token count and rate — the pre-tokenizer check a
+    * training pipeline runs to size its vocab and catch corpora the
+    * tokenizer would shred into unknowns.
+    *
+    * Scale shape: the tokenized projection is persisted (it feeds both
+    * the DF aggregate and the scoring join — caller owns the cache
+    * lifecycle, same contract as the q24/q36 shingle bases); the
+    * vocabulary is top-k over an aggregate (tiny) and BROADCAST into
+    * the scoring join, so the corpus never reshuffles on token.
+    * Output: (idCol, n_tokens, n_oov, oov_rate); empty-text docs have
+    * no tokens and do not appear.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabCoverage: vocabSize must be >= 1, got $vocabSize")
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .persist()
+    val vocab = tok.dropDuplicates(idCol, "__t")
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .orderBy(col("__df").desc, col("__t")).limit(vocabSize)
+      .select(col("__t").as("__v"))
+    tok.join(broadcast(vocab), col("__t") === col("__v"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

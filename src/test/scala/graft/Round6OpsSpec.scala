@@ -66,6 +66,15 @@ class Round6OpsSpec extends AnyFunSuite with SparkSpec {
     assert(repart == got)
   }
 
+  test("equiDepthBins: floor split, remainder to first bins, exact boundaries") {
+    // 11 rows into 3 bins → sizes 4,4,3 (SQL-standard ntile remainder)
+    val df = (1L to 11L).map(i => (i, i * 10L)).toDF("id", "v")
+    val got = Analytics.equiDepthBins(df, "v", "id", nBins = 3)
+      .select("bin", "n_rows", "lo", "hi")
+      .as[(Int, Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1, 4L, 10L, 40L), (2, 4L, 50L, 80L), (3, 3L, 90L, 110L)))
+  }
+
   test("kCore: known graphs, cascade peeling, empty core") {
     def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
       Analytics.kCore(edges.toDF("u", "v"), "u", "v", k)
