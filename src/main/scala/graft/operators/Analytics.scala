@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Gap-fill analytics (SURVEY.md §2.7): windows, top-k, sessionization,
   * and skew-aware aggregation. The reference has none of these (row
   * counts via `len()` only); they generalize its per-batch counters and
@@ -554,19 +556,26 @@ object Analytics {
     * graph given as an edge list (either direction, duplicates/self-loops
     * tolerated). One row: (n_vertices, n_edges, n_triangles).
     *
-    * DEGREE-ORDERED orientation (the "forward" algorithm): every
+    * DEGREE-ORDERED orientation + EDGE-ITERATOR counting: every
     * undirected edge {a,b} is oriented from its lower-rank endpoint to
-    * its higher-rank endpoint, where rank(x) = (degree(x), x). Wedges are
-    * pairs of out-neighbours of a common apex, closed by a semi join
-    * against the oriented closing edge — two hash joins, never a cross
-    * join, each triangle counted exactly once (at its lowest-rank
-    * vertex). Because the orientation caps every out-degree at O(√m),
-    * the wedge stream is O(m^1.5) REGARDLESS of hubs — a power-law graph
-    * whose hub would explode id-ordered wedges (star center with the
-    * lowest id → C(deg,2) wedges) generates ~0 wedges at that hub here,
-    * since all its edges point INTO it. Cost over id-ordering: one
-    * degree aggregation plus two joins against the vertex-sized degree
-    * table (broadcast-able when small; hash otherwise — left to AQE).
+    * its higher-rank endpoint, where rank(x) = (degree(x), x); a
+    * triangle {a,b,c} with rank a < b < c is then counted exactly once,
+    * at its lowest edge, as c ∈ N⁺(a) ∩ N⁺(b). The count is
+    *
+    *   Σ over oriented edges (a→b) of |N⁺(a) ∩ N⁺(b)|
+    *
+    * with the out-neighbour lists collected ONCE as sorted arrays and
+    * the per-edge intersection evaluated by the native codegen
+    * two-pointer `graft_sorted_intersect_size` — the wedge stream
+    * (O(m^1.5) rows under this orientation, 49M at sf0.1) is never
+    * materialized or shuffled; the two hash joins ship each edge its
+    * endpoints' adjacency arrays (Σ_e deg⁺(a)+deg⁺(b) ≤ O(m^1.5)
+    * ARRAY CELLS, but only m ROWS — q104 median-of-3 at sf0.1: 11.9 s
+    * vs 13.9 s for the wedge-join form; the query's floor is the
+    * co-purchase edge-list build itself). Degree
+    * orientation caps deg⁺ at O(√m) REGARDLESS of hubs — a star center
+    * whose id-ordered wedge count is C(deg, 2) has every edge pointing
+    * INTO it here, so its adjacency list is empty.
     *
     * NOTE on caching: the canonical edge list is `persist()`-ed and the
     * handle is NOT released here — unpersisting before the lazy result
@@ -576,21 +585,19 @@ object Analytics {
     * completion).
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    GraftFunctions.register(edges.sparkSession)
     val e = canonicalEdges(edges, srcCol, dstCol).persist()
-    val o = orientByDegree(e).persist()
-    // SHUFFLE_HASH on the build side: the wedge stream is orders of
-    // magnitude wider than the edge list and the default sort-merge join
-    // SORTS it (measured: a 49M-row sort dominated the query at sf0.1).
-    // Hashing the build side streams the wedges unsorted; AQE still owns
-    // partition sizing/skew.
-    val wedges = o.as("e1").join(o.as("e2").hint("shuffle_hash"),
-        col("e1.a") === col("e2.a") &&
-          (col("e1.rd") < col("e2.rd") ||
-            (col("e1.rd") === col("e2.rd") && col("e1.b") < col("e2.b"))))
-      .select(col("e1.b").as("a"), col("e2.b").as("b"))
-    val triangles = wedges.join(o.select("a", "b").hint("shuffle_hash"),
-      Seq("a", "b"), "left_semi")
-    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
+    val o = orientByDegree(e)
+    // sorted out-adjacency per apex (deg⁺ ≤ O(√m) under degree order)
+    val adj = o.groupBy(col("a")).agg(sort_array(collect_list(col("b"))).as("nbrs"))
+      .persist()
+    val nTri = o.select(col("a"), col("b"))
+      .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(call_function(GraftFunctions.SortedIntersectName,
+        col("na"), col("nb")).as("c"))
+      // coalesce: SUM over an edgeless graph is NULL, the count is 0
+      .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n_triangles"))
     val nE = e.agg(count(lit(1)).as("n_edges"))
     val nV = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .distinct().agg(count(lit(1)).as("n_vertices"))
