@@ -142,6 +142,30 @@ class PlanAuditSpec extends SparkSpec {
       s"filter not pushed to scan:\n$scan")
   }
 
+  test("domainQuota plans two bounded window sorts, never one giant partition (q107)") {
+    import graft.operators.TrainPrep
+    val docs = graft.sources.Ingest.table(spark, sfDir, "documents")
+    val plan = TrainPrep.domainQuota(docs, lower(col("source")), "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    // phase 1 partitions by (domain, salt) — the salt must appear in the
+    // first window's partition spec, or a mega-domain lands in one task
+    assert(plan.contains("pmod"), s"salted local phase missing:\n$plan")
+    val windows = "RunningWindowFunction|Window".r.findAllIn(plan).size
+    assert(windows >= 2, s"expected 2 window phases:\n$plan")
+  }
+
+  test("featureHash aggregates map-side: partial then final HashAggregate (q110)") {
+    import graft.operators.TextOps
+    val docs = graft.sources.Ingest.table(spark, sfDir, "documents")
+    val plan = TextOps.featureHash(docs, "doc_id", "text", 64)
+      .queryExecution.executedPlan.toString
+    // the explode fan-out must be reduced BEFORE the shuffle: a partial
+    // aggregate below the exchange and a final one above it
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregates:\n$plan")
+    assert(plan.contains("Generate explode"), s"tokenize explode missing:\n$plan")
+  }
+
   test("kmeansFit runs a constant job count per Lloyd iteration (q28)") {
     // Round-5 verdict: q28's 6→102 s swing correlated with the k-means
     // fit's iterative jobs. The invariant that keeps the fit
