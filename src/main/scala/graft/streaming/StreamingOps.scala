@@ -17,6 +17,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Surviving (key, payload) row from the TTL dedup. */
 case class Row2(key: String, payload: String)
 
+/** Admitted (domain, payload) row from the streaming domain quota. */
+case class QuotaRow(domain: String, payload: String)
+
 object StreamingOps {
 
   /** F3/F4: first-writer-wins dedup with bounded state — late duplicates
@@ -184,6 +187,42 @@ object StreamingOps {
           }
         survivors.write.mode("append").parquet(ledgerPath)
     }
+  }
+
+  /** Streaming per-domain quota — the ONLINE form of
+    * `TrainPrep.domainQuota`: admit at most `cap` rows per domain key
+    * over the life of the stream, keyed state = one admitted-count per
+    * domain. Where the batch operator picks the md5-rank-best `cap`
+    * rows (it sees the whole corpus), a stream cannot know a better row
+    * is coming, so the online contract is first-`cap`-admitted, with
+    * arrival order made deterministic WITHIN a micro-batch by sorting
+    * on (`orderCol`, payload); across batches order is the stream
+    * order, which is the point of the online form. State is one Long
+    * per domain, never timed out — quotas are permanent for the run
+    * (bounded by |domains|, the same unbounded-key contract as
+    * [[dedupExact]]).
+    */
+  def domainQuotaStream(docs: DataFrame, domainCol: String, orderCol: String,
+      cap: Int): Dataset[QuotaRow] = {
+    require(cap > 0, s"domainQuotaStream: cap must be positive, got $cap")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.selectExpr(s"CAST($domainCol AS STRING) AS domain",
+        s"CAST($orderCol AS STRING) AS ord", "to_json(struct(*)) AS payload")
+      .as[(String, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, QuotaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (domain: String, rows: Iterator[(String, String, String)],
+            state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = Vector.newBuilder[QuotaRow]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, payload) =>
+            if (admitted < cap) { out += QuotaRow(domain, payload); admitted += 1 }
+          }
+          state.update(admitted)
+          out.result().iterator
+      }
   }
 
   /** Session windows per user: built-in `session_window` with a gap —

@@ -31,6 +31,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming domain quota: cap enforced across micro-batches, per domain") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val docs = mem.toDF().toDF("source", "doc_id")
+    val admitted = StreamingOps.domainQuotaStream(docs, "source", "doc_id", cap = 2)
+    val q = admitted.writeStream.format("memory").queryName("quota_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: 3 docs for a (one over cap), 1 for b
+      mem.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+      q.processAllAvailable()
+      // batch 2: a is exhausted, b admits one more then stops
+      mem.addData(("a", 4L), ("b", 11L), ("b", 12L))
+      q.processAllAvailable()
+      val out = spark.table("quota_out")
+        .select(col("domain"), get_json_object(col("payload"), "$.doc_id").cast("long"))
+        .as[(String, Long)].collect().toSet
+      // a: docs 1,2 (batch-1 sort admits the lowest ids); b: 10 then 11
+      assert(out == Set(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L)))
+    } finally q.stop()
+  }
+
   test("tumbling window counts aggregate by hour + type") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
