@@ -3535,8 +3535,12 @@ object Queries {
       val bronze = Ingest.bronzeFromTpch(t(s, dir, "lineitem"), d(s, dir, "orders"))
       val silver = Ingest.toSilver(Ingest.flattenBronze(bronze))
       val inBatch = Dedup.exact(silver, Seq("checksum"))
+      // persist: BOTH bucketed key projections scan this plan (the md5
+      // key build is the expensive part) — same caller-owns-cache
+      // contract as q00's ledger persist
       val ledger = Ingest.tpchSilverKeys(t(s, dir, "lineitem"), d(s, dir, "orders"))
         .filter(substring(col("checksum"), 1, 1) === "0")
+        .persist()
       val wh = s"${System.getProperty("java.io.tmpdir")}/graft_q108_wh"
       val surviving = Dedup.againstBucketedLedger(inBatch, ledger,
         nBuckets = 8, warehouseDir = wh, tablePrefix = "graft_q108")
