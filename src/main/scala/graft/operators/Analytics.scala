@@ -685,7 +685,10 @@ object Analytics {
       s"ewmaHalving: need 1 <= window <= 30, got $window")
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col(orderCol))
-    val base = df.withColumn("__rn", row_number().over(w))
+    // persisted: the row-numbered base feeds both the weighted-contrib
+    // explode and the final join back (caller owns the cache lifecycle,
+    // same contract as triangleCount/simhashHammingPairs)
+    val base = df.withColumn("__rn", row_number().over(w)).persist()
     val contrib = base
       .select(keys ++ Seq(col("__rn"), col(valueCol).as("__x")): _*)
       .withColumn("__o", explode(sequence(lit(0), lit(window - 1))))
