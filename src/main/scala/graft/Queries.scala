@@ -3743,6 +3743,28 @@ object Queries {
       |FROM sc ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Stable dense row ids over the document corpus
+    * (`TrainPrep.stableRowIds` by (n_chars, doc_id)): contiguous
+    * 0..n−1 enumeration in global sort order WITHOUT the naive global
+    * window's single unbounded partition — range partitions + broadcast
+    * prefix offsets. The oracle IS that naive window, so the hash match
+    * proves the distributed form ≡ the single-task form.
+    */
+  val q114: Q = Q(
+    "q114_stable_row_ids",
+    (s, dir) =>
+      TrainPrep.stableRowIds(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          Seq("n_chars", "doc_id"))
+        .select(col("doc_id"), col("n_chars"), col("row_id"))
+        .orderBy(col("row_id")),
+    Some("""
+      |SELECT doc_id, n_chars,
+      |  row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS row_id
+      |FROM documents
+      |ORDER BY row_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -3755,5 +3777,5 @@ object Queries {
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113)
+    q109, q110, q111, q112, q113, q114)
 }

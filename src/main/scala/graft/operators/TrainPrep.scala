@@ -153,6 +153,59 @@ object TrainPrep {
         count(lit(1)).as("n_members"),
         max(qualityKey).as("rep_quality"))
 
+  /** Stable dense row enumeration: assign contiguous ids 0..n−1 by the
+    * global (`sortCols`) order — the shard/sample-index assignment step
+    * before writing training shards (sequence packing, checkpoint-able
+    * dataloaders). The naive `row_number() OVER (ORDER BY …)` plans ONE
+    * unbounded window partition = one task holding the whole dataset;
+    * this is the scale-safe classic instead:
+    *
+    *   1. `repartitionByRange` + local sort (Spark's own distributed
+    *      sort machinery — every partition holds a contiguous range),
+    *   2. one tiny job collects per-partition COUNTS (≤ one row per
+    *      partition) and prefix-sums them on the driver,
+    *   3. a `mapPartitionsWithIndex` pass adds offset + local position.
+    *
+    * The assigned ids depend only on the global sort order — never on
+    * where the range bounds landed — so the result is deterministic at
+    * any parallelism PROVIDED `sortCols` is a total order (pass a
+    * unique tiebreak column; ties would make ids partition-dependent).
+    * The RDD hop in step 3 is the one justified `mapPartitions` use:
+    * per-partition imperative offset assignment has no Column-API
+    * equivalent. The range-sorted input is persisted — it feeds the
+    * count job AND the output pass (caller owns the cache lifecycle).
+    *
+    * Output: input columns + `row_id` LONG.
+    */
+  def stableRowIds(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+    require(sortCols.nonEmpty, "stableRowIds: sortCols must be non-empty")
+    val spark = df.sparkSession
+    val ordered = df
+      .repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .persist()
+    val counts = ordered.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nParts = ordered.rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    for (p <- 0 until nParts) { offsets(p) = acc; acc += counts.getOrElse(p, 0L) }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "row_id", org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = bc.value(pid)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        i += 1
+        out
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Per-domain quota: keep at most `cap` rows per derived domain key,
     * chosen DETERMINISTICALLY by md5 rank (RNG-free, like the q64
     * stratified mix) — the standard web-corpus curation step between

@@ -102,6 +102,20 @@ class TrainPrepSpec extends SparkSpec {
     assert(out.toSeq == Seq(("c1", 2L, 3L), ("c2", 9L, 1L)))
   }
 
+  test("stableRowIds: contiguous, order-correct, invariant to input partitioning") {
+    // duplicate sort values force the tiebreak; shuffled input order
+    val rows = Seq((5L, 30L), (1L, 10L), (4L, 20L), (2L, 10L), (3L, 20L), (6L, 30L))
+    val df = rows.toDF("id", "len")
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      TrainPrep.stableRowIds(d, Seq("len", "id"))
+        .select("id", "row_id").as[(Long, Long)].collect().toSeq.sorted
+    val got = ids(df)
+    // global (len, id) order: 1,2,3,4,5,6 → row_id 0..5
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 5L)))
+    assert(ids(df.repartition(5)) == got)
+    assert(ids(df.coalesce(1)) == got)
+  }
+
   test("domainQuota: cap honored, deterministic under repartitioning, two-phase exact") {
     // 3 domains: a mega-domain (120 rows), a mid one (15), a tiny one (3)
     val rows = (1L to 120L).map(i => (i, "big.com")) ++
