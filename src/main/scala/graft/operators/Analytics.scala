@@ -512,13 +512,13 @@ object Analytics {
       .agg(sum(col("__psum")).cast("double").as(as), sum(col("__pn")).as(s"${as}_n"))
   }
 
-  /** One skyline sweep within each group of `partCols` (empty = global):
-    * keeps rows not dominated by another row OF THE SAME GROUP. Dominance
-    * (maximize both): (x', y') dominates (x, y) iff x' ≥ x, y' ≥ y and at
-    * least one is strict. Two window probes on the x-descending order
-    * decide it — `max(y)` over rows with strictly larger x (RANGE
-    * … 1 PRECEDING on integer x), and `max(y)` among equal-x rows — so a
-    * group is ONE sort, no self-join.
+  /** One skyline sweep within each group of `partCols`: keeps rows not
+    * dominated by another row OF THE SAME GROUP. Dominance (maximize
+    * both): (x', y') dominates (x, y) iff x' ≥ x, y' ≥ y and at least one
+    * is strict. Two window probes on the x-descending order decide it —
+    * `max(y)` over rows with strictly larger x (RANGE … 1 PRECEDING on
+    * integer x), and `max(y)` among equal-x rows — so a group is ONE
+    * sort, no self-join.
     */
   private def skylineSweep(df: DataFrame, xCol: String, yCol: String,
       partCols: Seq[Column]): DataFrame = {
@@ -532,24 +532,74 @@ object Analytics {
       .drop("__hi", "__tie")
   }
 
+  /** Global skyline sweep WITHOUT a partitionless window — the
+    * stableRowIds trick applied to a running max instead of a running
+    * count: `repartitionByRange` on x DESC gives contiguous x ranges
+    * (equal x always co-located — range partitioning is key-
+    * deterministic), one tiny job collects each partition's max(y)
+    * (≤ one row per partition) and prefix-maxes them on the driver, and
+    * the sweep windows partition BY RANGE-PARTITION ID — every window
+    * group is one bounded range partition. A row's "max y at strictly
+    * larger x" is then greatest(within-partition running max, broadcast
+    * prefix max of all earlier — strictly-larger-x — partitions). The
+    * range-sorted base is `persist()`-ed (feeds the max job AND the
+    * sweep); callers own the cache lifecycle.
+    */
+  private def globalSkylineSweep(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(col(xCol).desc).persist()
+    val maxes = ranged.groupBy(spark_partition_id().as("__pid"))
+      .agg(max(col(yCol)).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)
+    // __pref(p) = max __m over pids < p (null = no earlier non-null y);
+    // within one column all values share a runtime type, all Comparable
+    var acc: Any = null
+    val prefRows = maxes.map { case (pid, m) =>
+      val row = Row(pid, acc)
+      if (m != null && (acc == null ||
+          m.asInstanceOf[Comparable[Any]].compareTo(acc) > 0)) acc = m
+      row
+    }
+    val prefDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(prefRows.toIndexedSeq, 1),
+      StructType(Seq(StructField("__pid", IntegerType, nullable = false),
+        StructField("__pref", ranged.schema(yCol).dataType, nullable = true))))
+    val wRange = Window.partitionBy(col("__pid")).orderBy(col(xCol).desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wTie = Window.partitionBy(col("__pid"), col(xCol))
+    ranged.withColumn("__pid", spark_partition_id())
+      .join(broadcast(prefDf), Seq("__pid"), "left")
+      .withColumn("__hi", greatest(max(col(yCol)).over(wRange), col("__pref")))
+      .withColumn("__tie", max(col(yCol)).over(wTie))
+      .filter((col("__hi").isNull || col("__hi") < col(yCol)) &&
+        col("__tie") <= col(yCol))
+      .drop("__pid", "__pref", "__hi", "__tie")
+  }
+
   /** 2-D Pareto frontier (skyline), both dimensions maximized, over
     * integer-valued columns (exact decimal/long inputs — the RANGE frame
     * needs a numeric order and exact ties).
     *
-    * Scale shape: a naive skyline is a global sort into ONE task. This is
-    * the classic two-phase layout instead: a LOCAL sweep per existing
-    * partition first (any point dominated within its partition is not on
-    * the global frontier — dominance is transitive, so discarding it is
-    * safe), then the global sweep runs on the survivors only. Local
-    * frontiers of random data are ~O(log n) points, so the global pass
-    * sees partitions × log(n) rows, not n. Worst case (input already on
-    * one frontier) degrades to the single sort, which is the output size
-    * anyway.
+    * Scale shape: a naive skyline is a global sort into ONE task. Classic
+    * two-phase layout instead: a LOCAL sweep per existing partition first
+    * (any point dominated within its partition is not on the global
+    * frontier — dominance is transitive, so discarding it is safe), then
+    * the global sweep over the survivors — and that sweep is itself
+    * distributed (`globalSkylineSweep`: range partitions + broadcast
+    * prefix maxima, never a partitionless window), so even the degenerate
+    * input that IS one giant frontier stays multi-task. Local frontiers
+    * of random data are ~O(log n) points, so the global pass typically
+    * sees partitions × log(n) rows, not n. The global phase persists its
+    * range-sorted base — callers own the cache lifecycle (same contract
+    * as triangleCount).
     */
   def paretoFrontier(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val local = skylineSweep(df.withColumn("__p", spark_partition_id()),
       xCol, yCol, Seq(col("__p"))).drop("__p")
-    skylineSweep(local, xCol, yCol, Seq.empty)
+    globalSkylineSweep(local, xCol, yCol)
   }
 
   /** Exact global triangle count (+ vertex/edge counts) of an undirected
@@ -636,19 +686,41 @@ object Analytics {
     * report each bin's boundaries and population — the quantile-bucket
     * profile used for stratified training mixes and skew diagnosis,
     * where the equi-WIDTH histogram (q53) under-resolves heavy tails.
-    * `ntile` follows the SQL-standard floor split (first `n mod nBins`
-    * bins get the extra row), matching every warehouse engine.
+    * The split follows the SQL-standard `ntile` floor rule (first
+    * `n mod nBins` bins get the extra row), matching every warehouse
+    * engine — the q112 oracle IS DuckDB's ntile.
     *
-    * Scale shape: one window sort (a single total-order sort — the same
-    * cost class as any global ORDER BY; at 100 TB use range
-    * partitioning, which Spark's sort already does) + a tiny nBins-row
-    * aggregate. Output: (bin, n_rows, lo, hi).
+    * Scale shape: NOT a window. `ntile` with no partitionBy would plan a
+    * partitionless WindowExec — ONE task sorting and holding the entire
+    * input (an OOM at 100 TB, not a slowdown). Instead this rides
+    * `TrainPrep.stableRowIds` (range partitions + broadcast prefix
+    * offsets — Spark's own distributed sort machinery, every partition
+    * bounded) and reproduces ntile arithmetically from the dense 0-based
+    * `row_id`: with q = n/nBins and rem = n mod nBins, bins 1..rem hold
+    * q+1 rows and the rest hold q, so
+    *
+    *   bin = row_id < rem·(q+1) ? row_id div (q+1)
+    *                            : rem + (row_id − rem·(q+1)) div q    (+1)
+    *
+    * n comes from stableRowIds' own per-partition count job (no second
+    * pass). The range-sorted base is `persist()`-ed by stableRowIds —
+    * callers own the cache lifecycle (same contract as triangleCount).
+    * Output: (bin, n_rows, lo, hi).
     */
   def equiDepthBins(df: DataFrame, valueCol: String, tieCol: String,
       nBins: Int): DataFrame = {
     require(nBins >= 1, s"equiDepthBins: nBins must be >= 1, got $nBins")
-    val w = Window.orderBy(col(valueCol), col(tieCol))
-    df.withColumn("__bin", ntile(nBins).over(w))
+    val (ids, n) = TrainPrep.stableRowIdsWithCount(
+      df.select(col(valueCol), col(tieCol)), Seq(valueCol, tieCol))
+    val q = n / nBins
+    val rem = n % nBins
+    val cut = rem * (q + 1) // rows below `cut` fall in the q+1-sized bins
+    val bin =
+      if (q == 0L) col("row_id") + lit(1L) // n < nBins: one row per bin
+      else when(col("row_id") < cut, expr(s"row_id div ${q + 1}L"))
+        .otherwise(lit(rem) + expr(s"(row_id - ${cut}L) div ${q}L"))
+        .plus(lit(1L))
+    ids.withColumn("__bin", bin.cast("int"))
       .groupBy(col("__bin").as("bin"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))

@@ -177,7 +177,16 @@ object TrainPrep {
     *
     * Output: input columns + `row_id` LONG.
     */
-  def stableRowIds(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+  def stableRowIds(df: DataFrame, sortCols: Seq[String]): DataFrame =
+    stableRowIdsWithCount(df, sortCols)._1
+
+  /** `stableRowIds` plus the total row count as a driver-side Long — the
+    * count falls out of the same ≤-one-row-per-partition prefix-sum job,
+    * so callers that need n (equiDepthBins' bin split) get it without a
+    * second pass. Runs the count job EAGERLY (the id-assignment pass
+    * stays lazy on the persisted range-sorted base). */
+  private[graft] def stableRowIdsWithCount(df: DataFrame,
+      sortCols: Seq[String]): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "stableRowIds: sortCols must be non-empty")
     val spark = df.sparkSession
     val ordered = df
@@ -203,7 +212,7 @@ object TrainPrep {
         out
       }
     }
-    spark.createDataFrame(rows, schema)
+    (spark.createDataFrame(rows, schema), acc)
   }
 
   /** Per-domain quota: keep at most `cap` rows per derived domain key,

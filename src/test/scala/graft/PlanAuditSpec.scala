@@ -10,14 +10,28 @@ class PlanAuditSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("no registered query plans a CartesianProduct") {
+  // q88's global window runs over a ~30-row post-aggregate (one row per
+  // event day) — a bounded input by construction, documented at the
+  // operator. Every OTHER registered query must partition its windows:
+  // an empty partition spec coalesces the ENTIRE input into one task
+  // (round 6 shipped exactly this in equiDepthBins — an OOM at 100 TB).
+  private val partitionlessWindowExempt = Set("q88_rolling_dau")
+
+  test("plan hygiene: no CartesianProduct, no partitionless WindowExec") {
     // crossJoin against a broadcast side plans BroadcastNestedLoopJoin
     // (bounded: |small| × partition) — an unhinted CartesianProduct is the
     // O(n²) shuffle explosion no registered query should ever produce.
+    // Both checks share one planning pass over all registered queries.
+    import org.apache.spark.sql.execution.window.WindowExec
     Queries.all.foreach { q =>
-      val plan = q.fn(spark, sfDir).queryExecution.sparkPlan.toString
-      assert(!plan.contains("CartesianProduct"),
+      val plan = q.fn(spark, sfDir).queryExecution.sparkPlan
+      assert(!plan.toString.contains("CartesianProduct"),
         s"${q.name} plans a CartesianProduct:\n$plan")
+      if (!partitionlessWindowExempt(q.name)) {
+        val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        assert(bad.isEmpty,
+          s"${q.name} plans a partitionless WindowExec (single-task global sort):\n$plan")
+      }
     }
   }
 
