@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import scala.collection.mutable
+
 /** Benchmark main (driver-run per round → BENCH_r{N}.json).
   *
   * Materializes every registered query through the `noop` sink so the
@@ -11,11 +13,36 @@ import org.apache.spark.sql.SparkSession
   *
   * REP PROTOCOL (round 6): each query runs `SPARK_GRAFT_REPS` times
   * (default 3) and the headline `queries` map reports the per-query
-  * MEDIAN; the raw per-rep timings ship alongside under `reps`. One rep
-  * on a shared box is not a measurement — round 5's driver run showed
-  * 8–27× contention artifacts (q60: 65 s driver vs 2.4 s isolated, same
-  * build). Medians over ≥3 reps make round-over-round comparison
+  * MEDIAN; the raw per-rep timings ship in the detail file under `reps`.
+  * One rep on a shared box is not a measurement — round 5's driver run
+  * showed 8–27× contention artifacts (q60: 65 s driver vs 2.4 s isolated,
+  * same build). Medians over ≥3 reps make round-over-round comparison
   * meaningful; see BASELINE.md "How to compare rounds".
+  *
+  * SURVIVABILITY (round 7): the round-6 driver artifact was rc=124 /
+  * parsed=null — the 3-rep suite outran the driver's time budget and the
+  * old Bench emitted its JSON only at the end, so the kill erased every
+  * measurement. Three defenses, so a kill can never again lose the round:
+  *
+  *   - The cumulative headline JSON line is RE-PRINTED after every
+  *     query, and kept COMPACT (short `qNN` keys, centisecond medians —
+  *     under ~1.8 KB for 115 queries) because the driver parses only the
+  *     last 2000 chars of output: rounds 3–6 all got parsed=null even at
+  *     rc=0 purely because the full-name JSON line outgrew that window.
+  *   - Full detail (full query names, medians, raw rep arrays, flaky
+  *     list) is flushed to `SPARK_GRAFT_BENCH_OUT` (default
+  *     `BENCH_local_latest.json`) after every query via
+  *     write-to-temp + atomic rename — always a complete JSON document.
+  *   - `SPARK_GRAFT_TIME_BUDGET` (seconds, default 1500) bounds the run:
+  *     a rep pass only starts if the previous pass's duration (×1.1)
+  *     still fits, and a pass in progress stops starting new queries
+  *     once the budget is spent — degrading rep count, never losing
+  *     completed measurements. `truncated:true` marks a budget-limited
+  *     run; `skipped` lists queries with no completed rep.
+  *
+  * Flaky visibility (round-6 advice): a query that failed SOME reps but
+  * has a successful median is listed under `flaky` — previously such
+  * queries looked healthy unless someone read the raw rep arrays.
   */
 object Bench {
 
@@ -27,10 +54,21 @@ object Bench {
     else (ok(ok.size / 2 - 1) + ok(ok.size / 2)) / 2
   }
 
+  /** "q104_triangle_count" → "q104": the compact-headline key (unique by
+    * construction — registered names are qNN_description). */
+  private def shortKey(name: String): String = name.takeWhile(_ != '_')
+
+  private def round2(v: Double): Double = math.rint(v * 100) / 100
+
+  private def jsonArr(names: Seq[String]): String =
+    names.map("\"" + _ + "\"").mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "1500").toDouble
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local_latest.json")
     // optional comma-separated name filter for isolated perf work, e.g.
     // SPARK_GRAFT_ONLY=q104_triangle_count,q28_ann_ivf_topk
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -44,48 +82,111 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the headline JSON must land inside the driver's
+    // 2000-char output tail, so routine WARN chatter after the last
+    // print is budget spent against the parse window
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
 
     // JVM/codegen warmup on the smallest SF so per-query numbers measure
     // the plan, not JIT compilation of Spark itself.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // insertion-ordered: name -> completed rep timings (-1 = failed rep)
+    val recorded = mutable.LinkedHashMap[String, mutable.ArrayBuffer[Double]]()
+    suite.foreach(q => recorded(q.name) = mutable.ArrayBuffer.empty[Double])
+    var truncated = false
+
+    def emit(finalLine: Boolean): Unit = {
+      val meds = suite.map(q => q.name -> median(recorded(q.name).toSeq))
+      val done = meds.filter(_._2 >= 0)
+      val failed = meds.collect {
+        case (n, m) if m < 0 && recorded(n).nonEmpty => n
+      }
+      val flaky = meds.collect {
+        case (n, m) if m >= 0 && recorded(n).exists(_ < 0) => n
+      }
+      val skipped = suite.map(_.name).filter(recorded(_).isEmpty)
+      val total = round2(done.map(_._2).sum)
+      val nReps = recorded.valuesIterator.map(_.size).foldLeft(0)(_ max _)
+      // compact headline: short keys + 2-decimal medians keep 115
+      // queries under ~1.8 KB — inside the driver's 2000-char tail
+      val qsShort = done.map { case (n, m) => "\"" + shortKey(n) + "\":" + round2(m) }
+        .mkString("{", ",", "}")
+      val head = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir","n_reps":$nReps,"n_done":${done.size},"n_total":${suite.size},"failed":${jsonArr(failed.map(shortKey))},"flaky":${jsonArr(flaky.map(shortKey))},"truncated":$truncated,"detail":"$outPath"}"""
+      // full detail, atomically replaced after every query: full names,
+      // medians, raw rep arrays — a mid-run kill leaves the last
+      // complete snapshot, never a torn file
+      val qsFull = done.map { case (n, m) => "\"" + n + "\":" + m }
+        .mkString("{", ",", "}")
+      val repArr = recorded.collect { case (n, xs) if xs.nonEmpty =>
+        "\"" + n + "\":" + xs.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps":$repArr,"n_reps":$nReps,"failed":${jsonArr(failed)},"flaky":${jsonArr(flaky)},"skipped":${jsonArr(skipped)},"truncated":$truncated,"elapsed_sec":${round2(elapsed)},"sf":"$sfDir"}"""
+      try {
+        val out = java.nio.file.Paths.get(outPath)
+        val tmp = java.nio.file.Paths.get(outPath + ".tmp")
+        java.nio.file.Files.write(tmp,
+          (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try java.nio.file.Files.move(tmp, out,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, out,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] detail flush failed: ${e.getMessage}")
+      }
+      println(head)
+      System.out.flush()
+      if (finalLine) System.err.println(s"[bench] done: $total s over ${done.size} queries, ${round2(elapsed)} s wall")
+    }
+
     // rep-major order (full suite, then repeat) rather than query-major:
     // back-to-back reps of the same query would share still-warm OS page
     // cache and JIT state unrepresentatively, and a transient contention
     // spike on the box would poison all reps of one query instead of one
     // rep of many.
-    val timings = Array.fill(reps)(Map.empty[String, Double])
-    for (r <- 0 until reps) {
-      timings(r) = suite.map { q =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} rep $r failed: ${e.getMessage}")
-            false
+    var lastPass = 0.0
+    var r = 0
+    while (r < reps && !truncated) {
+      if (r > 0 && elapsed + lastPass * 1.1 > budget) {
+        truncated = true
+        System.err.println(f"[bench] budget: stopping after $r rep pass(es) (elapsed $elapsed%.0f s + projected $lastPass%.0f s > $budget%.0f s)")
+      } else {
+        val passStart = elapsed
+        for (q <- suite if !truncated) {
+          if (elapsed > budget) {
+            truncated = true
+            System.err.println(f"[bench] budget: spent at ${q.name} in rep pass $r (elapsed $elapsed%.0f s)")
+          } else {
+            val qt0 = System.nanoTime()
+            val ok =
+              try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] ${q.name} rep $r failed: ${e.getMessage}")
+                false
+              }
+            // queries are independent: drop any cache a query built (e.g. a
+            // persisted ledger) so storage memory can't squeeze execution
+            // memory for the remaining queries and timings stay isolated
+            spark.catalog.clearCache()
+            // failed queries record the sentinel -1, never a healthy-looking
+            // near-zero elapsed time
+            recorded(q.name) += (if (ok) (System.nanoTime() - qt0) / 1e9 else -1.0)
+            emit(finalLine = false)
           }
-        // queries are independent: drop any cache a query built (e.g. a
-        // persisted ledger) so storage memory can't squeeze execution
-        // memory for the remaining queries and timings stay isolated
-        spark.catalog.clearCache()
-        // failed queries record the sentinel -1, never a healthy-looking
-        // near-zero elapsed time
-        q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }.toMap
+        }
+        lastPass = elapsed - passStart
+      }
+      r += 1
     }
 
-    val names = suite.map(_.name)
-    val medians = names.map(n => n -> median(timings.map(_(n)).toSeq))
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val repArr = names.map { n =>
-      "\"" + n + "\":" + timings.map(_(n)).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val failed = medians.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = medians.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repArr,"n_reps":$reps,"failed":$failed,"sf":"$sfDir"}""")
+    emit(finalLine = true)
     spark.stop()
   }
 }
