@@ -627,12 +627,12 @@ object Analytics {
     * whose id-ordered wedge count is C(deg, 2) has every edge pointing
     * INTO it here, so its adjacency list is empty.
     *
-    * NOTE on caching: the canonical edge list is `persist()`-ed and the
-    * handle is NOT released here — unpersisting before the lazy result
-    * runs would evict it. Callers own the cache lifecycle (Bench/Verify
-    * clear per-query caches; a long-lived application should call
-    * `spark.catalog.clearCache()` or track the returned plan's
-    * completion).
+    * NOTE on caching: BOTH the canonical edge list AND the out-adjacency
+    * table are `persist()`-ed and neither handle is released here —
+    * unpersisting before the lazy result runs would evict them. Callers
+    * own both cache lifecycles (Bench/Verify clear per-query caches; a
+    * long-lived application should call `spark.catalog.clearCache()` or
+    * track the returned plan's completion).
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     GraftFunctions.register(edges.sparkSession)
@@ -747,7 +747,13 @@ object Analytics {
     * rows; never a per-key sorted state machine. `orderCol` must be
     * unique within each key group (pre-aggregate first), or row_number
     * ties make results partition-dependent. `window` ≤ 30 keeps every
-    * weight in DECIMAL(10,0).
+    * weight in DECIMAL(10,0). `valueCol` must be INTEGER-VALUED
+    * (integral or scale-0 decimal, enforced) — the exact-until-one-
+    * division contract works in whole units; quantize fractional inputs
+    * first (cents, the q109 pattern). The row-numbered base is
+    * `persist()`-ed (it feeds the weighted-contrib explode AND the final
+    * join back) — callers own the cache lifecycle, same contract as
+    * triangleCount.
     *
     * Output: keyCols + orderCol + `valueCol` + `n_window` + `ewma`.
     */
@@ -755,6 +761,19 @@ object Analytics {
       valueCol: String, window: Int): DataFrame = {
     require(window >= 1 && window <= 30,
       s"ewmaHalving: need 1 <= window <= 30, got $window")
+    val vt = df.schema(valueCol).dataType
+    val integral = vt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(integral,
+      s"ewmaHalving: valueCol '$valueCol' must be integer-valued (got $vt) — " +
+        "the decimal(18,0) weighting would silently round fractional inputs; " +
+        "quantize first (e.g. cents)")
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col(orderCol))
     // persisted: the row-numbered base feeds both the weighted-contrib

@@ -197,9 +197,12 @@ object StreamingOps {
     * is coming, so the online contract is first-`cap`-admitted, with
     * arrival order made deterministic WITHIN a micro-batch by sorting
     * on (`orderCol`, payload); across batches order is the stream
-    * order, which is the point of the online form. State is one Long
-    * per domain, never timed out — quotas are permanent for the run
-    * (bounded by |domains|, the same unbounded-key contract as
+    * order, which is the point of the online form. Numeric, date, and
+    * timestamp `orderCol`s sort in their NATIVE order (doc_id 2 before
+    * 10 — a round-6 advice fix: the old string cast sorted "10" < "2");
+    * other types sort lexicographically on their string form. State is
+    * one Long per domain, never timed out — quotas are permanent for
+    * the run (bounded by |domains|, the same unbounded-key contract as
     * [[dedupExact]]).
     */
   def domainQuotaStream(docs: DataFrame, domainCol: String, orderCol: String,
@@ -207,18 +210,30 @@ object StreamingOps {
     require(cap > 0, s"domainQuotaStream: cap must be positive, got $cap")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.selectExpr(s"CAST($domainCol AS STRING) AS domain",
-        s"CAST($orderCol AS STRING) AS ord", "to_json(struct(*)) AS payload")
-      .as[(String, String, String)]
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    // native order key for orderable types; constant for the rest (their
+    // string form breaks the tie lexicographically)
+    val ordNum = docs.schema(orderCol).dataType match {
+      case _: NumericType => col(orderCol).cast("double")
+      case _: TimestampType | _: DateType =>
+        col(orderCol).cast("timestamp").cast("double")
+      case _ => lit(0.0)
+    }
+    docs.select(col(domainCol).cast("string").as("domain"),
+        coalesce(ordNum, lit(Double.NegativeInfinity)).as("ordn"),
+        coalesce(col(orderCol).cast("string"), lit("")).as("ords"),
+        to_json(struct(col("*"))).as("payload"))
+      .as[(String, Double, String, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, QuotaRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (domain: String, rows: Iterator[(String, String, String)],
+        (domain: String, rows: Iterator[(String, Double, String, String)],
             state: GroupState[Long]) =>
           var admitted = state.getOption.getOrElse(0L)
           val out = Vector.newBuilder[QuotaRow]
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, payload) =>
-            if (admitted < cap) { out += QuotaRow(domain, payload); admitted += 1 }
+          rows.toSeq.sortBy(r => (r._2, r._3, r._4)).foreach {
+            case (_, _, _, payload) =>
+              if (admitted < cap) { out += QuotaRow(domain, payload); admitted += 1 }
           }
           state.update(admitted)
           out.result().iterator

@@ -53,6 +53,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming domain quota sorts numeric order columns natively, not lexicographically") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val docs = mem.toDF().toDF("source", "doc_id")
+    val admitted = StreamingOps.domainQuotaStream(docs, "source", "doc_id", cap = 2)
+    val q = admitted.writeStream.format("memory").queryName("quota_num_out")
+      .outputMode("append").start()
+    try {
+      // lexicographic order would admit "10" and "100" before "2"
+      mem.addData(("a", 100L), ("a", 2L), ("a", 10L), ("a", 9L))
+      q.processAllAvailable()
+      val out = spark.table("quota_num_out")
+        .select(get_json_object(col("payload"), "$.doc_id").cast("long"))
+        .as[Long].collect().toSet
+      assert(out == Set(2L, 9L))
+    } finally q.stop()
+  }
+
   test("tumbling window counts aggregate by hour + type") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
