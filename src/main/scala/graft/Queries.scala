@@ -3765,6 +3765,82 @@ object Queries {
       |ORDER BY row_id
       |""".stripMargin.trim))
 
+  /** Fixed probe centroids for q115 (quantized-int units, dim 64):
+    * deterministic literals — zero, uniform ±, and alternating-sign
+    * patterns give well-spread dot products against the synthetic
+    * embeddings without depending on any fitted state. */
+  private val q115Centroids: Array[Seq[Double]] = Array(
+    Seq.fill(64)(0.0),
+    Seq.fill(64)(100.0),
+    Seq.fill(64)(-100.0),
+    Seq.tabulate(64)(d => if (d % 2 == 0) 100.0 else -100.0))
+
+  /** IVF probe against PRE-SUPPLIED centroids (`VectorOps.assignCells` +
+    * the fixed-centroid `ivfTopK`): the serve-time ANN path — assign
+    * each corpus vector its nearest cell by exact argmin, probe each
+    * query's nProbe best cells by centroid dot product, scan only those
+    * cells. q28 keeps the FITTED path honest (recall + job-count gates,
+    * rows-only — k-means state isn't SQL); this registers the probe
+    * machinery itself as a hard oracle row: the DuckDB oracle replays
+    * assignment, probe ranking, and cell-pruned scoring from the same
+    * centroid literals (the q105→q106 exact-twin move applied to ANN).
+    */
+  val q115: Q = Q(
+    "q115_ivf_fixed_probe",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cells = VectorOps.assignCells(emb, "vec_id", "embedding", q115Centroids)
+      VectorOps.ivfTopK(emb.filter(col("vec_id") < 5), emb.join(cells, "vec_id"),
+          "vec_id", "embedding", "cell", q115Centroids, k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
+    },
+    Some {
+      val cellRows = q115Centroids.zipWithIndex.map { case (ct, i) =>
+        s"($i, [${ct.map(_.toLong).mkString(",")}])"
+      }.mkString(",\n      |    ")
+      s"""
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings),
+      |cells(cell, cent) AS (VALUES
+      |    $cellRows),
+      |dist AS (
+      |  SELECT e.vec_id, e.v, c.cell,
+      |    list_sum(list_transform(c.cent, x -> CAST(x AS DOUBLE) * x))
+      |      - 2 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cent[i])) AS d
+      |  FROM e CROSS JOIN cells c),
+      |assigned AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT vec_id, v, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |probe AS (
+      |  SELECT qid, qv, cell FROM (
+      |    SELECT q.qid, q.qv, c.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+      |        list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cent[i])) DESC,
+      |        c.cell) AS pr
+      |    FROM q CROSS JOIN cells c)
+      |  WHERE pr <= 2),
+      |scored AS (
+      |  SELECT p.qid, a.vec_id AS cid,
+      |    list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.v[i])) AS dp,
+      |    list_sum(list_transform(p.qv, x -> x * x)) AS nq,
+      |    list_sum(list_transform(a.v, x -> x * x)) AS nc
+      |  FROM probe p JOIN assigned a ON p.cell = a.cell AND p.qid <> a.vec_id),
+      |cs AS (
+      |  SELECT qid AS query_id, cid AS neighbor_id,
+      |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dp / (sqrt(nq) * sqrt(nc)) END AS cosine_sim
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cosine_sim FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine_sim DESC, neighbor_id) AS rn FROM cs)
+      |WHERE rn <= 10 ORDER BY query_id, cosine_sim DESC, neighbor_id
+      |""".stripMargin.trim
+    })
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -3777,5 +3853,5 @@ object Queries {
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114)
+    q109, q110, q111, q112, q113, q114, q115)
 }

@@ -136,16 +136,7 @@ object VectorOps {
     // source is independent of k AND of the centroid values — one compile
     // serves every Lloyd iteration; the unrolled per-centroid form
     // recompiled a k×dim-literal kernel each iteration)
-    def assign(df: DataFrame): Column = {
-      val cents = typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq)
-      val norms = typedlit(centroids.map(ct => ct.map(x => x * x).sum).toIndexedSeq)
-      array_min(transform(sequence(lit(0), lit(centroids.length - 1)),
-        i => struct(
-          (element_at(norms, i + 1)
-            - lit(2.0) * nativeDot(col("__v"), element_at(cents, i + 1))).as("d"),
-          i.as("cell"))))
-        .getField("cell")
-    }
+    def assign(df: DataFrame): Column = argminCell(col("__v"), centroids)
     (1 to iters).foreach { _ =>
       val assigned = c.withColumn("__cell", assign(c))
       val dim = centroids.head.length
@@ -167,6 +158,38 @@ object VectorOps {
     // the caller's action instead of a cache entry that outlives the call
     c.unpersist(blocking = false)
     (c.select(col("__id").as(idCol), assign(c).as("cell")), centroids)
+  }
+
+  /** Nearest-cell argmin over a QUANTIZED vector column and array-literal
+    * centroids (quantized-int units): compares `|c|² − 2·v·c` (monotone
+    * in true distance) in exact arithmetic, ties to the lower cell id —
+    * one codegen'd expression whose generated source is independent of k
+    * and of the centroid values. */
+  private def argminCell(v: Column, centroids: Array[Seq[Double]]): Column = {
+    val cents = typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+    val norms = typedlit(centroids.map(ct => ct.map(x => x * x).sum).toIndexedSeq)
+    array_min(transform(sequence(lit(0), lit(centroids.length - 1)),
+      i => struct(
+        (element_at(norms, i + 1)
+          - lit(2.0) * nativeDot(v, element_at(cents, i + 1))).as("d"),
+        i.as("cell"))))
+      .getField("cell")
+  }
+
+  /** Cell assignment against a FIXED centroid table (quantized-int
+    * units, index = cell id): the serve-time half of `kmeansFit` —
+    * ingest assigns each new vector its cell with the same exact argmin
+    * the fit used, no corpus aggregation, no driver state beyond the
+    * broadcast literals. Deterministic, so it is DuckDB-oracle-checkable
+    * (q115), which the fitted path (q28, rows-only) inherently is not.
+    * Output: (idCol, cell INT).
+    */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "assignCells: centroids must be non-empty")
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col(idCol),
+      argminCell(quantize(col(vecCol)), centroids).as("cell"))
   }
 
   /** IVF-style ANN top-k: corpus vectors live in coarse cells (here the
