@@ -240,6 +240,58 @@ object StreamingOps {
       }
   }
 
+  /** Streaming quantile profile — the ONLINE twin of the batch quantile
+    * profiles (`Analytics.equiDepthBins` boundaries / q93's
+    * approx_percentile): every micro-batch appends one profile row per
+    * key (batch id, requested percentiles, count) to `outPath`, giving
+    * the per-batch distribution time series a curation pipeline watches
+    * for drift (price quantiles shifting mid-ingest, document-length
+    * collapse after an upstream change).
+    *
+    * Scale shape: each batch runs ONE partial-aggregable groupBy — the
+    * GK sketch behind `approx_percentile` (O(accuracy) state per key,
+    * mergeable map-side) — and appends |keys| tiny rows; no raw history
+    * is ever retained, no keyed streaming state grows. With `accuracy`
+    * ≥ the batch row count the sketch degenerates to EXACT order
+    * statistics (rank error < 1 row — the q105→q106 exact-mode
+    * argument), which is what the spec gates against the batch operator.
+    *
+    * Output rows: (batch_id, keyCol, p<pct>… one column per requested
+    * percentile, n).
+    */
+  def approxQuantileStream(stream: DataFrame, keyCol: String, valueCol: String,
+      percentiles: Seq[Double], accuracy: Int, outPath: String) = {
+    require(percentiles.nonEmpty && percentiles.forall(p => p > 0 && p < 1),
+      s"approxQuantileStream: percentiles must be in (0,1), got $percentiles")
+    require(accuracy >= 1,
+      s"approxQuantileStream: accuracy must be >= 1, got $accuracy")
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        batchQuantileProfile(batch, keyCol, valueCol, percentiles, accuracy)
+          .withColumn("batch_id", lit(batchId))
+          .select(col("batch_id") +: col(keyCol) +:
+            percentiles.map(p => col(pctName(p))) :+ col("n"): _*)
+          .write.mode("append").parquet(outPath)
+    }
+  }
+
+  /** The per-batch aggregate `approxQuantileStream` runs, exposed so the
+    * batch and streaming forms are one plan by construction (the spec
+    * compares their outputs on identical rows). */
+  private[graft] def batchQuantileProfile(df: DataFrame, keyCol: String,
+      valueCol: String, percentiles: Seq[Double], accuracy: Int): DataFrame = {
+    val pArr = percentiles.mkString("array(", ", ", ")")
+    df.groupBy(col(keyCol))
+      .agg(expr(s"approx_percentile($valueCol, $pArr, $accuracy)").as("__qs"),
+        count(lit(1)).as("n"))
+      .select(col(keyCol) +:
+        percentiles.zipWithIndex.map { case (p, i) =>
+          element_at(col("__qs"), i + 1).as(pctName(p))
+        } :+ col("n"): _*)
+  }
+
+  private def pctName(p: Double): String = s"p${math.round(p * 100)}"
+
   /** Session windows per user: built-in `session_window` with a gap —
     * the streaming twin of the batch sessionize query.
     */

@@ -71,6 +71,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile profile matches the batch operator per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-qprofile").toString
+    val mem = MemoryStream[(String, Long)]
+    val docs = mem.toDF().toDF("flag", "cents")
+    // accuracy >> batch size → the GK sketch is exact order statistics,
+    // so stream-vs-batch equality is deterministic, not luck
+    val q = StreamingOps.approxQuantileStream(docs, "flag", "cents",
+      Seq(0.5, 0.9), accuracy = 10000, outPath = s"$dir/out").start()
+    val b1 = (1L to 100L).map(("a", _)) ++ (1L to 10L).map(("b", _))
+    val b2 = (101L to 200L).map(("a", _))
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out")
+        .select("batch_id", "flag", "p50", "p90", "n")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      // batch operator on the same rows = the profile each batch appended
+      val want = Seq(0L -> b1, 1L -> b2).flatMap { case (bid, rows) =>
+        StreamingOps.batchQuantileProfile(rows.toDF("flag", "cents"),
+            "flag", "cents", Seq(0.5, 0.9), 10000)
+          .select("flag", "p50", "p90", "n")
+          .as[(String, Long, Long, Long)].collect()
+          .map { case (f, p50, p90, n) => (bid, f, p50, p90, n) }
+      }.toSet
+      assert(got == want)
+      // and the exact-order-statistic bounds hold per batch
+      val byKey = got.map(r => (r._1, r._2) -> r).toMap
+      assert(byKey((0L, "a"))._3 == 50L && byKey((0L, "a"))._4 == 90L)
+      assert(byKey((1L, "a"))._3 == 150L && byKey((1L, "a"))._4 == 190L)
+    } finally q.stop()
+  }
+
   test("tumbling window counts aggregate by hour + type") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
