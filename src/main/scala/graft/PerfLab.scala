@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Scratch timing harness for query-shape experiments:
   * `runMain graft.PerfLab <sfDir> <name> [reps]` times registered queries
@@ -91,6 +91,83 @@ object PerfLab {
             .write.format("noop").mode("overwrite").save()
           println(f"[perf] pr_iters$it ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
+      case "setops" =>
+        // q36-shaped macro workload: the idiomatic built-in
+        // size(array_intersect) vs the registered q36's pre-sorted native
+        // call. The rule (post round-7 narrowing) fires on NEITHER: the
+        // built-in's inputs are bare attributes, and inserting per-row
+        // sorts is the measured pessimization the narrowing removed.
+        import graft.operators.TextOps
+        import graft.sources.Ingest
+        import org.apache.spark.sql.functions._
+        graft.functions.GraftFunctions.register(spark)
+        def pairs(theta: Double): DataFrame = {
+          val g = Ingest.table(spark, sfDir, "documents").select(
+            col("doc_id"), col("lang"),
+            floor(length(col("text")) / 100).cast("long").as("lb"),
+            sort_array(array_distinct(TextOps.shingleHashes(
+              TextOps.charNgrams(col("text"), 3)))).as("hv"))
+          val a = g.select(col("lang"), col("lb"), col("doc_id").as("id1"),
+            col("hv").as("hv1"), size(col("hv")).as("n1"))
+          val b = g.select(col("lang"), col("lb"), col("doc_id").as("id2"),
+            col("hv").as("hv2"), size(col("hv")).as("n2"))
+          a.join(broadcast(b), Seq("lang", "lb"))
+            .filter(col("id1") < col("id2") &&
+              least(col("n1"), col("n2")).cast("double") >=
+                greatest(col("n1"), col("n2")) * theta)
+            .withColumn("n_inter", size(array_intersect(col("hv1"), col("hv2"))))
+            .withColumn("jaccard",
+              col("n_inter").cast("double") /
+                (col("n1") + col("n2") - col("n_inter")).cast("double"))
+            .filter(col("jaccard") >= theta)
+            .select(col("id1"), col("id2"), col("jaccard"))
+        }
+        def pairsPresorted(theta: Double): DataFrame =
+          graft.Queries.ngramJaccardPairsNoCache(spark, sfDir, theta)
+        // theta=0.7: production q36 shape (size-ratio prefilter prunes most
+        // pairs). theta=0.1: prefilter passes nearly every same-block pair.
+        for (theta <- Seq(0.7, 0.1)) {
+          time(s"setops_builtin_t$theta", reps)(pairs(theta))
+          time(s"setops_presorted_native_t$theta", reps)(pairsPresorted(theta))
+        }
+      case "setopsmicro" =>
+        // expression-level isolation: per-row intersect cost over CACHED
+        // pre-built sorted arrays (no tokenize, no join) — 100k rows ×
+        // two 8192-element sorted distinct sets each (~13 GB cached)
+        import graft.functions.{GraftFunctions, NativeSetOpsRule}
+        import org.apache.spark.sql.functions._
+        GraftFunctions.register(spark)
+        def set(seed: Column): Column =
+          sort_array(array_compact(array_distinct(transform(
+            sequence(lit(0), lit(8191)),
+            i => pmod(xxhash64(seed * 16384 + i), lit(1000000L))))))
+        val base = spark.range(0, 100000)
+          .select(set(col("id")).as("a"), set(col("id") + 13).as("b"))
+          .persist()
+        base.write.format("noop").mode("overwrite").save() // materialize cache
+        def sd(c: Column) = sort_array(array_distinct(c))
+        // the rule's target pattern: sorts visible in the expression.
+        // rule ON → fused merge (sorts kept, hash build deleted);
+        // rule OFF → same sorts + the built-in hash intersect.
+        val target = base.select(
+          size(array_intersect(sd(col("a")), sd(col("b")))).as("n")).agg(sum("n"))
+        println("[perf] rule fires on target pattern: " +
+          target.queryExecution.optimizedPlan.toString
+            .contains("graft_sorted_intersect_size"))
+        time("micro_target_rule_on", reps)(
+          base.select(size(array_intersect(sd(col("a")), sd(col("b")))).as("n")).agg(sum("n")))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == NativeSetOpsRule)
+        time("micro_target_rule_off", reps)(
+          base.select(size(array_intersect(sd(col("a")), sd(col("b")))).as("n")).agg(sum("n")))
+        // reference points: the bare built-in (never rewritten) and the
+        // ideal — native merge over the already-sorted cached arrays
+        time("micro_builtin_hash", reps)(
+          base.select(size(array_intersect(col("a"), col("b"))).as("n")).agg(sum("n")))
+        time("micro_native_presorted", reps)(
+          base.select(call_function(GraftFunctions.SortedIntersectName,
+            col("a"), col("b")).as("n")).agg(sum("n")))
+        base.unpersist()
       case n =>
         Queries.all.find(_.name == n).foreach(q => time(n, reps)(q.fn(spark, sfDir)))
     }

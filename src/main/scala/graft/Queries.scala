@@ -881,14 +881,25 @@ object Queries {
     * Bench/Verify clear per-query caches, and q61 additionally runs
     * through connectedComponents' self-contained-result contract.
     */
-  private def ngramJaccardPairs(s: SparkSession, dir: String, theta: Double): DataFrame = {
+  private def ngramJaccardPairs(s: SparkSession, dir: String, theta: Double): DataFrame =
+    ngramJaccardPairsImpl(s, dir, theta, cache = true)
+
+  /** PerfLab face: the same plan without the persist, so rule-on /
+    * rule-off / presorted-native comparisons all rebuild the shingle
+    * projection per rep on equal footing. */
+  private[graft] def ngramJaccardPairsNoCache(s: SparkSession, dir: String,
+      theta: Double): DataFrame =
+    ngramJaccardPairsImpl(s, dir, theta, cache = false)
+
+  private def ngramJaccardPairsImpl(s: SparkSession, dir: String, theta: Double,
+      cache: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // both join sides derive from g: persist tokenizes+hashes once
-    val g = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+    val g0 = t(s, dir, "documents").select(col("doc_id"), col("lang"),
       floor(length(col("text")) / 100).cast("long").as("lb"),
       sort_array(array_distinct(TextOps.shingleHashes(
         TextOps.charNgrams(col("text"), 3)))).as("hv"))
-      .persist()
+    val g = if (cache) g0.persist() else g0
     val a = g.select(col("lang"), col("lb"), col("doc_id").as("id1"),
       col("hv").as("hv1"), size(col("hv")).as("n1"))
     val b = g.select(col("lang"), col("lb"), col("doc_id").as("id2"),

@@ -6,24 +6,35 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, LongType}
 
-/** Optimizer rule: rewrite `size(array_intersect(a, b))` over null-free
-  * ARRAY<BIGINT> columns into the native two-pointer merge
-  * `graft_sorted_intersect_size(sort_array(array_distinct(a)), ...)`.
-  *
-  * `array_intersect` materializes the common-element ARRAY through a
-  * per-row hash set only for `size` to immediately discard it; the
-  * rewrite keeps the count but replaces the per-row hash build with a
-  * sort + merge (measured ~10× on the q36 candidate-pair workload; the
-  * sorts collapse further when the optimizer can hoist them below a
-  * join). Semantics: `size(array_intersect(a,b))` counts DISTINCT
-  * common elements — exactly `|distinct(a) ∩ distinct(b)|`, which the
-  * sorted merge computes. Guarded to null-free element types: with null
+/** Optimizer rule: rewrite
+  * `size(array_intersect(sort_array(array_distinct(a)),
+  * sort_array(array_distinct(b))))` over null-free ARRAY<BIGINT>
+  * columns into the native two-pointer merge
+  * `graft_sorted_intersect_size(sort_array(array_distinct(a)), ...)` —
+  * keeping the sorts, deleting the per-row hash build AND the
+  * intersect-array materialization that `size` immediately discards.
+  * Semantics: `size(array_intersect(...))` counts DISTINCT common
+  * elements — exactly `|distinct(a) ∩ distinct(b)|`, which the sorted
+  * merge computes. Guarded to null-free element types: with null
   * elements `array_intersect` has null-matching semantics the merge
   * does not reproduce.
   *
+  * WHY THE SYNTACTIC SORTED-DISTINCT GUARD (round 7, measured in
+  * SCALE.md): the round-2 form rewrote BARE `size(array_intersect(a,
+  * b))` by inserting the sorts itself — and the per-row
+  * sort_array(array_distinct(..)) costs MORE than the hash build it
+  * replaces (100k-row × 8192-element micro: rewritten 3.7 s vs 1.9 s
+  * built-in vs 0.55 s pre-sorted native). The merge only wins when the
+  * sort is already paid — either visible in the expression (this
+  * pattern) or amortized per-document before a join, which a scalar
+  * rewrite cannot see and which the engine's own q36 therefore does by
+  * calling `graft_sorted_intersect_size` directly on its pre-sorted
+  * shingle arrays. Firing only on the visible-sort pattern makes the
+  * rewrite a strict win every time it applies.
+  *
   * Injected by [[GraftExtensions]] (`injectOptimizerRule`) — the
   * SURVEY.md §4 "candidate custom piece": users write the idiomatic
-  * built-in; the engine swaps in the fused form.
+  * built-ins; the engine deletes the redundant hash intersect.
   */
 object NativeSetOpsRule extends Rule[LogicalPlan] {
 
@@ -35,10 +46,11 @@ object NativeSetOpsRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Size(ArrayIntersect(a, b), legacySizeOfNull) if eligible(a) && eligible(b) =>
-        val fused = SortedArrayIntersectSize(
-          SortArray(ArrayDistinct(a), Literal(true)),
-          SortArray(ArrayDistinct(b), Literal(true)))
+      case Size(ArrayIntersect(
+            sa @ SortArray(ArrayDistinct(a), Literal(true, _)),
+            sb @ SortArray(ArrayDistinct(b), Literal(true, _))),
+          legacySizeOfNull) if eligible(a) && eligible(b) =>
+        val fused = SortedArrayIntersectSize(sa, sb)
         // legacySizeOfNull=true maps size(null)→-1; the fused expression
         // is null-preserving, so wrap only under legacy semantics
         if (legacySizeOfNull) {

@@ -62,8 +62,13 @@ object TextOps {
 
   /** Per-shingle base hashes (int64 in [0, p)). */
   def shingleHashes(shingles: Column): Column =
-    transform(shingles, s =>
-      pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinhashP)))
+    // array_compact is a no-op on the values (shingles are never null)
+    // but narrows the lambda's false-positive nullable element type to
+    // ARRAY<BIGINT> containsNull=false — keeping downstream
+    // size(array_intersect(...)) eligible for NativeSetOpsRule's fused
+    // sorted-merge rewrite (the rule is guarded to null-free elements)
+    array_compact(transform(shingles, s =>
+      pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinhashP))))
 
   /** MinHash signature: array of n mins over the affine family. */
   def minhashSignature(hashes: Column, n: Int): Column =

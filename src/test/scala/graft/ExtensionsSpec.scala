@@ -38,18 +38,28 @@ class ExtensionsSpec extends AnyFunSuite {
         .head().getInt(0)
       assert(n == 2)
 
-      // optimizer rule: size(array_intersect) over null-free ARRAY<BIGINT>
-      // is rewritten to the native sorted merge — and stays value-correct.
+      // optimizer rule: size(array_intersect(sort_array(array_distinct(..)),
+      // ..)) over null-free ARRAY<BIGINT> is rewritten to the native sorted
+      // merge — and stays value-correct. The sort must be VISIBLE in the
+      // expression (round 7: rewriting the bare built-in inserted per-row
+      // sorts costlier than the hash build they replaced — SCALE.md).
       // range()-derived arrays: a literal LocalRelation would be constant-
       // folded before the plan assertion could observe the rewrite.
-      import org.apache.spark.sql.functions.{array, array_intersect, col, lit, size}
+      import org.apache.spark.sql.functions.{array, array_distinct, array_intersect, col, lit, size, sort_array}
       import s.implicits._
+      def sd(c: org.apache.spark.sql.Column) = sort_array(array_distinct(c))
       val df = s.range(1, 3).select(
           array(col("id"), col("id") + 1, lit(9L)).as("a"),
           array(col("id") + 1, lit(9L)).as("b"))
-        .select(size(array_intersect(col("a"), col("b"))).as("n"))
+        .select(size(array_intersect(sd(col("a")), sd(col("b")))).as("n"))
       assert(df.queryExecution.optimizedPlan.toString.contains("graft_sorted_intersect_size"))
       assert(df.as[Int].collect().toSeq == Seq(2, 2))
+      // the bare built-in is deliberately NOT rewritten (the rule would
+      // have to insert per-row sorts, a measured pessimization)
+      val bare = s.range(1, 3).select(
+          array(col("id"), lit(9L)).as("a"), array(lit(9L)).as("b"))
+        .select(size(array_intersect(col("a"), col("b"))).as("n"))
+      assert(!bare.queryExecution.optimizedPlan.toString.contains("graft_sorted_intersect_size"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
