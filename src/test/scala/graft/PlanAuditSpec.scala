@@ -35,6 +35,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no registered query shuffle-joins against a global-aggregate (≤1-row) build side") {
+    // A no-grouping aggregate is ≤ 1 row by construction; if it feeds a
+    // join side (through narrow operators only — an explode could fan it
+    // out again), broadcasting is strictly better than shuffling the big
+    // side. VERDICT r6 task 5's third structural check.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec}
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val narrow = Set("ProjectExec", "FilterExec", "SortExec",
+      "ShuffleExchangeExec", "CoalesceExec", "InputAdapter")
+    def tinyAggSide(p: SparkPlan): Boolean = p match {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _ if p.children.size == 1 && narrow(p.getClass.getSimpleName) =>
+        tinyAggSide(p.children.head)
+      case _ => false
+    }
+    Queries.all.foreach { q =>
+      val plan = q.fn(spark, sfDir).queryExecution.sparkPlan
+      val bad = plan.collect {
+        case j: SortMergeJoinExec if tinyAggSide(j.left) || tinyAggSide(j.right) => j
+        case j: ShuffledHashJoinExec if tinyAggSide(j.left) || tinyAggSide(j.right) => j
+      }
+      assert(bad.isEmpty,
+        s"${q.name} shuffle-joins a ≤1-row global-aggregate side (broadcast it):\n$plan")
+    }
+  }
+
   test("star join broadcasts every dimension (q84)") {
     val plan = Queries.all.find(_.name == "q84_star_revenue").get
       .fn(spark, sfDir).queryExecution.sparkPlan.toString
