@@ -93,10 +93,10 @@ object PerfLab {
         }
       case "setops" =>
         // q36-shaped macro workload: the idiomatic built-in
-        // size(array_intersect) vs the registered q36's pre-sorted native
-        // call. The rule (post round-7 narrowing) fires on NEITHER: the
-        // built-in's inputs are bare attributes, and inserting per-row
-        // sorts is the measured pessimization the narrowing removed.
+        // size(array_intersect) — with the rule ON it fuses to the
+        // hash-count (bare pattern), OFF it is the true built-in — vs
+        // the registered q36's pre-sorted native call.
+        import graft.functions.NativeSetOpsRule
         import graft.operators.TextOps
         import graft.sources.Ingest
         import org.apache.spark.sql.functions._
@@ -126,6 +126,11 @@ object PerfLab {
           graft.Queries.ngramJaccardPairsNoCache(spark, sfDir, theta)
         // theta=0.7: production q36 shape (size-ratio prefilter prunes most
         // pairs). theta=0.1: prefilter passes nearly every same-block pair.
+        for (theta <- Seq(0.7, 0.1)) {
+          time(s"setops_rule_fused_t$theta", reps)(pairs(theta))
+        }
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == NativeSetOpsRule)
         for (theta <- Seq(0.7, 0.1)) {
           time(s"setops_builtin_t$theta", reps)(pairs(theta))
           time(s"setops_presorted_native_t$theta", reps)(pairsPresorted(theta))
@@ -164,6 +169,11 @@ object PerfLab {
         // ideal — native merge over the already-sorted cached arrays
         time("micro_builtin_hash", reps)(
           base.select(size(array_intersect(col("a"), col("b"))).as("n")).agg(sum("n")))
+        // candidate bare-pattern replacement: fused hash-count (no
+        // intersect-array materialization, primitive open addressing)
+        time("micro_fused_hash_count", reps)(
+          base.select(call_function(GraftFunctions.IntersectSizeName,
+            col("a"), col("b")).as("n")).agg(sum("n")))
         time("micro_native_presorted", reps)(
           base.select(call_function(GraftFunctions.SortedIntersectName,
             col("a"), col("b")).as("n")).agg(sum("n")))

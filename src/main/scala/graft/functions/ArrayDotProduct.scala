@@ -77,6 +77,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 object GraftFunctions {
   val DotName = "graft_dot"
   val SortedIntersectName = "graft_sorted_intersect_size"
+  val IntersectSizeName = "graft_intersect_size"
   val PackedDotName = "graft_packed_dot"
   val KmvName = "graft_kmv"
   val FreqName = "graft_freq"
@@ -108,6 +109,8 @@ object GraftFunctions {
     registerBinary(spark, DotName, classOf[ArrayDotProduct], ArrayDotProduct(_, _))
     registerBinary(spark, SortedIntersectName, classOf[SortedArrayIntersectSize],
       SortedArrayIntersectSize(_, _))
+    registerBinary(spark, IntersectSizeName, classOf[ArrayIntersectCountDistinct],
+      ArrayIntersectCountDistinct(_, _))
     registerBinary(spark, PackedDotName, classOf[PackedSparseDotProduct],
       PackedSparseDotProduct(_, _))
     registerBinary(spark, KmvName, classOf[KmvDistinctSketch],

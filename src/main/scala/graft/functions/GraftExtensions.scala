@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[ArrayDotProduct], ArrayDotProduct(_, _)))
     ext.injectFunction(binary(GraftFunctions.SortedIntersectName,
       classOf[SortedArrayIntersectSize], SortedArrayIntersectSize(_, _)))
+    ext.injectFunction(binary(GraftFunctions.IntersectSizeName,
+      classOf[ArrayIntersectCountDistinct], ArrayIntersectCountDistinct(_, _)))
     ext.injectFunction(binary(GraftFunctions.PackedDotName,
       classOf[PackedSparseDotProduct], PackedSparseDotProduct(_, _)))
     ext.injectFunction(binary(GraftFunctions.KmvName,

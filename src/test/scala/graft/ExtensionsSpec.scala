@@ -38,11 +38,9 @@ class ExtensionsSpec extends AnyFunSuite {
         .head().getInt(0)
       assert(n == 2)
 
-      // optimizer rule: size(array_intersect(sort_array(array_distinct(..)),
-      // ..)) over null-free ARRAY<BIGINT> is rewritten to the native sorted
-      // merge — and stays value-correct. The sort must be VISIBLE in the
-      // expression (round 7: rewriting the bare built-in inserted per-row
-      // sorts costlier than the hash build they replaced — SCALE.md).
+      // optimizer rule, pattern 1: size(array_intersect(sort_array(
+      // array_distinct(..)), ..)) over null-free ARRAY<BIGINT> keeps the
+      // visible sorts and fuses the native two-pointer merge.
       // range()-derived arrays: a literal LocalRelation would be constant-
       // folded before the plan assertion could observe the rewrite.
       import org.apache.spark.sql.functions.{array, array_distinct, array_intersect, col, lit, size, sort_array}
@@ -54,12 +52,16 @@ class ExtensionsSpec extends AnyFunSuite {
         .select(size(array_intersect(sd(col("a")), sd(col("b")))).as("n"))
       assert(df.queryExecution.optimizedPlan.toString.contains("graft_sorted_intersect_size"))
       assert(df.as[Int].collect().toSeq == Seq(2, 2))
-      // the bare built-in is deliberately NOT rewritten (the rule would
-      // have to insert per-row sorts, a measured pessimization)
+      // pattern 2 (round 7): the BARE built-in fuses to the hash-count —
+      // full array_intersect semantics, no per-row sort insertion (the
+      // round-2 sort-inserting form was a measured pessimization)
       val bare = s.range(1, 3).select(
           array(col("id"), lit(9L)).as("a"), array(lit(9L)).as("b"))
         .select(size(array_intersect(col("a"), col("b"))).as("n"))
-      assert(!bare.queryExecution.optimizedPlan.toString.contains("graft_sorted_intersect_size"))
+      val barePlan = bare.queryExecution.optimizedPlan.toString
+      assert(barePlan.contains("graft_intersect_size")
+        && !barePlan.contains("graft_sorted_intersect_size"))
+      assert(bare.as[Int].collect().toSeq == Seq(1, 1))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -119,6 +119,32 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(empty.head().getInt(0) == 0)
   }
 
+  test("graft_intersect_size: array_intersect semantics on unsorted arrays with duplicates and nulls") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    def mk(): Seq[Option[Long]] = Seq.fill(rnd.nextInt(60))(
+      if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(40).toLong))
+    val rows = Seq.fill(400)((mk(), mk()))
+    val got = rows.toDF("a", "b")
+      .select(call_function(GraftFunctions.IntersectSizeName,
+        col("a"), col("b")).as("n"))
+      .as[Int].collect().toSeq
+    // ground truth computed in Scala, independent of any Spark rewrite:
+    // distinct common elements, None (null) matching None once — the
+    // documented size(array_intersect) semantics
+    val want = rows.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    assert(got == want)
+    // null ARRAY input → null result (ANSI size-of-null contract)
+    val nullSide = Seq((null.asInstanceOf[Seq[Long]], Seq(1L, 2L)))
+      .toDF("a", "b")
+      .select(call_function(GraftFunctions.IntersectSizeName, col("a"), col("b")))
+    assert(nullSide.head().isNullAt(0))
+    // empty side
+    val empty = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(call_function(GraftFunctions.IntersectSizeName, col("a"), col("b")))
+    assert(empty.head().getInt(0) == 0)
+  }
+
   test("SQL surface: graft functions callable from spark.sql over temp views") {
     GraftFunctions.register(spark)
     // the engine's other entry point — a user writing ANSI SQL text
