@@ -60,8 +60,19 @@ object Bench {
 
   private def round2(v: Double): Double = math.rint(v * 100) / 100
 
+  /** JSON string literal with backslash/quote/control escaping — paths
+    * land in the artifact verbatim, and a quote or backslash in one
+    * (round-7 advice) must not produce an unparseable JSON line. */
+  private def jsonStr(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
+
   private def jsonArr(names: Seq[String]): String =
-    names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    names.map(jsonStr).mkString("[", ",", "]")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -116,7 +127,7 @@ object Bench {
       // queries under ~1.8 KB — inside the driver's 2000-char tail
       val qsShort = done.map { case (n, m) => "\"" + shortKey(n) + "\":" + round2(m) }
         .mkString("{", ",", "}")
-      val head = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfDir","n_reps":$nReps,"n_done":${done.size},"n_total":${suite.size},"failed":${jsonArr(failed.map(shortKey))},"flaky":${jsonArr(flaky.map(shortKey))},"truncated":$truncated,"detail":"$outPath"}"""
+      val head = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":${jsonStr(sfDir)},"n_reps":$nReps,"n_done":${done.size},"n_total":${suite.size},"failed":${jsonArr(failed.map(shortKey))},"flaky":${jsonArr(flaky.map(shortKey))},"truncated":$truncated,"detail":${jsonStr(outPath)}}"""
       // full detail, atomically replaced after every query: full names,
       // medians, raw rep arrays — a mid-run kill leaves the last
       // complete snapshot, never a torn file
@@ -125,7 +136,7 @@ object Bench {
       val repArr = recorded.collect { case (n, xs) if xs.nonEmpty =>
         "\"" + n + "\":" + xs.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
-      val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps":$repArr,"n_reps":$nReps,"failed":${jsonArr(failed)},"flaky":${jsonArr(flaky)},"skipped":${jsonArr(skipped)},"truncated":$truncated,"elapsed_sec":${round2(elapsed)},"sf":"$sfDir"}"""
+      val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"reps":$repArr,"n_reps":$nReps,"failed":${jsonArr(failed)},"flaky":${jsonArr(flaky)},"skipped":${jsonArr(skipped)},"truncated":$truncated,"elapsed_sec":${round2(elapsed)},"sf":${jsonStr(sfDir)}}"""
       try {
         val out = java.nio.file.Paths.get(outPath)
         val tmp = java.nio.file.Paths.get(outPath + ".tmp")

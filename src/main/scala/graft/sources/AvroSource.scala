@@ -41,6 +41,8 @@ import org.apache.spark.sql.types._
   * Type subset (documented contract, enforced loudly): string, int, long,
   * float, double, boolean, bytes, date (int/`date`), timestamp
   * (long/`timestamp-micros`), timestamp_ntz (long/`local-timestamp-micros`),
+  * decimal (bytes/`decimal` or fixed/`decimal` → `DecimalType(p,s)` —
+  * the payments-shaped silver amount, SURVEY.md §1.3's DECIMAL(18,2)),
   * arrays, string-keyed maps, nested records,
   * and nullability via `union(null, T)`. That covers the reference's
   * transaction envelope; anything else throws at schema conversion rather
@@ -78,7 +80,17 @@ object AvroSource {
     case Schema.Type.FLOAT   => (FloatType, false)
     case Schema.Type.DOUBLE  => (DoubleType, false)
     case Schema.Type.BOOLEAN => (BooleanType, false)
-    case Schema.Type.BYTES   => (BinaryType, false)
+    case Schema.Type.BYTES => s.getLogicalType match {
+      case dec: LogicalTypes.Decimal =>
+        (DecimalType(dec.getPrecision, dec.getScale), false)
+      case _ => (BinaryType, false)
+    }
+    case Schema.Type.FIXED => s.getLogicalType match {
+      case dec: LogicalTypes.Decimal =>
+        (DecimalType(dec.getPrecision, dec.getScale), false)
+      case _ => throw new IllegalArgumentException(
+        s"AvroSource: fixed without a decimal logical type is unsupported: $s")
+    }
     case Schema.Type.ARRAY =>
       val (et, en) = toCatalyst(s.getElementType)
       (ArrayType(et, containsNull = en), false)
@@ -112,6 +124,11 @@ object AvroSource {
     case DoubleType  => Schema.create(Schema.Type.DOUBLE)
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case d: DecimalType =>
+      // bytes + decimal(p,s): the variable-width form every Avro reader
+      // supports (fixed/decimal is accepted on read, never written)
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case DateType =>
       LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
     case TimestampType =>
@@ -141,6 +158,12 @@ object AvroSource {
       // the buffer is reader-owned and reused — copy out
       val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
     case (b: Array[Byte], BinaryType) => b.clone()
+    case (b: ByteBuffer, d: DecimalType) =>
+      // decimal(p,s) over bytes: two's-complement big-endian unscaled value
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out)
+      new java.math.BigDecimal(new java.math.BigInteger(out), d.scale)
+    case (f: org.apache.avro.generic.GenericFixed, d: DecimalType) =>
+      new java.math.BigDecimal(new java.math.BigInteger(f.bytes()), d.scale)
     case (i: java.lang.Integer, DateType) =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
     case (l: java.lang.Long, TimestampType) =>
@@ -174,6 +197,12 @@ object AvroSource {
       case (null, _) => null
       case (s: String, StringType) => s
       case (b: Array[Byte], BinaryType) => ByteBuffer.wrap(b)
+      case (x: java.math.BigDecimal, d: DecimalType) =>
+        // rescale exactly to the schema's scale (throws on precision loss
+        // rather than silently rounding), then emit the unscaled bytes
+        ByteBuffer.wrap(x.setScale(d.scale).unscaledValue().toByteArray)
+      case (x: scala.math.BigDecimal, d: DecimalType) =>
+        ByteBuffer.wrap(x.underlying.setScale(d.scale).unscaledValue().toByteArray)
       case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
       case (d: java.time.LocalDate, DateType) => d.toEpochDay.toInt
       case (t: java.sql.Timestamp, TimestampType) =>

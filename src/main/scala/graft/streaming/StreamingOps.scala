@@ -200,41 +200,68 @@ object StreamingOps {
     * order, which is the point of the online form. Numeric, date, and
     * timestamp `orderCol`s sort in their NATIVE order (doc_id 2 before
     * 10 — a round-6 advice fix: the old string cast sorted "10" < "2");
+    * integral and decimal types additionally carry an EXACT
+    * DECIMAL(38,·) key (round-7 advice fix: a double-only key collapses
+    * 64-bit ids above 2^53, e.g. snowflake ids, into equal doubles);
     * other types sort lexicographically on their string form. State is
     * one Long per domain, never timed out — quotas are permanent for
     * the run (bounded by |domains|, the same unbounded-key contract as
     * [[dedupExact]]).
+    *
+    * Per-group work is an in-memory sort of ONE domain's rows within
+    * ONE micro-batch (`rows.toSeq.sortBy`) — bounded by the hottest
+    * domain's per-batch volume, not the stream; a mega-domain in a huge
+    * micro-batch concentrates on a single task, so size micro-batches
+    * (maxFilesPerTrigger / maxOffsetsPerTrigger) accordingly. The cap
+    * admission needs only the first `cap` rows after the sort, so a
+    * bounded-heap top-cap is the refinement if that ever binds.
     */
   def domainQuotaStream(docs: DataFrame, domainCol: String, orderCol: String,
       cap: Int): Dataset[QuotaRow] = {
     require(cap > 0, s"domainQuotaStream: cap must be positive, got $cap")
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
-    // native order key for orderable types; constant for the rest (their
-    // string form breaks the tie lexicographically)
-    val ordNum = docs.schema(orderCol).dataType match {
+    import org.apache.spark.sql.types.{ByteType, DateType, DecimalType,
+      IntegerType, LongType, NumericType, ShortType, TimestampType}
+    val dt = docs.schema(orderCol).dataType
+    // coarse native key: IEEE round-to-nearest is monotone (a <= b implies
+    // (double)a <= (double)b), so the double orders everything except
+    // values inside one ulp of each other
+    val ordNum = dt match {
       case _: NumericType => col(orderCol).cast("double")
       case _: TimestampType | _: DateType =>
         col(orderCol).cast("timestamp").cast("double")
       case _ => lit(0.0)
     }
+    // exact tie-break for types a double cannot hold: integral ids above
+    // 2^53 and wide decimals ride along as a plain decimal string and are
+    // compared as BigDecimal in the sort (timestamps fit a double exactly
+    // until year ~2255 at microsecond precision; dates trivially)
+    val ordExact = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(orderCol).cast(DecimalType(38, 0)).cast("string")
+      case d: DecimalType => col(orderCol).cast(DecimalType(38, d.scale)).cast("string")
+      case _ => lit(null).cast("string")
+    }
     docs.select(col(domainCol).cast("string").as("domain"),
         coalesce(ordNum, lit(Double.NegativeInfinity)).as("ordn"),
+        coalesce(ordExact, lit("")).as("orde"),
         coalesce(col(orderCol).cast("string"), lit("")).as("ords"),
         to_json(struct(col("*"))).as("payload"))
-      .as[(String, Double, String, String)]
+      .as[(String, Double, String, String, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Long, QuotaRow](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (domain: String, rows: Iterator[(String, Double, String, String)],
+        (domain: String, rows: Iterator[(String, Double, String, String, String)],
             state: GroupState[Long]) =>
           var admitted = state.getOption.getOrElse(0L)
           val out = Vector.newBuilder[QuotaRow]
-          rows.toSeq.sortBy(r => (r._2, r._3, r._4)).foreach {
-            case (_, _, _, payload) =>
+          rows.toSeq
+            .sortBy(r => (r._2, if (r._3.isEmpty) None else Some(BigDecimal(r._3)),
+              r._4, r._5))
+            .foreach { case (_, _, _, _, payload) =>
               if (admitted < cap) { out += QuotaRow(domain, payload); admitted += 1 }
-          }
+            }
           state.update(admitted)
           out.result().iterator
       }
@@ -263,6 +290,8 @@ object StreamingOps {
       percentiles: Seq[Double], accuracy: Int, outPath: String) = {
     require(percentiles.nonEmpty && percentiles.forall(p => p > 0 && p < 1),
       s"approxQuantileStream: percentiles must be in (0,1), got $percentiles")
+    require(percentiles.distinct.size == percentiles.size,
+      s"approxQuantileStream: percentiles must be distinct, got $percentiles")
     require(accuracy >= 1,
       s"approxQuantileStream: accuracy must be >= 1, got $accuracy")
     stream.writeStream.outputMode("append").foreachBatch {
@@ -279,18 +308,29 @@ object StreamingOps {
     * batch and streaming forms are one plan by construction (the spec
     * compares their outputs on identical rows). */
   private[graft] def batchQuantileProfile(df: DataFrame, keyCol: String,
-      valueCol: String, percentiles: Seq[Double], accuracy: Int): DataFrame = {
-    val pArr = percentiles.mkString("array(", ", ", ")")
+      valueCol: String, percentiles: Seq[Double], accuracy: Int): DataFrame =
+    // Column API throughout (round-7 advice fix: the old string-built
+    // `expr` broke on value columns with spaces/specials)
     df.groupBy(col(keyCol))
-      .agg(expr(s"approx_percentile($valueCol, $pArr, $accuracy)").as("__qs"),
+      .agg(percentile_approx(col(valueCol), typedLit(percentiles), lit(accuracy))
+          .as("__qs"),
         count(lit(1)).as("n"))
       .select(col(keyCol) +:
         percentiles.zipWithIndex.map { case (p, i) =>
           element_at(col("__qs"), i + 1).as(pctName(p))
         } :+ col("n"): _*)
-  }
 
-  private def pctName(p: Double): String = s"p${math.round(p * 100)}"
+  /** Column name for percentile `p`, derived from the FULL decimal
+    * (0.334 → "p33_4", 0.005 → "p0_5", 0.5 → "p50") so nearby
+    * percentiles never collide — round-7 advice fix: whole-percent
+    * rounding mapped 0.333 and 0.334 both to "p33", a duplicate column
+    * that breaks the parquet append downstream. `Double.toString` is the
+    * shortest round-tripping form, so distinct doubles give distinct
+    * names. */
+  private[graft] def pctName(p: Double): String = {
+    val s = (BigDecimal(p.toString) * 100).underlying.stripTrailingZeros.toPlainString
+    "p" + s.replace(".", "_").replace("-", "m")
+  }
 
   /** Session windows per user: built-in `session_window` with a gap —
     * the streaming twin of the batch sessionize query.

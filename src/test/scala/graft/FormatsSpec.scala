@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Ingest
 
 /** Format pluggability (S3's capability class): the engine's sources and
@@ -80,6 +81,52 @@ class FormatsSpec extends SparkSpec {
     assert(rows(0).getMap[String, Long](rows(0).fieldIndex("m")) == Map("k" -> 7L))
     assert(rows(0).getAs[Row]("st") == Row("x", 9))
     assert(rows(1).isNullAt(rows(1).fieldIndex("s")) && rows(1).isNullAt(rows(1).fieldIndex("ts")))
+  }
+
+  test("Avro round-trips decimals (bytes/decimal logical type) and reads fixed/decimal") {
+    import graft.sources.AvroSource
+    // DECIMAL(18,2) — the payments-shaped silver amount (SURVEY.md §1.3);
+    // negative, zero, max-magnitude and null values all survive
+    val df = Seq(
+      (1L, Option(BigDecimal("12345678901234.56"))),
+      (2L, Option(BigDecimal("-0.01"))),
+      (3L, Option(BigDecimal("0.00"))),
+      (4L, None))
+      .toDF("id", "amount")
+      .select(col("id"), col("amount").cast(DecimalType(18, 2)).as("amount"))
+    AvroSource.write(df, s"$dir/avro_dec")
+    val back = AvroSource.read(spark, s"$dir/avro_dec").orderBy("id")
+    assert(back.schema("amount").dataType == DecimalType(18, 2))
+    assert(back.select(col("amount").cast("string")).as[String].collect().toSeq ==
+      Seq("12345678901234.56", "-0.01", "0.00", null))
+    // and through the DSv2 face (same converters, InternalRow path)
+    val dsv2 = spark.read.format("graft-avro").load(s"$dir/avro_dec").orderBy("id")
+    assert(dsv2.schema("amount").dataType == DecimalType(18, 2))
+    assert(dsv2.select(sum("amount").cast("string")).head().getString(0) ==
+      "12345678901234.55")
+    // fixed/decimal (written by other engines, e.g. Iceberg defaults):
+    // accepted on read with the same values
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.generic.GenericData
+    val fixedSch = LogicalTypes.decimal(9, 2).addToSchema(
+      Schema.createFixed("amt_fixed", null, "graft", 4))
+    val recSch = SchemaBuilder.record("r").fields()
+      .requiredLong("id")
+      .name("amount").`type`(fixedSch).noDefault()
+      .endRecord()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](recSch))
+    val f = new java.io.File(s"$dir/avro_fixed"); f.mkdirs()
+    w.create(recSch, new java.io.File(f, "part-00000.avro"))
+    val rec = new GenericData.Record(recSch)
+    rec.put("id", 7L)
+    // 123.45 → unscaled 12345 → 4-byte big-endian two's complement
+    rec.put("amount", new GenericData.Fixed(fixedSch,
+      java.nio.ByteBuffer.allocate(4).putInt(12345).array()))
+    w.append(rec); w.close()
+    val fixedBack = AvroSource.read(spark, s"$dir/avro_fixed")
+    assert(fixedBack.schema("amount").dataType == DecimalType(9, 2))
+    assert(fixedBack.select(col("amount").cast("string")).head().getString(0) == "123.45")
   }
 
   test("graft-avro DSv2: spark.read.format round-trips and prunes columns at the scan") {

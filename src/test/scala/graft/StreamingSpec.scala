@@ -71,6 +71,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming domain quota keeps 64-bit order ids exact beyond 2^53") {
+    // -(2^54+1) and -2^54 collapse to the SAME double (-2^54), and their
+    // string forms sort in the WRONG order ("-…985" > "-…984"
+    // lexicographically, but -…985 < -…984 numerically) — only the exact
+    // DECIMAL(38,0) key admits the numerically smallest id (round-7
+    // advice: snowflake-style ids above 2^53 must not fall back to the
+    // lexicographic tie-break).
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val docs = mem.toDF().toDF("source", "doc_id")
+    val admitted = StreamingOps.domainQuotaStream(docs, "source", "doc_id", cap = 1)
+    val q = admitted.writeStream.format("memory").queryName("quota_big_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", -18014398509481984L), ("a", -18014398509481985L))
+      q.processAllAvailable()
+      val out = spark.table("quota_big_out")
+        .select(get_json_object(col("payload"), "$.doc_id").cast("long"))
+        .as[Long].collect().toSet
+      assert(out == Set(-18014398509481985L))
+    } finally q.stop()
+  }
+
+  test("percentile column names derive from the full decimal, never collide") {
+    // round-7 advice: whole-percent rounding mapped 0.333 and 0.334 both
+    // to "p33" → duplicate columns → parquet append failure downstream
+    assert(StreamingOps.pctName(0.5) == "p50")
+    assert(StreamingOps.pctName(0.9) == "p90")
+    assert(StreamingOps.pctName(0.333) == "p33_3")
+    assert(StreamingOps.pctName(0.334) == "p33_4")
+    assert(StreamingOps.pctName(0.005) == "p0_5")
+    assert(StreamingOps.pctName(0.95) == "p95")
+    val ps = Seq(0.333, 0.334, 0.0333, 0.005, 0.05, 0.5, 0.999, 0.9999)
+    assert(ps.map(StreamingOps.pctName).distinct.size == ps.size)
+    // and duplicate percentile requests are rejected up front
+    intercept[IllegalArgumentException] {
+      StreamingOps.approxQuantileStream(
+        spark.range(1).toDF("v"), "v", "v", Seq(0.5, 0.5), 100, "/tmp/never")
+    }
+  }
+
   test("streaming quantile profile matches the batch operator per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-qprofile").toString
