@@ -179,7 +179,10 @@ object PerfLab {
             col("a"), col("b")).as("n")).agg(sum("n")))
         base.unpersist()
       case n =>
-        Queries.all.find(_.name == n).foreach(q => time(n, reps)(q.fn(spark, sfDir)))
+        Queries.all.find(_.name == n).foreach { q =>
+          q.prepare.foreach(_(spark, sfDir)) // untimed, same as Bench
+          time(n, reps)(q.fn(spark, sfDir))
+        }
     }
     spark.stop()
   }

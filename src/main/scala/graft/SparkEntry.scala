@@ -18,9 +18,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.q00.fn(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. `run` bundles
+    * any setup (e.g. q108's bucketed-layout build) with the query, so the
+    * map is self-contained for whoever invokes it. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Queries.all.map(q => q.name -> q.fn).toMap
+    Queries.all.map(q => q.name -> ((s: SparkSession, dir: String) => q.run(s, dir))).toMap
 
   /** DuckDB-equivalent SQL for every SQL-expressible query; omitted keys
     * (spark.ml LSH/TF-IDF, HLL sketches, simhash) get the driver's

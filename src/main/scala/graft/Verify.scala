@@ -26,8 +26,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries are independent — drop per-query caches between runs
-      spark.catalog.clearCache()
+      // no clearCache: operators close their own cache scopes
+      // (graft.CacheScope; gate = CacheHygieneSpec)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -542,15 +542,15 @@ object Analytics {
     * group is one bounded range partition. A row's "max y at strictly
     * larger x" is then greatest(within-partition running max, broadcast
     * prefix max of all earlier — strictly-larger-x — partitions). The
-    * range-sorted base is `persist()`-ed (feeds the max job AND the
-    * sweep); callers own the cache lifecycle.
+    * range-sorted base is pinned for a [[graft.CacheScope]] (feeds the
+    * max job AND the sweep) and released before returning.
     */
   private def globalSkylineSweep(df: DataFrame, xCol: String,
-      yCol: String): DataFrame = {
+      yCol: String): DataFrame = graft.CacheScope.scoped { cs =>
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val spark = df.sparkSession
-    val ranged = df.repartitionByRange(col(xCol).desc).persist()
+    val ranged = cs.cache(df.repartitionByRange(col(xCol).desc))
     val maxes = ranged.groupBy(spark_partition_id().as("__pid"))
       .agg(max(col(yCol)).as("__m"))
       .collect().map(r => r.getInt(0) -> r.get(1)).sortBy(_._1)
@@ -627,32 +627,34 @@ object Analytics {
     * whose id-ordered wedge count is C(deg, 2) has every edge pointing
     * INTO it here, so its adjacency list is empty.
     *
-    * NOTE on caching: BOTH the canonical edge list AND the out-adjacency
-    * table are `persist()`-ed and neither handle is released here —
-    * unpersisting before the lazy result runs would evict them. Callers
-    * own both cache lifecycles (Bench/Verify clear per-query caches; a
-    * long-lived application should call `spark.catalog.clearCache()` or
-    * track the returned plan's completion).
+    * Caching: BOTH the canonical edge list AND the out-adjacency table
+    * are pinned for the duration of a [[graft.CacheScope]] — the 1-row
+    * result is materialized eagerly and the pins are released before
+    * returning, so no cache entry outlives the call.
     */
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    GraftFunctions.register(edges.sparkSession)
-    val e = canonicalEdges(edges, srcCol, dstCol).persist()
-    val o = orientByDegree(e)
-    // sorted out-adjacency per apex (deg⁺ ≤ O(√m) under degree order)
-    val adj = o.groupBy(col("a")).agg(sort_array(collect_list(col("b"))).as("nbrs"))
-      .persist()
-    val nTri = o.select(col("a"), col("b"))
-      .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
-      .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
-      .select(call_function(GraftFunctions.SortedIntersectName,
-        col("na"), col("nb")).as("c"))
-      // coalesce: SUM over an edgeless graph is NULL, the count is 0
-      .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n_triangles"))
-    val nE = e.agg(count(lit(1)).as("n_edges"))
-    val nV = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
-      .distinct().agg(count(lit(1)).as("n_vertices"))
-    nV.crossJoin(nE).crossJoin(nTri) // three 1-row inputs
-  }
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    graft.CacheScope.scoped { cs =>
+      GraftFunctions.register(edges.sparkSession)
+      val e = cs.cache(canonicalEdges(edges, srcCol, dstCol))
+      // one |V|-row degree table serves the orientation joins AND the
+      // vertex count (the former separate union+distinct was a second
+      // full-edge shuffle for a number the degrees already knew)
+      val deg = cs.cache(vertexDegrees(e))
+      val o = orientByDegree(e, deg)
+      // sorted out-adjacency per apex (deg⁺ ≤ O(√m) under degree order)
+      val adj = cs.cache(
+        o.groupBy(col("a")).agg(sort_array(collect_list(col("b"))).as("nbrs")))
+      val nTri = o.select(col("a"), col("b"))
+        .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
+        .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
+        .select(call_function(GraftFunctions.SortedIntersectName,
+          col("na"), col("nb")).as("c"))
+        // coalesce: SUM over an edgeless graph is NULL, the count is 0
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n_triangles"))
+      val nE = e.agg(count(lit(1)).as("n_edges"))
+      val nV = deg.agg(count(lit(1)).as("n_vertices"))
+      nV.crossJoin(nE).crossJoin(nTri) // three 1-row inputs
+    }
 
   /** De-duplicated undirected edge list canonicalized to u < v (reversed
     * duplicates collapse, self-loops drop). */
@@ -664,12 +666,18 @@ object Analytics {
       .filter(col("u") < col("v")).distinct()
   }
 
+  /** (id, deg) for every endpoint of the canonical edge list. */
+  private def vertexDegrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+
   /** Orient each canonical edge from its (degree, id)-lower endpoint `a`
     * to its higher endpoint `b`; `rd` carries rank-degree of `b` so the
     * wedge join can order out-neighbour pairs without a third join. */
-  private def orientByDegree(e: DataFrame): DataFrame = {
-    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
+  private def orientByDegree(e: DataFrame): DataFrame =
+    orientByDegree(e, vertexDegrees(e))
+
+  private def orientByDegree(e: DataFrame, deg: DataFrame): DataFrame = {
     val uLower = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     e.join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
@@ -703,8 +711,8 @@ object Analytics {
     *                            : rem + (row_id − rem·(q+1)) div q    (+1)
     *
     * n comes from stableRowIds' own per-partition count job (no second
-    * pass). The range-sorted base is `persist()`-ed by stableRowIds —
-    * callers own the cache lifecycle (same contract as triangleCount).
+    * pass); stableRowIds closes its own cache scope (eager result,
+    * pin released — see [[graft.CacheScope]]).
     * Output: (bin, n_rows, lo, hi).
     */
   def equiDepthBins(df: DataFrame, valueCol: String, tieCol: String,
@@ -750,15 +758,14 @@ object Analytics {
     * weight in DECIMAL(10,0). `valueCol` must be INTEGER-VALUED
     * (integral or scale-0 decimal, enforced) — the exact-until-one-
     * division contract works in whole units; quantize fractional inputs
-    * first (cents, the q109 pattern). The row-numbered base is
-    * `persist()`-ed (it feeds the weighted-contrib explode AND the final
-    * join back) — callers own the cache lifecycle, same contract as
-    * triangleCount.
+    * first (cents, the q109 pattern). The row-numbered base is pinned
+    * for a [[graft.CacheScope]] (it feeds the weighted-contrib explode
+    * AND the final join back) and released before returning.
     *
     * Output: keyCols + orderCol + `valueCol` + `n_window` + `ewma`.
     */
   def ewmaHalving(df: DataFrame, keyCols: Seq[String], orderCol: String,
-      valueCol: String, window: Int): DataFrame = {
+      valueCol: String, window: Int): DataFrame = graft.CacheScope.scoped { cs =>
     require(window >= 1 && window <= 30,
       s"ewmaHalving: need 1 <= window <= 30, got $window")
     val vt = df.schema(valueCol).dataType
@@ -776,10 +783,9 @@ object Analytics {
         "quantize first (e.g. cents)")
     val keys = keyCols.map(col)
     val w = Window.partitionBy(keys: _*).orderBy(col(orderCol))
-    // persisted: the row-numbered base feeds both the weighted-contrib
-    // explode and the final join back (caller owns the cache lifecycle,
-    // same contract as triangleCount/simhashHammingPairs)
-    val base = df.withColumn("__rn", row_number().over(w)).persist()
+    // pinned: the row-numbered base feeds both the weighted-contrib
+    // explode and the final join back
+    val base = cs.cache(df.withColumn("__rn", row_number().over(w)))
     val contrib = base
       .select(keys ++ Seq(col("__rn"), col(valueCol).as("__x")): _*)
       .withColumn("__o", explode(sequence(lit(0), lit(window - 1))))

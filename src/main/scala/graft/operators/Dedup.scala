@@ -53,22 +53,48 @@ object Dedup {
   def againstBucketedLedger(batch: DataFrame, ledger: DataFrame,
       nBuckets: Int, warehouseDir: String,
       tablePrefix: String = "graft_ledger"): DataFrame = {
-    val s = batch.sparkSession
+    prepareBucketedLedger(ledger, nBuckets, warehouseDir, tablePrefix)
+    probeBucketedLedger(batch, tablePrefix)
+  }
+
+  /** PREPARE half of [[againstBucketedLedger]]: materialize the ledger's
+    * two anti-join key projections as bucketed+sorted external tables.
+    * This is the once-per-layout cost a production pipeline pays at
+    * silver-write time and amortizes over every subsequent micro-batch —
+    * benched separately (q116) from the steady-state probe (q108). The
+    * ledger scan is pinned while both projections write, then released —
+    * the cache lifecycle closes inside this call.
+    */
+  def prepareBucketedLedger(ledger: DataFrame, nBuckets: Int,
+      warehouseDir: String, tablePrefix: String = "graft_ledger"): Unit = {
     val ck = s"${tablePrefix}_ck"
     val eck = s"${tablePrefix}_eck"
-    ledger.select("company_id", "checksum").distinct()
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, "company_id", "checksum")
-      .sortBy("company_id", "checksum")
-      .option("path", s"$warehouseDir/$ck").saveAsTable(ck)
-    ledger.select("company_id", "etl_checksum").distinct()
-      .write.mode("overwrite")
-      .bucketBy(nBuckets, "company_id", "etl_checksum")
-      .sortBy("company_id", "etl_checksum")
-      .option("path", s"$warehouseDir/$eck").saveAsTable(eck)
+    val pinned = ledger.persist()
+    try {
+      pinned.select("company_id", "checksum").distinct()
+        .write.mode("overwrite")
+        .bucketBy(nBuckets, "company_id", "checksum")
+        .sortBy("company_id", "checksum")
+        .option("path", s"$warehouseDir/$ck").saveAsTable(ck)
+      pinned.select("company_id", "etl_checksum").distinct()
+        .write.mode("overwrite")
+        .bucketBy(nBuckets, "company_id", "etl_checksum")
+        .sortBy("company_id", "etl_checksum")
+        .option("path", s"$warehouseDir/$eck").saveAsTable(eck)
+    } finally pinned.unpersist(blocking = false): Unit
+  }
+
+  /** PROBE half of [[againstBucketedLedger]]: the per-micro-batch
+    * two-stage anti-join against the already-bucketed ledger tables —
+    * the ledger side reads co-located buckets with no shuffle exchange;
+    * only the (small) batch shuffles into the ledger's partitioning.
+    */
+  def probeBucketedLedger(batch: DataFrame,
+      tablePrefix: String = "graft_ledger"): DataFrame = {
+    val s = batch.sparkSession
     batch
-      .join(s.table(ck), Seq("company_id", "checksum"), "left_anti")
-      .join(s.table(eck), Seq("company_id", "etl_checksum"), "left_anti")
+      .join(s.table(s"${tablePrefix}_ck"), Seq("company_id", "checksum"), "left_anti")
+      .join(s.table(s"${tablePrefix}_eck"), Seq("company_id", "etl_checksum"), "left_anti")
   }
 
   /** F2 `filter_rows_by_checksums` (`checksum_bigquery.py:69-74`):

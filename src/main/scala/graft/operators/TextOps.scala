@@ -199,22 +199,20 @@ object TextOps {
     * `spark.sharedState.cacheManager` once the result is materialized).
     */
   def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3): DataFrame = graft.CacheScope.scoped { cs =>
     require(maxDist >= 0 && maxDist <= 3,
       s"4x8-bit banding is exact only for maxDist <= 3, got $maxDist")
     val bands = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))
     }
-    // persisted: both self-join sides read the fingerprints — without it
-    // the whole tokenize+vote aggregation runs twice (caller's cache
-    // lifecycle clears it, same as the q36 shingle base)
-    val keyed = simhash(df, idCol, textCol)
+    // pinned: both self-join sides read the fingerprints — without it
+    // the whole tokenize+vote aggregation runs twice
+    val keyed = cs.cache(simhash(df, idCol, textCol)
       .select(col(idCol).as("__id"), col("simhash"),
         explode(array(bands: _*)).as("__b"))
       .select(col("__id"), col("simhash"),
-        col("__b.band").as("band"), col("__b.bkey").as("bkey"))
-      .persist()
+        col("__b.band").as("band"), col("__b.bkey").as("bkey")))
     val a = keyed.select(col("band"), col("bkey"), col("__id").as("id1"),
       col("simhash").as("s1"))
     val b = keyed.select(col("band"), col("bkey"), col("__id").as("id2"),
@@ -262,19 +260,19 @@ object TextOps {
     * training pipeline runs to size its vocab and catch corpora the
     * tokenizer would shred into unknowns.
     *
-    * Scale shape: the tokenized projection is persisted (it feeds both
-    * the DF aggregate and the scoring join — caller owns the cache
-    * lifecycle, same contract as the q24/q36 shingle bases); the
-    * vocabulary is top-k over an aggregate (tiny) and BROADCAST into
-    * the scoring join, so the corpus never reshuffles on token.
+    * Scale shape: the tokenized projection is pinned for a
+    * [[graft.CacheScope]] (it feeds both the DF aggregate and the
+    * scoring join) and released before returning; the vocabulary is
+    * top-k over an aggregate (tiny) and BROADCAST into the scoring
+    * join, so the corpus never reshuffles on token.
     * Output: (idCol, n_tokens, n_oov, oov_rate); empty-text docs have
     * no tokens and do not appear.
     */
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
-      vocabSize: Int): DataFrame = {
+      vocabSize: Int): DataFrame = graft.CacheScope.scoped { cs =>
     require(vocabSize >= 1, s"vocabCoverage: vocabSize must be >= 1, got $vocabSize")
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-      .persist()
+    val tok = cs.cache(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("__t")))
     val vocab = tok.dropDuplicates(idCol, "__t")
       .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
       .orderBy(col("__df").desc, col("__t")).limit(vocabSize)

@@ -172,8 +172,10 @@ object TrainPrep {
     * unique tiebreak column; ties would make ids partition-dependent).
     * The RDD hop in step 3 is the one justified `mapPartitions` use:
     * per-partition imperative offset assignment has no Column-API
-    * equivalent. The range-sorted input is persisted — it feeds the
-    * count job AND the output pass (caller owns the cache lifecycle).
+    * equivalent. The range-sorted input is pinned while it feeds the
+    * count job AND the output pass, then released — the id-stamped
+    * result is materialized eagerly (same scoped contract as
+    * [[graft.CacheScope]]), so no cache entry outlives the call.
     *
     * Output: input columns + `row_id` LONG.
     */
@@ -193,6 +195,9 @@ object TrainPrep {
       .repartitionByRange(sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .persist()
+    // (scope closed manually below — the tuple return doesn't fit
+    // CacheScope.scoped's DataFrame signature, but the contract is the
+    // same: result materialized eagerly, pin released before returning)
     val counts = ordered.groupBy(spark_partition_id().as("__pid"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -212,7 +217,13 @@ object TrainPrep {
         out
       }
     }
-    (spark.createDataFrame(rows, schema), acc)
+    val idsLazy = spark.createDataFrame(rows, schema)
+    if (graft.CacheScope.auditing) (idsLazy, acc)
+    else {
+      val ids = idsLazy.localCheckpoint()
+      ordered.unpersist(blocking = false)
+      (ids, acc)
+    }
   }
 
   /** Per-domain quota: keep at most `cap` rows per derived domain key,

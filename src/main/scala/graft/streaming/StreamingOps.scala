@@ -22,6 +22,27 @@ case class QuotaRow(domain: String, payload: String)
 
 object StreamingOps {
 
+  /** Session confs that put streaming state in the RocksDB provider —
+    * the production configuration for the unbounded-key operators here
+    * ([[dedupExact]]: one key per distinct id forever;
+    * [[domainQuotaStream]]: one Long per domain forever). The default
+    * HDFS-backed provider holds every key on the JVM heap, so state
+    * growth eventually manifests as executor OOM; RocksDB keeps state
+    * off-heap and spills to local disk, turning the same growth into
+    * disk usage plus bounded block-cache memory. Changelog checkpointing
+    * uploads per-batch deltas instead of full snapshots — the fix for
+    * checkpoint-upload latency growing with state size. Apply at session
+    * build ( `confs.foreach { case (k, v) => builder.config(k, v) }` )
+    * or per-session before the query starts; StreamingSpec runs a
+    * stateful query under exactly these confs. Per-operator state sizes
+    * are tabulated in SCALE.md §"Streaming state".
+    */
+  val RocksDbStateStoreConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** F3/F4: first-writer-wins dedup with bounded state — late duplicates
     * beyond the watermark age out of the store (the TTL analog).
     */

@@ -28,7 +28,7 @@ class EmptyInputSweepSpec extends SparkSpec {
     }
     val failures = Queries.all.flatMap { q =>
       try {
-        q.fn(spark, dir).write.format("noop").mode("overwrite").save()
+        q.run(spark, dir).write.format("noop").mode("overwrite").save()
         if (documentedFailFast(q.name)) Some(s"${q.name}: expected fail-fast, ran")
         else None
       } catch {

@@ -17,20 +17,31 @@ class PlanAuditSpec extends SparkSpec {
   // (round 6 shipped exactly this in equiDepthBins — an OOM at 100 TB).
   private val partitionlessWindowExempt = Set("q88_rolling_dau")
 
+  /** Run `body` with CacheScope's materializing checkpoint disabled, so
+    * `queryExecution` on scoped operators (triangleCount, pareto, ewma,
+    * stableRowIds, the shingle bases, q00's ledger) exposes the full
+    * interior plan instead of a checkpoint scan; the pins scoped
+    * operators would normally release are cleared afterwards. */
+  private def auditingPlans[A](body: => A): A =
+    try { CacheScope.auditMode.set(true); body }
+    finally { CacheScope.auditMode.set(false); spark.catalog.clearCache() }
+
   test("plan hygiene: no CartesianProduct, no partitionless WindowExec") {
     // crossJoin against a broadcast side plans BroadcastNestedLoopJoin
     // (bounded: |small| × partition) — an unhinted CartesianProduct is the
     // O(n²) shuffle explosion no registered query should ever produce.
     // Both checks share one planning pass over all registered queries.
     import org.apache.spark.sql.execution.window.WindowExec
-    Queries.all.foreach { q =>
-      val plan = q.fn(spark, sfDir).queryExecution.sparkPlan
-      assert(!plan.toString.contains("CartesianProduct"),
-        s"${q.name} plans a CartesianProduct:\n$plan")
-      if (!partitionlessWindowExempt(q.name)) {
-        val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-        assert(bad.isEmpty,
-          s"${q.name} plans a partitionless WindowExec (single-task global sort):\n$plan")
+    auditingPlans {
+      Queries.all.foreach { q =>
+        val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+        assert(!plan.toString.contains("CartesianProduct"),
+          s"${q.name} plans a CartesianProduct:\n$plan")
+        if (!partitionlessWindowExempt(q.name)) {
+          val bad = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+          assert(bad.isEmpty,
+            s"${q.name} plans a partitionless WindowExec (single-task global sort):\n$plan")
+        }
       }
     }
   }
@@ -51,20 +62,22 @@ class PlanAuditSpec extends SparkSpec {
         tinyAggSide(p.children.head)
       case _ => false
     }
-    Queries.all.foreach { q =>
-      val plan = q.fn(spark, sfDir).queryExecution.sparkPlan
-      val bad = plan.collect {
-        case j: SortMergeJoinExec if tinyAggSide(j.left) || tinyAggSide(j.right) => j
-        case j: ShuffledHashJoinExec if tinyAggSide(j.left) || tinyAggSide(j.right) => j
+    auditingPlans {
+      Queries.all.foreach { q =>
+        val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+        val bad = plan.collect {
+          case j: SortMergeJoinExec if tinyAggSide(j.left) || tinyAggSide(j.right) => j
+          case j: ShuffledHashJoinExec if tinyAggSide(j.left) || tinyAggSide(j.right) => j
+        }
+        assert(bad.isEmpty,
+          s"${q.name} shuffle-joins a ≤1-row global-aggregate side (broadcast it):\n$plan")
       }
-      assert(bad.isEmpty,
-        s"${q.name} shuffle-joins a ≤1-row global-aggregate side (broadcast it):\n$plan")
     }
   }
 
   test("star join broadcasts every dimension (q84)") {
     val plan = Queries.all.find(_.name == "q84_star_revenue").get
-      .fn(spark, sfDir).queryExecution.sparkPlan.toString
+      .run(spark, sfDir).queryExecution.sparkPlan.toString
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
     assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$plan")
   }

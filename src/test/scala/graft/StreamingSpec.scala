@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.StreamingOps
@@ -109,6 +111,43 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StreamingOps.approxQuantileStream(
         spark.range(1).toDF("v"), "v", "v", Seq(0.5, 0.5), 100, "/tmp/never")
+    }
+  }
+
+  test("stateful queries run on the RocksDB state store (production provider)") {
+    // the unbounded-key operators (dedupExact, domainQuotaStream) ship
+    // with RocksDbStateStoreConfs as their production setting — prove the
+    // whole stack (provider class + changelog checkpointing + rocksdbjni)
+    // actually loads and produces identical results
+    implicit val sqlCtx = spark.sqlContext
+    val prev = StreamingOps.RocksDbStateStoreConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    StreamingOps.RocksDbStateStoreConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val docs = mem.toDF().toDF("source", "doc_id")
+      val admitted = StreamingOps.domainQuotaStream(docs, "source", "doc_id", cap = 2)
+      val q = admitted.writeStream.format("memory").queryName("rocksdb_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+        q.processAllAvailable()
+        mem.addData(("a", 4L), ("b", 11L))
+        q.processAllAvailable()
+        // the running query's state store MUST be RocksDB, not the
+        // heap-backed default
+        val provider = q.lastProgress.stateOperators.headOption
+          .map(_.customMetrics.keySet.asScala.toSet).getOrElse(Set.empty[String])
+        assert(provider.exists(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb metrics on the state operator: $provider")
+        val out = spark.table("rocksdb_out")
+          .select(col("domain"), get_json_object(col("payload"), "$.doc_id").cast("long"))
+          .as[(String, Long)].collect().toSet
+        assert(out == Set(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L)))
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
