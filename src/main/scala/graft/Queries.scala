@@ -884,8 +884,9 @@ object Queries {
     * (~20 s → ~2 s). The broadcast keeps pair generation pipelined
     * across the probe side's partitions instead of shuffling each block
     * onto one task (~30 distinct block keys → pathological skew); at
-    * full corpus scale the blocked side exceeds broadcast range — band
-    * the blocks further (q24's MinHash path) first.
+    * full corpus scale the blocked side exceeds broadcast range — switch
+    * to the EXACT prefix-join form (`ngramJaccardPairsPrefix`, q117) or
+    * the probabilistic MinHash banding (q24).
     */
   /** Shared by q36/q61: blocked char-trigram Jaccard pairs at `theta`.
     * The shingle projection is persisted because both join sides read it;
@@ -930,6 +931,89 @@ object Queries {
         .select(col("id1"), col("id2"), col("jaccard"))
     }
     if (cache) graft.CacheScope.scoped(cs => body(cs.cache)) else body(identity)
+  }
+
+  /** The 100-TB form of the same EXACT pairs: an AllPairs/PPJoin prefix
+    * filter replaces the per-block all-pairs stream AND the corpus-side
+    * broadcast. If J(A,B) ≥ θ then |A∩B| ≥ θ·max(|A|,|B|), so fewer
+    * than |X|·(1−θ) elements of either sorted array precede the pair's
+    * SMALLEST common element — it sits inside both ⌊|X|(1−θ)⌋+1
+    * prefixes (for ANY shared total order), and an equi-join on prefix
+    * elements (within the lang × length-block) is candidate-COMPLETE
+    * for the threshold. Registered as q117 alongside the broadcast form
+    * (q36) exactly like brute-force vs IVF ANN (q26 vs q28): at bench
+    * scales the broadcast plan wins (a local broadcast is free and the
+    * md5 shingle build dominates — measured sf0.1 1.8 s vs 3.3 s, sf1
+    * 11.7 s vs 16.8 s), but its blocked side is a whole-corpus
+    * broadcast and its per-block pair stream grows quadratically in
+    * block density — at 100 TB only the prefix-join plan survives, and
+    * its sf0.1→sf1 scaling exponent is already lower (0.71 vs 0.80).
+    */
+  private def ngramJaccardPairsPrefix(s: SparkSession, dir: String,
+      theta: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    graft.CacheScope.scoped { cs =>
+      val pin = cs.cache _
+      // every stage derives from g: the pin tokenizes+hashes once
+      val g = pin(t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        floor(length(col("text")) / 100).cast("long").as("lb"),
+        sort_array(array_distinct(TextOps.shingleHashes(
+          TextOps.charNgrams(col("text"), 3)))).as("hv")))
+      // The order MUST be ascending DOCUMENT FREQUENCY (the PPJoin
+      // canon), not hash value: prefixes then hold each doc's RAREST
+      // shingles, so a prefix hash collides with ~df ≈ 1 other docs and
+      // candidates ≈ true near-dups. (The first cut of this filter used
+      // hash order — corpus-common shingles landed in 30% of prefixes
+      // and their df² collisions made sf1 1.5× SLOWER than all-pairs.)
+      // Shingles are bijectively recoded as min(df, 2³¹−1)·2³¹ + h —
+      // hashes are mod 2³¹−1 (TextOps.MinhashP) so the packed key fits
+      // int64 (< 2⁶²), sorts by (df, h), and keeps h injectively ⇒ the
+      // native sorted intersect counts |A∩B| unchanged. df is looked up
+      // via a BROADCAST of the vocab-sized (trigram-bounded) df table —
+      // a rank join against the exploded corpus (the first df-ordered
+      // cut) was a sort-merge join over every (doc, shingle) pair and
+      // cost 4× the all-pairs plan it replaced.
+      val ex = g.select(col("doc_id"), col("lang"), col("lb"),
+        explode(col("hv")).as("h"))
+      val dfTab = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val dfCap = lit(Int.MaxValue.toLong)
+      val withN = pin(ex
+        .join(broadcast(dfTab), "h")
+        .withColumn("k",
+          least(col("df"), dfCap) * lit(1L << 31) + col("h"))
+        .groupBy(col("doc_id"), col("lang"), col("lb"))
+        .agg(sort_array(collect_list(col("k"))).as("rv"))
+        .select(col("doc_id"), col("lang"), col("lb"), col("rv"),
+          size(col("rv")).cast("long").as("n")))
+      // +2 (not +1) pads one element against FP wobble in ceil(n·θ): a
+      // one-too-short prefix would silently drop true pairs, one too
+      // long only costs a candidate.
+      val prefLen = (col("n") - ceil(col("n") * lit(theta)) + lit(2)).cast("int")
+      val pref = withN.select(col("lang"), col("lb"), col("doc_id"), col("n"),
+        explode(slice(col("rv"), lit(1), greatest(prefLen, lit(1)))).as("ph"))
+      // Size-ratio bound prunes candidates before the verify joins:
+      // J ≥ θ forces min(|A|,|B|) / max(|A|,|B|) ≥ θ.
+      val cand = pref.select(col("lang"), col("lb"), col("ph"),
+          col("doc_id").as("id1"), col("n").as("n1"))
+        .join(pref.select(col("lang"), col("lb"), col("ph"),
+          col("doc_id").as("id2"), col("n").as("n2")), Seq("lang", "lb", "ph"))
+        .filter(col("id1") < col("id2") &&
+          least(col("n1"), col("n2")).cast("double") >=
+            greatest(col("n1"), col("n2")) * theta)
+        .select(col("id1"), col("id2")).distinct()
+      cand
+        .join(withN.select(col("doc_id").as("id1"), col("rv").as("hv1"),
+          col("n").as("n1")), "id1")
+        .join(withN.select(col("doc_id").as("id2"), col("rv").as("hv2"),
+          col("n").as("n2")), "id2")
+        .withColumn("n_inter", call_function(
+          graft.functions.GraftFunctions.SortedIntersectName, col("hv1"), col("hv2")))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") /
+            (col("n1") + col("n2") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= theta)
+        .select(col("id1"), col("id2"), col("jaccard"))
+    }
   }
 
   /** q36/q61 oracle prefix: the same pairs in DuckDB SQL (CTE `pr`). */
@@ -3911,6 +3995,21 @@ object Queries {
       |    (SELECT DISTINCT company_id, etl_checksum FROM ledger)) AS n_eck_keys
       |""".stripMargin.trim))
 
+  /** The PPJoin prefix-filtered form of q36's exact trigram-Jaccard
+    * pairs (`ngramJaccardPairsPrefix`) — same oracle SQL, layout- and
+    * algorithm-invariant results. The 100-TB path: no corpus broadcast,
+    * no per-block all-pairs stream; candidates come from an equi-join
+    * on ascending-df prefix keys. Benched side by side with q36 in
+    * SCALE.md's rehearsal table (the q26-vs-q28 pattern: the scale plan
+    * costs more on one box, where broadcast is free). */
+  val q117: Q = Q(
+    "q117_jaccard_prefix_join",
+    (s, dir) => ngramJaccardPairsPrefix(s, dir, theta = 0.7)
+      .orderBy(col("id1"), col("id2")),
+    Some((ngramPairsSql(0.7) + """
+      |SELECT id1, id2, jaccard FROM pr ORDER BY id1, id2
+      |""").stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -3923,5 +4022,5 @@ object Queries {
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117)
 }
