@@ -4010,6 +4010,63 @@ object Queries {
       |SELECT id1, id2, jaccard FROM pr ORDER BY id1, id2
       |""").stripMargin.trim))
 
+  /** REAL audio decode (round 8): deterministic PCM16 synth per doc →
+    * real RIFF/WAVE bytes → `Multimodal.Wav.decode` (actual chunk
+    * walking, not a length fake) → exact-integer metadata. The oracle
+    * recomputes every field from the synth formula alone — it can only
+    * match if encode∘decode is the identity on the metadata, i.e. the
+    * decoder genuinely parses the container it was handed.
+    */
+  val q118: Q = Q(
+    "q118_wav_decode",
+    (s, dir) => Multimodal.wavRoundTrip(t(s, dir, "documents"), "doc_id")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |WITH m AS (
+      |  SELECT doc_id, 800 + doc_id % 400 AS n, 8000 + (doc_id % 3) * 4000 AS rate
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, rate,
+      |    list_transform(range(0, n), i -> ((doc_id*31 + i*7) % 65536) - 32768) AS v
+      |  FROM m)
+      |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS n_channels,
+      |  CAST(16 AS BIGINT) AS bits_per_sample, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+      |  CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS sum_sq,
+      |  CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak,
+      |  CAST(v[1] AS BIGINT) AS first_sample, CAST(v[n] AS BIGINT) AS last_sample
+      |FROM s ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** REAL image decode (round 8): deterministic RGB synth per doc →
+    * real 24bpp BMP bytes (bottom-up BGR rows, 4-byte padding) →
+    * `Multimodal.Bmp.decode` → exact-integer channel sums + the
+    * top-left pixel (which is wrong unless the decoder re-orders the
+    * bottom-up rows). Oracle recomputes from the synth formula.
+    */
+  val q119: Q = Q(
+    "q119_bmp_decode",
+    (s, dir) => Multimodal.bmpRoundTrip(t(s, dir, "documents"), "doc_id")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |WITH m AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 4 AS h FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM m),
+      |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |c AS (SELECT doc_id,
+      |        (doc_id + 3*x + 5*y) % 256 AS r,
+      |        (2*doc_id + x + 7*y) % 256 AS g,
+      |        (5*doc_id + 11*x + y) % 256 AS b
+      |      FROM xy),
+      |a AS (SELECT doc_id, SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb FROM c GROUP BY doc_id)
+      |SELECT m.doc_id, CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+      |  CAST(24 AS BIGINT) AS bits_per_pixel,
+      |  CAST(a.sr AS BIGINT) AS sum_r, CAST(a.sg AS BIGINT) AS sum_g,
+      |  CAST(a.sb AS BIGINT) AS sum_b,
+      |  CAST((m.doc_id % 256) * 65536 + (2*m.doc_id % 256) * 256 + (5*m.doc_id % 256) AS BIGINT) AS px00
+      |FROM m JOIN a USING (doc_id) ORDER BY m.doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4022,5 +4079,5 @@ object Queries {
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
 }

@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (builder prompt): image/audio/video as
   * opaque BINARY columns with typed metadata, decoded per-partition.
   *
-  * The container has no image/audio libraries, so the decode itself is a
-  * clearly-marked DETERMINISTIC FAKE (arithmetic over byte length + head
-  * bytes); the Spark-side plumbing — binary column, typed Dataset,
-  * `mapPartitions` batch shape, schema of the decoded output — is real
-  * and oracle-checked.
+  * The container has no image/audio libraries, so for library-bound
+  * formats (JPEG/PNG/MP4) the decode is a clearly-marked DETERMINISTIC
+  * FAKE (arithmetic over byte length + head bytes) while the Spark-side
+  * plumbing — binary column, typed Dataset, `mapPartitions` batch shape,
+  * schema of the decoded output — is real and oracle-checked. WAV and
+  * BMP, however, need no library at all, so their codecs below (`Wav`,
+  * `Bmp`) are REAL byte-level implementations: RIFF chunk walking,
+  * BITMAPINFOHEADER parsing, bottom-up padded pixel rows — round-tripped
+  * end to end by q118/q119 against exact-integer DuckDB oracles.
   */
 object Multimodal {
 
@@ -84,6 +88,197 @@ object Multimodal {
           FrameSample(id, idx, off.toLong, (bytes(off) & 0xff) / 255.0)
         }
       }
+  }
+
+  // ==========================================================================
+  // REAL codecs (round 8): WAV and BMP need no external libraries — the
+  // formats are header + raw samples/pixels — so for these two the decode
+  // step is NOT a stub: byte-level RIFF chunk walking and BITMAPINFOHEADER
+  // parsing with bottom-up rows and 4-byte row padding. The stubbed
+  // decodeMedia above remains the shape for formats that DO need a codec
+  // library (JPEG/PNG/MP4).
+  // ==========================================================================
+
+  /** Decoded WAV metadata. All aggregates are exact integers (sum of
+    * squares over int16 fits int64 for any realistic clip), so results
+    * are partitioning-independent and DuckDB-oracle-checkable. first/last
+    * sample values pin the decoder's data offset and sample order.
+    */
+  case class WavMeta(doc_id: Long, sample_rate: Long, n_channels: Long,
+      bits_per_sample: Long, n_samples: Long, duration_ms: Long,
+      sum_sq: Long, peak: Long, first_sample: Long, last_sample: Long)
+
+  /** Minimal REAL RIFF/WAVE PCM16 codec (mono). Public format:
+    * RIFF container, "fmt " + "data" chunks, little-endian, odd-size
+    * chunks pad to even offsets.
+    */
+  object Wav {
+    def encode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): WavMeta = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+      require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+        s"not a RIFF/WAVE payload (doc $id)")
+      // walk chunks: [id:4][size:4LE][data:size][pad to even]
+      var off = 12
+      var rate, channels, bits = -1L
+      var dataOff, dataLen = -1
+      while (off + 8 <= bytes.length) {
+        val cid = ascii(off, 4)
+        val sz = buf.getInt(off + 4)
+        if (cid == "fmt ") {
+          require(buf.getShort(off + 8) == 1, s"not PCM (doc $id)")
+          channels = buf.getShort(off + 10).toLong
+          rate = buf.getInt(off + 12).toLong
+          bits = buf.getShort(off + 22).toLong
+        } else if (cid == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      require(rate > 0 && dataOff >= 0, s"missing fmt /data chunk (doc $id)")
+      require(bits == 16, s"only PCM16 supported (doc $id)")
+      val n = dataLen / (2 * channels.toInt)
+      var sumSq = 0L
+      var peak = 0L
+      var i = 0
+      var first, last = 0L
+      while (i < n * channels.toInt) {
+        val s = buf.getShort(dataOff + 2 * i).toLong
+        if (i == 0) first = s
+        last = s
+        sumSq += s * s
+        val a = math.abs(s); if (a > peak) peak = a
+        i += 1
+      }
+      WavMeta(id, rate, channels, bits, n, n * 1000L / rate, sumSq, peak,
+        first, last)
+    }
+  }
+
+  /** Decoded BMP metadata. Channel sums are exact integers; px00 packs
+    * the TOP-LEFT pixel (r·65536 + g·256 + b) — BMP stores rows
+    * bottom-up, so px00 is wrong unless the decoder really re-orders.
+    */
+  case class BmpMeta(doc_id: Long, width: Long, height: Long,
+      bits_per_pixel: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+      px00: Long)
+
+  /** Minimal REAL BMP (BITMAPINFOHEADER, 24bpp BI_RGB) codec. Rows are
+    * stored bottom-up in BGR order, each padded to a 4-byte boundary —
+    * the two details that make round-tripping a genuine parse.
+    */
+  object Bmp {
+    /** `px(x, y)` returns (r, g, b) for the TOP-LEFT-origin pixel grid. */
+    def encode(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val stride = ((w * 3) + 3) / 4 * 4
+      val imgLen = stride * h
+      val buf = java.nio.ByteBuffer.allocate(54 + imgLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + imgLen)
+        .putInt(0).putInt(54) // reserved, pixel-data offset
+      buf.putInt(40).putInt(w).putInt(h) // positive height = bottom-up
+        .putShort(1).putShort(24).putInt(0) // planes, bpp, BI_RGB
+        .putInt(imgLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      for (row <- 0 until h) {
+        val y = h - 1 - row // bottom-up: last image row first
+        for (x <- 0 until w) {
+          val (r, g, b) = px(x, y)
+          buf.put(b.toByte).put(g.toByte).put(r.toByte) // BGR on disk
+        }
+        var pad = stride - w * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      }
+      buf.array()
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): BmpMeta = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes(0) == 'B' && bytes(1) == 'M', s"not a BMP payload (doc $id)")
+      val pixOff = buf.getInt(10)
+      val w = buf.getInt(18)
+      val hRaw = buf.getInt(22)
+      val bpp = buf.getShort(28).toInt
+      require(buf.getInt(30) == 0, s"compressed BMP unsupported (doc $id)")
+      require(bpp == 24, s"only 24bpp supported (doc $id)")
+      val h = math.abs(hRaw)
+      val bottomUp = hRaw > 0
+      val stride = ((w * 3) + 3) / 4 * 4
+      var sumR, sumG, sumB = 0L
+      var px00 = 0L
+      for (y <- 0 until h) {
+        val row = if (bottomUp) h - 1 - y else y // y = top-left-origin row
+        val base = pixOff + row * stride
+        for (x <- 0 until w) {
+          val b = bytes(base + x * 3) & 0xff
+          val g = bytes(base + x * 3 + 1) & 0xff
+          val r = bytes(base + x * 3 + 2) & 0xff
+          if (x == 0 && y == 0) px00 = r * 65536L + g * 256L + b
+          sumR += r; sumG += g; sumB += b
+        }
+      }
+      BmpMeta(id, w, h, bpp, sumR, sumG, sumB, px00)
+    }
+  }
+
+  /** Per-doc deterministic PCM16 synth (what a crawler's audio column
+    * would hold): n and rate vary with doc_id so duration/padding paths
+    * all get exercised; sample i = ((id·31 + i·7) mod 2¹⁶) − 2¹⁵.
+    */
+  def synthWav(docId: Long): Array[Byte] = {
+    val n = (800 + docId % 400).toInt
+    val rate = (8000 + (docId % 3) * 4000).toInt
+    Wav.encode(Array.tabulate(n)(i =>
+      (((docId * 31 + i.toLong * 7) % 65536) - 32768).toShort), rate)
+  }
+
+  /** Per-doc deterministic RGB synth; w spans strides with every padding
+    * remainder (0..3), pixel channels are distinct affine functions of
+    * (id, x, y) so any axis/channel swap in the decoder is caught.
+    */
+  def synthBmp(docId: Long): Array[Byte] = {
+    val w = (3 + docId % 6).toInt
+    val h = (2 + docId % 4).toInt
+    Bmp.encode(w, h, (x, y) => (
+      ((docId + 3 * x + 5 * y) % 256).toInt,
+      ((2 * docId + x + 7 * y) % 256).toInt,
+      ((5 * docId + 11 * x + y) % 256).toInt))
+  }
+
+  /** documents → real WAV binary column → REAL decode → exact metadata.
+    * The encode and decode run in the SAME per-partition pass a
+    * production pipeline would use (binary column in, typed row out).
+    */
+  def wavRoundTrip(ids: DataFrame, idCol: String): Dataset[WavMeta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => Wav.decode(id, synthWav(id))))
+  }
+
+  /** documents → real BMP binary column → REAL decode → exact metadata. */
+  def bmpRoundTrip(ids: DataFrame, idCol: String): Dataset[BmpMeta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => Bmp.decode(id, synthBmp(id))))
   }
 
   /** STUB feature extraction — an 8-bucket byte histogram as the

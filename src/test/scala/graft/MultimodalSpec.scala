@@ -36,6 +36,80 @@ class MultimodalSpec extends SparkSpec {
     assert(byDoc.filter(col("n") =!= ceil(col("byte_len") / 32.0)).count() == 0)
   }
 
+  test("Wav decode parses a hand-built container our encoder never produces") {
+    // RIFF with an UNKNOWN odd-size chunk before fmt/data: exercises the
+    // chunk walk + word-alignment padding, and proves the decoder parses
+    // the format, not just our encoder's fixed 44-byte layout.
+    val samples = Array[Short](100, -200, 300)
+    val junk = Array[Byte]('j', 'u', 'n', 'k', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0) // size 5 + 1 pad
+    val fmt = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(4000).putInt(8000).putShort(2).putShort(16)
+      .array()
+    val data = java.nio.ByteBuffer.allocate(8 + 6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("data".getBytes("US-ASCII")).putInt(6)
+      .putShort(100).putShort(-200).putShort(300).array()
+    val body = junk ++ fmt ++ data
+    val bytes = java.nio.ByteBuffer.allocate(12 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(4 + body.length)
+      .put("WAVE".getBytes("US-ASCII")).put(body).array()
+    val m = Multimodal.Wav.decode(7L, bytes)
+    assert(m.sample_rate == 4000 && m.n_samples == 3 && m.duration_ms == 0)
+    assert(m.sum_sq == 100L * 100 + 200L * 200 + 300L * 300)
+    assert(m.peak == 300 && m.first_sample == 100 && m.last_sample == 300)
+    assert(samples.map(s => s.toLong * s).sum == m.sum_sq)
+  }
+
+  test("Wav encode∘decode is identity on metadata, and rejects non-WAV bytes") {
+    val s = Array.tabulate(1001)(i => ((i * 37) % 65536 - 32768).toShort)
+    val m = Multimodal.Wav.decode(1L, Multimodal.Wav.encode(s, 44100))
+    assert(m.sample_rate == 44100 && m.n_samples == 1001 && m.bits_per_sample == 16)
+    assert(m.duration_ms == 1001L * 1000 / 44100)
+    assert(m.sum_sq == s.map(x => x.toLong * x).sum)
+    assert(m.peak == s.map(x => math.abs(x.toLong)).max)
+    intercept[IllegalArgumentException] {
+      Multimodal.Wav.decode(2L, "definitely-not-a-riff-container".getBytes)
+    }
+  }
+
+  test("Bmp decode handles bottom-up rows, padding, and top-down variants") {
+    // w=3 → stride 12 (3 pad bytes per row): px00 must be the TOP-left
+    // pixel even though the file stores the bottom row first.
+    val enc = Multimodal.Bmp.encode(3, 2, (x, y) => (x + 10 * y, 100 + x, 200 + y))
+    val m = Multimodal.Bmp.decode(3L, enc)
+    assert(m.width == 3 && m.height == 2 && m.bits_per_pixel == 24)
+    assert(m.px00 == 0L * 65536 + 100L * 256 + 200L)
+    assert(m.sum_r == (0 + 1 + 2) + (10 + 11 + 12))
+    assert(m.sum_g == 2 * (100 + 101 + 102) && m.sum_b == 3 * 200 + 3 * 201)
+    // hand-flip to a TOP-DOWN file (negative height): same metadata
+    val stride = 12
+    val topDown = enc.clone()
+    // height int32 at offset 22 ← −2 (LE) → rows stored top-first
+    topDown(22) = 0xfe.toByte; topDown(23) = 0xff.toByte
+    topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte
+    Array.copy(enc, 54 + stride, topDown, 54, stride) // swap the two rows
+    Array.copy(enc, 54, topDown, 54 + stride, stride)
+    val t = Multimodal.Bmp.decode(4L, topDown)
+    assert(t.px00 == m.px00 && t.sum_r == m.sum_r && t.sum_g == m.sum_g)
+    intercept[IllegalArgumentException] {
+      Multimodal.Bmp.decode(5L, Array[Byte]('P', 'K', 1, 2, 3))
+    }
+  }
+
+  test("real-codec round-trips run distributed over the documents table") {
+    val docs = Ingest.table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    val wav = Multimodal.wavRoundTrip(docs, "doc_id").collect()
+    assert(wav.length == 40)
+    assert(wav.forall(r => r.n_samples == 800 + r.doc_id % 400))
+    assert(wav.forall(r => r.duration_ms == r.n_samples * 1000 / r.sample_rate))
+    val bmp = Multimodal.bmpRoundTrip(docs, "doc_id").collect()
+    assert(bmp.length == 40)
+    assert(bmp.forall(r => r.width == 3 + r.doc_id % 6 && r.height == 2 + r.doc_id % 4))
+    assert(bmp.forall(r => r.px00 ==
+      (r.doc_id % 256) * 65536 + (2 * r.doc_id % 256) * 256 + (5 * r.doc_id % 256)))
+  }
+
   test("multimodal features feed ANN end-to-end") {
     val feats = Multimodal.extractFeatures(media, "doc_id", "bin")
     val topk = VectorOps.bruteForceTopK(
