@@ -73,9 +73,30 @@ object DeriveScale {
 
     derive("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     derive("orders", Seq("o_orderkey", "o_custkey"))
-    derive("customer", Seq("c_custkey"))
+    // Name columns must NOT repeat verbatim across copies: q78's
+    // edit-distance pairs (and any fuzzy-match workload) would see every
+    // name with 9 exact duplicates and measure the DERIVATION's
+    // quadratic pair inflation, not the operator (the round-8 full-suite
+    // sf1 run showed exactly that: q78 exponent 1.26). A per-copy DIGIT
+    // rotation (d → d + 3c mod 10; 3 coprime to 10, so all digits move)
+    // is a character bijection: within-copy edit distances are
+    // PRESERVED (each copy contributes exactly the base pair set) while
+    // cross-copy twins now differ in every digit — distance ≥ 2, out of
+    // the near-miss band. Same honesty move as the documents caesar.
+    val digits = "0123456789"
+    def rotDigits(c: Int): String =
+      digits.map(d => digits((d - '0' + 3 * c) % 10))
+    derive("customer", Seq("c_custkey"), (df, c) =>
+      if (c == 0) df
+      else df
+        .withColumn("c_name", translate(col("c_name"), digits, rotDigits(c)))
+        // break bit-identical balances across copies (one cent per copy
+        // keeps q16's closeness semantics and the value distribution)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(c * 0.01)))
     derive("part", Seq("p_partkey"))
-    derive("supplier", Seq("s_suppkey"))
+    derive("supplier", Seq("s_suppkey"), (df, c) =>
+      if (c == 0) df
+      else df.withColumn("s_name", translate(col("s_name"), digits, rotDigits(c))))
     derive("events", Seq("event_id", "user_id"))
     derive("documents", Seq("doc_id"), (df, c) =>
       if (c == 0) df

@@ -238,6 +238,51 @@ object Multimodal {
     }
   }
 
+  /** REAL WAV decimation (the frame-sample op for audio): keep every
+    * `everyN`th sample and divide the declared rate to match, so
+    * duration is preserved (±1 sample) — a genuine parse → resample →
+    * re-encode pass, not a byte stride.
+    */
+  def wavDecimate(id: Long, bytes: Array[Byte], everyN: Int): Array[Byte] = {
+    require(everyN > 0, s"everyN must be positive (doc $id)")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val meta = Wav.decode(id, bytes)
+    // re-walk to the data chunk (decode validated the container)
+    var off = 12
+    var dataOff = -1
+    while (off + 8 <= bytes.length && dataOff < 0) {
+      val cid = new String(bytes, off, 4, "US-ASCII")
+      val sz = buf.getInt(off + 4)
+      if (cid == "data") dataOff = off + 8 else off += 8 + sz + (sz & 1)
+    }
+    val kept = Array.tabulate((meta.n_samples.toInt + everyN - 1) / everyN)(j =>
+      buf.getShort(dataOff + 2 * j * everyN))
+    Wav.encode(kept, math.max(1, meta.sample_rate.toInt / everyN))
+  }
+
+  /** REAL BMP nearest-neighbor resize: decode pixels (bottom-up rows,
+    * padding), sample the source grid at scaled coordinates, re-encode
+    * a valid BMP at (outW, outH).
+    */
+  def bmpResize(id: Long, bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0, s"resize dims must be positive (doc $id)")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val m = Bmp.decode(id, bytes) // validates container, gives dims
+    val w = m.width.toInt
+    val h = m.height.toInt
+    val pixOff = buf.getInt(10)
+    val bottomUp = buf.getInt(22) > 0
+    val stride = ((w * 3) + 3) / 4 * 4
+    def src(x: Int, y: Int): (Int, Int, Int) = {
+      val row = if (bottomUp) h - 1 - y else y
+      val base = pixOff + row * stride + x * 3
+      ((bytes(base + 2) & 0xff), (bytes(base + 1) & 0xff), (bytes(base) & 0xff))
+    }
+    Bmp.encode(outW, outH, (x, y) => src(x * w / outW, y * h / outH))
+  }
+
   /** Per-doc deterministic PCM16 synth (what a crawler's audio column
     * would hold): n and rate vary with doc_id so duration/padding paths
     * all get exercised; sample i = ((id·31 + i·7) mod 2¹⁶) − 2¹⁵.

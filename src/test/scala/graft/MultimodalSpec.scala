@@ -97,6 +97,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Wav decimation is a real resample: every Nth sample, duration kept") {
+    val s = Array.tabulate(100)(i => (i * 3).toShort)
+    val out = Multimodal.Wav.decode(1L,
+      Multimodal.wavDecimate(1L, Multimodal.Wav.encode(s, 8000), 4))
+    assert(out.sample_rate == 2000 && out.n_samples == 25)
+    assert(out.first_sample == 0 && out.last_sample == 96 * 3) // samples 0,4,...,96
+    assert(out.duration_ms == 12) // 25 / 2000 Hz — within a sample of 100/8000
+    assert(out.sum_sq == (0 until 100 by 4).map(i => (i * 3L) * (i * 3L)).sum)
+  }
+
+  test("Bmp resize samples real pixels at scaled coordinates") {
+    // 4×4 source with channel = f(x, y); downsample to 2×2: nearest
+    // neighbor picks source pixels (0,0),(2,0),(0,2),(2,2).
+    val enc = Multimodal.Bmp.encode(4, 4, (x, y) => (16 * x + y, 100 + x, 10 * y))
+    val out = Multimodal.Bmp.decode(2L, Multimodal.bmpResize(2L, enc, 2, 2))
+    assert(out.width == 2 && out.height == 2)
+    assert(out.px00 == 0L * 65536 + 100L * 256 + 0L) // source (0,0)
+    assert(out.sum_r == 0 + 32 + 2 + 34) // r at (0,0),(2,0),(0,2),(2,2)
+    assert(out.sum_g == 100 + 102 + 100 + 102 && out.sum_b == 0 + 0 + 20 + 20)
+    // upsample 1×1 → 3×3 replicates the single pixel
+    val one = Multimodal.Bmp.encode(1, 1, (_, _) => (7, 8, 9))
+    val up = Multimodal.Bmp.decode(3L, Multimodal.bmpResize(3L, one, 3, 3))
+    assert(up.sum_r == 63 && up.sum_g == 72 && up.sum_b == 81)
+  }
+
   test("real-codec round-trips run distributed over the documents table") {
     val docs = Ingest.table(spark, "/root/testdata/sf0.001", "documents").limit(40)
     val wav = Multimodal.wavRoundTrip(docs, "doc_id").collect()
