@@ -46,8 +46,10 @@ object DeriveScale {
       .appName("graft-derive-scale")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet is TIMESTAMP(NANOS): surface it as BIGINT nanos
-      // (exactly how Ingest.events reads it) so the copy round-trips
+      // events.ts has drifted between TIMESTAMP(NANOS) and timestamp[us]
+      // across driver rounds; keep the nanos conf so a NANOS fixture is
+      // copied as BIGINT (exactly how Ingest.events reads it) — for
+      // timestamp[us] data it is a no-op and the copy round-trips as-is
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -39,15 +39,34 @@ object Ingest {
   def dim(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Load the `events` table. Its `ts` column is parquet TIMESTAMP(NANOS),
-    * which vanilla Spark rejects ([PARQUET_TYPE_ILLEGAL]); read it as a
-    * long via the legacy conf and convert nanos → microsecond timestamp
-    * (integer DIV — the values carry µs precision, so this is lossless).
+  /** Load the `events` table, normalizing `ts` to a session-TZ TIMESTAMP
+    * regardless of how the fixture writer encoded it. The driver testdata
+    * has shipped `ts` in two physical forms across rounds —
+    * TIMESTAMP(NANOS) (which vanilla Spark rejects with
+    * [PARQUET_TYPE_ILLEGAL] unless surfaced as BIGINT nanos via the
+    * legacy conf) and plain timestamp[us] — so the loader branches on the
+    * footer schema instead of assuming one:
+    *  - LongType        → BIGINT nanos from the legacy conf; integer DIV
+    *                      to micros is lossless (values carry µs precision).
+    *  - TimestampType   → already what every consumer and the DuckDB
+    *                      oracle's `CAST(ts AS TIMESTAMP)` expect.
+    *  - TimestampNTZType→ cast to TIMESTAMP; the session timezone is
+    *                      pinned UTC so the wall-clock values are identical.
+    * Any other type fails loudly with the observed schema — a third drift
+    * should break ONE readable assertion, not sixteen queries downstream.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected BIGINT nanos, TIMESTAMP or TIMESTAMP_NTZ); " +
+          s"full schema: ${df.schema.treeString}")
+    }
   }
 
   /** S5 partition-path parser (`/root/reference/src/utils.py:12-20`):

@@ -17,9 +17,9 @@ class EmptyInputSweepSpec extends SparkSpec {
 
   test("all registered queries survive empty inputs (or fail fast by contract)") {
     val dir = Files.createTempDirectory("graft-empty").toString
-    // events is TIMESTAMP(NANOS) — must read through the nanosAsLong conf
-    // (same as Ingest.events); the empty copy keeps ts as BIGINT nanos,
-    // which Ingest.events converts identically.
+    // events.ts has shipped as both TIMESTAMP(NANOS) and timestamp[us];
+    // keep the nanosAsLong conf (same as Ingest.events) so either form
+    // copies cleanly — Ingest.events branches on the resulting type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
