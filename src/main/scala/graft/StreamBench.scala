@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Ingest
+import graft.streaming.StreamingOps
+
+/** Streaming throughput bench (round-8 verdict item 5): the StreamingSpec
+  * proves stateful SEMANTICS but published no rate numbers. This main
+  * replays the sf0.1 events table through a file source (many small files
+  * → many micro-batches, the shape a backfill or bursty topic produces)
+  * and measures, per stateful operator:
+  *
+  *   - end-to-end rows/sec over the whole replay (AvailableNow trigger,
+  *     wall clock from query start to termination);
+  *   - state rows and state bytes from the LAST StreamingQueryProgress
+  *     (`stateOperators`), i.e. the steady-state store footprint —
+  *     comparable against SCALE.md §"Streaming state"'s estimates.
+  *
+  * Operators measured (the two unbounded-ish state shapes):
+  *   - `dedupWithinWatermark` over event_id (watermark-bounded keyed
+  *     state — the production dedup path);
+  *   - `domainQuotaStream` keyed by user_id (one Long per key forever —
+  *     the flatMapGroupsWithState path, worst-case state cardinality).
+  *
+  * Runs under [[StreamingOps.RocksDbStateStoreConfs]] — the production
+  * provider — so the numbers describe the configuration SCALE.md
+  * recommends, not the heap-backed test default.
+  *
+  * Usage: `sbt 'runMain graft.StreamBench [sfDir] [nFiles] [filesPerTrigger]'`
+  * Prints one JSON line per operator plus a summary line; paste into
+  * SCALE.md §"Streaming throughput".
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nFiles = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+    val perTrigger = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+
+    val builder = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    StreamingOps.RocksDbStateStoreConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val replay = Files.createTempDirectory("graft-stream-bench").toString
+    val ev = Ingest.events(spark, sfDir)
+    val total = ev.count()
+    // split into nFiles files so maxFilesPerTrigger yields a real
+    // micro-batch cadence (one giant file = one batch = no streaming)
+    ev.repartition(nFiles).write.parquet(s"$replay/in")
+    val schema = spark.read.parquet(s"$replay/in").schema
+
+    def run(name: String, build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", perTrigger.toString)
+        .parquet(s"$replay/in")
+      val t0 = System.nanoTime()
+      val q = build(src).writeStream
+        .format("noop")
+        .option("checkpointLocation", s"$replay/ckpt-$name")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val progresses = q.recentProgress
+      val batches = progresses.length
+      val stateRows = progresses.lastOption
+        .flatMap(p => Option(p.stateOperators)).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+      val stateBytes = progresses.lastOption
+        .flatMap(p => Option(p.stateOperators)).map(_.map(_.memoryUsedBytes).sum).getOrElse(0L)
+      q.stop()
+      println(f"""{"op":"$name","rows":$total,"secs":$secs%.2f,"rows_per_sec":${(total / secs).toLong},"micro_batches":$batches,"state_rows":$stateRows,"state_bytes":$stateBytes}""")
+    }
+
+    run("dedup_within_watermark",
+      s => StreamingOps.dedupWithinWatermark(s, "ts", Seq("event_id"), watermark = "1 hour"))
+    run("domain_quota_per_user",
+      s => StreamingOps.domainQuotaStream(s, "user_id", "ts", cap = 10).toDF())
+
+    spark.stop()
+  }
+}
