@@ -4067,6 +4067,37 @@ object Queries {
       |FROM m JOIN a USING (doc_id) ORDER BY m.doc_id
       |""".stripMargin.trim))
 
+  /** REAL PNG decode (round 9): deterministic RGB synth per doc → real
+    * PNG bytes (zlib-deflated scanlines, per-row filter cycle through
+    * all five types, CRC'd chunks, the stream split over TWO IDAT
+    * chunks) → `Multimodal.Png.decode` (JDK Inflater + genuine
+    * unfiltering incl. Paeth) → exact-integer channel sums. The oracle
+    * recomputes every field from the synth formula — match requires the
+    * decoder to really inflate, reassemble IDATs and undo each filter.
+    */
+  val q120: Q = Q(
+    "q120_png_decode",
+    (s, dir) => Multimodal.pngRoundTrip(t(s, dir, "documents"), "doc_id")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |WITH m AS (SELECT doc_id, 3 + doc_id % 7 AS w, 2 + doc_id % 5 AS h FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM m),
+      |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |c AS (SELECT doc_id,
+      |        (doc_id + 7*x + 3*y) % 256 AS r,
+      |        (3*doc_id + 5*x + y) % 256 AS g,
+      |        (9*doc_id + x + 13*y) % 256 AS b
+      |      FROM xy),
+      |a AS (SELECT doc_id, SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb FROM c GROUP BY doc_id)
+      |SELECT m.doc_id, CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+      |  CAST(8 AS BIGINT) AS bit_depth, CAST(2 AS BIGINT) AS color_type,
+      |  CAST(a.sr AS BIGINT) AS sum_r, CAST(a.sg AS BIGINT) AS sum_g,
+      |  CAST(a.sb AS BIGINT) AS sum_b,
+      |  CAST((m.doc_id % 256) * 65536 + (3*m.doc_id % 256) * 256 + (9*m.doc_id % 256) AS BIGINT) AS px00,
+      |  CAST(2 AS BIGINT) AS n_idat
+      |FROM m JOIN a USING (doc_id) ORDER BY m.doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4079,5 +4110,5 @@ object Queries {
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
 }

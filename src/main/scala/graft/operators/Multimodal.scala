@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * opaque BINARY columns with typed metadata, decoded per-partition.
   *
   * The container has no image/audio libraries, so for library-bound
-  * formats (JPEG/PNG/MP4) the decode is a clearly-marked DETERMINISTIC
+  * formats (JPEG/MP4) the decode is a clearly-marked DETERMINISTIC
   * FAKE (arithmetic over byte length + head bytes) while the Spark-side
   * plumbing — binary column, typed Dataset, `mapPartitions` batch shape,
-  * schema of the decoded output — is real and oracle-checked. WAV and
-  * BMP, however, need no library at all, so their codecs below (`Wav`,
-  * `Bmp`) are REAL byte-level implementations: RIFF chunk walking,
-  * BITMAPINFOHEADER parsing, bottom-up padded pixel rows — round-tripped
-  * end to end by q118/q119 against exact-integer DuckDB oracles.
+  * schema of the decoded output — is real and oracle-checked. WAV, BMP
+  * and PNG, however, need no library beyond the JDK — PNG's only
+  * compressed part is zlib, which `java.util.zip` provides — so their
+  * codecs below (`Wav`, `Bmp`, `Png`) are REAL byte-level
+  * implementations: RIFF chunk walking, BITMAPINFOHEADER parsing with
+  * bottom-up padded pixel rows, CRC-verified PNG chunk streams with all
+  * five scanline filters — round-tripped end to end by q118/q119/q120
+  * against exact-integer DuckDB oracles.
   */
 object Multimodal {
 
@@ -238,6 +241,192 @@ object Multimodal {
     }
   }
 
+  /** Decoded PNG metadata. Mirrors [[BmpMeta]]'s exact-integer shape so
+    * the DuckDB oracle recomputes every field from the synth formula;
+    * `n_idat` pins the multi-IDAT concatenation path (the synth encoder
+    * always splits the zlib stream across two IDAT chunks, which the
+    * spec asserts — a decoder that reads only the first chunk fails
+    * inflation, one that guesses from byte counts gets n_idat wrong).
+    */
+  case class PngMeta(doc_id: Long, width: Long, height: Long,
+      bit_depth: Long, color_type: Long, sum_r: Long, sum_g: Long,
+      sum_b: Long, px00: Long, n_idat: Long)
+
+  /** Minimal REAL PNG codec (8-bit truecolor RGB, non-interlaced). PNG
+    * is public-spec (RFC 2083): length-prefixed chunks with CRC-32
+    * trailers, IHDR big-endian dims, pixel data = zlib-deflated
+    * scanlines, each prefixed by a filter byte (0 None / 1 Sub / 2 Up /
+    * 3 Average / 4 Paeth). The JDK supplies the only nontrivial parts
+    * (`java.util.zip.{Deflater, Inflater, CRC32}`), so no external
+    * library is needed — this is a genuine parse, not a stub.
+    *
+    * The encoder deliberately cycles the filter type per row (y mod 5)
+    * and splits the compressed stream across two IDAT chunks, so a
+    * decoder only round-trips if it implements ALL five unfilters
+    * (including Paeth's nearest-predictor tie-breaking) and chunk
+    * reassembly. CRCs are verified on decode — bit rot fails loudly.
+    */
+  object Png {
+    private val Signature = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+        data: Array[Byte]): Unit = {
+      val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
+      out.write(len)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+
+    /** `px(x, y)` returns (r, g, b) for the top-left-origin pixel grid
+      * (PNG rows are stored top-down, unlike BMP).
+      */
+    def encode(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val bpp = 3
+      val raw = new Array[Byte](h * (1 + w * bpp))
+      val prior = new Array[Byte](w * bpp) // zero row above the image
+      val cur = new Array[Byte](w * bpp)
+      var off = 0
+      for (y <- 0 until h) {
+        for (x <- 0 until w) {
+          val (r, g, b) = px(x, y)
+          cur(x * bpp) = r.toByte; cur(x * bpp + 1) = g.toByte; cur(x * bpp + 2) = b.toByte
+        }
+        val f = y % 5 // cycle every filter type — decode must undo each
+        raw(off) = f.toByte; off += 1
+        for (i <- 0 until w * bpp) {
+          val x = cur(i) & 0xff
+          val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+          val b = prior(i) & 0xff
+          val c = if (i >= bpp) prior(i - bpp) & 0xff else 0
+          val filtered = f match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - b
+            case 3 => x - (a + b) / 2
+            case 4 => x - paeth(a, b, c)
+          }
+          raw(off) = filtered.toByte; off += 1
+        }
+        System.arraycopy(cur, 0, prior, 0, w * bpp)
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val zBuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val z = zBuf.toByteArray
+
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Signature)
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte)  // bit depth
+        .put(2.toByte)  // color type: truecolor RGB
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+        .array()
+      chunk(out, "IHDR", ihdr)
+      // always TWO IDAT chunks: decoders must concatenate before inflating
+      val mid = math.max(1, z.length / 2)
+      chunk(out, "IDAT", z.take(mid))
+      chunk(out, "IDAT", z.drop(mid))
+      chunk(out, "IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): PngMeta = {
+      require(bytes.length >= 8 && Signature.indices.forall(i => bytes(i) == Signature(i)),
+        s"not a PNG payload (doc $id)")
+      val buf = java.nio.ByteBuffer.wrap(bytes) // PNG ints are big-endian
+      var off = 8
+      var w, h = -1
+      var bitDepth, colorType = -1
+      var nIdat = 0L
+      val zAll = new java.io.ByteArrayOutputStream()
+      var sawEnd = false
+      while (!sawEnd && off + 12 <= bytes.length) {
+        val len = buf.getInt(off)
+        val typ = new String(bytes, off + 4, 4, "US-ASCII")
+        require(len >= 0 && off + 12 + len <= bytes.length,
+          s"truncated $typ chunk (doc $id)")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, off + 4, 4 + len)
+        require(crc.getValue.toInt == buf.getInt(off + 8 + len),
+          s"CRC mismatch in $typ chunk (doc $id)")
+        typ match {
+          case "IHDR" =>
+            w = buf.getInt(off + 8); h = buf.getInt(off + 12)
+            bitDepth = bytes(off + 16) & 0xff
+            colorType = bytes(off + 17) & 0xff
+            require(bytes(off + 20) == 0, s"interlaced PNG unsupported (doc $id)")
+            require(bitDepth == 8 && colorType == 2,
+              s"only 8-bit truecolor supported, got depth=$bitDepth type=$colorType (doc $id)")
+          case "IDAT" => zAll.write(bytes, off + 8, len); nIdat += 1
+          case "IEND" => sawEnd = true
+          case _ => // ancillary chunks skipped
+        }
+        off += 12 + len
+      }
+      require(w > 0 && h > 0 && sawEnd && nIdat > 0, s"missing IHDR/IDAT/IEND (doc $id)")
+
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(zAll.toByteArray)
+      val bpp = 3
+      val raw = new Array[Byte](h * (1 + w * bpp))
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        require(n > 0 || inflater.finished(), s"bad zlib stream (doc $id)")
+        got += n
+      }
+      inflater.end()
+      require(got == raw.length, s"short pixel stream: $got of ${raw.length} (doc $id)")
+
+      val prior = new Array[Byte](w * bpp)
+      val cur = new Array[Byte](w * bpp)
+      var sumR, sumG, sumB = 0L
+      var px00 = 0L
+      for (y <- 0 until h) {
+        val base = y * (1 + w * bpp)
+        val f = raw(base) & 0xff
+        for (i <- 0 until w * bpp) {
+          val x = raw(base + 1 + i) & 0xff
+          val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+          val b = prior(i) & 0xff
+          val c = if (i >= bpp) prior(i - bpp) & 0xff else 0
+          val v = f match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 => x + paeth(a, b, c)
+            case other => throw new IllegalArgumentException(
+              s"unknown filter type $other (doc $id)")
+          }
+          cur(i) = v.toByte
+        }
+        for (x <- 0 until w) {
+          val r = cur(x * bpp) & 0xff
+          val g = cur(x * bpp + 1) & 0xff
+          val b = cur(x * bpp + 2) & 0xff
+          if (x == 0 && y == 0) px00 = r * 65536L + g * 256L + b
+          sumR += r; sumG += g; sumB += b
+        }
+        System.arraycopy(cur, 0, prior, 0, w * bpp)
+      }
+      PngMeta(id, w, h, bitDepth, colorType, sumR, sumG, sumB, px00, nIdat)
+    }
+  }
+
   /** REAL WAV decimation (the frame-sample op for audio): keep every
     * `everyN`th sample and divide the declared rate to match, so
     * duration is preserved (±1 sample) — a genuine parse → resample →
@@ -307,6 +496,20 @@ object Multimodal {
       ((5 * docId + 11 * x + y) % 256).toInt))
   }
 
+  /** Per-doc deterministic RGB synth for PNG; h reaches 6 so the per-row
+    * filter cycle (y mod 5) exercises all five filter types within one
+    * image, and the channel affines differ from [[synthBmp]]'s so a
+    * crossed decode path can't accidentally match.
+    */
+  def synthPng(docId: Long): Array[Byte] = {
+    val w = (3 + docId % 7).toInt
+    val h = (2 + docId % 5).toInt
+    Png.encode(w, h, (x, y) => (
+      ((docId + 7 * x + 3 * y) % 256).toInt,
+      ((3 * docId + 5 * x + y) % 256).toInt,
+      ((9 * docId + x + 13 * y) % 256).toInt))
+  }
+
   /** documents → real WAV binary column → REAL decode → exact metadata.
     * The encode and decode run in the SAME per-partition pass a
     * production pipeline would use (binary column in, typed row out).
@@ -324,6 +527,14 @@ object Multimodal {
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(id => Bmp.decode(id, synthBmp(id))))
+  }
+
+  /** documents → real PNG binary column → REAL decode → exact metadata. */
+  def pngRoundTrip(ids: DataFrame, idCol: String): Dataset[PngMeta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => Png.decode(id, synthPng(id))))
   }
 
   /** STUB feature extraction — an 8-bucket byte histogram as the
