@@ -4098,6 +4098,36 @@ object Queries {
       |FROM m JOIN a USING (doc_id) ORDER BY m.doc_id
       |""".stripMargin.trim))
 
+  /** REAL JPEG decode (round 9): grayscale flat-block synth → real
+    * baseline JPEG bytes (full marker stream, canonical Huffman tables
+    * READ FROM THE FILE's DHT segments, FDCT + quantization, byte
+    * stuffing) → `Multimodal.Jpeg.decode` (general baseline decoder:
+    * Huffman reconstruction, DC prediction, ZRL/EOB, dequant, IDCT,
+    * YCbCr→RGB, edge crop) → exact-integer metadata INCLUDING pixel
+    * sums — exact because the synth sits in the codec's lossless
+    * envelope (constant 8×8 blocks + DC quant step 8; argument in the
+    * `Jpeg` scaladoc). Color/non-flat accuracy is spec-bounded in
+    * MultimodalSpec since lossy pixels have no SQL truth.
+    */
+  val q121: Q = Q(
+    "q121_jpeg_decode",
+    (s, dir) => Multimodal.jpegRoundTrip(t(s, dir, "documents"), "doc_id")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |WITH m AS (SELECT doc_id, 5 + doc_id % 20 AS w, 4 + doc_id % 13 AS h FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM m),
+      |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |c AS (SELECT doc_id, (doc_id*7 + (x//8)*31 + (y//8)*57) % 256 AS v FROM xy),
+      |a AS (SELECT doc_id, SUM(v) AS s FROM c GROUP BY doc_id)
+      |SELECT m.doc_id, CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+      |  CAST(3 AS BIGINT) AS n_components,
+      |  CAST(3 * ((m.w + 7) // 8) * ((m.h + 7) // 8) AS BIGINT) AS n_blocks,
+      |  CAST(a.s AS BIGINT) AS sum_r, CAST(a.s AS BIGINT) AS sum_g,
+      |  CAST(a.s AS BIGINT) AS sum_b,
+      |  CAST((m.doc_id * 7 % 256) * 65536 + (m.doc_id * 7 % 256) * 256 + (m.doc_id * 7 % 256) AS BIGINT) AS px00
+      |FROM m JOIN a USING (doc_id) ORDER BY m.doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4110,5 +4140,5 @@ object Queries {
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
 }

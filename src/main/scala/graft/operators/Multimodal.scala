@@ -7,17 +7,19 @@ import org.apache.spark.sql.functions._
   * opaque BINARY columns with typed metadata, decoded per-partition.
   *
   * The container has no image/audio libraries, so for library-bound
-  * formats (JPEG/MP4) the decode is a clearly-marked DETERMINISTIC
-  * FAKE (arithmetic over byte length + head bytes) while the Spark-side
-  * plumbing — binary column, typed Dataset, `mapPartitions` batch shape,
-  * schema of the decoded output — is real and oracle-checked. WAV, BMP
-  * and PNG, however, need no library beyond the JDK — PNG's only
-  * compressed part is zlib, which `java.util.zip` provides — so their
-  * codecs below (`Wav`, `Bmp`, `Png`) are REAL byte-level
+  * formats (MP4/video codecs) the decode is a clearly-marked
+  * DETERMINISTIC FAKE (arithmetic over byte length + head bytes) while
+  * the Spark-side plumbing — binary column, typed Dataset,
+  * `mapPartitions` batch shape, schema of the decoded output — is real
+  * and oracle-checked. WAV, BMP, PNG and baseline JPEG, however, need
+  * no library beyond the JDK — PNG's only compressed part is zlib
+  * (`java.util.zip`), and JPEG's Huffman/DCT are plain arithmetic — so
+  * their codecs below (`Wav`, `Bmp`, `Png`, `Jpeg`) are REAL byte-level
   * implementations: RIFF chunk walking, BITMAPINFOHEADER parsing with
   * bottom-up padded pixel rows, CRC-verified PNG chunk streams with all
-  * five scanline filters — round-tripped end to end by q118/q119/q120
-  * against exact-integer DuckDB oracles.
+  * five scanline filters, full baseline JPEG marker/entropy decoding —
+  * round-tripped end to end by q118–q121 against exact-integer DuckDB
+  * oracles.
   */
 object Multimodal {
 
@@ -94,12 +96,12 @@ object Multimodal {
   }
 
   // ==========================================================================
-  // REAL codecs (round 8): WAV and BMP need no external libraries — the
-  // formats are header + raw samples/pixels — so for these two the decode
-  // step is NOT a stub: byte-level RIFF chunk walking and BITMAPINFOHEADER
-  // parsing with bottom-up rows and 4-byte row padding. The stubbed
-  // decodeMedia above remains the shape for formats that DO need a codec
-  // library (JPEG/PNG/MP4).
+  // REAL codecs (rounds 8-9): WAV, BMP (round 8), PNG and baseline JPEG
+  // (round 9) need nothing beyond the JDK, so their decode steps are NOT
+  // stubs: RIFF chunk walking, BITMAPINFOHEADER rows, zlib'd PNG
+  // scanlines, Huffman/DCT JPEG entropy decoding. The stubbed decodeMedia
+  // above remains the shape for formats that DO need a codec library
+  // (MP4/video).
   // ==========================================================================
 
   /** Decoded WAV metadata. All aggregates are exact integers (sum of
@@ -427,6 +429,393 @@ object Multimodal {
     }
   }
 
+  /** Decoded JPEG metadata. With the [[synthJpeg]] corpus (grayscale,
+    * constant per 8×8 block) every field including the pixel sums is
+    * EXACT — see the quant-table argument on [[Jpeg]] — so q121 gets the
+    * same exact-integer DuckDB oracle treatment as q118–q120; color
+    * accuracy on arbitrary images is spec-gated with an error bound
+    * instead (lossy DCT has no SQL-recomputable pixel truth).
+    */
+  case class JpegMeta(doc_id: Long, width: Long, height: Long,
+      n_components: Long, n_blocks: Long, sum_r: Long, sum_g: Long,
+      sum_b: Long, px00: Long)
+
+  /** Minimal REAL baseline JPEG codec (SOF0, 8-bit, 3 components, 4:4:4,
+    * no external library — Huffman coding, FDCT/IDCT and the YCbCr
+    * transform are just arithmetic). The DECODER is general for its
+    * declared envelope: it walks markers (skipping APPn/COM), reads any
+    * 8-bit DQT / DHT tables from the stream (canonical Huffman
+    * reconstruction — NOT hardwired to the encoder's tables), handles
+    * multi-component interleaved MCUs, 0xFF00 byte stuffing, DC
+    * prediction, ZRL/EOB run-length AC coding, dequant + de-zigzag +
+    * IDCT + level shift + color convert + edge crop. Progressive
+    * (SOF2), subsampled, and restart-interval streams are rejected with
+    * real messages.
+    *
+    * The ENCODER writes valid baseline streams with deliberately simple
+    * canonical Huffman tables (all 12 DC categories at length 4, all
+    * 162 AC symbols at length 8 — legal, suboptimal, and different in
+    * shape from the Annex K defaults, so a decoder that hardwired the
+    * standard tables would produce garbage here).
+    *
+    * Exactness argument for the flat-gray corpus: a constant 8×8 block
+    * has DC = 8·(c−128) and all ACs ≈ 0 (float dust quantizes to 0);
+    * with DC quant step 8 the quantized DC is exactly c−128, the IDCT
+    * reproduces the constant plane bit-exactly, and for r=g=b inputs
+    * the chroma planes sit at 128 ± ~1e-14 whose DC also quantizes to
+    * 0 — so decode∘encode is the identity on pixels, SQL-recomputable.
+    */
+  object Jpeg {
+    // zigzag order: index i in scan order -> position in the 8x8 block
+    private val ZigZag: Array[Int] = {
+      val out = new Array[Int](64)
+      var x, y, i = 0
+      var up = true
+      while (i < 64) {
+        out(i) = y * 8 + x; i += 1
+        if (up) {
+          if (x == 7) { y += 1; up = false }
+          else if (y == 0) { x += 1; up = false }
+          else { x += 1; y -= 1 }
+        } else {
+          if (y == 7) { x += 1; up = true }
+          else if (x == 0) { y += 1; up = true }
+          else { x -= 1; y += 1 }
+        }
+      }
+      out
+    }
+
+    // quant tables: DC step 8 (the exactness pivot above), AC step 16
+    private val QTable: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+
+    // encoder Huffman: DC = 12 categories at code length 4; AC = all 162
+    // (run,size) symbols at length 8. Canonical, prefix-free, max code
+    // 161 < 255 so the forbidden all-ones code never appears.
+    private val DcBits: Array[Int] = { val b = new Array[Int](17); b(4) = 12; b }
+    private val DcVals: Array[Int] = (0 until 12).toArray
+    private val AcBits: Array[Int] = { val b = new Array[Int](17); b(8) = 162; b }
+    private val AcVals: Array[Int] = {
+      val v = Array.newBuilder[Int]
+      v += 0x00 // EOB
+      for (run <- 0 to 15; size <- 1 to 10) v += (run << 4) | size
+      v += 0xf0 // ZRL
+      v.result()
+    }
+
+    private def dcCat(v: Int): Int = { var n = 0; var a = math.abs(v); while (a > 0) { n += 1; a >>= 1 }; n }
+
+    private class BitWriter(out: java.io.ByteArrayOutputStream) {
+      private var acc = 0
+      private var nbits = 0
+      def put(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((code >> i) & 1); nbits += 1
+          if (nbits == 8) {
+            out.write(acc)
+            if (acc == 0xff) out.write(0x00) // byte stuffing
+            acc = 0; nbits = 0
+          }
+          i -= 1
+        }
+      }
+      def flush(): Unit = if (nbits > 0) { // pad with 1s per spec
+        acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+        out.write(acc); if (acc == 0xff) out.write(0x00)
+        acc = 0; nbits = 0
+      }
+    }
+
+    /** Canonical code assignment shared by encoder and DHT parsing. */
+    private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0
+      var k = 0
+      val out = Map.newBuilder[Int, (Int, Int)]
+      for (len <- 1 to 16) {
+        var i = 0
+        while (i < bits(len)) { out += vals(k) -> (code, len); code += 1; k += 1; i += 1 }
+        code <<= 1
+      }
+      out.result()
+    }
+
+    private def fdct(block: Array[Double]): Array[Double] = {
+      val out = new Array[Double](64)
+      for (u <- 0 until 8; v <- 0 until 8) {
+        var s = 0.0
+        for (x <- 0 until 8; y <- 0 until 8)
+          s += block(y * 8 + x) *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
+        val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
+        out(v * 8 + u) = 0.25 * cu * cv * s
+      }
+      out
+    }
+
+    private def idct(coef: Array[Double]): Array[Double] = {
+      val out = new Array[Double](64)
+      for (x <- 0 until 8; y <- 0 until 8) {
+        var s = 0.0
+        for (u <- 0 until 8; v <- 0 until 8) {
+          val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
+          val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
+          s += cu * cv * coef(v * 8 + u) *
+            math.cos((2 * x + 1) * u * math.Pi / 16) *
+            math.cos((2 * y + 1) * v * math.Pi / 16)
+        }
+        out(y * 8 + x) = 0.25 * s
+      }
+      out
+    }
+
+    /** `px(x, y)` returns (r, g, b), top-left origin. */
+    def encode(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+      def segment(m: Int, body: Array[Int]): Unit = {
+        marker(m)
+        val len = body.length + 2
+        out.write(len >> 8); out.write(len & 0xff)
+        body.foreach(out.write)
+      }
+      marker(0xd8) // SOI
+      // DQT: table 0 for Y, table 1 for chroma (same values; the split
+      // exercises multi-table parsing on the decode side)
+      for (id <- 0 to 1)
+        segment(0xdb, Array(id) ++ ZigZag.indices.map(i => QTable(ZigZag(i))))
+      // SOF0: 8-bit, h, w, 3 components, all 1x1 sampling (4:4:4)
+      segment(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+        1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+      // DHT: DC0, AC0, DC1, AC1
+      def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit =
+        segment(0xc4, Array((tc << 4) | th) ++ (1 to 16).map(bits) ++ vals)
+      dht(0, 0, DcBits, DcVals); dht(1, 0, AcBits, AcVals)
+      dht(0, 1, DcBits, DcVals); dht(1, 1, AcBits, AcVals)
+      // SOS: 3 components; Y → tables 0, chroma → tables 1
+      segment(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+
+      val dcCode = canonicalCodes(DcBits, DcVals)
+      val acCode = canonicalCodes(AcBits, AcVals)
+      val bw = new BitWriter(out)
+      val bw2 = (w + 7) / 8
+      val bh2 = (h + 7) / 8
+      val prevDc = new Array[Int](3)
+      // component planes as doubles (no pre-DCT rounding: part of the
+      // flat-gray exactness argument in the scaladoc)
+      def ycc(x: Int, y: Int): (Double, Double, Double) = {
+        val (r, g, b) = px(math.min(x, w - 1), math.min(y, h - 1)) // edge replicate
+        (0.299 * r + 0.587 * g + 0.114 * b,
+          -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+          0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+      }
+      for (by <- 0 until bh2; bx <- 0 until bw2; comp <- 0 until 3) {
+        val block = new Array[Double](64)
+        for (yy <- 0 until 8; xx <- 0 until 8) {
+          val (yv, cb, cr) = ycc(bx * 8 + xx, by * 8 + yy)
+          block(yy * 8 + xx) = (comp match {
+            case 0 => yv
+            case 1 => cb
+            case 2 => cr
+          }) - 128.0
+        }
+        val coef = fdct(block)
+        val q = Array.tabulate(64)(i => math.round(coef(ZigZag(i)) / QTable(ZigZag(i))).toInt)
+        // DC
+        val diff = q(0) - prevDc(comp); prevDc(comp) = q(0)
+        val cat = dcCat(diff)
+        val (dcC, dcL) = dcCode(cat)
+        bw.put(dcC, dcL)
+        if (cat > 0) bw.put(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+        // AC
+        var i = 1
+        while (i < 64) {
+          var run = 0
+          while (i < 64 && q(i) == 0) { run += 1; i += 1 }
+          if (i == 64) { val (c, l) = acCode(0x00); bw.put(c, l) } // EOB
+          else {
+            while (run >= 16) { val (c, l) = acCode(0xf0); bw.put(c, l); run -= 16 }
+            val v = q(i)
+            val size = dcCat(v)
+            val (c, l) = acCode((run << 4) | size)
+            bw.put(c, l)
+            bw.put(if (v >= 0) v else v + (1 << size) - 1, size)
+            i += 1
+          }
+        }
+      }
+      bw.flush()
+      marker(0xd9) // EOI
+      out.toByteArray
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): JpegMeta = {
+      require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+        s"not a JPEG payload (doc $id)")
+      var off = 2
+      def u8(i: Int) = bytes(i) & 0xff
+      def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+
+      val qTables = new Array[Array[Int]](4)
+      // huffman: (tableClass, tableId) -> decode arrays
+      case class HTable(minCode: Array[Int], maxCode: Array[Int],
+          valPtr: Array[Int], vals: Array[Int])
+      val hTables = scala.collection.mutable.Map[(Int, Int), HTable]()
+      var w, h = -1
+      var nComp = 0
+      var compQ: Array[Int] = null
+      var scanOff = -1
+      var compDcTab: Array[Int] = null
+      var compAcTab: Array[Int] = null
+
+      while (scanOff < 0) {
+        require(off + 4 <= bytes.length && u8(off) == 0xff, s"bad marker stream at $off (doc $id)")
+        val m = u8(off + 1)
+        val len = u16(off + 2)
+        m match {
+          case 0xdb => // DQT (8-bit only)
+            var p = off + 4
+            while (p < off + 2 + len) {
+              require((u8(p) >> 4) == 0, s"16-bit quant tables unsupported (doc $id)")
+              val tid = u8(p) & 0x0f
+              val t = new Array[Int](64)
+              for (i <- 0 until 64) t(ZigZag(i)) = u8(p + 1 + i)
+              qTables(tid) = t
+              p += 65
+            }
+          case 0xc4 => // DHT — canonical reconstruction from bits+vals
+            var p = off + 4
+            while (p < off + 2 + len) {
+              val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+              val bits = Array.tabulate(17)(i => if (i == 0) 0 else u8(p + i))
+              val total = bits.sum
+              val vals = Array.tabulate(total)(i => u8(p + 17 + i))
+              val minC = new Array[Int](17); val maxC = Array.fill(17)(-1)
+              val vptr = new Array[Int](17)
+              var code = 0; var k = 0
+              for (l <- 1 to 16) {
+                if (bits(l) > 0) { vptr(l) = k; minC(l) = code; code += bits(l); k += bits(l); maxC(l) = code - 1 }
+                code <<= 1
+              }
+              hTables((tc, th)) = HTable(minC, maxC, vptr, vals)
+              p += 17 + total
+            }
+          case 0xc0 => // SOF0 baseline
+            h = u16(off + 5); w = u16(off + 7)
+            nComp = u8(off + 9)
+            require(u8(off + 4) == 8, s"only 8-bit precision supported (doc $id)")
+            require(nComp == 1 || nComp == 3, s"unsupported component count $nComp (doc $id)")
+            compQ = new Array[Int](nComp)
+            for (c <- 0 until nComp) {
+              require(u8(off + 11 + 3 * c) == 0x11,
+                s"subsampled JPEG unsupported — 4:4:4 only (doc $id)")
+              compQ(c) = u8(off + 12 + 3 * c)
+            }
+          case 0xc2 => throw new IllegalArgumentException(
+            s"progressive JPEG (SOF2) unsupported — baseline only (doc $id)")
+          case 0xdd => throw new IllegalArgumentException(
+            s"restart intervals unsupported (doc $id)")
+          case 0xda => // SOS
+            val ns = u8(off + 4)
+            require(ns == nComp, s"partial scans unsupported (doc $id)")
+            compDcTab = new Array[Int](nComp); compAcTab = new Array[Int](nComp)
+            for (c <- 0 until ns) {
+              compDcTab(c) = u8(off + 6 + 2 * c) >> 4
+              compAcTab(c) = u8(off + 6 + 2 * c) & 0x0f
+            }
+            scanOff = off + 2 + len
+          case _ => // APPn / COM / others: skip
+        }
+        if (scanOff < 0) off += 2 + len
+      }
+      require(w > 0 && h > 0, s"missing SOF before SOS (doc $id)")
+
+      // entropy-coded segment reader with 0xFF00 unstuffing
+      var p = scanOff
+      var acc = 0; var nbits = 0
+      def nextBit(): Int = {
+        if (nbits == 0) {
+          require(p < bytes.length, s"truncated scan (doc $id)")
+          var b = u8(p); p += 1
+          if (b == 0xff) {
+            val b2 = u8(p)
+            require(b2 == 0x00, s"unexpected marker ${b2.toHexString} inside scan (doc $id)")
+            p += 1
+          }
+          acc = b; nbits = 8
+        }
+        nbits -= 1
+        (acc >> nbits) & 1
+      }
+      def decodeSym(t: HTable): Int = {
+        var code = 0
+        for (l <- 1 to 16) {
+          code = (code << 1) | nextBit()
+          if (t.maxCode(l) >= 0 && code <= t.maxCode(l))
+            return t.vals(t.valPtr(l) + code - t.minCode(l))
+        }
+        throw new IllegalArgumentException(s"invalid Huffman code (doc $id)")
+      }
+      def receiveExtend(size: Int): Int = {
+        if (size == 0) return 0
+        var v = 0
+        for (_ <- 0 until size) v = (v << 1) | nextBit()
+        if (v < (1 << (size - 1))) v - (1 << size) + 1 else v
+      }
+
+      val bw2 = (w + 7) / 8
+      val bh2 = (h + 7) / 8
+      val planes = Array.fill(nComp)(new Array[Double](bw2 * 8 * bh2 * 8))
+      val prevDc = new Array[Int](nComp)
+      var nBlocks = 0L
+      for (by <- 0 until bh2; bx <- 0 until bw2; c <- 0 until nComp) {
+        val qt = qTables(compQ(c))
+        require(qt != null, s"missing quant table ${compQ(c)} (doc $id)")
+        val dcT = hTables((0, compDcTab(c)))
+        val acT = hTables((1, compAcTab(c)))
+        val zz = new Array[Int](64)
+        val cat = decodeSym(dcT)
+        prevDc(c) += receiveExtend(cat)
+        zz(0) = prevDc(c)
+        var i = 1
+        while (i < 64) {
+          val rs = decodeSym(acT)
+          val run = rs >> 4; val size = rs & 0x0f
+          if (size == 0) { if (run == 15) i += 16 else i = 64 } // ZRL / EOB
+          else { i += run; require(i < 64, s"AC index overflow (doc $id)"); zz(i) = receiveExtend(size); i += 1 }
+        }
+        val coef = new Array[Double](64)
+        for (i <- 0 until 64) coef(ZigZag(i)) = zz(i).toDouble * qt(ZigZag(i))
+        val pix = idct(coef)
+        nBlocks += 1
+        val plane = planes(c)
+        for (yy <- 0 until 8; xx <- 0 until 8)
+          plane((by * 8 + yy) * bw2 * 8 + bx * 8 + xx) = pix(yy * 8 + xx) + 128.0
+      }
+
+      var sumR, sumG, sumB = 0L
+      var px00 = 0L
+      val stride = bw2 * 8
+      def clamp(v: Double): Int = math.max(0, math.min(255, math.round(v).toInt))
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = y * stride + x
+        val (r, g, b) =
+          if (nComp == 1) { val v = clamp(planes(0)(i)); (v, v, v) }
+          else {
+            val yv = planes(0)(i); val cb = planes(1)(i) - 128.0; val cr = planes(2)(i) - 128.0
+            (clamp(yv + 1.402 * cr),
+              clamp(yv - 0.344136 * cb - 0.714136 * cr),
+              clamp(yv + 1.772 * cb))
+          }
+        if (x == 0 && y == 0) px00 = r * 65536L + g * 256L + b
+        sumR += r; sumG += g; sumB += b
+      }
+      JpegMeta(id, w, h, nComp, nBlocks, sumR, sumG, sumB, px00)
+    }
+  }
+
   /** REAL WAV decimation (the frame-sample op for audio): keep every
     * `everyN`th sample and divide the declared rate to match, so
     * duration is preserved (±1 sample) — a genuine parse → resample →
@@ -535,6 +924,28 @@ object Multimodal {
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(id => Png.decode(id, synthPng(id))))
+  }
+
+  /** Per-doc deterministic JPEG synth: grayscale, constant per 8×8
+    * block ([[Jpeg]]'s exactness envelope — the oracle recomputes pixel
+    * sums in SQL), dims deliberately non-multiples of 8 so edge blocks
+    * exercise replicate-pad on encode and crop on decode.
+    */
+  def synthJpeg(docId: Long): Array[Byte] = {
+    val w = (5 + docId % 20).toInt
+    val h = (4 + docId % 13).toInt
+    Jpeg.encode(w, h, (x, y) => {
+      val v = ((docId * 7 + (x / 8) * 31 + (y / 8) * 57) % 256).toInt
+      (v, v, v)
+    })
+  }
+
+  /** documents → real JPEG binary column → REAL decode → exact metadata. */
+  def jpegRoundTrip(ids: DataFrame, idCol: String): Dataset[JpegMeta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => Jpeg.decode(id, synthJpeg(id))))
   }
 
   /** STUB feature extraction — an 8-bucket byte histogram as the

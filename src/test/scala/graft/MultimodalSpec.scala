@@ -155,6 +155,55 @@ class MultimodalSpec extends SparkSpec {
     assert(m.sum_r == (0 + 1 + 2 + 3) * 3)
   }
 
+  test("Jpeg encode∘decode is EXACT on the flat-gray envelope, bounded on color") {
+    // flat-gray per-8x8-block: the lossless envelope (DC step 8 argument)
+    val flat = Multimodal.Jpeg.encode(13, 10, (x, y) => {
+      val v = (40 + (x / 8) * 31 + (y / 8) * 57) % 256; (v, v, v)
+    })
+    val m = Multimodal.Jpeg.decode(1L, flat)
+    assert(m.width == 13 && m.height == 10 && m.n_components == 3)
+    assert(m.n_blocks == 3 * 2 * 2)
+    var s = 0L
+    for (y <- 0 until 10; x <- 0 until 13) s += (40 + (x / 8) * 31 + (y / 8) * 57) % 256
+    assert(m.sum_r == s && m.sum_g == s && m.sum_b == s)
+    assert(m.px00 == 40L * 65536 + 40L * 256 + 40L)
+    // smooth COLOR gradient: lossy path exercises AC coefficients and the
+    // chroma planes; per-pixel mean abs error must stay within the AC
+    // quant budget (step 16 → well under 8 for smooth content)
+    val w = 24; val h = 16
+    def px(x: Int, y: Int) = (10 * (x / 3), 255 - 10 * (y / 2), 5 * ((x + y) / 4))
+    val dec = Multimodal.Jpeg.decode(2L, Multimodal.Jpeg.encode(w, h, px))
+    var expR, expG, expB = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y); expR += r; expG += g; expB += b
+    }
+    val n = (w * h).toDouble
+    assert(math.abs(dec.sum_r - expR) / n < 8.0, s"mean R err ${math.abs(dec.sum_r - expR) / n}")
+    assert(math.abs(dec.sum_g - expG) / n < 8.0, s"mean G err ${math.abs(dec.sum_g - expG) / n}")
+    assert(math.abs(dec.sum_b - expB) / n < 8.0, s"mean B err ${math.abs(dec.sum_b - expB) / n}")
+  }
+
+  test("Jpeg decoder is a real parser: skips APP/COM, rejects progressive and garbage") {
+    val enc = Multimodal.Jpeg.encode(9, 7, (x, y) => { val v = (x * y * 5) % 256; (v, v, v) })
+    val base = Multimodal.Jpeg.decode(1L, enc)
+    // splice an APP0 + COM segment right after SOI: a marker WALKER must
+    // decode identically; a fixed-offset reader breaks
+    val app0 = Array(0xff, 0xe0, 0x00, 0x08, 'J', 'F', 'X', 'X', 0, 0).map(_.toByte)
+    val com = Array(0xff, 0xfe, 0x00, 0x07, 'h', 'e', 'l', 'l', 'o').map(_.toByte)
+    val spliced = enc.take(2) ++ app0 ++ com ++ enc.drop(2)
+    val m = Multimodal.Jpeg.decode(2L, spliced)
+    assert(m.sum_r == base.sum_r && m.px00 == base.px00 && m.n_blocks == base.n_blocks)
+    // flip SOF0 (0xc0) to SOF2 (0xc2): must refuse with a real message
+    val sofAt = spliced.indices.find(i =>
+      (spliced(i) & 0xff) == 0xff && (spliced(i + 1) & 0xff) == 0xc0).get
+    val prog = spliced.clone(); prog(sofAt + 1) = 0xc2.toByte
+    val ex = intercept[IllegalArgumentException](Multimodal.Jpeg.decode(3L, prog))
+    assert(ex.getMessage.contains("progressive"))
+    intercept[IllegalArgumentException] {
+      Multimodal.Jpeg.decode(4L, "RIFF-not-a-jpeg-at-all".getBytes)
+    }
+  }
+
   test("real-codec round-trips run distributed over the documents table") {
     val docs = Ingest.table(spark, "/root/testdata/sf0.001", "documents").limit(40)
     val wav = Multimodal.wavRoundTrip(docs, "doc_id").collect()
@@ -172,6 +221,11 @@ class MultimodalSpec extends SparkSpec {
     assert(png.forall(r => r.px00 ==
       (r.doc_id % 256) * 65536 + (3 * r.doc_id % 256) * 256 + (9 * r.doc_id % 256)))
     assert(png.forall(_.n_idat == 2))
+    val jpg = Multimodal.jpegRoundTrip(docs, "doc_id").collect()
+    assert(jpg.length == 40)
+    assert(jpg.forall(r => r.width == 5 + r.doc_id % 20 && r.height == 4 + r.doc_id % 13))
+    assert(jpg.forall(r => r.n_components == 3 &&
+      r.n_blocks == 3 * ((r.width + 7) / 8) * ((r.height + 7) / 8)))
   }
 
   test("multimodal features feed ANN end-to-end") {
