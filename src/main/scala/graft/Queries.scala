@@ -4128,6 +4128,33 @@ object Queries {
       |FROM m JOIN a USING (doc_id) ORDER BY m.doc_id
       |""".stripMargin.trim))
 
+  /** REAL MP4 container decode (round 9): doc-keyed ISO-BMFF synth
+    * (mvhd v0 AND v1 layouts, a 64-bit-largesize mdat, 1–2 tracks with
+    * 16.16 fixed-point dims) → `Multimodal.Mp4.decode` (recursive box
+    * walk) → exact container metadata. Only the codec PAYLOAD decode
+    * remains library-bound/stubbed; the container layer is fully real.
+    * Both duration integer divisions are replayed identically in SQL.
+    */
+  val q122: Q = Q(
+    "q122_mp4_container",
+    (s, dir) => Multimodal.mp4RoundTrip(t(s, dir, "documents"), "doc_id")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |WITH m AS (SELECT doc_id,
+      |    1000 + (doc_id % 9) * 100 AS ts,
+      |    (3000 + doc_id % 5000) * (1000 + (doc_id % 9) * 100) // 1000 AS dur,
+      |    1 + doc_id % 2 AS ntrk,
+      |    320 + (doc_id % 8) * 16 AS w,
+      |    240 + (doc_id % 6) * 16 AS h
+      |  FROM documents)
+      |SELECT doc_id, 'isom' AS major_brand, CAST(ts AS BIGINT) AS timescale,
+      |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+      |  CAST(ntrk AS BIGINT) AS n_tracks,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |  CAST(4 + 2 * ntrk AS BIGINT) AS n_boxes
+      |FROM m ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4140,5 +4167,5 @@ object Queries {
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
 }

@@ -816,6 +816,123 @@ object Multimodal {
     }
   }
 
+  /** Decoded MP4 container metadata — everything the box structure
+    * carries without touching a codec: brand, movie timescale/duration,
+    * per-track presentation dims, track/box counts. The codec PAYLOAD
+    * (H.264 etc.) is the one genuinely library-bound step left in this
+    * file; container parsing is just big-endian box walking.
+    */
+  case class Mp4Meta(doc_id: Long, major_brand: String, timescale: Long,
+      duration_ms: Long, n_tracks: Long, width: Long, height: Long,
+      n_boxes: Long)
+
+  /** Minimal REAL ISO BMFF (MP4) container codec. Public format
+    * (ISO 14496-12): length-prefixed big-endian boxes, `size == 1` →
+    * 64-bit largesize follows the type, full boxes carry version+flags,
+    * mvhd v0/v1 differ in field widths, tkhd stores presentation dims
+    * as 16.16 fixed point. The encoder exercises all of that: one mdat
+    * is written with a 64-bit largesize, and mvhd switches to version 1
+    * for odd doc ids — so the decoder only round-trips if it really
+    * implements both size forms and both mvhd layouts.
+    */
+  object Mp4 {
+    private def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+
+    private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+
+    private def largeBox(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(1L) ++ typ.getBytes("US-ASCII") ++ be64(payload.length + 16L) ++ payload
+
+    /** One video-ish track: presentation size only (no codec payload). */
+    case class Track(id: Int, w: Int, h: Int)
+
+    def encode(timescale: Long, duration: Long, tracks: Seq[Track],
+        mvhdV1: Boolean, mdatLen: Int): Array[Byte] = {
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ be32(512) ++
+          "isomiso2mp41".getBytes("US-ASCII"))
+      val mvhd =
+        if (mvhdV1)
+          box("mvhd", Array[Byte](1, 0, 0, 0) ++
+            be64(0) ++ be64(0) ++ be32(timescale) ++ be64(duration) ++
+            be32(0x00010000L) ++ Array.fill(76)(0.toByte))
+        else
+          box("mvhd", Array[Byte](0, 0, 0, 0) ++
+            be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+            be32(0x00010000L) ++ Array.fill(76)(0.toByte))
+      val traks = tracks.map { t =>
+        val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++
+          be32(0) ++ be32(0) ++ be32(t.id.toLong) ++ be32(0) ++ be32(duration) ++
+          Array.fill(52)(0.toByte) ++
+          be32(t.w.toLong << 16) ++ be32(t.h.toLong << 16)) // 16.16 fixed
+        box("trak", tkhd)
+      }
+      val moov = box("moov", mvhd ++ traks.flatten)
+      // 64-bit largesize on mdat: decoders must branch on size==1
+      val mdat = largeBox("mdat",
+        Array.tabulate(mdatLen)(i => ((i * 131 + 7) % 251).toByte))
+      ftyp ++ moov ++ mdat
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): Mp4Meta = {
+      def u32(i: Int): Long =
+        ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+          ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+      def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+      def fourcc(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+      require(bytes.length >= 8 && fourcc(4) == "ftyp",
+        s"not an ISO-BMFF payload (doc $id)")
+
+      var brand = ""
+      var timescale = -1L
+      var duration = -1L
+      var nTracks = 0L
+      var w, h = 0L
+      var nBoxes = 0L
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl", "edts")
+
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        while (off + 8 <= to) {
+          val size0 = u32(off)
+          val typ = fourcc(off + 4)
+          // size==1 → 64-bit largesize; size==0 → box runs to EOF
+          val (size, hdr) =
+            if (size0 == 1) { require(off + 16 <= to, s"truncated largesize (doc $id)"); (u64(off + 8), 16) }
+            else if (size0 == 0) ((to - off).toLong, 8)
+            else (size0, 8)
+          require(size >= hdr && off + size <= to,
+            s"bad $typ box size $size at $off (doc $id)")
+          nBoxes += 1
+          typ match {
+            case "ftyp" => brand = fourcc(off + hdr)
+            case "mvhd" =>
+              val v = bytes(off + hdr) & 0xff
+              if (v == 1) { timescale = u32(off + hdr + 20); duration = u64(off + hdr + 24) }
+              else { timescale = u32(off + hdr + 12); duration = u32(off + hdr + 16) }
+            case "tkhd" =>
+              nTracks += 1
+              // dims are the LAST 8 bytes of tkhd, 16.16 fixed point
+              val end = off + size.toInt
+              w = math.max(w, u32(end - 8) >> 16)
+              h = math.max(h, u32(end - 4) >> 16)
+            case c if containers(c) => walk(off + hdr, off + size.toInt)
+            case _ => // leaf boxes we don't interpret (mdat, hdlr, ...)
+          }
+          off += size.toInt
+        }
+      }
+      walk(0, bytes.length)
+      require(timescale > 0, s"missing moov/mvhd (doc $id)")
+      Mp4Meta(id, brand, timescale, duration * 1000L / timescale, nTracks,
+        w, h, nBoxes)
+    }
+  }
+
   /** REAL WAV decimation (the frame-sample op for audio): keep every
     * `everyN`th sample and divide the declared rate to match, so
     * duration is preserved (±1 sample) — a genuine parse → resample →
@@ -946,6 +1063,28 @@ object Multimodal {
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(id => Jpeg.decode(id, synthJpeg(id))))
+  }
+
+  /** Per-doc deterministic MP4 synth: doc-keyed timescale/duration/dims,
+    * 1 or 2 tracks, mvhd v1 on odd ids, mdat always largesize — all the
+    * container branches the decoder must implement, every field
+    * SQL-recomputable.
+    */
+  def synthMp4(docId: Long): Array[Byte] = {
+    val ts = 1000L + docId % 9 * 100
+    val dur = (3000L + docId % 5000) * ts / 1000L
+    val nTrk = (1 + docId % 2).toInt
+    Mp4.encode(ts, dur,
+      (1 to nTrk).map(i => Mp4.Track(i, 320 + (docId % 8).toInt * 16, 240 + (docId % 6).toInt * 16)),
+      mvhdV1 = docId % 2 == 1, mdatLen = (32 + docId % 64).toInt)
+  }
+
+  /** documents → real MP4 binary column → REAL container decode. */
+  def mp4RoundTrip(ids: DataFrame, idCol: String): Dataset[Mp4Meta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => Mp4.decode(id, synthMp4(id))))
   }
 
   /** STUB feature extraction — an 8-bucket byte histogram as the

@@ -204,6 +204,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("Mp4 decode walks the real box tree: both mvhd versions, largesize mdat") {
+    val v0 = Multimodal.Mp4.encode(1000, 5000, Seq(Multimodal.Mp4.Track(1, 640, 480)),
+      mvhdV1 = false, mdatLen = 16)
+    val m0 = Multimodal.Mp4.decode(1L, v0)
+    assert(m0.major_brand == "isom" && m0.timescale == 1000 && m0.duration_ms == 5000)
+    assert(m0.n_tracks == 1 && m0.width == 640 && m0.height == 480 && m0.n_boxes == 6)
+    // mvhd v1 (64-bit fields) must parse to the same logical values
+    val v1 = Multimodal.Mp4.encode(1000, 5000, Seq(Multimodal.Mp4.Track(1, 640, 480)),
+      mvhdV1 = true, mdatLen = 16)
+    val m1 = Multimodal.Mp4.decode(2L, v1)
+    assert(m1.timescale == m0.timescale && m1.duration_ms == m0.duration_ms)
+    // a box walker must skip an unknown box; splice one before moov
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes ++ Array[Byte](1, 2, 3, 4)
+    val ftypLen = 28 // 8 hdr + brand 4 + minor 4 + 12 compatible brands
+    val spliced = v0.take(ftypLen) ++ free ++ v0.drop(ftypLen)
+    val ms = Multimodal.Mp4.decode(3L, spliced)
+    assert(ms.duration_ms == m0.duration_ms && ms.n_boxes == m0.n_boxes + 1)
+    intercept[IllegalArgumentException] {
+      Multimodal.Mp4.decode(4L, "not-an-iso-bmff-file-at-all".getBytes)
+    }
+  }
+
   test("real-codec round-trips run distributed over the documents table") {
     val docs = Ingest.table(spark, "/root/testdata/sf0.001", "documents").limit(40)
     val wav = Multimodal.wavRoundTrip(docs, "doc_id").collect()
@@ -226,6 +248,10 @@ class MultimodalSpec extends SparkSpec {
     assert(jpg.forall(r => r.width == 5 + r.doc_id % 20 && r.height == 4 + r.doc_id % 13))
     assert(jpg.forall(r => r.n_components == 3 &&
       r.n_blocks == 3 * ((r.width + 7) / 8) * ((r.height + 7) / 8)))
+    val mp4 = Multimodal.mp4RoundTrip(docs, "doc_id").collect()
+    assert(mp4.length == 40)
+    assert(mp4.forall(r => r.n_tracks == 1 + r.doc_id % 2 && r.major_brand == "isom"))
+    assert(mp4.forall(r => r.n_boxes == 4 + 2 * r.n_tracks))
   }
 
   test("multimodal features feed ANN end-to-end") {
