@@ -4155,6 +4155,41 @@ object Queries {
       |FROM m ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Media-dispatch decode (round 9): a mixed binary column — every doc
+    * one of WAV/BMP/PNG/JPEG/MP4 by id — through `decodeMedia`'s
+    * magic-byte dispatcher. The oracle recomputes the format-dependent
+    * metadata (audio sample counts, image dims, container dims) per
+    * row, so it only matches if every payload was routed to its REAL
+    * codec; the legacy length-arithmetic fallback would diverge on all
+    * five formats. byte_len/head_hex are projected out: deflate output
+    * length has no SQL closed form.
+    */
+  val q123: Q = Q(
+    "q123_media_dispatch",
+    (s, dir) => Multimodal.mediaDispatch(t(s, dir, "documents"), "doc_id")
+      .toDF().select("doc_id", "width", "height", "n_frames")
+      .orderBy(col("doc_id")),
+    Some("""
+      |SELECT doc_id,
+      |  CAST(CASE doc_id % 5
+      |    WHEN 0 THEN 0
+      |    WHEN 1 THEN 3 + doc_id % 6
+      |    WHEN 2 THEN 3 + doc_id % 7
+      |    WHEN 3 THEN 5 + doc_id % 20
+      |    ELSE 320 + (doc_id % 8) * 16 END AS BIGINT) AS width,
+      |  CAST(CASE doc_id % 5
+      |    WHEN 0 THEN 0
+      |    WHEN 1 THEN 2 + doc_id % 4
+      |    WHEN 2 THEN 2 + doc_id % 5
+      |    WHEN 3 THEN 4 + doc_id % 13
+      |    ELSE 240 + (doc_id % 6) * 16 END AS BIGINT) AS height,
+      |  CAST(CASE doc_id % 5
+      |    WHEN 0 THEN 800 + doc_id % 400
+      |    WHEN 4 THEN 0
+      |    ELSE 1 END AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4167,5 +4202,5 @@ object Queries {
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }

@@ -6,20 +6,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (builder prompt): image/audio/video as
   * opaque BINARY columns with typed metadata, decoded per-partition.
   *
-  * The container has no image/audio libraries, so for library-bound
-  * formats (MP4/video codecs) the decode is a clearly-marked
-  * DETERMINISTIC FAKE (arithmetic over byte length + head bytes) while
-  * the Spark-side plumbing — binary column, typed Dataset,
-  * `mapPartitions` batch shape, schema of the decoded output — is real
-  * and oracle-checked. WAV, BMP, PNG and baseline JPEG, however, need
-  * no library beyond the JDK — PNG's only compressed part is zlib
-  * (`java.util.zip`), and JPEG's Huffman/DCT are plain arithmetic — so
-  * their codecs below (`Wav`, `Bmp`, `Png`, `Jpeg`) are REAL byte-level
-  * implementations: RIFF chunk walking, BITMAPINFOHEADER parsing with
-  * bottom-up padded pixel rows, CRC-verified PNG chunk streams with all
-  * five scanline filters, full baseline JPEG marker/entropy decoding —
-  * round-tripped end to end by q118–q121 against exact-integer DuckDB
-  * oracles.
+  * Five REAL codecs, no library beyond the JDK: WAV (RIFF chunk walk),
+  * BMP (BITMAPINFOHEADER, bottom-up padded rows), PNG (zlib via
+  * `java.util.zip`, CRC-verified chunks, all five scanline filters),
+  * baseline JPEG (canonical Huffman from the file's DHT, DC
+  * prediction, dequant + IDCT + YCbCr), and the MP4/ISO-BMFF container
+  * (recursive box walk, largesize, mvhd v0/v1) — each round-tripped
+  * end to end by q118–q122 against exact-integer DuckDB oracles, and
+  * unified behind [[decodeMedia]]'s magic-byte dispatcher (q123).
+  *
+  * The ONE remaining library-bound step is compressed video/audio
+  * PAYLOAD decode (H.264 frames etc.): for that, [[decodeMedia]] falls
+  * back to a clearly-labeled DETERMINISTIC FAKE (length arithmetic) on
+  * unknown or corrupt payloads while the Spark-side plumbing — binary
+  * column, typed Dataset, `mapPartitions` batch shape — is the real
+  * production shape throughout.
   */
 object Multimodal {
 
@@ -27,11 +28,34 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, byte_len: Long, width: Long, height: Long,
       n_frames: Long, head_hex: String)
 
-  /** STUB decode — a real implementation would call an image/audio codec
-    * here (per-partition, so codec init amortizes across a batch, the same
-    * shape `mapInPandas` gives PySpark). Deterministic fake:
-    * width/height/frames derived from byte length, feature = first 8
-    * bytes hex.
+  /** Magic-byte format sniff over the real-codec set. Cheap prefix
+    * checks only — the per-format `require`s inside each decoder do the
+    * genuine validation.
+    */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    def ascii(off: Int, n: Int) =
+      if (bytes.length >= off + n) new String(bytes, off, n, "US-ASCII") else ""
+    if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") "wav"
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && ascii(1, 3) == "PNG") "png"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+    else if (ascii(4, 4) == "ftyp") "mp4"
+    else if (ascii(0, 2) == "BM") "bmp"
+    else "unknown"
+  }
+
+  /** Media decode dispatcher (round 9 — no longer a stub for the five
+    * real codecs): sniff the magic bytes and route to the REAL
+    * `Wav`/`Bmp`/`Png`/`Jpeg`/`Mp4` decoders, mapping each format's
+    * native metadata onto the common [[MediaMeta]] shape (audio:
+    * n_frames = samples; images: n_frames = 1; MP4: container dims with
+    * n_frames = 0 because frame decode — the codec PAYLOAD — is the one
+    * genuinely library-bound step left). Unknown or CORRUPT payloads
+    * fall back to the original clearly-labeled deterministic fake
+    * (length arithmetic) instead of failing the batch — a crawler's
+    * media column always contains garbage, and a total decode with a
+    * recognizable fallback is the production shape. The per-partition
+    * `mapPartitions` is the codec-init amortization site, same shape
+    * `mapInPandas` gives PySpark.
     */
   def decodeMedia(df: DataFrame, idCol: String, binCol: String): Dataset[MediaMeta] = {
     val spark = df.sparkSession
@@ -42,13 +66,26 @@ object Multimodal {
         // per-partition init site (codec handle, model weights, ...)
         it.map { case (id, bytes) =>
           val len = bytes.length.toLong
-          MediaMeta(
-            doc_id = id,
-            byte_len = len,
-            width = len % 640,
-            height = (len * 7) % 480,
-            n_frames = len % 30,
-            head_hex = bytes.take(8).map(b => f"${b & 0xff}%02x").mkString)
+          val head = bytes.take(8).map(b => f"${b & 0xff}%02x").mkString
+          def fake = MediaMeta(id, len, len % 640, (len * 7) % 480, len % 30, head)
+          try sniffFormat(bytes) match {
+            case "wav" =>
+              val m = Wav.decode(id, bytes)
+              MediaMeta(id, len, 0, 0, m.n_samples, head)
+            case "bmp" =>
+              val m = Bmp.decode(id, bytes)
+              MediaMeta(id, len, m.width, m.height, 1, head)
+            case "png" =>
+              val m = Png.decode(id, bytes)
+              MediaMeta(id, len, m.width, m.height, 1, head)
+            case "jpeg" =>
+              val m = Jpeg.decode(id, bytes)
+              MediaMeta(id, len, m.width, m.height, 1, head)
+            case "mp4" =>
+              val m = Mp4.decode(id, bytes)
+              MediaMeta(id, len, m.width, m.height, 0, head)
+            case _ => fake
+          } catch { case scala.util.control.NonFatal(_) => fake }
         }
       }
   }
@@ -1085,6 +1122,33 @@ object Multimodal {
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(id => Mp4.decode(id, synthMp4(id))))
+  }
+
+  /** Deterministic mixed-media corpus: doc id picks one of the five real
+    * formats — the heterogeneous binary column [[decodeMedia]]'s
+    * dispatcher exists for.
+    */
+  def synthMedia(docId: Long): Array[Byte] = (docId % 5) match {
+    case 0 => synthWav(docId)
+    case 1 => synthBmp(docId)
+    case 2 => synthPng(docId)
+    case 3 => synthJpeg(docId)
+    case _ => synthMp4(docId)
+  }
+
+  /** documents → mixed-format binary column → [[decodeMedia]] dispatch
+    * (sniff + real per-format decode). The q123 oracle recomputes the
+    * format-dependent metadata per row, proving the dispatcher routed
+    * every payload to its REAL codec — the fallback fake would produce
+    * different (length-derived) values for all five formats.
+    */
+  def mediaDispatch(ids: DataFrame, idCol: String): Dataset[MediaMeta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val media = ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthMedia(id))))
+      .toDF(idCol, "media_bytes")
+    decodeMedia(media, idCol, "media_bytes")
   }
 
   /** STUB feature extraction — an 8-bucket byte histogram as the

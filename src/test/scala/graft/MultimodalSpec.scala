@@ -226,6 +226,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeMedia dispatches on magic bytes and falls back on garbage") {
+    // one real payload per format → real metadata
+    assert(Multimodal.sniffFormat(Multimodal.synthWav(5)) == "wav")
+    assert(Multimodal.sniffFormat(Multimodal.synthBmp(5)) == "bmp")
+    assert(Multimodal.sniffFormat(Multimodal.synthPng(5)) == "png")
+    assert(Multimodal.sniffFormat(Multimodal.synthJpeg(5)) == "jpeg")
+    assert(Multimodal.sniffFormat(Multimodal.synthMp4(5)) == "mp4")
+    assert(Multimodal.sniffFormat("plain text".getBytes) == "unknown")
+    // corrupt-but-sniffable payload must FALL BACK, not fail the batch:
+    // "BM" + garbage sniffs as bmp, fails the real parse, gets the fake
+    val garbage = "BMgarbage-not-a-real-bitmap".getBytes
+    val mixed = Seq((1L, Multimodal.synthBmp(1L)), (2L, garbage))
+    import spark.implicits._
+    val out = Multimodal.decodeMedia(mixed.toDF("doc_id", "bin"), "doc_id", "bin")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out(1L).width == 3 + 1 % 6 && out(1L).n_frames == 1) // real decode
+    val len = garbage.length.toLong
+    assert(out(2L).width == len % 640 && out(2L).n_frames == len % 30) // fake path
+  }
+
   test("real-codec round-trips run distributed over the documents table") {
     val docs = Ingest.table(spark, "/root/testdata/sf0.001", "documents").limit(40)
     val wav = Multimodal.wavRoundTrip(docs, "doc_id").collect()
