@@ -4190,6 +4190,38 @@ object Queries {
       |FROM documents ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Benchmark decontamination (round 9): flag corpus docs sharing any
+    * word n-gram with the deterministic probe subset (doc_id % 97 = 0
+    * stands in for a held-out benchmark). n=3 on the fixture's
+    * small-vocabulary text gives a meaningful contamination rate; the
+    * operator takes any n (production uses 8–13 per the public training
+    * reports). Probe grams broadcast; the corpus side never shuffles
+    * its grams — see `TextOps.decontaminate`.
+    */
+  val q124: Q = Q(
+    "q124_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminate(docs, docs.where(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS gram
+      |  FROM toks WHERE len(w) >= 3),
+      |p AS (SELECT doc_id AS probe_id, gram FROM g WHERE doc_id % 97 = 0)
+      |SELECT g.doc_id, CAST(COUNT(DISTINCT p.probe_id) AS BIGINT) AS n_probes,
+      |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams
+      |FROM g JOIN p USING (gram) WHERE g.doc_id <> p.probe_id
+      |GROUP BY g.doc_id ORDER BY g.doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4202,5 +4234,5 @@ object Queries {
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
 }

@@ -38,6 +38,37 @@ object TextOps {
         transform(sequence(lit(1), size(toks) - (n - 1)),
           i => array_join(slice(toks, i, lit(n)), " "))))
 
+  /** Benchmark decontamination (training-data hygiene; the n-gram
+    * collision check the public LLM training reports describe: drop or
+    * flag training docs that share long word n-grams with held-out
+    * evaluation sets). Returns one row per CONTAMINATED corpus doc:
+    * (doc_id, n_probes = distinct colliding probe docs, n_grams =
+    * distinct colliding n-grams).
+    *
+    * Scale shape: a benchmark probe set is tiny next to a 100-TB
+    * corpus, so the probe grams are broadcast and the corpus side is a
+    * single explode → broadcast hash join → partial-aggregated groupBy
+    * on doc_id — the corpus never shuffles its grams, only the
+    * (contaminated-doc, probe, gram) hits, which are rarer by orders of
+    * magnitude. Remove the broadcast hint for an oversized probe set
+    * and the same plan degrades gracefully to a shuffled hash join on
+    * the gram key, still linear. Self-matches (a probe doc colliding
+    * with itself when probes ⊂ corpus) are excluded.
+    */
+  def decontaminate(corpus: DataFrame, probes: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val cg = corpus.select(col(idCol).as("doc_id"),
+      explode(wordNgrams(tokens(col(textCol)), n)).as("gram"))
+    val pg = probes.select(col(idCol).as("probe_id"),
+      explode(wordNgrams(tokens(col(textCol)), n)).as("gram"))
+    cg.join(broadcast(pg), "gram")
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("probe_id")).as("n_probes"),
+        countDistinct(col("gram")).as("n_grams"))
+  }
+
   /** Jaccard similarity of two shingle sets; 0 when both empty. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

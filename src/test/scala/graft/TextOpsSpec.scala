@@ -28,6 +28,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3) == Set("a b", "b c"))
   }
 
+  test("decontaminate: probe n-gram hits, self-matches excluded, clean docs absent") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),    // shares "quick brown fox" with probe 10
+      (2L, "totally unrelated words here"), // clean
+      (3L, "quick brown fox quick brown fox again"), // same hit, twice in text → counted once
+      (10L, "benchmark quick brown fox prompt")      // the probe itself
+    ).toDF("doc_id", "text")
+    val probes = corpus.where(col("doc_id") === 10)
+    val out = TextOps.decontaminate(corpus, probes, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long)].collect()
+    // doc 10 is the probe: its self-match is excluded, so only 1 and 3 flag
+    assert(out.map(_._1).toSeq == Seq(1L, 3L))
+    assert(out.forall { case (_, nProbes, nGrams) => nProbes == 1 && nGrams == 1 })
+  }
+
   test("jaccard basics") {
     val df = Seq((Seq("a", "b"), Seq("b", "c")), (Seq.empty[String], Seq.empty[String]))
       .toDF("x", "y")
