@@ -577,32 +577,50 @@ object Multimodal {
       out.result()
     }
 
+    // precomputed DCT basis: CosT(u)(x) = cos((2x+1)·u·π/16). The naive
+    // transforms called math.cos 8192×/block and dominated the sf1
+    // rehearsal (q121 exponent 0.85 before, see SCALE.md); the separable
+    // row-column form over this table is 8× fewer mult-adds and zero
+    // trig calls. Flat-block exactness is unaffected: a DC-only sum has
+    // one term, so the summation-order change cannot move it.
+    private val CosT: Array[Array[Double]] =
+      Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    private val Cf: Array[Double] =
+      Array.tabulate(8)(u => if (u == 0) 1 / math.sqrt(2) else 1.0)
+
     private def fdct(block: Array[Double]): Array[Double] = {
+      // rows first: tmp(u, y) = Σx block(y,x)·cos(u,x)
+      val tmp = new Array[Double](64)
+      for (y <- 0 until 8; u <- 0 until 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += block(y * 8 + x) * CosT(u)(x); x += 1 }
+        tmp(u * 8 + y) = s
+      }
       val out = new Array[Double](64)
       for (u <- 0 until 8; v <- 0 until 8) {
         var s = 0.0
-        for (x <- 0 until 8; y <- 0 until 8)
-          s += block(y * 8 + x) *
-            math.cos((2 * x + 1) * u * math.Pi / 16) *
-            math.cos((2 * y + 1) * v * math.Pi / 16)
-        val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
-        val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
-        out(v * 8 + u) = 0.25 * cu * cv * s
+        var y = 0
+        while (y < 8) { s += tmp(u * 8 + y) * CosT(v)(y); y += 1 }
+        out(v * 8 + u) = 0.25 * Cf(u) * Cf(v) * s
       }
       out
     }
 
     private def idct(coef: Array[Double]): Array[Double] = {
+      // columns first: tmp(x, v) = Σu c(u)·coef(v,u)·cos(u,x)
+      val tmp = new Array[Double](64)
+      for (v <- 0 until 8; x <- 0 until 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += Cf(u) * coef(v * 8 + u) * CosT(u)(x); u += 1 }
+        tmp(x * 8 + v) = s
+      }
       val out = new Array[Double](64)
       for (x <- 0 until 8; y <- 0 until 8) {
         var s = 0.0
-        for (u <- 0 until 8; v <- 0 until 8) {
-          val cu = if (u == 0) 1 / math.sqrt(2) else 1.0
-          val cv = if (v == 0) 1 / math.sqrt(2) else 1.0
-          s += cu * cv * coef(v * 8 + u) *
-            math.cos((2 * x + 1) * u * math.Pi / 16) *
-            math.cos((2 * y + 1) * v * math.Pi / 16)
-        }
+        var v = 0
+        while (v < 8) { s += Cf(v) * tmp(x * 8 + v) * CosT(v)(y); v += 1 }
         out(y * 8 + x) = 0.25 * s
       }
       out
