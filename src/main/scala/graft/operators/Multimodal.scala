@@ -1169,10 +1169,16 @@ object Multimodal {
     decodeMedia(media, idCol, "media_bytes")
   }
 
-  /** STUB feature extraction — an 8-bucket byte histogram as the
-    * "embedding" (a real extractor would run a vision/audio model per
-    * partition). Output plugs directly into VectorOps ANN: the
-    * multimodal → embedding → similarity-search pipeline end to end.
+  /** Feature extraction over a heterogeneous media column. For the five
+    * real formats the 8-dim embedding is computed from the ACTUAL decode
+    * (image channel means + dims, audio RMS/rate/duration, container
+    * dims/duration/tracks — everything short of running a vision/audio
+    * model, which is the genuinely library-bound step); unknown payloads
+    * keep the byte-histogram fallback, dimension-compatible so one ANN
+    * index serves the whole column. Output plugs directly into VectorOps:
+    * the multimodal → embedding → similarity-search pipeline end to end.
+    * Feature 0 is a format code, so same-format media cluster first —
+    * spec-gated in MultimodalSpec.
     */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -1180,11 +1186,42 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        val hist = new Array[Float](8)
-        bytes.foreach(b => hist((b & 0xff) / 32) += 1f)
-        val n = math.max(1, bytes.length).toFloat
-        (id, hist.map(_ / n).toSeq)
+        def img(code: Double, w: Long, h: Long, sr: Long, sg: Long, sb: Long) = {
+          val n = (w * h * 255).toDouble
+          Array(code, w / 1024.0, h / 1024.0, sr / n, sg / n, sb / n, 0.0, 0.0)
+        }
+        val feats: Array[Double] =
+          try sniffFormat(bytes) match {
+            case "wav" =>
+              val m = Wav.decode(id, bytes)
+              Array(1 / 8.0, m.sample_rate / 48000.0, m.n_samples / 65536.0,
+                math.sqrt(m.sum_sq.toDouble / math.max(1L, m.n_samples)) / 32768.0,
+                m.duration_ms / 60000.0, 0.0, 0.0, 0.0)
+            case "bmp" =>
+              val m = Bmp.decode(id, bytes)
+              img(2 / 8.0, m.width, m.height, m.sum_r, m.sum_g, m.sum_b)
+            case "png" =>
+              val m = Png.decode(id, bytes)
+              img(3 / 8.0, m.width, m.height, m.sum_r, m.sum_g, m.sum_b)
+            case "jpeg" =>
+              val m = Jpeg.decode(id, bytes)
+              img(4 / 8.0, m.width, m.height, m.sum_r, m.sum_g, m.sum_b)
+            case "mp4" =>
+              val m = Mp4.decode(id, bytes)
+              Array(5 / 8.0, m.width / 1024.0, m.height / 1024.0,
+                m.duration_ms / 60000.0, m.n_tracks / 8.0, 0.0, 0.0, 0.0)
+            case _ => histogram(bytes)
+          } catch { case scala.util.control.NonFatal(_) => histogram(bytes) }
+        (id, feats.map(_.toFloat).toSeq)
       }
       .toDF(idCol, "embedding")
+  }
+
+  /** The format-unknown fallback embedding: 8-bucket byte histogram. */
+  private def histogram(bytes: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](8)
+    bytes.foreach(b => hist((b & 0xff) / 32) += 1.0)
+    val n = math.max(1, bytes.length).toDouble
+    hist.map(_ / n)
   }
 }

@@ -274,6 +274,40 @@ class MultimodalSpec extends SparkSpec {
     assert(mp4.forall(r => r.n_boxes == 4 + 2 * r.n_tracks))
   }
 
+  test("real-format features cluster by format (nearest neighbor shares the format code)") {
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 20L).toDF("doc_id") // 4 docs per format (doc_id % 5)
+    val media = ids.as[Long].map(id => (id, Multimodal.synthMedia(id)))
+      .toDF("doc_id", "bin")
+    val feats = Multimodal.extractFeatures(media, "doc_id", "bin")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    // cross-IMAGE-format proximity (bmp/png/jpeg) is correct content
+    // behavior — the guarantee is FAMILY clustering: audio, image, video
+    def family(id: Long): Int = (id % 5) match {
+      case 0 => 0 // wav → audio
+      case 4 => 2 // mp4 → video
+      case _ => 1 // bmp/png/jpeg → image
+    }
+    for ((id, v) <- feats) {
+      val nn = feats.filter(_._1 != id).maxBy { case (_, w) => cos(v, w) }
+      assert(family(nn._1) == family(id),
+        s"doc $id (family ${family(id)}) nearest neighbor is doc ${nn._1} (family ${family(nn._1)})")
+    }
+    // feature 0 is the exact format code — constant within a format,
+    // distinct across formats
+    for (f <- 0L until 5L) {
+      val codes = feats.filter(_._1 % 5 == f).values.map(_.head).toSet
+      assert(codes.size == 1)
+    }
+    assert(feats.groupBy(_._1 % 5).values.map(_.values.head.head).toSet.size == 5)
+  }
+
   test("multimodal features feed ANN end-to-end") {
     val feats = Multimodal.extractFeatures(media, "doc_id", "bin")
     val topk = VectorOps.bruteForceTopK(
