@@ -178,6 +178,22 @@ object PerfLab {
           base.select(call_function(GraftFunctions.SortedIntersectName,
             col("a"), col("b")).as("n")).agg(sum("n")))
         base.unpersist()
+      case "deconfixed" =>
+        // q124 rehearsal with the probe set PINNED to the base copy
+        // (doc_id < 10^10 = DeriveScale copy 0): against a fixed
+        // benchmark set only the corpus side grows with sf, so this
+        // measures the operator's true scan-bound scaling — the
+        // registered q124's probe set grows with the corpus and its
+        // 0.60 exponent measured the data construction (r9 verdict
+        // item 5)
+        import graft.operators.TextOps
+        import graft.sources.Ingest
+        import org.apache.spark.sql.functions._
+        val docs = Ingest.table(spark, sfDir, "documents")
+        val probes = docs.where(col("doc_id") % 97 === 0 &&
+          col("doc_id") < 10000000000L)
+        time("decon_fixed_probe", reps)(
+          TextOps.decontaminate(docs, probes, "doc_id", "text", n = 3))
       case n =>
         Queries.all.find(_.name == n).foreach { q =>
           q.prepare.foreach(_(spark, sfDir)) // untimed, same as Bench

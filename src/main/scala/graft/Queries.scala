@@ -1183,7 +1183,8 @@ object Queries {
       |  CAST(strlen(text) % 640 AS BIGINT) AS width,
       |  CAST((strlen(text) * 7) % 480 AS BIGINT) AS height,
       |  CAST(strlen(text) % 30 AS BIGINT) AS n_frames,
-      |  lower(hex(substr(text, 1, 8))) AS head_hex
+      |  lower(hex(substr(text, 1, 8))) AS head_hex,
+      |  'unknown' AS format, FALSE AS decode_ok
       |FROM documents ORDER BY doc_id
       |""".stripMargin.trim))
 
@@ -4128,12 +4129,15 @@ object Queries {
       |FROM m JOIN a USING (doc_id) ORDER BY m.doc_id
       |""".stripMargin.trim))
 
-  /** REAL MP4 container decode (round 9): doc-keyed ISO-BMFF synth
+  /** REAL MP4 container decode (rounds 9-10): doc-keyed ISO-BMFF synth
     * (mvhd v0 AND v1 layouts, a 64-bit-largesize mdat, 1–2 tracks with
-    * 16.16 fixed-point dims) → `Multimodal.Mp4.decode` (recursive box
-    * walk) → exact container metadata. Only the codec PAYLOAD decode
-    * remains library-bound/stubbed; the container layer is fully real.
-    * Both duration integer divisions are replayed identically in SQL.
+    * 16.16 fixed-point dims, and — round 10 — a real stts/stsz sample
+    * table per track) → `Multimodal.Mp4.decode` (recursive box walk) →
+    * exact container metadata INCLUDING per-file sample counts and
+    * sample byte totals, i.e. frame counts with no codec at all. Only
+    * the codec PAYLOAD decode remains library-bound; both duration
+    * integer divisions and the full stsz size formula are replayed
+    * identically in SQL.
     */
   val q122: Q = Q(
     "q122_mp4_container",
@@ -4146,28 +4150,38 @@ object Queries {
       |    1 + doc_id % 2 AS ntrk,
       |    320 + (doc_id % 8) * 16 AS w,
       |    240 + (doc_id % 6) * 16 AS h
-      |  FROM documents)
-      |SELECT doc_id, 'isom' AS major_brand, CAST(ts AS BIGINT) AS timescale,
+      |  FROM documents),
+      |trk AS (SELECT doc_id, unnest(range(1, ntrk + 1)) AS t FROM m),
+      |st AS (SELECT doc_id, t, 8 + (doc_id + t) % 5 AS n FROM trk),
+      |agg AS (SELECT doc_id, SUM(n) AS n_samples,
+      |    SUM(list_sum(list_transform(range(0, n),
+      |      i -> 1 + (doc_id + 7*t + 3*i) % 50))) AS sample_bytes
+      |  FROM st GROUP BY doc_id)
+      |SELECT m.doc_id, 'isom' AS major_brand, CAST(ts AS BIGINT) AS timescale,
       |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
       |  CAST(ntrk AS BIGINT) AS n_tracks,
       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-      |  CAST(4 + 2 * ntrk AS BIGINT) AS n_boxes
-      |FROM m ORDER BY doc_id
+      |  CAST(4 + 7 * ntrk AS BIGINT) AS n_boxes,
+      |  CAST(agg.n_samples AS BIGINT) AS n_samples,
+      |  CAST(agg.sample_bytes AS BIGINT) AS sample_bytes
+      |FROM m JOIN agg USING (doc_id) ORDER BY m.doc_id
       |""".stripMargin.trim))
 
-  /** Media-dispatch decode (round 9): a mixed binary column — every doc
-    * one of WAV/BMP/PNG/JPEG/MP4 by id — through `decodeMedia`'s
+  /** Media-dispatch decode (rounds 9-10): a mixed binary column — every
+    * doc one of WAV/BMP/PNG/JPEG/MP4 by id — through `decodeMedia`'s
     * magic-byte dispatcher. The oracle recomputes the format-dependent
-    * metadata (audio sample counts, image dims, container dims) per
-    * row, so it only matches if every payload was routed to its REAL
-    * codec; the legacy length-arithmetic fallback would diverge on all
-    * five formats. byte_len/head_hex are projected out: deflate output
-    * length has no SQL closed form.
+    * metadata (audio sample counts, image dims, container dims, and —
+    * round 10 — MP4 frame counts from the stts sample tables plus the
+    * format/decode_ok decode-status columns) per row, so it only
+    * matches if every payload was routed to its REAL codec AND every
+    * decode reported success; the length-arithmetic fallback would
+    * diverge on all five formats and flip decode_ok. byte_len/head_hex
+    * are projected out: deflate output length has no SQL closed form.
     */
   val q123: Q = Q(
     "q123_media_dispatch",
     (s, dir) => Multimodal.mediaDispatch(t(s, dir, "documents"), "doc_id")
-      .toDF().select("doc_id", "width", "height", "n_frames")
+      .toDF().select("doc_id", "width", "height", "n_frames", "format", "decode_ok")
       .orderBy(col("doc_id")),
     Some("""
       |SELECT doc_id,
@@ -4185,8 +4199,12 @@ object Queries {
       |    ELSE 240 + (doc_id % 6) * 16 END AS BIGINT) AS height,
       |  CAST(CASE doc_id % 5
       |    WHEN 0 THEN 800 + doc_id % 400
-      |    WHEN 4 THEN 0
-      |    ELSE 1 END AS BIGINT) AS n_frames
+      |    WHEN 4 THEN CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id + 1) % 5
+      |      ELSE 16 + (doc_id + 1) % 5 + (doc_id + 2) % 5 END
+      |    ELSE 1 END AS BIGINT) AS n_frames,
+      |  CASE doc_id % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'bmp' WHEN 2 THEN 'png'
+      |    WHEN 3 THEN 'jpeg' ELSE 'mp4' END AS format,
+      |  TRUE AS decode_ok
       |FROM documents ORDER BY doc_id
       |""".stripMargin.trim))
 
@@ -4222,6 +4240,97 @@ object Queries {
       |GROUP BY g.doc_id ORDER BY g.doc_id
       |""".stripMargin.trim))
 
+  /** HTML→text extraction (round 10, verdict item 1): deterministic
+    * doc-keyed synthetic HTML — title, a style block with a CSS body, a
+    * script block whose BODY contains a bare `<` (a tag-only strip
+    * would leak it), a comment, entity-encoded text (`&amp;`,
+    * `&lt;&gt;`), and the document's own text as the content paragraph
+    * — through `TextOps.extractHtml`. The oracle does NOT replay the
+    * regex pipeline: it states the expected text in CLOSED FORM from
+    * the synth structure ("Doc N Title & N <text> Home <> About"),
+    * so a match proves scripts/styles/comments vanished bodily, tags
+    * became whitespace, and entities decoded exactly once.
+    */
+  val q125: Q = Q(
+    "q125_extract_html",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("""</title><style>body { color: #000; }</style><script type="text/javascript">var x = 1 < 2;</script></head><body><!-- id """), id,
+        lit(" --><h1>Title &amp; "), id,
+        lit("</h1><p>"), col("text"),
+        lit("""</p><div class="nav">Home &lt;&gt; About</div></body></html>"""))
+      TextOps.extractHtml(
+          t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+        .withColumn("text_len", length(col("text")).cast("long"))
+        .select("doc_id", "text", "text_len", "boilerplate_ratio")
+        .orderBy("doc_id")
+    },
+    Some("""
+      |WITH h AS (SELECT doc_id, text,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style>body { color: #000; }</style><script type="text/javascript">var x = 1 < 2;</script></head><body><!-- id ' || CAST(doc_id AS VARCHAR) ||
+      |    ' --><h1>Title &amp; ' || CAST(doc_id AS VARCHAR) ||
+      |    '</h1><p>' || text ||
+      |    '</p><div class="nav">Home &lt;&gt; About</div></body></html>' AS html
+      |  FROM documents),
+      |e AS (SELECT doc_id,
+      |    trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR) || ' Title & '
+      |      || CAST(doc_id AS VARCHAR) || ' ' || text || ' Home <> About',
+      |      '\s+', ' ', 'g')) AS text,
+      |    length(html) AS hlen
+      |  FROM h)
+      |SELECT doc_id, text, CAST(length(text) AS BIGINT) AS text_len,
+      |  1.0 - length(text) / CAST(hlen AS DOUBLE) AS boilerplate_ratio
+      |FROM e ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** REAL pixel resize (round 10): synth PNG → real decode
+    * (`Png.pixels`) → exact-integer fixed-point bilinear resample to
+    * 5×4 (`Multimodal.bilinearResample`) → real BMP re-encode → real
+    * BMP decode → channel sums of the RESIZED image. The oracle replays
+    * the fixed-point formula per output pixel per channel in SQL —
+    * 8-bit fractional weights, integer divisions — so a match proves
+    * the whole decode→resample→encode→decode chain is bit-exact. Kills
+    * the last image-path stub (round-9 verdict item 3).
+    */
+  val q126: Q = Q(
+    "q126_png_resize",
+    (s, dir) => Multimodal.resizeRoundTrip(t(s, dir, "documents"), "doc_id", 5, 4)
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |WITH m AS (SELECT doc_id, 3 + doc_id % 7 AS w, 2 + doc_id % 5 AS h FROM documents),
+      |o AS (SELECT doc_id, w, h, unnest(range(0, 5)) AS ox FROM m),
+      |oo AS (SELECT doc_id, w, h, ox, unnest(range(0, 4)) AS oy FROM o),
+      |c AS (SELECT doc_id, w, h, ox, oy,
+      |  (ox * (w - 1) * 256) // 4 AS sx, (oy * (h - 1) * 256) // 3 AS sy FROM oo),
+      |d AS (SELECT doc_id, w, h, ox, oy,
+      |  sx // 256 AS x0, LEAST(sx // 256 + 1, w - 1) AS x1, sx % 256 AS fx,
+      |  sy // 256 AS y0, LEAST(sy // 256 + 1, h - 1) AS y1, sy % 256 AS fy FROM c),
+      |v AS (SELECT doc_id, ox, oy,
+      |  ((doc_id + 7*x0 + 3*y0) % 256 * (256-fx) * (256-fy)
+      |   + (doc_id + 7*x1 + 3*y0) % 256 * fx * (256-fy)
+      |   + (doc_id + 7*x0 + 3*y1) % 256 * (256-fx) * fy
+      |   + (doc_id + 7*x1 + 3*y1) % 256 * fx * fy + 32768) // 65536 AS r,
+      |  ((3*doc_id + 5*x0 + y0) % 256 * (256-fx) * (256-fy)
+      |   + (3*doc_id + 5*x1 + y0) % 256 * fx * (256-fy)
+      |   + (3*doc_id + 5*x0 + y1) % 256 * (256-fx) * fy
+      |   + (3*doc_id + 5*x1 + y1) % 256 * fx * fy + 32768) // 65536 AS g,
+      |  ((9*doc_id + x0 + 13*y0) % 256 * (256-fx) * (256-fy)
+      |   + (9*doc_id + x1 + 13*y0) % 256 * fx * (256-fy)
+      |   + (9*doc_id + x0 + 13*y1) % 256 * (256-fx) * fy
+      |   + (9*doc_id + x1 + 13*y1) % 256 * fx * fy + 32768) // 65536 AS b
+      |  FROM d)
+      |SELECT doc_id, CAST(5 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+      |  CAST(24 AS BIGINT) AS bits_per_pixel,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r, CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MAX(CASE WHEN ox = 0 AND oy = 0 THEN r * 65536 + g * 256 + b END) AS BIGINT) AS px00
+      |FROM v GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4234,5 +4343,6 @@ object Queries {
     q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76, q77,
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
-    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
+    q125, q126)
 }

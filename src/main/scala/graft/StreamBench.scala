@@ -72,11 +72,15 @@ object StreamBench {
         .start()
       q.awaitTermination()
       val secs = (System.nanoTime() - t0) / 1e9
-      val progresses = q.recentProgress
-      val batches = progresses.length
-      val stateRows = progresses.lastOption
+      val last = Option(q.lastProgress)
+      // batchId is monotonically assigned from 0, so lastProgress.batchId+1
+      // counts ALL batches — recentProgress.length is capped at
+      // numRecentProgressUpdates (default 100) and under-reports past
+      // 100 micro-batches (advice r9)
+      val batches = last.map(_.batchId + 1).getOrElse(0L)
+      val stateRows = last
         .flatMap(p => Option(p.stateOperators)).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
-      val stateBytes = progresses.lastOption
+      val stateBytes = last
         .flatMap(p => Option(p.stateOperators)).map(_.map(_.memoryUsedBytes).sum).getOrElse(0L)
       q.stop()
       println(f"""{"op":"$name","rows":$total,"secs":$secs%.2f,"rows_per_sec":${(total / secs).toLong},"micro_batches":$batches,"state_rows":$stateRows,"state_bytes":$stateBytes}""")

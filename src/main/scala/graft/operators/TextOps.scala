@@ -69,6 +69,53 @@ object TextOps {
         countDistinct(col("gram")).as("n_grams"))
   }
 
+  /** HTML→text extraction (round 10 — the most-hit stage of any
+    * crawl-scale training pipeline: every document passes through this
+    * before the dedup/quality/langid operators apply). Pure column
+    * expressions, so the whole strip runs inside whole-stage codegen:
+    *
+    *  1. drop `<script>…</script>` and `<style>…</style>` INCLUDING
+    *     their bodies (a tag-only strip would leak javascript and CSS
+    *     into the training text — the classic boilerplate bug);
+    *  2. drop `<!-- … -->` comments;
+    *  3. replace every remaining tag with a space;
+    *  4. decode the core entities — `&amp;` LAST, so double-encoded
+    *     text (`&amp;lt;`) decodes exactly once (`&lt;`), matching
+    *     single-pass HTML entity semantics;
+    *  5. collapse whitespace.
+    *
+    * Known (documented) naive-regex limits, spec-gated: a bare `<` in
+    * running text followed by a later `>` is treated as a tag; `>`
+    * inside a quoted attribute value closes the tag early. Both are
+    * malformed HTML to begin with; a crawl pipeline tolerates the
+    * resulting over-strip.
+    */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** [[extractHtmlText]] as a document operator: emits the extracted
+    * text plus `boilerplate_ratio` = the fraction of the raw markup
+    * that was NOT running text (1 − |text| / |html|; 0 for empty
+    * input) — the per-doc quality signal crawl pipelines threshold on
+    * (a near-1 ratio is a nav/boilerplate page, not content).
+    */
+  def extractHtml(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    df.select(col(idCol), col(htmlCol).as("__html"))
+      .withColumn("text", extractHtmlText(col("__html")))
+      .select(col(idCol), col("text"),
+        when(length(col("__html")) === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            length(col("text")).cast("double") / length(col("__html")).cast("double"))
+          .as("boilerplate_ratio"))
+
   /** Jaccard similarity of two shingle sets; 0 when both empty. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -62,7 +62,16 @@ object Ingest {
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampType    => df
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ→TIMESTAMP cast reinterprets wall-clock values in the
+        // SESSION timezone — lossless only when that is UTC. Bench/Verify
+        // pin it; fail loudly for an ad-hoc session that didn't (advice
+        // r9) instead of silently shifting every event time.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ: reading it requires spark.sql.session.timeZone=UTC " +
+            s"(got '$tz') or every event time would shift by the zone offset")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case other => throw new IllegalStateException(
         s"events.ts has unsupported type $other (expected BIGINT nanos, TIMESTAMP or TIMESTAMP_NTZ); " +
           s"full schema: ${df.schema.treeString}")

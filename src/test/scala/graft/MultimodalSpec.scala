@@ -18,13 +18,40 @@ class MultimodalSpec extends SparkSpec {
     val r = out.filter(col("doc_id") === 0).head()
     assert(r.byte_len > 0 && r.width == r.byte_len % 640)
     assert(r.head_hex.length == 16)
+    // text bytes sniff as no known container: labeled fallback rows
+    assert(r.format == "unknown" && !r.decode_ok)
   }
 
-  test("resize keeps ids and bounds output size") {
+  test("resize falls back (flagged) on non-pixel payloads") {
     val out = Multimodal.resize(media, "doc_id", "bin", 4, 4).collect()
     assert(out.length == 50)
+    assert(out.forall(r => !r.resample_ok && r.format == "unknown"))
     assert(out.forall(r => r.bytes.length <= r.out_w * r.out_h * 32)) // strided sample bound
     assert(out.forall(r => r.bytes.nonEmpty))
+  }
+
+  test("resize really resamples pixels on decodable images") {
+    import spark.implicits._
+    // 2×1 → 3×1 bilinear: out = [p0, (p0+p1+1)/2-ish fixed point, p1]
+    val png = Multimodal.Png.encode(2, 1, (x, _) => if (x == 0) (10, 40, 90) else (20, 60, 110))
+    val df = Seq((1L, png), (2L, Multimodal.synthBmp(2L))).toDF("doc_id", "bin")
+    val out = Multimodal.resize(df, "doc_id", "bin", 3, 1).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(1L).resample_ok && out(1L).format == "png")
+    assert(out(2L).resample_ok && out(2L).format == "bmp")
+    val m = Multimodal.Bmp.decode(1L, out(1L).bytes)
+    // midpoint: fx=128 → (p0·128·256 + p1·128·256 + 32768) >> 16
+    def mid(a: Int, b: Int) = (a * 128 * 256 + b * 128 * 256 + 32768) >> 16
+    assert(m.width == 3 && m.height == 1)
+    assert(m.sum_r == 10 + mid(10, 20) + 20)
+    assert(m.sum_g == 40 + mid(40, 60) + 60)
+    assert(m.sum_b == 90 + mid(90, 110) + 110)
+    assert(m.px00 == 10L * 65536 + 40L * 256 + 90L)
+    // identity resize reproduces the source exactly (fx=fy=0 everywhere)
+    val idm = Multimodal.Bmp.decode(3L,
+      Multimodal.resize(Seq((3L, png)).toDF("doc_id", "bin"), "doc_id", "bin", 2, 1)
+        .collect().head.bytes)
+    assert(idm.sum_r == 30 && idm.sum_g == 100 && idm.sum_b == 200)
   }
 
   test("frame sampling emits one row per Nth byte with in-range offsets") {
@@ -150,9 +177,40 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.Png.decode(2L, "GIF89a-definitely-not-png".getBytes)
     }
     // a single-IDAT stream from a foreign encoder shape still decodes:
-    // rebuild with one IDAT chunk by hand (decoder must not assume two)
-    val m = Multimodal.Png.decode(3L, enc)
+    // REALLY rebuild the file with one IDAT (walk chunks, concatenate the
+    // two zlib payload halves, recompute the CRC) — decoder must not
+    // assume our encoder's two-chunk split
+    val oneIdat = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(enc, 0, 8) // signature
+      val idat = new java.io.ByteArrayOutputStream()
+      var off = 8
+      var wrote = false
+      def writeChunk(typ: String, data: Array[Byte]): Unit = {
+        val crc = new java.util.zip.CRC32()
+        crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+        out.write(java.nio.ByteBuffer.allocate(12 + data.length)
+          .putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+          .putInt(crc.getValue.toInt).array())
+      }
+      while (off + 12 <= enc.length) {
+        val len = java.nio.ByteBuffer.wrap(enc).getInt(off)
+        val typ = new String(enc, off + 4, 4, "US-ASCII")
+        typ match {
+          case "IDAT" => idat.write(enc, off + 8, len)
+          case "IEND" =>
+            if (!wrote) { writeChunk("IDAT", idat.toByteArray); wrote = true }
+            writeChunk("IEND", Array.emptyByteArray)
+          case _ => out.write(enc, off, 12 + len)
+        }
+        off += 12 + len
+      }
+      out.toByteArray
+    }
+    val m = Multimodal.Png.decode(3L, oneIdat)
+    assert(m.n_idat == 1) // proves the rebuild actually merged the chunks
     assert(m.sum_r == (0 + 1 + 2 + 3) * 3)
+    assert(m == Multimodal.Png.decode(3L, enc).copy(n_idat = 1))
   }
 
   test("Jpeg encode∘decode is EXACT on the flat-gray envelope, bounded on color") {
@@ -209,7 +267,10 @@ class MultimodalSpec extends SparkSpec {
       mvhdV1 = false, mdatLen = 16)
     val m0 = Multimodal.Mp4.decode(1L, v0)
     assert(m0.major_brand == "isom" && m0.timescale == 1000 && m0.duration_ms == 5000)
-    assert(m0.n_tracks == 1 && m0.width == 640 && m0.height == 480 && m0.n_boxes == 6)
+    assert(m0.n_tracks == 1 && m0.width == 640 && m0.height == 480)
+    // ftyp, moov, mvhd, trak, tkhd, mdia, minf, stbl, stts, stsz, mdat
+    assert(m0.n_boxes == 11)
+    assert(m0.n_samples == 0 && m0.sample_bytes == 0) // empty sample table
     // mvhd v1 (64-bit fields) must parse to the same logical values
     val v1 = Multimodal.Mp4.encode(1000, 5000, Seq(Multimodal.Mp4.Track(1, 640, 480)),
       mvhdV1 = true, mdatLen = 16)
@@ -224,6 +285,83 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.Mp4.decode(4L, "not-an-iso-bmff-file-at-all".getBytes)
     }
+  }
+
+  test("Mp4 stts/stsz sample tables yield real frame counts and byte totals") {
+    val enc = Multimodal.Mp4.encode(1000, 2000, Seq(
+      Multimodal.Mp4.Track(1, 320, 240, sampleSizes = Seq(100, 200, 300)),
+      Multimodal.Mp4.Track(2, 640, 480, sampleSizes = Seq(7, 9))),
+      mvhdV1 = false, mdatLen = 8)
+    val m = Multimodal.Mp4.decode(1L, enc)
+    assert(m.n_tracks == 2 && m.n_samples == 5)
+    assert(m.sample_bytes == 100 + 200 + 300 + 7 + 9)
+    // fixed-size stsz branch (sample_size != 0, no per-sample table):
+    // hand-build one — our encoder never emits it, a real decoder reads it
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val fixedStsz = be32(28) ++ "stsz".getBytes ++
+      Array[Byte](0, 0, 0, 0) ++ be32(25) ++ be32(4) ++ be32(0) ++ be32(0)
+    // splice it as a top-level box (walker treats stsz wherever it appears)
+    val withFixed = enc ++ fixedStsz
+    val mf = Multimodal.Mp4.decode(2L, withFixed)
+    assert(mf.sample_bytes == m.sample_bytes + 25 * 4)
+  }
+
+  test("corrupt container headers fail fast as NonFatal, not OOM/StackOverflow") {
+    import spark.implicits._
+    // PNG claiming 50000×50000 dims in a 100-byte file: must refuse
+    // BEFORE allocating ~7.5 GB of scanlines
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+    val hugeIhdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(50000).putInt(50000).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val hugePng = sig ++ chunk("IHDR", hugeIhdr) ++ chunk("IDAT", Array[Byte](1, 2)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val ex = intercept[IllegalArgumentException](Multimodal.Png.decode(1L, hugePng))
+    assert(ex.getMessage.contains("implausible"))
+    // JPEG claiming 65000×65000 in the SOF: same contract
+    val j = Multimodal.Jpeg.encode(4, 4, (_, _) => (1, 2, 3))
+    val sofAt = j.indices.find(i =>
+      (j(i) & 0xff) == 0xff && (j(i + 1) & 0xff) == 0xc0).get
+    val hugeJ = j.clone()
+    hugeJ(sofAt + 5) = 0xfd.toByte; hugeJ(sofAt + 6) = 0xe8.toByte // h = 65000
+    hugeJ(sofAt + 7) = 0xfd.toByte; hugeJ(sofAt + 8) = 0xe8.toByte // w = 65000
+    val exJ = intercept[IllegalArgumentException](Multimodal.Jpeg.decode(2L, hugeJ))
+    assert(exJ.getMessage.contains("implausible"))
+    // MP4 of 64 nested moov boxes: depth cap must fire, not StackOverflow
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(512)
+    val nested = (1 to 64).foldLeft(Array.emptyByteArray) { (inner, _) =>
+      be32(inner.length + 8L) ++ "moov".getBytes ++ inner
+    }
+    val exM = intercept[IllegalArgumentException](
+      Multimodal.Mp4.decode(3L, ftyp ++ nested))
+    assert(exM.getMessage.contains("nesting"))
+    // truncated tkhd (size 12 passes the generic check): must refuse
+    // rather than read its own header bytes as 16.16 dims
+    val shortTkhd = be32(12) ++ "tkhd".getBytes ++ be32(0)
+    // box = 8 hdr + 20 payload (version/flags, ctime, mtime, ts, dur)
+    val mvhd = be32(28) ++ "mvhd".getBytes ++ Array[Byte](0, 0, 0, 0) ++
+      be32(0) ++ be32(0) ++ be32(1000) ++ be32(5000)
+    val moov = be32(8L + mvhd.length + shortTkhd.length) ++ "moov".getBytes ++
+      mvhd ++ shortTkhd
+    val exT = intercept[IllegalArgumentException](
+      Multimodal.Mp4.decode(4L, ftyp ++ moov))
+    assert(exT.getMessage.contains("tkhd"))
+    // end-to-end: ALL of these route to the flagged fallback in decodeMedia
+    val df = Seq((1L, hugePng), (2L, hugeJ), (3L, ftyp ++ nested),
+      (4L, ftyp ++ moov)).toDF("doc_id", "bin")
+    val out = Multimodal.decodeMedia(df, "doc_id", "bin").collect()
+    assert(out.length == 4 && out.forall(!_.decode_ok))
+    assert(out.map(_.format).sorted.toSeq == Seq("jpeg", "mp4", "mp4", "png"))
   }
 
   test("decodeMedia dispatches on magic bytes and falls back on garbage") {
@@ -242,8 +380,11 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decodeMedia(mixed.toDF("doc_id", "bin"), "doc_id", "bin")
       .collect().map(m => m.doc_id -> m).toMap
     assert(out(1L).width == 3 + 1 % 6 && out(1L).n_frames == 1) // real decode
+    assert(out(1L).format == "bmp" && out(1L).decode_ok)
     val len = garbage.length.toLong
     assert(out(2L).width == len % 640 && out(2L).n_frames == len % 30) // fake path
+    // the fallback is MEASURABLE: sniffed format survives, decode_ok=false
+    assert(out(2L).format == "bmp" && !out(2L).decode_ok)
   }
 
   test("real-codec round-trips run distributed over the documents table") {
@@ -271,7 +412,13 @@ class MultimodalSpec extends SparkSpec {
     val mp4 = Multimodal.mp4RoundTrip(docs, "doc_id").collect()
     assert(mp4.length == 40)
     assert(mp4.forall(r => r.n_tracks == 1 + r.doc_id % 2 && r.major_brand == "isom"))
-    assert(mp4.forall(r => r.n_boxes == 4 + 2 * r.n_tracks))
+    assert(mp4.forall(r => r.n_boxes == 4 + 7 * r.n_tracks))
+    assert(mp4.forall(r => r.n_samples ==
+      (1 to r.n_tracks.toInt).map(t => 8 + (r.doc_id + t) % 5).sum))
+    assert(mp4.forall(r => r.sample_bytes ==
+      (1 to r.n_tracks.toInt).flatMap(t =>
+        (0 until (8 + (r.doc_id + t) % 5).toInt).map(i =>
+          1 + (r.doc_id + 7 * t + 3 * i) % 50)).sum))
   }
 
   test("real-format features cluster by format (nearest neighbor shares the format code)") {

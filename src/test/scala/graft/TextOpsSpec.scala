@@ -88,4 +88,42 @@ class TextOpsSpec extends SparkSpec {
       TextOps.fingerprint(col("x")) === TextOps.fingerprint(col("y"))).head()
     assert(r.getBoolean(0))
   }
+
+  test("extractHtml strips markup bodily and decodes entities once") {
+    val cases = Seq(
+      // script/style bodies vanish ENTIRELY (incl. a bare < inside js)
+      ("<p>keep</p><script>if (1 < 2) { alert('x'); }</script><b>this</b>",
+        "keep this"),
+      ("<style>.nav { display: none; }</style>real content", "real content"),
+      // comments vanish; tags become whitespace (no word gluing)
+      ("before<!-- secret -->after<br>line", "before after line"),
+      // attribute-laden and self-closing tags
+      ("""<a href="http://x" class='y'>link</a><img src="z"/>end""", "link end"),
+      // entities: one decode pass; &amp;lt; is literal "&lt;", not "<"
+      ("a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; c&nbsp;d &amp;lt;",
+        "a & b <tag> \"q\" 's' c d &lt;"),
+      // entity without semicolon and unknown entity stay as-is
+      ("&amp x &bogus; y", "&amp x &bogus; y"),
+      // whitespace collapse across newlines/tabs
+      ("<div>\n  spaced \t text\n</div>", "spaced text"),
+      // empty and markup-only inputs
+      ("", ""),
+      ("<html><head></head><body></body></html>", ""),
+      // DOCUMENTED naive-regex limit: a bare < in text with a later >
+      // is treated as a tag and over-stripped (malformed HTML input)
+      ("a < b then c > d", "a d"))
+    val out = Seq.tabulate(cases.length)(i => (i.toLong, cases(i)._1))
+      .toDF("id", "html")
+    val got = TextOps.extractHtml(out, "id", "html")
+      .orderBy("id").collect()
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i).getString(1) == want, s"case $i: input $in")
+    }
+    // boilerplate_ratio: 0 on empty input, 1 on markup-only, in (0,1) on mixed
+    val ratios = got.map(_.getDouble(2))
+    assert(ratios(7) == 0.0)
+    assert(ratios(8) == 1.0)
+    assert(ratios(0) > 0 && ratios(0) < 1)
+    assert(math.abs(ratios(0) - (1.0 - "keep this".length.toDouble / cases(0)._1.length)) < 1e-15)
+  }
 }
