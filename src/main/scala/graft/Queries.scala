@@ -4214,7 +4214,12 @@ object Queries {
     * small-vocabulary text gives a meaningful contamination rate; the
     * operator takes any n (production uses 8–13 per the public training
     * reports). Probe grams broadcast; the corpus side never shuffles
-    * its grams — see `TextOps.decontaminate`.
+    * its grams — see `TextOps.decontaminate`. Scaling note: this
+    * registered form grows the probe set WITH the corpus (0.60 sf1
+    * exponent — a data-construction artifact); the production shape
+    * with a pinned probe set measures 2.40× for a 10× corpus
+    * (exponent 0.38, SCALE.md §Multimodal round-10 note, `PerfLab
+    * deconfixed`).
     */
   val q124: Q = Q(
     "q124_decontaminate",
