@@ -4336,6 +4336,51 @@ object Queries {
       |FROM v GROUP BY doc_id ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** REAL MP4 frame sampling (round 10 — kills the last byte-stride
+    * stub): synth MP4s whose mdat now carries the REAL sample payloads
+    * → `Multimodal.sampleFrames` walks the box tree, rebuilds each
+    * track's stsz/stts tables, and slices every 3rd frame's actual
+    * bytes out of mdat via cumulative stsz offsets. The oracle
+    * recomputes, per sampled frame, the byte OFFSET (prefix sums of the
+    * synth's size formula across tracks and samples), the stts-derived
+    * presentation time, and the exact payload byte sum — a match proves
+    * the sampler read the true frame windows, not strides or metadata.
+    * Map-side only (no shuffle): scales at scan bandwidth.
+    */
+  val q127: Q = Q(
+    "q127_frame_sample",
+    (s, dir) => Multimodal.frameSampleRoundTrip(t(s, dir, "documents"), "doc_id", 3)
+      .toDF()
+      .select(col("doc_id"), col("track_idx"), col("frame_idx"),
+        col("offset").as("frame_offset"), col("size").as("frame_bytes"),
+        col("pts_ms"), col("byte_sum"))
+      .orderBy(col("doc_id"), col("track_idx"), col("frame_idx")),
+    Some("""
+      |WITH m AS (SELECT doc_id, 1000 + (doc_id % 9) * 100 AS ts,
+      |    1 + doc_id % 2 AS ntrk FROM documents),
+      |trk AS (SELECT doc_id, ts, unnest(range(1, ntrk + 1)) AS t FROM m),
+      |tt AS (SELECT doc_id, ts, t, 8 + (doc_id + t) % 5 AS n FROM trk),
+      |base AS (SELECT a.doc_id, a.t,
+      |    COALESCE(SUM(1 + (a.doc_id + 7*b.t + 3*b.i) % 50), 0) AS base
+      |  FROM tt a
+      |  LEFT JOIN (SELECT doc_id, t, unnest(range(0, n)) AS i FROM tt) b
+      |    ON a.doc_id = b.doc_id AND b.t < a.t
+      |  GROUP BY a.doc_id, a.t),
+      |f AS (SELECT doc_id, ts, t, n, unnest(range(0, n)) AS i FROM tt),
+      |s AS (SELECT f.doc_id, ts, f.t, i,
+      |    1 + (f.doc_id + 7*f.t + 3*i) % 50 AS sz,
+      |    base.base + COALESCE(list_sum(list_transform(range(0, i),
+      |      k -> 1 + (f.doc_id + 7*f.t + 3*k) % 50)), 0) AS off
+      |  FROM f JOIN base ON f.doc_id = base.doc_id AND f.t = base.t
+      |  WHERE i % 3 = 0)
+      |SELECT doc_id, CAST(t AS BIGINT) AS track_idx, CAST(i AS BIGINT) AS frame_idx,
+      |  CAST(off AS BIGINT) AS frame_offset, CAST(sz AS BIGINT) AS frame_bytes,
+      |  CAST(i * 100 * 1000 // ts AS BIGINT) AS pts_ms,
+      |  CAST(list_sum(list_transform(range(0, sz),
+      |    j -> (doc_id + 11*t + 5*i + j) % 251)) AS BIGINT) AS byte_sum
+      |FROM s ORDER BY doc_id, track_idx, frame_idx
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4349,5 +4394,5 @@ object Queries {
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-    q125, q126)
+    q125, q126, q127)
 }

@@ -54,13 +54,77 @@ class MultimodalSpec extends SparkSpec {
     assert(idm.sum_r == 30 && idm.sum_g == 100 && idm.sum_b == 200)
   }
 
-  test("frame sampling emits one row per Nth byte with in-range offsets") {
-    val out = Multimodal.sampleFrames(media, "doc_id", "bin", 32)
-    val byDoc = out.groupBy("doc_id").agg(count(lit(1)).as("n"), max("offset").as("mx"))
-      .join(Multimodal.decodeMedia(media, "doc_id", "bin").toDF()
-        .select(col("doc_id"), col("byte_len")), "doc_id")
-    assert(byDoc.filter(col("mx") >= col("byte_len")).count() == 0)
-    assert(byDoc.filter(col("n") =!= ceil(col("byte_len") / 32.0)).count() == 0)
+  test("frame sampling slices the REAL frame bytes out of mdat") {
+    // two tracks, known sizes, known payload: every frame's byte window
+    // and sum are hand-computable
+    val enc = Multimodal.Mp4.encode(1000, 2000, Seq(
+      Multimodal.Mp4.Track(1, 320, 240, sampleSizes = Seq(3, 2, 4), sampleDelta = 40),
+      Multimodal.Mp4.Track(2, 640, 480, sampleSizes = Seq(5), sampleDelta = 100)),
+      mvhdV1 = false, mdatLen = 0,
+      sampleByte = Some((t, i, j) => 10 * t + 3 * i + j))
+    val df = Seq((7L, enc)).toDF("doc_id", "bin")
+    val rows = Multimodal.sampleFrames(df, "doc_id", "bin", 1).collect()
+      .map(r => (r.track_idx, r.frame_idx) -> r).toMap
+    assert(rows.size == 4)
+    // track 1: offsets 0,3,5; sums of 10+3i+j over j<size
+    assert(rows((1L, 0L)).offset == 0 && rows((1L, 0L)).size == 3 &&
+      rows((1L, 0L)).byte_sum == 10 + 11 + 12)
+    assert(rows((1L, 1L)).offset == 3 && rows((1L, 1L)).byte_sum == 13 + 14)
+    assert(rows((1L, 2L)).offset == 5 && rows((1L, 2L)).byte_sum == 16 + 17 + 18 + 19)
+    // track-major layout: track 2 starts after track 1's 9 bytes
+    assert(rows((2L, 0L)).offset == 9 && rows((2L, 0L)).size == 5 &&
+      rows((2L, 0L)).byte_sum == 20 + 21 + 22 + 23 + 24)
+    // stts-derived presentation times: delta 40 ticks at timescale 1000
+    assert(rows((1L, 0L)).pts_ms == 0 && rows((1L, 1L)).pts_ms == 40 &&
+      rows((1L, 2L)).pts_ms == 80)
+    // everyN = 2 keeps frames 0 and 2 of track 1, frame 0 of track 2
+    val strided = Multimodal.sampleFrames(df, "doc_id", "bin", 2).collect()
+    assert(strided.map(r => (r.track_idx, r.frame_idx)).toSet ==
+      Set((1L, 0L), (1L, 2L), (2L, 0L)))
+  }
+
+  test("frame sampling handles multi-run stts and rejects corrupt tables") {
+    // hand-built stts with TWO runs (our encoder writes one): 2×10 then
+    // 1×50 ticks — a real decoder must expand runs, not assume one
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val enc = Multimodal.Mp4.encode(1000, 2000, Seq(
+      Multimodal.Mp4.Track(1, 320, 240, sampleSizes = Seq(1, 1, 1))),
+      mvhdV1 = false, mdatLen = 0, sampleByte = Some((_, _, _) => 1))
+    // locate the encoder's one-run stts ((1, 3, 100)) and swap in 2 runs
+    val sttsIdx = enc.indices.find(i => enc.slice(i, i + 4).sameElements("stts".getBytes)).get - 4
+    val oldStts = 8 + 4 + 4 + 8 // hdr + verflags + count + one run
+    val newStts = be32(8 + 4 + 4 + 16L) ++ "stts".getBytes ++
+      Array[Byte](0, 0, 0, 0) ++ be32(2) ++
+      be32(2) ++ be32(10) ++ be32(1) ++ be32(50)
+    val spliced = enc.take(sttsIdx) ++ newStts ++ enc.drop(sttsIdx + oldStts)
+    // fix enclosing box sizes (trak/mdia/minf/stbl each grow by 8)
+    def patchSizes(b: Array[Byte]): Array[Byte] = {
+      val out = b.clone()
+      for (typ <- Seq("moov", "trak", "mdia", "minf", "stbl")) {
+        val at = out.indices.find(i => out.slice(i, i + 4).sameElements(typ.getBytes)).get - 4
+        val old = ((out(at) & 0xffL) << 24) | ((out(at + 1) & 0xffL) << 16) |
+          ((out(at + 2) & 0xffL) << 8) | (out(at + 3) & 0xffL)
+        be32(old + 8).copyToArray(out, at)
+      }
+      out
+    }
+    val fixed = patchSizes(spliced)
+    val ft = Multimodal.Mp4.frameTable(9L, fixed)
+    assert(ft.tracks.head.sttsRuns == Vector((2L, 10L), (1L, 50L)))
+    val rows = Seq((9L, fixed)).toDF("doc_id", "bin")
+    val pts = Multimodal.sampleFrames(rows, "doc_id", "bin", 1)
+      .collect().sortBy(_.frame_idx).map(_.pts_ms)
+    assert(pts.toSeq == Seq(0L, 10L, 20L)) // 0, 10, 10+10 (run 2 starts after)
+    // a sample table that overruns the mdat must fail NonFatal, not read OOB
+    val tooSmall = Multimodal.Mp4.encode(1000, 2000, Seq(
+      Multimodal.Mp4.Track(1, 320, 240, sampleSizes = Seq(100))),
+      mvhdV1 = false, mdatLen = 4) // filler mdat: 4 bytes < 100-byte sample
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.sampleFrames(Seq((10L, tooSmall)).toDF("doc_id", "bin"),
+        "doc_id", "bin", 1).collect()
+    }
+    assert(ex.getCause.getMessage.contains("overruns mdat"))
   }
 
   test("Wav decode parses a hand-built container our encoder never produces") {
