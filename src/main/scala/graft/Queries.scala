@@ -4381,6 +4381,145 @@ object Queries {
       |FROM s ORDER BY doc_id, track_idx, frame_idx
       |""".stripMargin.trim))
 
+  /** URL canonicalization (round 10): deterministic doc-keyed messy URLs
+    * — three families covering every normalization rule — through
+    * `TextOps.canonicalizeUrl`. Family 0: uppercase scheme/host, default
+    * :80 port, tracking params interleaved with real ones out of order,
+    * fragment. Family 1: :443 strip + ONLY tracking params (query must
+    * vanish entirely, path case preserved). Family 2: no path at all
+    * (must become "/") + params needing a sort. The oracle states the
+    * expected canonical URL in CLOSED FORM per family, so a match
+    * proves each rule fired exactly — not that two implementations of
+    * the same regex agree.
+    */
+  val q128: Q = Q(
+    "q128_canonical_url",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTP://WWW."), upper(col("source")), lit(".Example.COM:80/Path/"), id,
+            lit("?utm_source=feed&b=2&fbclid=x"), id, lit("&a=1#sec"), id))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("HTTPS://Api.Example.COM:443/v2/Docs/"), id,
+            lit("?utm_campaign=Spring&gclid="), id))
+        .otherwise(concat(lit("https://Cdn.Example.COM:443?z="), id,
+          lit("&y=2&utm_medium=email#frag")))
+      TextOps.canonicalizeUrls(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), url.as("url")),
+          "doc_id", "url")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |SELECT doc_id,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN 'http://www.' || lower(source) || '.example.com/Path/'
+      |      || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+      |    WHEN 1 THEN 'https://api.example.com/v2/Docs/' || CAST(doc_id AS VARCHAR)
+      |    ELSE 'https://cdn.example.com/?y=2&z=' || CAST(doc_id AS VARCHAR)
+      |  END AS canonical_url,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN 'www.' || lower(source) || '.example.com'
+      |    WHEN 1 THEN 'api.example.com'
+      |    ELSE 'cdn.example.com'
+      |  END AS host,
+      |  CAST(CASE doc_id % 3 WHEN 1 THEN 0 ELSE 2 END AS BIGINT) AS n_params
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Cross-document boilerplate scrub (round 10): word 3-grams shared by
+    * more than 25 distinct docs are corpus boilerplate; per doc, how
+    * much of its gram set is common. The synthetic corpus's small
+    * vocabulary makes the threshold bite (many 3-grams recur), so the
+    * oracle discriminates: a wrong doc-frequency count or a dropped
+    * left-join null shifts every ratio. See
+    * `TextOps.commonNgramScrub` for the 100-TB shuffle shape.
+    */
+  val q129: Q = Q(
+    "q129_common_ngram_scrub",
+    (s, dir) => TextOps.commonNgramScrub(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxDocs = 25)
+      .orderBy(col("doc_id")),
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS gram
+      |  FROM toks WHERE len(w) >= 3),
+      |dfreq AS (SELECT gram, COUNT(*) AS gram_df FROM g GROUP BY gram)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN gram_df > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |  CAST(SUM(CASE WHEN gram_df > 25 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS common_ratio
+      |FROM g JOIN dfreq USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** BM25 retrieval (round 10): top-50 docs for a three-term query.
+    * Exactness: the tf component divides two integers both engines
+    * compute exactly (fraction-cleared form — see `TextOps.bm25`), the
+    * idf is one ln of one rational, and per-term scores are quantized
+    * to micro-units BEFORE the cross-term sum — so the only FP step is
+    * a single identical expression tree per (doc, term), and the final
+    * sum/ordering are exact integers.
+    */
+  val q130: Q = Q(
+    "q130_bm25_topk",
+    (s, dir) => TextOps.bm25(t(s, dir, "documents"), "doc_id", "text",
+      Seq("spark", "table", "query"), topK = 50),
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM toks),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base),
+      |q(term) AS (VALUES ('spark'), ('table'), ('query')),
+      |hit AS (SELECT doc_id, dl, term,
+      |    CAST(len(list_filter(w, x -> x = term)) AS BIGINT) AS tf
+      |  FROM base CROSS JOIN q
+      |  WHERE len(list_filter(w, x -> x = term)) > 0),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS gram_df FROM hit GROUP BY term),
+      |scored AS (SELECT doc_id, dl, tf,
+      |    ln(1.0 + CAST(2 * (n_docs - gram_df) + 1 AS DOUBLE)
+      |      / CAST(2 * gram_df + 1 AS DOUBLE)) AS idf,
+      |    CAST(22 * sum_dl * tf AS DOUBLE)
+      |      / CAST(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs AS DOUBLE) AS tfc
+      |  FROM hit JOIN dfreq USING (term) CROSS JOIN stats)
+      |SELECT doc_id,
+      |  CAST(SUM(CAST(round(idf * tfc * 1000000.0) AS BIGINT)) AS BIGINT) AS score_micro,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms_hit, CAST(MAX(dl) AS BIGINT) AS dl
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score_micro DESC, doc_id LIMIT 50
+      |""".stripMargin.trim))
+
+  /** Temperature-based domain mixture (round 10): α = 1/2 sampling
+    * weights and document budgets over the documents table's source
+    * domains. sqrt is IEEE-exact and per-domain mass is quantized to
+    * micro-units before the total, so weights (one identical double
+    * division) and budgets (integer DIV) hash-match exactly — see
+    * `TrainPrep.temperatureMix`.
+    */
+  val q131: Q = Q(
+    "q131_temperature_mix",
+    (s, dir) => TrainPrep.temperatureMix(t(s, dir, "documents"), "source", 100000L)
+      .orderBy(col("domain")),
+    Some("""
+      |WITH c AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |s AS (SELECT domain, n_docs,
+      |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS mass_micro
+      |  FROM c),
+      |t AS (SELECT CAST(SUM(mass_micro) AS BIGINT) AS mass_total FROM s)
+      |SELECT domain, n_docs,
+      |  CAST(mass_micro AS DOUBLE) / CAST(mass_total AS DOUBLE) AS weight,
+      |  CAST(100000 * mass_micro // mass_total AS BIGINT) AS target_docs
+      |FROM s CROSS JOIN t ORDER BY domain
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4394,5 +4533,5 @@ object Queries {
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-    q125, q126, q127)
+    q125, q126, q127, q128, q129, q130, q131)
 }

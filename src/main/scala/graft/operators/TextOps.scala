@@ -116,6 +116,136 @@ object TextOps {
             length(col("text")).cast("double") / length(col("__html")).cast("double"))
           .as("boilerplate_ratio"))
 
+  /** URL canonicalization (round 10 — the crawl-dedup prerequisite: two
+    * fetches of the same page under cosmetically different URLs must
+    * collapse to one key BEFORE any content dedup runs, or the corpus
+    * double-counts every page). Pure column expressions:
+    *
+    *  1. lowercase the scheme and host (path/query stay case-sensitive
+    *     per RFC 3986 §6.2.2.1);
+    *  2. drop the fragment (`#…` never reaches the server);
+    *  3. drop the default port (`:80` for http, `:443` for https);
+    *  4. drop tracking params (`utm_*`, `gclid`, `fbclid` — the
+    *     client-analytics keys that vary per referral, not per page);
+    *  5. byte-sort the surviving query params (param order is
+    *     server-insignificant for the overwhelming majority of pages);
+    *  6. empty path → "/", empty surviving query → no "?".
+    *
+    * Deliberately NOT done (each changes which resource is addressed or
+    * is site-specific): www-prefix stripping, percent-decode, path
+    * normalization of `..`, trailing-slash folding.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path = regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      length(p) > 0 && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)")))
+    concat(
+      scheme, lit("://"), host,
+      when(length(path) === 0, lit("/")).otherwise(path),
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** [[canonicalizeUrl]] as a document operator: canonical key + host
+    * (the partition/quota key a crawl pipeline groups by) + surviving
+    * param count.
+    */
+  def canonicalizeUrls(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol),
+      canonicalizeUrl(col(urlCol)).as("canonical_url"),
+      lower(regexp_extract(col(urlCol), "^[^:/?#]+://([^/?#:]*)", 1)).as("host"),
+      size(filter(split(regexp_extract(col(urlCol), "\\?([^#]*)", 1), "&"), p =>
+        length(p) > 0 && !p.rlike("^(utm_[^=]*|gclid|fbclid)(=|$)")))
+        .cast("long").as("n_params"))
+
+  /** Cross-document boilerplate detection (round 10 — the corpus-level
+    * repeated-span scrub crawl pipelines run after per-doc dedup: nav
+    * bars, cookie banners and license footers repeat VERBATIM across
+    * thousands of pages, and n-grams shared by more than `maxDocs`
+    * distinct documents are boilerplate, not content). Emits one row
+    * per doc that has any n-gram at all: total distinct n-grams, how
+    * many are corpus-common, and the common ratio — the signal a
+    * pipeline thresholds on to route docs to span-removal.
+    *
+    * Scale shape: the gram→doc-frequency aggregation is two-phase
+    * (partial counts map-side, one shuffle on the gram key); the
+    * common-gram set it produces is tiny by construction (only grams
+    * crossing the threshold survive), so the flagging join broadcasts
+    * it — the corpus's gram stream is never shuffled a second time. At
+    * 100 TB the first aggregation is the one unavoidable shuffle; a
+    * count-min sketch pre-filter can shrink it further, same shape.
+    */
+  def commonNgramScrub(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocs: Long): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(wordNgrams(tokens(col(textCol)), n)).as("gram"))
+    // wordNgrams is per-doc distinct, so doc frequency = plain count
+    val common = grams.groupBy("gram")
+      .agg(count(lit(1)).as("gram_df"))
+      .where(col("gram_df") > maxDocs)
+      .select(col("gram"), lit(1L).as("is_common"))
+    grams.join(broadcast(common), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_common"), lit(0L))).as("n_common"))
+      .withColumn("common_ratio",
+        col("n_common").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** BM25 ranking (round 10 — the retrieval scorer behind corpus search
+    * and hard-negative mining). Okapi BM25 with the Lucene idf
+    * (ln(1 + (N − df + 0.5)/(df + 0.5)), always positive) at k1 = 1.2,
+    * b = 0.75. Determinism contract: the tf component is algebraically
+    * cleared of fractions — tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) ==
+    * 22·S·tf / (10·S·tf + 3S + 9·dl·N) with S = Σdl — so both engines
+    * divide the SAME two exact integers; the idf's ln takes the same
+    * single rational; each per-term score is quantized to integer
+    * micro-units BEFORE the cross-term sum, which is then exact in any
+    * order. Top-k via orderBy+limit (TakeOrderedAndProject: per
+    * -partition heaps + driver merge, no global sort/single-task
+    * window).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = base.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val hits = base.select(col("doc_id"), col("dl"),
+        explode(array(terms.map(lit): _*)).as("term"), col("toks"))
+      .withColumn("tf", size(filter(col("toks"), x => x === col("term"))).cast("long"))
+      .where(col("tf") > 0)
+      .drop("toks")
+    val dfreq = hits.groupBy("term").agg(count(lit(1)).cast("long").as("gram_df"))
+    hits.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(2L) * (col("n_docs") - col("gram_df")) + lit(1L)).cast("double") /
+          (lit(2L) * col("gram_df") + lit(1L)).cast("double")))
+      .withColumn("tfc",
+        (lit(22L) * col("sum_dl") * col("tf")).cast("double") /
+          (lit(10L) * col("sum_dl") * col("tf") + lit(3L) * col("sum_dl") +
+            lit(9L) * col("dl") * col("n_docs")).cast("double"))
+      .withColumn("score_micro",
+        round(col("idf") * col("tfc") * lit(1000000.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("score_micro")).as("score_micro"),
+        count(lit(1)).cast("long").as("n_terms_hit"),
+        max(col("dl")).as("dl"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** Jaccard similarity of two shingle sets; 0 when both empty. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

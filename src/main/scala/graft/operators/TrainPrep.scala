@@ -87,6 +87,41 @@ object TrainPrep {
     df.withColumn("bucket", bucket).filter(col("bucket") < rate)
   }
 
+  /** Temperature-based domain mixture (round 10 — the alpha-sampling
+    * step from the public multilingual/multi-domain training recipes:
+    * domain d with c_d documents gets sampling mass ∝ c_d^α, α < 1, so
+    * head domains are damped and tail domains up-weighted; the output
+    * table IS the `rates` input a pipeline then feeds to
+    * [[stratifiedSample]]). One row per domain: raw count, normalized
+    * weight, and the document budget allotted out of `totalBudget`
+    * (floor — a pipeline tops up the remainder deterministically).
+    *
+    * α is fixed at 1/2: sqrt is IEEE-correctly-rounded, so c_d^α is
+    * bit-exact on every engine (a general pow(x, α) is not), and the
+    * per-domain mass is quantized to integer micro-units before the
+    * cross-domain total, making weights and budgets exact in any
+    * accumulation order — same contract as the BM25 scorer.
+    *
+    * Scale shape: one partial-aggregable count shuffle; the domain
+    * table that follows is tiny by construction (#domains rows), so
+    * the total rides back as a broadcast scalar.
+    */
+  def temperatureMix(df: DataFrame, domainCol: String,
+      totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"totalBudget must be positive, got $totalBudget")
+    val counts = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("mass_micro",
+        round(sqrt(col("n_docs").cast("double")) * lit(1000000.0)).cast("long"))
+    val total = counts.agg(sum(col("mass_micro")).as("mass_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("domain"), col("n_docs"),
+        (col("mass_micro").cast("double") / col("mass_total").cast("double"))
+          .as("weight"),
+        expr(s"CAST($totalBudget * mass_micro DIV mass_total AS BIGINT)")
+          .as("target_docs"))
+  }
+
   /** Corpus-fitted token rarity score — the unigram-LM quality-signal
     * proxy: rare-token-heavy documents score high, boilerplate scores
     * low. score(doc) = Σ_terms tf_doc·(T DIV ctf) / n_tok where ctf is

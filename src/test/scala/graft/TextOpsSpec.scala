@@ -126,4 +126,88 @@ class TextOpsSpec extends SparkSpec {
     assert(ratios(0) > 0 && ratios(0) < 1)
     assert(math.abs(ratios(0) - (1.0 - "keep this".length.toDouble / cases(0)._1.length)) < 1e-15)
   }
+
+  test("canonicalizeUrl normalizes exactly the cosmetic differences") {
+    val cases = Seq(
+      // scheme/host case, default port, fragment, tracking params, sort
+      ("HTTP://Example.COM:80/A/B?c=3&utm_source=x&a=1#top",
+        "http://example.com/A/B?a=1&c=3"),
+      // https default port; path case preserved
+      ("HTTPS://API.Example.com:443/V2/Docs", "https://api.example.com/V2/Docs"),
+      // NON-default port is KEPT (different origin)
+      ("http://example.com:8080/x", "http://example.com:8080/x"),
+      // :80 on https is NOT default — kept
+      ("https://example.com:80/x", "https://example.com:80/x"),
+      // no path + query → "/" inserted; params sorted; empty param dropped
+      ("https://h.com?z=1&&y=2", "https://h.com/?y=2&z=1"),
+      // ONLY tracking params → no "?" at all; gclid/fbclid without "="
+      ("http://h.com/p?utm_a=1&utm_b=2&gclid&fbclid=z", "http://h.com/p"),
+      // duplicate keys both kept (server may read both), stable sort
+      ("http://h.com/p?a=2&a=1", "http://h.com/p?a=1&a=2"),
+      // a non-tracking param whose VALUE mentions utm survives
+      ("http://h.com/p?q=utm_source", "http://h.com/p?q=utm_source"))
+    val got = TextOps.canonicalizeUrls(
+        Seq.tabulate(cases.length)(i => (i.toLong, cases(i)._1)).toDF("id", "url"),
+        "id", "url")
+      .orderBy("id").collect()
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i).getString(1) == want, s"case $i: input $in")
+    }
+    // host column: lowercased, port excluded
+    assert(got(2).getString(2) == "example.com")
+    assert(got(4).getString(2) == "h.com")
+    // n_params counts surviving params
+    assert(got(0).getLong(3) == 2 && got(5).getLong(3) == 0 && got(6).getLong(3) == 2)
+  }
+
+  test("commonNgramScrub flags grams shared by more docs than the threshold") {
+    // "a b c" appears in docs 0,1,2 (df=3); "x y z" only in doc 0 (df=1)
+    val docs = Seq(
+      (0L, "a b c x y z"),
+      (1L, "a b c q r"),
+      (2L, "p a b c"),
+      (3L, "nothing shared here"),
+      (4L, "ab")) // 1 token < n → no grams, absent from output
+      .toDF("doc_id", "text")
+    val got = TextOps.commonNgramScrub(docs, "doc_id", "text", n = 3, maxDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    // doc 0: grams {a b c, b c x, c x y, x y z} → 4 total, 1 common
+    assert(byId(0L).getLong(1) == 4 && byId(0L).getLong(2) == 1)
+    assert(byId(0L).getDouble(3) == 0.25)
+    // doc 2: grams {p a b, a b c} → 2 total, 1 common
+    assert(byId(2L).getLong(1) == 2 && byId(2L).getLong(2) == 1)
+    // doc 3 shares nothing
+    assert(byId(3L).getLong(2) == 0 && byId(3L).getDouble(3) == 0.0)
+  }
+
+  test("bm25 ranks exact term matches by tf, dl norm, and idf") {
+    val docs = Seq(
+      (0L, "spark spark spark"),       // high tf, short doc
+      (1L, "spark alone among many many many many words here now"), // tf 1, long
+      (2L, "rare rare"),               // rare-term doc
+      (3L, "spark rare"),              // both terms
+      (4L, "none of these"))           // no hits → absent
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25(docs, "doc_id", "text", Seq("spark", "rare"), topK = 10)
+      .collect()
+    val ids = got.map(_.getLong(0))
+    assert(!ids.contains(4L))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    // doc 3 hits both terms; docs 0-2 hit one
+    assert(byId(3L).getLong(2) == 2)
+    assert(byId(0L).getLong(2) == 1 && byId(1L).getLong(2) == 1)
+    // two-term doc outscores every single-term doc here
+    assert(ids.head == 3L)
+    // same term, tf 3 short doc ≫ tf 1 long doc
+    assert(byId(0L).getLong(1) > byId(1L).getLong(1))
+    // "rare" (df 2) carries more idf than "spark" (df 3): doc 2 (tf 2)
+    // outscores doc 1 (tf 1 of the commoner term)
+    assert(byId(2L).getLong(1) > byId(1L).getLong(1))
+    // topK truncates: topK=2 keeps the two best, ordered
+    val top2 = TextOps.bm25(docs, "doc_id", "text", Seq("spark", "rare"), topK = 2)
+      .collect().map(_.getLong(0))
+    assert(top2.length == 2 && top2.head == 3L)
+  }
 }

@@ -153,4 +153,23 @@ class TrainPrepSpec extends SparkSpec {
       .as[(String, Long, Int)].collect().toSeq.sorted
     assert(repart == got)
   }
+
+  test("temperatureMix damps head domains and up-weights the tail") {
+    // head: 900 docs, tail: 100 → raw ratio 9:1, sqrt ratio 3:1
+    val docs = (Seq.fill(900)("head") ++ Seq.fill(100)("tail"))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("doc_id", "source")
+    val got = TrainPrep.temperatureMix(docs, "source", 1000L)
+      .orderBy("domain").collect()
+    val byDom = got.map(r => r.getString(0) -> r).toMap
+    assert(byDom("head").getLong(1) == 900 && byDom("tail").getLong(1) == 100)
+    // sqrt masses: 30e6 and 10e6 → weights exactly 0.75 / 0.25
+    assert(byDom("head").getDouble(2) == 0.75)
+    assert(byDom("tail").getDouble(2) == 0.25)
+    // budgets: floor(1000 * mass / total) = 750 / 250
+    assert(byDom("head").getLong(3) == 750 && byDom("tail").getLong(3) == 250)
+    // tail got 2.5x its raw share (100/1000); head damped from 0.9 to 0.75
+    // floor never over-allocates: totals ≤ budget
+    assert(got.map(_.getLong(3)).sum <= 1000)
+  }
 }
