@@ -4520,6 +4520,42 @@ object Queries {
       |FROM s CROSS JOIN t ORDER BY domain
       |""".stripMargin.trim))
 
+  /** REAL GIF decode (round 10 — sixth real codec, and the first with a
+    * genuine dictionary compressor: variable-width GIF-LZW, KwKwK case,
+    * 12-bit cap with CLEAR-on-full — see `Multimodal.Gif`). Synth GIFs
+    * are palette-indexed with doc-keyed dims/palette and extension
+    * blocks on a schedule; the oracle recomputes version, extension
+    * count, palette-mapped channel sums and the first pixel — values
+    * that only match if the LZW decode reproduced every index in
+    * order.
+    */
+  val q132: Q = Q(
+    "q132_gif_decode",
+    (s, dir) => Multimodal.gifRoundTrip(t(s, dir, "documents"), "doc_id")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |WITH m AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h,
+      |    CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 8 END AS ncol FROM documents),
+      |px AS (SELECT doc_id, w, h, ncol, unnest(range(0, w)) AS x FROM m),
+      |pxy AS (SELECT doc_id, w, h, ncol, x, unnest(range(0, h)) AS y FROM px),
+      |c AS (SELECT doc_id, w, h, ncol, x, y,
+      |    (doc_id + 3*x + 7*y) % ncol AS ci FROM pxy)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 1 OR doc_id % 3 = 0 THEN 'GIF89a' ELSE 'GIF87a' END AS version,
+      |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+      |  CAST(MAX(ncol) AS BIGINT) AS n_colors,
+      |  CAST((CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ext,
+      |  CAST(SUM((doc_id*5 + ci*11) % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((doc_id*3 + ci*17) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((doc_id*7 + ci*23) % 256) AS BIGINT) AS sum_b,
+      |  CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN
+      |    ((doc_id*5 + ci*11) % 256) * 65536
+      |    + ((doc_id*3 + ci*17) % 256) * 256
+      |    + ((doc_id*7 + ci*23) % 256) END) AS BIGINT) AS px00
+      |FROM c GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4533,5 +4569,5 @@ object Queries {
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-    q125, q126, q127, q128, q129, q130, q131)
+    q125, q126, q127, q128, q129, q130, q131, q132)
 }

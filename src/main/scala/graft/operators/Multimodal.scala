@@ -47,6 +47,7 @@ object Multimodal {
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
     else if (ascii(4, 4) == "ftyp") "mp4"
     else if (ascii(0, 2) == "BM") "bmp"
+    else if (ascii(0, 4) == "GIF8") "gif"
     else "unknown"
   }
 
@@ -97,6 +98,9 @@ object Multimodal {
               val m = Mp4.decode(id, bytes)
               MediaMeta(id, len, m.width, m.height, m.n_samples, head, fmt,
                 decode_ok = true)
+            case "gif" =>
+              val m = Gif.decode(id, bytes)
+              MediaMeta(id, len, m.width, m.height, 1, head, fmt, decode_ok = true)
             case _ => fake
           } catch { case scala.util.control.NonFatal(_) => fake }
         }
@@ -181,6 +185,7 @@ object Multimodal {
               case "bmp" => Some(Bmp.pixels(id, bytes))
               case "png" => Some(Png.pixels(id, bytes))
               case "jpeg" => Some(Jpeg.pixels(id, bytes))
+              case "gif" => Some(Gif.pixels(id, bytes))
               case _ => None
             }
             grid.fold(fallback) { case (w, h, rgb) =>
@@ -1335,6 +1340,342 @@ object Multimodal {
     }
   }
 
+  /** Decoded GIF metadata. Exact integers throughout (palette-indexed
+    * channel sums), so results are partitioning-independent and
+    * DuckDB-oracle-checkable; px00 pins pixel order, n_ext pins the
+    * extension-block walk.
+    */
+  case class GifMeta(doc_id: Long, version: String, width: Long, height: Long,
+      n_colors: Long, n_ext: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+      px00: Long)
+
+  /** Minimal REAL GIF codec (round 10 — sixth real format). Public
+    * format (GIF87a/89a + the GIF flavor of LZW): logical screen
+    * descriptor, global color table, optional 0x21 extension blocks
+    * (skipped via their sub-block chains), image descriptor, and the
+    * LZW-compressed index stream in ≤255-byte sub-blocks.
+    *
+    * The LZW is the genuine variable-width algorithm, not a
+    * literal-code shortcut: the encoder does greedy longest-prefix
+    * compression growing a real dictionary, the decoder rebuilds it
+    * one step behind including the KwKwK self-reference case, both
+    * sides widen codes on the GIF schedule (encoder one entry after
+    * the decoder, 12-bit cap), and the encoder emits CLEAR when the
+    * table fills. Bits pack LSB-first across sub-block boundaries.
+    */
+  object Gif {
+    private val MaxWidth = 12
+
+    /** LSB-first bit writer → ≤255-byte sub-blocks. */
+    private final class BitWriter {
+      private val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      private var acc = 0L
+      private var nBits = 0
+      def put(code: Int, width: Int): Unit = {
+        acc |= code.toLong << nBits
+        nBits += width
+        while (nBits >= 8) {
+          bytes += (acc & 0xff).toByte
+          acc >>>= 8
+          nBits -= 8
+        }
+      }
+      def finish(): Array[Byte] = {
+        if (nBits > 0) { bytes += (acc & 0xff).toByte; nBits = 0 }
+        bytes.toArray
+      }
+    }
+
+    /** GIF-LZW compress of an index stream (values < 1<<minCode).
+      * Width schedule: after WRITING each code, widen if the next entry
+      * value to assign has reached 1<<width (the pre-add check, giflib
+      * semantics) — this is the exact mirror of the decoder's
+      * post-add check, because the decoder rebuilds the table one code
+      * behind the encoder. A post-add check on the encoder side looks
+      * symmetric but desyncs at the boundary where the table fills to
+      * exactly 1<<width right before a code that adds no entry (dict
+      * hit or final flush) — caught by the q132 oracle on real data.
+      */
+    private[graft] def lzwEncode(minCode: Int, idx: Array[Int]): Array[Byte] = {
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val bw = new BitWriter
+      var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+      var nextFree = eoi + 1
+      var width = minCode + 1
+      def emit(code: Int): Unit = {
+        bw.put(code, width)
+        if (nextFree >= (1 << width) && width < MaxWidth) width += 1
+      }
+      emit(clear)
+      if (idx.nonEmpty) {
+        var prev = idx(0) // current prefix, as a dict code
+        var i = 1
+        while (i < idx.length) {
+          val k = idx(i)
+          dict.get((prev, k)) match {
+            case Some(code) => prev = code
+            case None =>
+              emit(prev)
+              if (nextFree < (1 << MaxWidth)) {
+                dict((prev, k)) = nextFree
+                nextFree += 1
+              } else {
+                // table full: CLEAR, reset — the path a big image takes
+                emit(clear)
+                dict = scala.collection.mutable.HashMap.empty
+                nextFree = eoi + 1
+                width = minCode + 1
+              }
+              prev = k
+          }
+          i += 1
+        }
+        emit(prev)
+      }
+      emit(eoi)
+      bw.finish()
+    }
+
+    /** GIF-LZW decompress; `expect` caps output (pixel count). */
+    private[graft] def lzwDecode(id: Long, minCode: Int, data: Array[Byte],
+        expect: Int): Array[Int] = {
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val out = new Array[Int](expect)
+      var n = 0
+      // dictionary as (prefixCode, lastByte); roots have prefix -1
+      val prefix = new Array[Int](1 << MaxWidth)
+      val last = new Array[Int](1 << MaxWidth)
+      var nextFree = eoi + 1
+      var width = minCode + 1
+      def emit(code: Int): Int = { // writes entry bytes, returns first byte
+        var stack = List.empty[Int]
+        var c = code
+        while (c >= clear) { stack ::= last(c); c = prefix(c) } // c > roots
+        stack ::= c
+        val first = stack.head
+        stack.foreach { v =>
+          require(n < expect, s"LZW output overruns ${expect} pixels (doc $id)")
+          out(n) = v; n += 1
+        }
+        first
+      }
+      var acc = 0L
+      var nBits = 0
+      var pos = 0
+      var prev = -1
+      var done = false
+      while (!done) {
+        while (nBits < width && pos < data.length) {
+          acc |= (data(pos) & 0xffL) << nBits
+          nBits += 8
+          pos += 1
+        }
+        require(nBits >= width, s"LZW stream truncated (doc $id)")
+        val code = (acc & ((1L << width) - 1)).toInt
+        acc >>>= width
+        nBits -= width
+        if (code == clear) {
+          nextFree = eoi + 1
+          width = minCode + 1
+          prev = -1
+        } else if (code == eoi) {
+          done = true
+        } else if (prev == -1) {
+          require(code < clear, s"first code after CLEAR not a root (doc $id)")
+          emit(code)
+          prev = code
+        } else {
+          require(code <= nextFree && code != eoi,
+            s"LZW code $code beyond dictionary $nextFree (doc $id)")
+          val first =
+            if (code < nextFree) emit(code)
+            else { // KwKwK: code being defined right now
+              val f = emit(prev)
+              require(n < expect, s"LZW output overruns ${expect} pixels (doc $id)")
+              out(n) = f; n += 1
+              f
+            }
+          if (nextFree < (1 << MaxWidth)) {
+            prefix(nextFree) = prev
+            last(nextFree) = first
+            nextFree += 1
+            if (nextFree == (1 << width) && width < MaxWidth) width += 1
+          }
+          prev = code
+        }
+      }
+      require(n == expect, s"LZW yielded $n of $expect pixels (doc $id)")
+      out
+    }
+
+    /** Encode an indexed image. `palette(c) = (r,g,b)`, indices from
+      * `pixel(x, y)`, extensions prepended verbatim (each must be a
+      * complete 0x21 block). Version is 89a iff extensions exist.
+      */
+    def encode(w: Int, h: Int, nColors: Int, palette: Int => (Int, Int, Int),
+        pixel: (Int, Int) => Int,
+        extensions: Seq[Array[Byte]] = Seq.empty): Array[Byte] = {
+      require(w > 0 && h > 0, s"bad dims ${w}x$h")
+      require(nColors >= 4 && (nColors & (nColors - 1)) == 0 && nColors <= 256,
+        s"palette size must be a power of two in [4, 256], got $nColors")
+      val bpp = 31 - Integer.numberOfLeadingZeros(nColors) // log2
+      val minCode = math.max(2, bpp)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      out ++= (if (extensions.nonEmpty) "GIF89a" else "GIF87a").getBytes("US-ASCII")
+      def u16(v: Int): Unit = { out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte }
+      u16(w); u16(h)
+      out += (0x80 | ((bpp - 1) << 4) | (bpp - 1)).toByte // global table, 2^bpp
+      out += 0; out += 0 // background index, aspect
+      (0 until nColors).foreach { c =>
+        val (r, g, b) = palette(c)
+        out += r.toByte; out += g.toByte; out += b.toByte
+      }
+      extensions.foreach(out ++= _)
+      out += 0x2c.toByte // image descriptor
+      u16(0); u16(0); u16(w); u16(h)
+      out += 0 // no local table, no interlace
+      out += minCode.toByte
+      val idx = Array.tabulate(w * h)(i => pixel(i % w, i / w))
+      require(idx.forall(v => v >= 0 && v < nColors), "pixel index out of palette")
+      val lzw = lzwEncode(minCode, idx)
+      var off = 0
+      while (off < lzw.length) {
+        val blk = math.min(255, lzw.length - off)
+        out += blk.toByte
+        out ++= lzw.slice(off, off + blk)
+        off += blk
+      }
+      out += 0 // block terminator
+      out += 0x3b.toByte // trailer
+      out.toArray
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): GifMeta = {
+      val (meta, _, _) = decodePixels(id, bytes)
+      meta
+    }
+
+    /** Full decode: metadata + palette + index stream (for [[decode]]
+      * and any pixel-consuming caller).
+      */
+    def decodePixels(id: Long,
+        bytes: Array[Byte]): (GifMeta, Array[(Int, Int, Int)], Array[Int]) = {
+      def u8(i: Int): Int = bytes(i) & 0xff
+      def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      require(bytes.length >= 13, s"not a GIF payload (doc $id)")
+      val version = new String(bytes, 0, 6, "US-ASCII")
+      require(version == "GIF87a" || version == "GIF89a",
+        s"not a GIF payload (doc $id)")
+      val w = u16(6)
+      val h = u16(8)
+      require(w > 0 && h > 0 && w <= (1 << 16) && h <= (1 << 16) &&
+        w.toLong * h <= (1L << 26), s"implausible GIF dims ${w}x$h (doc $id)")
+      val packed = u8(10)
+      require((packed & 0x80) != 0, s"missing global color table (doc $id)")
+      val nColors = 2 << (packed & 7)
+      var pos = 13
+      require(pos + 3 * nColors <= bytes.length, s"truncated palette (doc $id)")
+      val palette = Array.tabulate(nColors)(c =>
+        (u8(pos + 3 * c), u8(pos + 3 * c + 1), u8(pos + 3 * c + 2)))
+      pos += 3 * nColors
+      var nExt = 0L
+      def skipSubBlocks(): Unit = {
+        while ({ require(pos < bytes.length, s"unterminated sub-blocks (doc $id)"); u8(pos) != 0 })
+          pos += 1 + u8(pos)
+        pos += 1
+      }
+      while (u8(pos) == 0x21) { // extension blocks: label + sub-block chain
+        nExt += 1
+        pos += 2
+        skipSubBlocks()
+      }
+      require(u8(pos) == 0x2c, s"missing image descriptor (doc $id)")
+      require((u8(pos + 9) & 0x40) == 0, s"interlaced GIF unsupported (doc $id)")
+      require((u8(pos + 9) & 0x80) == 0, s"local color table unsupported (doc $id)")
+      val iw = u16(pos + 5)
+      val ih = u16(pos + 7)
+      require(iw == w && ih == h, s"sub-rectangle image unsupported (doc $id)")
+      pos += 10
+      val minCode = u8(pos)
+      require(minCode >= 2 && minCode <= 8, s"bad LZW min code $minCode (doc $id)")
+      pos += 1
+      val data = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      while ({ require(pos < bytes.length, s"unterminated image data (doc $id)"); u8(pos) != 0 }) {
+        val blk = u8(pos)
+        require(pos + 1 + blk <= bytes.length, s"truncated sub-block (doc $id)")
+        data ++= bytes.slice(pos + 1, pos + 1 + blk)
+        pos += 1 + blk
+      }
+      val idx = lzwDecode(id, minCode, data.toArray, w * h)
+      require(idx.forall(_ < nColors), s"pixel index beyond palette (doc $id)")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      idx.foreach { c =>
+        val (r, g, b) = palette(c)
+        sr += r; sg += g; sb += b
+      }
+      val (r0, g0, b0) = palette(idx(0))
+      (GifMeta(id, version, w, h, nColors, nExt, sr, sg, sb,
+        r0.toLong * 65536 + g0 * 256 + b0), palette, idx)
+    }
+
+    /** Decoded top-down RGB grid (palette applied) — the same shape the
+      * other image codecs expose, so GIFs flow through the real resize.
+      */
+    def pixels(id: Long, bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (meta, palette, idx) = decodePixels(id, bytes)
+      val w = meta.width.toInt
+      val h = meta.height.toInt
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < idx.length) {
+        val (r, g, b) = palette(idx(i))
+        rgb(i * 3) = r.toByte
+        rgb(i * 3 + 1) = g.toByte
+        rgb(i * 3 + 2) = b.toByte
+        i += 1
+      }
+      (w, h, rgb)
+    }
+  }
+
+  /** Per-doc deterministic GIF synth: doc-keyed dims and palette size
+    * (4 or 8 colors), pixel index (id + 3x + 7y) mod nColors, palette
+    * channel formulas linear in the index — every decoded field
+    * SQL-recomputable. Odd ids carry a graphic-control extension and
+    * ids divisible by 3 a comment extension, so the decoder's
+    * extension walk (and the 87a/89a version switch) is exercised and
+    * oracle-checked via n_ext/version.
+    */
+  def synthGif(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 9).toInt
+    val h = (3 + docId % 7).toInt
+    val nColors = if (docId % 2 == 0) 4 else 8
+    val exts = Seq(
+      if (docId % 2 == 1)
+        Some(Array[Byte](0x21.toByte, 0xf9.toByte, 4, 0, 0, 0, 0, 0))
+      else None,
+      if (docId % 3 == 0)
+        Some(Array[Byte](0x21.toByte, 0xfe.toByte, 3, 'd', 'o', 'c', 0))
+      else None).flatten
+    Gif.encode(w, h, nColors,
+      c => (((docId * 5 + c * 11) % 256).toInt, ((docId * 3 + c * 17) % 256).toInt,
+        ((docId * 7 + c * 23) % 256).toInt),
+      (x, y) => ((docId + 3 * x + 7 * y) % nColors).toInt,
+      extensions = exts)
+  }
+
+  /** documents → real GIF binary column → REAL LZW decode → exact
+    * metadata.
+    */
+  def gifRoundTrip(ids: DataFrame, idCol: String): Dataset[GifMeta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => Gif.decode(id, synthGif(id))))
+  }
+
   /** REAL WAV decimation (the frame-sample op for audio): keep every
     * `everyN`th sample and divide the declared rate to match, so
     * duration is preserved (±1 sample) — a genuine parse → resample →
@@ -1602,6 +1943,9 @@ object Multimodal {
               val m = Mp4.decode(id, bytes)
               Array(5 / 8.0, m.width / 1024.0, m.height / 1024.0,
                 m.duration_ms / 60000.0, m.n_tracks / 8.0, 0.0, 0.0, 0.0)
+            case "gif" =>
+              val m = Gif.decode(id, bytes)
+              img(6 / 8.0, m.width, m.height, m.sum_r, m.sum_g, m.sum_b)
             case _ => histogram(bytes)
           } catch { case scala.util.control.NonFatal(_) => histogram(bytes) }
         (id, feats.map(_.toFloat).toSeq)

@@ -371,6 +371,72 @@ class MultimodalSpec extends SparkSpec {
     assert(mf.sample_bytes == m.sample_bytes + 25 * 4)
   }
 
+  test("Gif LZW is the real algorithm: KwKwK, width growth, CLEAR-on-full") {
+    // KwKwK: aaaa… forces the code-being-defined case immediately
+    val runs = Array.fill(40)(1)
+    assert(Multimodal.Gif.lzwDecode(1L, 2,
+      Multimodal.Gif.lzwEncode(2, runs), runs.length).toSeq == runs.toSeq)
+    // width growth to 12 bits + dictionary-full CLEAR: a long
+    // low-repetition byte stream at minCode 8 adds thousands of entries
+    val big = Array.tabulate(60000)(i => (i * 131 + (i * i % 251)) % 256)
+    assert(Multimodal.Gif.lzwDecode(2L, 8,
+      Multimodal.Gif.lzwEncode(8, big), big.length).toSeq == big.toSeq)
+    // empty stream round-trips (CLEAR + EOI only)
+    assert(Multimodal.Gif.lzwDecode(3L, 2,
+      Multimodal.Gif.lzwEncode(2, Array.empty), 0).isEmpty)
+  }
+
+  test("Gif encode∘decode is identity, walks extensions, rejects garbage") {
+    val m5 = Multimodal.Gif.decode(5L, Multimodal.synthGif(5L))
+    // doc 5: w=9, h=8, odd → 8 colors + GCE ext → GIF89a
+    assert(m5.version == "GIF89a" && m5.width == 9 && m5.height == 8)
+    assert(m5.n_colors == 8 && m5.n_ext == 1)
+    // exact palette sums: replay the synth formulas
+    val expect = (for (x <- 0 until 9; y <- 0 until 8)
+      yield (5L + 3 * x + 7 * y) % 8).toSeq
+    assert(m5.sum_r == expect.map(c => (5 * 5 + c * 11) % 256).sum)
+    assert(m5.sum_g == expect.map(c => (5 * 3 + c * 17) % 256).sum)
+    assert(m5.sum_b == expect.map(c => (5 * 7 + c * 23) % 256).sum)
+    // doc 6: even + div-3 → 4 colors, comment ext only, still 89a
+    val m6 = Multimodal.Gif.decode(6L, Multimodal.synthGif(6L))
+    assert(m6.version == "GIF89a" && m6.n_colors == 4 && m6.n_ext == 1)
+    // doc 2: even, not div-3 → bare GIF87a, no extensions
+    val m2 = Multimodal.Gif.decode(2L, Multimodal.synthGif(2L))
+    assert(m2.version == "GIF87a" && m2.n_ext == 0)
+    // px00 pins pixel order: first index is doc_id % ncol
+    val c0 = (2L % 4).toInt
+    assert(m2.px00 == ((2 * 5 + c0 * 11) % 256) * 65536L
+      + ((2 * 3 + c0 * 17) % 256) * 256L + (2 * 7 + c0 * 23) % 256)
+    // a >255-byte LZW stream must split into multiple sub-blocks and
+    // reassemble: 100x80 image → thousands of codes
+    val wide = Multimodal.Gif.encode(100, 80, 8,
+      c => (c * 30, c * 20, c * 10), (x, y) => (x * x + y * 3) % 8)
+    val mw = Multimodal.Gif.decode(7L, wide)
+    assert(mw.width == 100 && mw.height == 80)
+    val wsum = (for (x <- 0 until 100; y <- 0 until 80)
+      yield ((x * x + y * 3) % 8) * 30L).sum
+    assert(mw.sum_r == wsum)
+    // garbage and truncation fail as NonFatal requires
+    intercept[IllegalArgumentException] {
+      Multimodal.Gif.decode(8L, "GIF87a-but-truncated".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Gif.decode(9L, "not a gif at all, clearly".getBytes)
+    }
+    // decodeMedia routes GIFs to the real codec
+    import spark.implicits._
+    val routed = Multimodal.decodeMedia(
+      Seq((11L, Multimodal.synthGif(11L))).toDF("doc_id", "bin"), "doc_id", "bin")
+      .collect().head
+    assert(routed.format == "gif" && routed.decode_ok &&
+      routed.width == 4 + 11 % 9 && routed.n_frames == 1)
+    // and GIFs flow through the real pixel resize
+    val rz = Multimodal.resize(
+      Seq((12L, Multimodal.synthGif(12L))).toDF("doc_id", "bin"),
+      "doc_id", "bin", 4, 4).collect().head
+    assert(rz.resample_ok && rz.format == "gif")
+  }
+
   test("corrupt container headers fail fast as NonFatal, not OOM/StackOverflow") {
     import spark.implicits._
     // PNG claiming 50000×50000 dims in a 100-byte file: must refuse
