@@ -20,6 +20,13 @@ case class Row2(key: String, payload: String)
 /** Admitted (domain, payload) row from the streaming domain quota. */
 case class QuotaRow(domain: String, payload: String)
 
+/** One band-level verdict from the streaming LSH near-dup stage:
+  * `claimant` = the doc holding this band key (this doc itself when
+  * `is_new`), in stream order.
+  */
+case class BandVerdict(doc_id: Long, band_key: String, claimant: Long,
+    is_new: Boolean)
+
 object StreamingOps {
 
   /** Session confs that put streaming state in the RocksDB provider —
@@ -286,6 +293,88 @@ object StreamingOps {
           state.update(admitted)
           out.result().iterator
       }
+  }
+
+  /** Streaming LSH near-dup admission — the ONLINE twin of the batch
+    * MinHash+LSH family (q24): dedup AT INGEST, so near-duplicates
+    * never reach storage — the shape a crawl pipeline runs on its
+    * firehose. Same md5-affine minhash + banding as the batch
+    * operators ([[graft.operators.TextOps.minhashSignature]] /
+    * `lshBandKeys`), so stream and batch bucketings agree exactly.
+    *
+    * Stage 1 (stateful): each doc explodes into its `bands` band keys;
+    * keyed state per band key = the FIRST claimant doc id
+    * (first-writer-wins; within a micro-batch the lowest doc id wins,
+    * so replays are deterministic). Emits one [[BandVerdict]] per
+    * (doc, band).
+    *
+    * Stage 2 (`foreachBatch` rollup — all of a doc's bands land in the
+    * same micro-batch, so the rollup is batch-local): a doc is ADMITTED
+    * iff it newly claimed EVERY one of its bands; otherwise it is a
+    * near-dup candidate of the earliest claimant among its colliding
+    * bands (`dup_of`). Appends
+    * (doc_id, admitted, dup_of, n_bands, n_collisions) to `outPath`.
+    *
+    * Documented online approximation (the standard one): a doc judged
+    * duplicate KEEPS the band keys it newly claimed — later docs
+    * near-dup to the rejected doc are also rejected. Dedup only gets
+    * stricter, never leakier; the batch operator (whole-corpus view)
+    * is the reconciliation pass.
+    *
+    * Scale shape: state = one Long per DISTINCT band key ever seen —
+    * the unbounded-key contract, run under
+    * [[RocksDbStateStoreConfs]]; per-group work is a sort of one band
+    * key's rows within one micro-batch. Docs with no shingles (empty
+    * text) have no bands and are admitted by definition.
+    */
+  def lshNearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      nHashes: Int, bands: Int, rowsPerBand: Int, outPath: String) = {
+    require(nHashes == bands * rowsPerBand,
+      s"signature length $nHashes must equal bands*rowsPerBand = ${bands * rowsPerBand}")
+    import graft.operators.TextOps
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextOps.minhashSignature(
+          TextOps.shingleHashes(TextOps.wordBigrams(TextOps.tokens(col(textCol)))),
+          nHashes).as("sig"))
+      .select(col("doc_id"),
+        explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+      .as[(Long, String)]
+    val verdicts = banded
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bandKey: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          var claimant = state.getOption.getOrElse(Long.MinValue)
+          val out = Vector.newBuilder[BandVerdict]
+          rows.map(_._1).toSeq.sorted.foreach { docId =>
+            if (claimant == Long.MinValue) {
+              claimant = docId
+              out += BandVerdict(docId, bandKey, docId, is_new = true)
+            } else {
+              out += BandVerdict(docId, bandKey, claimant, is_new = false)
+            }
+          }
+          state.update(claimant)
+          out.result().iterator
+      }
+    verdicts.writeStream.outputMode("append").foreachBatch {
+      (batch: Dataset[BandVerdict], _: Long) =>
+        batch.toDF()
+          .groupBy("doc_id")
+          .agg(
+            min(when(!col("is_new") && col("claimant") =!= col("doc_id"),
+              col("claimant"))).as("dup_of"),
+            count(lit(1)).as("n_bands"),
+            sum(when(!col("is_new") && col("claimant") =!= col("doc_id"), 1L)
+              .otherwise(0L)).as("n_collisions"))
+          .withColumn("admitted", col("n_collisions") === 0)
+          .select("doc_id", "admitted", "dup_of", "n_bands", "n_collisions")
+          .write.mode("append").parquet(outPath)
+        ()
+    }
   }
 
   /** Streaming quantile profile — the ONLINE twin of the batch quantile

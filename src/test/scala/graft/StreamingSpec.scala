@@ -461,4 +461,44 @@ class StreamingSpec extends SparkSpec {
       assert(out == Map(1L -> "gold", 2L -> null, 3L -> "basic"))
     } finally q.stop()
   }
+
+  test("streaming LSH near-dup: admit-at-ingest across micro-batches, batch-consistent buckets") {
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString + "/out"
+    val mem = MemoryStream[(Long, String)]
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textD = "completely different content about spark streaming state stores"
+    val q = StreamingOps.lshNearDupStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      nHashes = 8, bands = 4, rowsPerBand = 2, dir).start()
+    try {
+      // batch 1: doc 1 and its exact dup doc 2 (same text → same bands)
+      mem.addData((1L, textA), (2L, textA))
+      q.processAllAvailable()
+      // batch 2: cross-batch dup doc 3 + genuinely distinct doc 4
+      mem.addData((3L, textA), (4L, textD))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir)
+        .select("doc_id", "admitted", "dup_of", "n_collisions")
+        .as[(Long, Boolean, Option[Long], Long)].collect()
+        .map(r => r._1 -> r).toMap
+      // first writer admitted; intra-batch dup rejected, earliest claimant named
+      assert(out(1L)._2 && out(1L)._3.isEmpty)
+      assert(!out(2L)._2 && out(2L)._3.contains(1L) && out(2L)._4 == 4)
+      // cross-batch dup rejected against the STATE, not the batch
+      assert(!out(3L)._2 && out(3L)._3.contains(1L))
+      // distinct content shares no band with doc 1 → verify against the
+      // BATCH bucketing (stream and batch must agree), then admission
+      val bandsOf = (t: String) => spark.range(1)
+        .select(explode(TextOps.lshBandKeys(TextOps.minhashSignature(
+          TextOps.shingleHashes(TextOps.wordBigrams(TextOps.tokens(lit(t)))), 8),
+          4, 2)).as("b")).as[String].collect().toSet
+      assert((bandsOf(textA) & bandsOf(textD)).isEmpty) // fixture precondition
+      assert(out(4L)._2 && out(4L)._3.isEmpty)
+      // every doc reports all 4 bands
+      assert(out.values.forall(r => spark.read.parquet(dir)
+        .where(col("doc_id") === r._1).select("n_bands").as[Long].head() == 4))
+    } finally q.stop()
+  }
 }
