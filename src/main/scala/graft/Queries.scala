@@ -4556,6 +4556,36 @@ object Queries {
       |FROM c GROUP BY doc_id ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** REAL FLAC STREAMINFO decode (round 10 — seventh format): the
+    * stream parameters are BIT-packed (20-bit rate, 3-bit channels,
+    * 5-bit bps, 36-bit sample count crossing byte boundaries; ids
+    * divisible by 7 exceed 2^32 samples so the high nibble is live),
+    * plus the metadata-block walk (comment/padding on schedules) and
+    * the declared audio-md5 bytes — all recomputed closed-form by the
+    * oracle. Audio FRAME decode (Rice-coded LPC) is the documented
+    * library-bound step, same line as the MP4 codec payload.
+    */
+  val q133: Q = Q(
+    "q133_flac_meta",
+    (s, dir) => Multimodal.flacRoundTrip(t(s, dir, "documents"), "doc_id")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |SELECT doc_id,
+      |  CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |  CAST(16 + (doc_id % 2) * 8 AS BIGINT) AS bits_per_sample,
+      |  CAST(CASE WHEN doc_id % 7 = 0 THEN 4294967296 + doc_id % 1000
+      |    ELSE 10000 + doc_id % 90000 END AS BIGINT) AS total_samples,
+      |  CAST((CASE WHEN doc_id % 7 = 0 THEN 4294967296 + doc_id % 1000
+      |    ELSE 10000 + doc_id % 90000 END) * 1000
+      |    // (8000 + (doc_id % 5) * 8000) AS BIGINT) AS duration_ms,
+      |  CAST(1 + (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+      |  array_to_string(list_transform(range(0, 16),
+      |    i -> lpad(lower(to_hex((doc_id + 3*i) % 251)), 2, '0')), '') AS audio_md5
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4569,5 +4599,5 @@ object Queries {
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-    q125, q126, q127, q128, q129, q130, q131, q132)
+    q125, q126, q127, q128, q129, q130, q131, q132, q133)
 }

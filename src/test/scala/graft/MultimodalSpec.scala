@@ -437,6 +437,42 @@ class MultimodalSpec extends SparkSpec {
     assert(rz.resample_ok && rz.format == "gif")
   }
 
+  test("Flac decode unpacks the bit-packed STREAMINFO exactly") {
+    // hand values hitting byte-boundary crossings: 20-bit rate with a
+    // live low nibble, 36-bit sample count above 2^32
+    val md5 = Array.tabulate(16)(i => (i * 7).toByte)
+    val enc = Multimodal.Flac.encode(44100, 2, 24, (1L << 33) + 12345, md5,
+      withComment = true, withPadding = true, frameBytes = Array[Byte](1, 2, 3))
+    val m = Multimodal.Flac.decode(1L, enc)
+    assert(m.sample_rate == 44100 && m.channels == 2 && m.bits_per_sample == 24)
+    assert(m.total_samples == (1L << 33) + 12345)
+    assert(m.duration_ms == ((1L << 33) + 12345) * 1000 / 44100)
+    assert(m.n_blocks == 3) // STREAMINFO + comment + padding
+    assert(m.audio_md5 == md5.map(b => f"${b & 0xff}%02x").mkString)
+    // minimal file: STREAMINFO only, last-block flag on it
+    val bare = Multimodal.Flac.decode(2L, Multimodal.Flac.encode(
+      8000, 1, 16, 100, new Array[Byte](16),
+      withComment = false, withPadding = false, frameBytes = Array.empty))
+    assert(bare.n_blocks == 1 && bare.duration_ms == 12) // 100*1000/8000
+    // synth round-trip incl. the 36-bit path (doc 7 → n > 2^32)
+    val m7 = Multimodal.Flac.decode(7L, Multimodal.synthFlac(7L))
+    assert(m7.total_samples == (1L << 32) + 7 % 1000)
+    // garbage and truncation fail NonFatal
+    intercept[IllegalArgumentException] {
+      Multimodal.Flac.decode(3L, "fLaC".getBytes ++ Array[Byte](0, 0, 0))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.Flac.decode(4L, "RIFFnotflac-at-all-here-padpadpadpadpadpad".getBytes)
+    }
+    // dispatcher routes FLAC to the real codec
+    import spark.implicits._
+    val routed = Multimodal.decodeMedia(
+      Seq((10L, Multimodal.synthFlac(10L))).toDF("doc_id", "bin"), "doc_id", "bin")
+      .collect().head
+    assert(routed.format == "flac" && routed.decode_ok &&
+      routed.n_frames == 10000 + 10 % 90000)
+  }
+
   test("corrupt container headers fail fast as NonFatal, not OOM/StackOverflow") {
     import spark.implicits._
     // PNG claiming 50000×50000 dims in a 100-byte file: must refuse
