@@ -4586,6 +4586,39 @@ object Queries {
       |FROM documents ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Corpus-fitted bigram LM quality score (round 10): the
+    * perplexity-proxy filter — average negative log-likelihood of each
+    * doc under the corpus's own bigram model. Exactness per the BM25
+    * contract: each bigram's NLL is ln of one rational (c1/c2)
+    * quantized to micros before the per-doc integer sum; the average
+    * is one final double division. See `TextOps.bigramLmScore`.
+    */
+  val q134: Q = Q(
+    "q134_bigram_lm_score",
+    (s, dir) => TextOps.bigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+      |        FROM toks WHERE len(w) >= 2)),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE)) * 1000000.0)
+      |      AS BIGINT) AS q
+      |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(q) AS BIGINT) AS nll_micro,
+      |  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+      |FROM scored GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4599,5 +4632,5 @@ object Queries {
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-    q125, q126, q127, q128, q129, q130, q131, q132, q133)
+    q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
 }

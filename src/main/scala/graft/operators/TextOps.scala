@@ -246,6 +246,51 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Corpus-fitted bigram language-model score (round 10 — the
+    * perplexity-proxy quality filter from the public crawl-curation
+    * recipes: fit an n-gram LM on the corpus, score each document by
+    * average negative log-likelihood; low = predictable/boilerplate,
+    * high = unusual. The real recipes use a 5-gram LM fit on a clean
+    * reference corpus — same operator shape, bigger join keys).
+    *
+    * Model: P(w2|w1) = c2(w1,w2) / c1(w1), where both counts come from
+    * bigram INSTANCES (c1 counts w1 in non-final position, so the
+    * conditional normalizes exactly); every doc bigram exists in the
+    * corpus counts by construction, so no smoothing is needed. Output
+    * per doc: n_bigrams, total and average NLL.
+    *
+    * Determinism: per-bigram NLL = ln of ONE rational (c1/c2 — a
+    * single identical division then ln on both engines), quantized to
+    * integer micro-units BEFORE the per-doc sum (exact in any order);
+    * the average is one final double division — the BM25 contract.
+    *
+    * Scale shape: two partial-aggregable count shuffles fit the model;
+    * scoring joins the doc bigram stream on (w1,w2) then w1. Both
+    * model tables are vocabulary-sized (Zipf: millions of rows against
+    * a 100-TB corpus) — broadcast candidates; left to AQE here since
+    * the fixture's tables are tiny either way.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val big = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("nll_micro", round(log(
+        col("c1").cast("double") / col("c2").cast("double")) * lit(1000000.0))
+        .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll_micro")).as("nll_micro"))
+      .withColumn("avg_nll",
+        col("nll_micro").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Jaccard similarity of two shingle sets; 0 when both empty. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

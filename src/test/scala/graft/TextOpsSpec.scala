@@ -182,6 +182,32 @@ class TextOpsSpec extends SparkSpec {
     assert(byId(3L).getLong(2) == 0 && byId(3L).getDouble(3) == 0.0)
   }
 
+  test("bigramLmScore: predictable docs score low, surprising docs high") {
+    // corpus: "a b" dominates (9 of 10 a-prefixed bigrams), "a c" is rare
+    val docs = (
+      (0L until 9L).map(i => (i, "a b")) :+ (9L, "a c") :+ (10L, "x")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // single-token doc 10 has no bigrams → absent
+    assert(got.map(_.getLong(0)).toSeq == (0L to 9L))
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    // P(b|a) = 9/10 → NLL = ln(10/9); P(c|a) = 1/10 → NLL = ln(10)
+    val nllB = math.round(math.log(10.0 / 9.0) * 1e6)
+    val nllC = math.round(math.log(10.0) * 1e6)
+    assert(byId(0L).getLong(2) == nllB && byId(0L).getLong(1) == 1)
+    assert(byId(9L).getLong(2) == nllC)
+    assert(byId(9L).getDouble(3) > byId(0L).getDouble(3)) // rare = surprising
+    // a doc's NLL sums its bigrams: "a b a b" has bigrams (a,b),(b,a),(a,b)
+    val multi = TextOps.bigramLmScore(
+      Seq((0L, "a b a b"), (1L, "b a")).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // counts: (a,b)x2 from doc0, (b,a)x1 doc0 + (b,a)x1 doc1 → c1(a)=2, c1(b)=2
+    // doc0: ln(2/2) + ln(2/2) + ln(2/2) = 0; doc1: ln(2/2) = 0 — sanity: exact
+    assert(multi(0).getLong(1) == 3 && multi(0).getLong(2) == 0)
+    assert(multi(1).getLong(1) == 1 && multi(1).getLong(2) == 0)
+  }
+
   test("bm25 ranks exact term matches by tf, dl norm, and idf") {
     val docs = Seq(
       (0L, "spark spark spark"),       // high tf, short doc
