@@ -91,6 +91,37 @@ object StreamBench {
     run("domain_quota_per_user",
       s => StreamingOps.domainQuotaStream(s, "user_id", "ts", cap = 10).toDF())
 
+    // round-10: streaming LSH near-dup over the documents corpus — the
+    // text-side state shape (one claimant per DISTINCT band key; growth
+    // tracks unique content, not rows). foreachBatch sink, so it carries
+    // its own writer instead of the noop `run` harness.
+    val docsReplay = s"$replay/docs"
+    val docs = Ingest.table(spark, sfDir, "documents").select("doc_id", "text")
+    val nDocs = docs.count()
+    docs.repartition(16).write.parquet(s"$docsReplay/in")
+    val dSchema = spark.read.parquet(s"$docsReplay/in").schema
+    val dsrc = spark.readStream.schema(dSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$docsReplay/in")
+    val t0 = System.nanoTime()
+    val q = StreamingOps.lshNearDupStream(dsrc, "doc_id", "text",
+        nHashes = 8, bands = 4, rowsPerBand = 2, s"$docsReplay/out")
+      .option("checkpointLocation", s"$docsReplay/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val last = Option(q.lastProgress)
+    val batches = last.map(_.batchId + 1).getOrElse(0L)
+    val stateRows = last
+      .flatMap(p => Option(p.stateOperators)).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+    val stateBytes = last
+      .flatMap(p => Option(p.stateOperators)).map(_.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    q.stop()
+    val admitted = spark.read.parquet(s"$docsReplay/out")
+      .where(col("admitted")).count()
+    println(f"""{"op":"lsh_near_dup","rows":$nDocs,"secs":$secs%.2f,"rows_per_sec":${(nDocs / secs).toLong},"micro_batches":$batches,"state_rows":$stateRows,"state_bytes":$stateBytes,"admitted":$admitted}""")
+
     spark.stop()
   }
 }
