@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextOps, TrainPrep, Transforms, VectorOps}
+import graft.operators.{Analytics, CrawlFormats, Dedup, Multimodal, Similarity, TextOps, TrainPrep, Transforms, VectorOps}
 import graft.sources.Ingest
 
 /** Single source of truth: every registered query, colocated with its
@@ -4619,6 +4619,161 @@ object Queries {
       |FROM scored GROUP BY doc_id ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** REAL gzip member codec (round 10 — RFC 1952, the transport layer
+    * under every crawl corpus): doc-keyed optional FEXTRA/FNAME/FHCRC
+    * fields on closed-form schedules, raw-DEFLATE body carrying the
+    * REAL document text, CRC32 + ISIZE trailer verification. text_md5
+    * digests the INFLATED bytes, so the oracle's md5(text) only matches
+    * if the DEFLATE stream round-tripped byte-exact. See
+    * `CrawlFormats.Gzip`.
+    */
+  val q135: Q = Q(
+    "q135_gzip_roundtrip",
+    (s, dir) => CrawlFormats.gzipRoundTrip(t(s, dir, "documents"), "doc_id", "text")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |SELECT doc_id,
+      |  CAST(doc_id AS BIGINT) AS mtime,
+      |  CAST((CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 0 END)
+      |     + (CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 0 END)
+      |     + (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 0 END) AS BIGINT) AS flg,
+      |  CAST(3 AS BIGINT) AS os,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'doc_' || doc_id || '.txt' ELSE '' END AS fname,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 0 END AS BIGINT) AS n_extra,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  TRUE AS crc_ok,
+      |  md5(text) AS text_md5
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** REAL WARC/1.0 record parsing (round 10 — ISO 28500, THE crawl
+    * interchange format): concatenated multi-record files are split by
+    * Content-Length framing (never by scanning for the next version
+    * line — a body containing "WARC/1.0" must not split a record), the
+    * WARC header block and the embedded HTTP response are both parsed
+    * field-by-field, and 404 records carry empty Content-Length-framed
+    * bodies. The oracle recomputes every field — including the exact
+    * Content-Length arithmetic of the embedded HTTP block — from the
+    * documents table. See `CrawlFormats.Warc`.
+    */
+  val q136: Q = Q(
+    "q136_warc_extract",
+    (s, dir) => CrawlFormats.warcExtract(
+        t(s, dir, "documents"), "doc_id", "text", "source")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |WITH b AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS http_status,
+      |    CASE WHEN doc_id % 10 = 7 THEN 0 ELSE octet_length(encode(text)) END AS body_bytes,
+      |    CASE WHEN doc_id % 10 = 7 THEN md5('') ELSE md5(text) END AS body_md5
+      |  FROM documents)
+      |SELECT doc_id, 'response' AS warc_type,
+      |  'https://' || source || '.example.com/doc/' || doc_id AS target_uri,
+      |  CAST((CASE WHEN http_status = 404 THEN 22 ELSE 15 END)
+      |    + 2 + 26 + 16 + length(CAST(body_bytes AS VARCHAR)) + 2 + 2
+      |    + body_bytes AS BIGINT) AS content_length,
+      |  CAST(6 AS BIGINT) AS n_headers,
+      |  CAST(http_status AS BIGINT) AS http_status,
+      |  CAST(body_bytes AS BIGINT) AS body_bytes,
+      |  body_md5
+      |FROM b ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** C4-style global span dedup (round 10): disjoint 3-token spans,
+    * first occurrence by (doc_id, span_idx) wins corpus-wide — the
+    * boilerplate-strip pass of the public C4/RefinedWeb pipelines at
+    * span granularity. One shuffle on span text, aggregate back per
+    * doc. See `TextOps.spanDedup`.
+    */
+  val q137: Q = Q(
+    "q137_span_dedup",
+    (s, dir) => TextOps.spanDedup(t(s, dir, "documents"), "doc_id", "text", 3)
+      .orderBy(col("doc_id")),
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |sp AS (
+      |  SELECT doc_id, i AS span_idx,
+      |    array_to_string(list_slice(w, i*3 + 1, i*3 + 3), ' ') AS span_text
+      |  FROM (SELECT doc_id, w, unnest(range(0, len(w) // 3)) AS i
+      |        FROM toks WHERE len(w) >= 3)),
+      |k AS (
+      |  SELECT doc_id, span_idx, span_text,
+      |    row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn
+      |  FROM sp)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |FROM k GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** REAL MPEG-1 Layer III frame walk (round 10 — eighth format): the
+    * stream is VBR with a per-frame bitrate index, so `total_bytes` and
+    * `sum_bitrate_kbps` only match if EVERY frame header was decoded
+    * and the 144·bitrate/samplerate+padding length arithmetic advanced
+    * the walk exactly (one wrong header desynchronizes the rest).
+    * ID3v2 syncsafe-size skip on a schedule. See `Multimodal.Mp3`.
+    */
+  val q138: Q = Q(
+    "q138_mp3_frames",
+    (s, dir) => Multimodal.mp3RoundTrip(t(s, dir, "documents"), "doc_id")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |WITH f AS (SELECT doc_id, unnest(range(0, 20 + doc_id % 30)) AS i
+      |           FROM documents),
+      |b AS (SELECT doc_id, i,
+      |    list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,320)
+      |      [CAST(1 + (doc_id + i) % 14 AS INT)] AS br,
+      |    list_value(44100,48000,32000)[CAST(doc_id % 3 AS INT) + 1] AS sr,
+      |    (doc_id + i) % 2 AS pad
+      |  FROM f)
+      |SELECT doc_id,
+      |  doc_id % 4 = 0 AS has_id3,
+      |  CAST(CASE WHEN doc_id % 4 = 0 THEN 64 + doc_id % 100 ELSE 0 END
+      |    AS BIGINT) AS id3_size,
+      |  CAST(MAX(sr) AS BIGINT) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(COUNT(*) * 1152 * 1000 // MAX(sr) AS BIGINT) AS duration_ms,
+      |  CAST(SUM(144 * br * 1000 // sr + pad) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(br) AS BIGINT) AS sum_bitrate_kbps
+      |FROM b GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Z-order layout audit (round 10): Morton-interleave two bucketized
+    * lineitem dimensions, range-split the key space into 64 "files",
+    * and report per-file row counts + bounding boxes — the min/max
+    * column statistics a parquet footer would carry, i.e. a direct
+    * measure of two-dimensional prunability. The lakehouse OPTIMIZE
+    * ZORDER primitive as a first-class audit operator. See
+    * `TrainPrep.mortonKey` / `zorderLayout` (pure codegen'd integer
+    * expressions, one shuffle).
+    */
+  val q139: Q = Q(
+    "q139_zorder_layout",
+    (s, dir) => TrainPrep.zorderLayout(t(s, dir, "lineitem"),
+        col("l_partkey"), col("l_suppkey"), bits = 8, files = 64)
+      .orderBy(col("file_id")),
+    Some {
+      val zterms = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""
+      |WITH b AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+      |z AS (SELECT x, y, $zterms AS zkey FROM b),
+      |f AS (SELECT x, y, least(zkey * 64 // 65536, 63) AS file_id FROM z)
+      |SELECT CAST(file_id AS BIGINT) AS file_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+      |  CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y,
+      |  CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS BIGINT) AS bbox_area
+      |FROM f GROUP BY file_id ORDER BY file_id
+      |""".stripMargin.trim
+    })
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4632,5 +4787,6 @@ object Queries {
     q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96,
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-    q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+    q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
+    q135, q136, q137, q138, q139)
 }

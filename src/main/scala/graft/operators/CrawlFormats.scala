@@ -1,0 +1,352 @@
+package graft.operators
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Crawl-transport formats (round 10): the two layers every web-scale
+  * training corpus passes through BEFORE any text operator applies —
+  * gzip members (RFC 1952) and WARC/1.0 records (ISO 28500). Both are
+  * REAL codecs with the same honesty contract as the media set: the
+  * container layer (gzip member header/trailer, WARC header block +
+  * Content-Length framing, embedded HTTP response) is hand-parsed
+  * byte-for-byte; the one JDK delegation is raw-DEFLATE itself
+  * (`java.util.zip.Inflater`, same line the PNG codec draws —
+  * re-implementing Huffman inflate buys no Spark insight).
+  *
+  * Scale shape: both operators are `mapPartitions` map-side transforms —
+  * no shuffle, no driver state — so at 100 TB they run at scan
+  * bandwidth, the same profile q118–q122 measured for the media codecs
+  * (SCALE.md exponents 0.10–0.18).
+  */
+object CrawlFormats {
+
+  // ========================================================================
+  // gzip — RFC 1952
+  // ========================================================================
+
+  /** Decoded gzip-member metadata. `flg` is the raw FLG byte (FTEXT=1,
+    * FHCRC=2, FEXTRA=4, FNAME=8, FCOMMENT=16); `crc_ok` is the
+    * recomputed-vs-stored CRC32 verdict over the INFLATED bytes, and
+    * `text_md5` digests those bytes — it can only match the oracle's
+    * `md5(text)` if the DEFLATE stream was inflated byte-exact.
+    */
+  case class GzipMeta(doc_id: Long, mtime: Long, flg: Long, os: Long,
+      fname: String, n_extra: Long, n_bytes: Long, crc_ok: Boolean,
+      text_md5: String)
+
+  object Gzip {
+    private val Ftext = 1
+    private val Fhcrc = 2
+    private val Fextra = 4
+    private val Fname = 8
+    private val Fcomment = 16
+
+    /** Little-endian u32 write. */
+    private def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    /** Encode one gzip member around `payload`: 10-byte fixed header
+      * (magic 1f 8b, CM=8/deflate, doc-keyed MTIME, OS), optional
+      * FEXTRA/FNAME/FHCRC fields, raw-DEFLATE body, CRC32 + ISIZE
+      * trailer. FHCRC is the CRC32-of-header low 16 bits per RFC 1952
+      * §2.3.1 — a real bit of the spec most writers skip.
+      */
+    def encode(payload: Array[Byte], mtime: Long, os: Int,
+        fname: Option[String], extra: Option[Array[Byte]],
+        withHcrc: Boolean): Array[Byte] = {
+      val flg = (if (fname.isDefined) Fname else 0) |
+        (if (extra.isDefined) Fextra else 0) |
+        (if (withHcrc) Fhcrc else 0)
+      val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+      out.write(0x1f); out.write(0x8b); out.write(8); out.write(flg)
+      out.write(le32(mtime), 0, 4)
+      out.write(0) // XFL
+      out.write(os)
+      extra.foreach { x =>
+        out.write(x.length & 0xff); out.write((x.length >> 8) & 0xff)
+        out.write(x, 0, x.length)
+      }
+      fname.foreach { n =>
+        val b = n.getBytes("ISO-8859-1"); out.write(b, 0, b.length); out.write(0)
+      }
+      if (withHcrc) {
+        val c = new CRC32; c.update(out.toByteArray)
+        out.write((c.getValue & 0xff).toInt); out.write(((c.getValue >> 8) & 0xff).toInt)
+      }
+      val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true) // raw deflate
+      d.setInput(payload); d.finish()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      val crc = new CRC32; crc.update(payload)
+      out.write(le32(crc.getValue), 0, 4)
+      out.write(le32(payload.length.toLong & 0xffffffffL), 0, 4)
+      out.toByteArray
+    }
+
+    /** Parse + inflate one member. Total-decode contract: every
+      * malformed input fails with a doc-tagged IllegalArgumentException
+      * (NonFatal, catchable by a dispatcher); inflated size is bounded
+      * by `maxBytes` BEFORE allocation so a gzip bomb cannot OOM the
+      * executor (the ADVICE-hardening rule the media codecs follow).
+      */
+    def decode(id: Long, bytes: Array[Byte],
+        maxBytes: Int = 1 << 26): GzipMeta = {
+      require(bytes.length >= 18, s"gzip member shorter than 18 bytes (doc $id)")
+      require((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b,
+        s"bad gzip magic (doc $id)")
+      require((bytes(2) & 0xff) == 8, s"unsupported CM=${bytes(2)} (doc $id)")
+      val flg = bytes(3) & 0xff
+      require((flg & 0xe0) == 0, s"reserved FLG bits set (doc $id)")
+      def u32le(off: Int): Long =
+        ((bytes(off) & 0xffL)) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      val mtime = u32le(4)
+      val os = bytes(9) & 0xff
+      var p = 10
+      var nExtra = 0L
+      if ((flg & Fextra) != 0) {
+        require(bytes.length >= p + 2, s"truncated FEXTRA (doc $id)")
+        nExtra = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        p += 2
+        require(bytes.length >= p + nExtra, s"truncated FEXTRA body (doc $id)")
+        p += nExtra.toInt
+      }
+      var fname = ""
+      if ((flg & Fname) != 0) {
+        val z = bytes.indexOf(0.toByte, p)
+        require(z >= 0, s"unterminated FNAME (doc $id)")
+        fname = new String(bytes, p, z - p, "ISO-8859-1")
+        p = z + 1
+      }
+      if ((flg & Fcomment) != 0) {
+        val z = bytes.indexOf(0.toByte, p)
+        require(z >= 0, s"unterminated FCOMMENT (doc $id)")
+        p = z + 1
+      }
+      if ((flg & Fhcrc) != 0) {
+        require(bytes.length >= p + 2, s"truncated FHCRC (doc $id)")
+        val c = new CRC32; c.update(bytes, 0, p)
+        val stored = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+        require((c.getValue & 0xffff) == stored, s"FHCRC mismatch (doc $id)")
+        p += 2
+      }
+      require(bytes.length >= p + 8, s"member truncated before trailer (doc $id)")
+      val isize = u32le(bytes.length - 4)
+      require(isize <= maxBytes,
+        s"declared inflated size $isize exceeds cap $maxBytes (doc $id)")
+      val inf = new Inflater(true)
+      inf.setInput(bytes, p, bytes.length - p - 8)
+      val outBuf = new java.io.ByteArrayOutputStream(
+        math.min(isize, bytes.length.toLong * 4).toInt + 64)
+      val buf = new Array[Byte](8192)
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0) // 0 with more stream expected = truncated input
+            require(inf.finished(), s"truncated DEFLATE stream (doc $id)")
+          else {
+            outBuf.write(buf, 0, n)
+            require(outBuf.size() <= maxBytes, s"inflated past cap (doc $id)")
+          }
+        }
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"corrupt DEFLATE (doc $id): ${e.getMessage}")
+      } finally inf.end()
+      val inflated = outBuf.toByteArray
+      require((inflated.length.toLong & 0xffffffffL) == isize,
+        s"ISIZE ${isize} != inflated ${inflated.length} (doc $id)")
+      val crc = new CRC32; crc.update(inflated)
+      val crcOk = crc.getValue == u32le(bytes.length - 8)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(inflated).map(b => f"${b & 0xff}%02x").mkString
+      GzipMeta(id, mtime, flg.toLong, os.toLong, fname, nExtra,
+        inflated.length.toLong, crcOk, md5)
+    }
+  }
+
+  /** Doc-keyed gzip synth over the REAL document text: MTIME = doc_id,
+    * OS = 3 (unix), FNAME on ids % 3 == 0, a 4-byte FEXTRA on % 5 == 0,
+    * FHCRC on % 7 == 0 — every optional field the parser handles gets
+    * exercised on a closed-form schedule the oracle can replay.
+    */
+  def synthGzip(docId: Long, text: String): Array[Byte] =
+    Gzip.encode(text.getBytes("UTF-8"), mtime = docId, os = 3,
+      fname = if (docId % 3 == 0) Some(s"doc_$docId.txt") else None,
+      extra = if (docId % 5 == 0)
+        Some(Array[Byte]('G', 'R', 2, 0)) else None,
+      withHcrc = docId % 7 == 0)
+
+  /** documents.text → real gzip member → full parse + inflate + CRC
+    * verify → exact metadata incl. the inflated payload's md5. Map-side
+    * only (one `mapPartitions`), scan-bandwidth at scale.
+    */
+  def gzipRoundTrip(df: DataFrame, idCol: String, textCol: String): Dataset[GzipMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        Gzip.decode(id, synthGzip(id, text))
+      })
+  }
+
+  // ========================================================================
+  // WARC/1.0 — ISO 28500
+  // ========================================================================
+
+  /** One parsed WARC record: named header fields, the embedded HTTP
+    * status, and the body digest (md5 over exactly Content-Length-framed
+    * body bytes — the only correct way to slice a WARC stream; scanning
+    * for the next "WARC/1.0" would mis-split any body containing that
+    * string).
+    */
+  case class WarcRecord(doc_id: Long, warc_type: String, target_uri: String,
+      content_length: Long, n_headers: Long, http_status: Long,
+      body_bytes: Long, body_md5: String)
+
+  object Warc {
+    private val Crlf = "\r\n"
+
+    /** Serialize one response record (WARC header block + HTTP response
+      * block, Content-Length framing both).
+      */
+    def encodeRecord(docId: Long, uri: String, status: Int,
+        body: Array[Byte]): Array[Byte] = {
+      val statusLine = status match {
+        case 200 => "HTTP/1.1 200 OK"
+        case 404 => "HTTP/1.1 404 Not Found"
+        case s => s"HTTP/1.1 $s Status"
+      }
+      val http = (statusLine + Crlf +
+        "Content-Type: text/plain" + Crlf +
+        s"Content-Length: ${body.length}" + Crlf + Crlf).getBytes("US-ASCII") ++ body
+      val hdr = ("WARC/1.0" + Crlf +
+        "WARC-Type: response" + Crlf +
+        s"WARC-Record-ID: <urn:graft:doc-$docId>" + Crlf +
+        s"WARC-Target-URI: $uri" + Crlf +
+        "WARC-Date: 2026-01-01T00:00:00Z" + Crlf +
+        "Content-Type: application/http; msgtype=response" + Crlf +
+        s"Content-Length: ${http.length}" + Crlf + Crlf).getBytes("US-ASCII")
+      hdr ++ http ++ (Crlf + Crlf).getBytes("US-ASCII")
+    }
+
+    /** Split a concatenated WARC file into records and parse each:
+      * version line, header block to the blank line, then EXACTLY
+      * Content-Length body bytes, then the two-CRLF record separator.
+      * The embedded HTTP response is parsed the same way (status line +
+      * headers + Content-Length-framed body). Bounded allocations; all
+      * failures are doc-tagged IllegalArgumentException (NonFatal).
+      */
+    def parseFile(groupId: Long, bytes: Array[Byte]): Seq[WarcRecord] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+      var p = 0
+      def findCrlfCrlf(from: Int): Int = {
+        var i = from
+        while (i + 3 < bytes.length) {
+          if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+            bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
+          i += 1
+        }
+        -1
+      }
+      while (p < bytes.length) {
+        val hdrEnd = findCrlfCrlf(p)
+        require(hdrEnd >= 0, s"no header terminator after offset $p (group $groupId)")
+        val headerBlock = new String(bytes, p, hdrEnd - p, "US-ASCII")
+        val lines = headerBlock.split("\r\n", -1)
+        require(lines.head == "WARC/1.0",
+          s"bad WARC version line '${lines.head}' (group $groupId)")
+        val fields = lines.tail.map { ln =>
+          val i = ln.indexOf(':')
+          require(i > 0, s"malformed header '$ln' (group $groupId)")
+          ln.substring(0, i) -> ln.substring(i + 1).trim
+        }.toMap
+        val clen = fields.getOrElse("Content-Length",
+          throw new IllegalArgumentException(s"missing Content-Length (group $groupId)")).toLong
+        require(clen >= 0 && clen <= bytes.length, s"bad Content-Length $clen (group $groupId)")
+        val bodyStart = hdrEnd + 4
+        require(bodyStart + clen + 4 <= bytes.length,
+          s"record body truncated (group $groupId)")
+        val recId = fields.getOrElse("WARC-Record-ID", "")
+        val docId = {
+          val m = "<urn:graft:doc-(\\d+)>".r.findFirstMatchIn(recId)
+          require(m.isDefined, s"unparseable record id '$recId' (group $groupId)")
+          m.get.group(1).toLong
+        }
+        // embedded HTTP response, Content-Length-framed again
+        val httpEnd = bodyStart + clen.toInt
+        val httpHdrEnd = findCrlfCrlf(bodyStart)
+        require(httpHdrEnd >= 0 && httpHdrEnd < httpEnd,
+          s"no HTTP header terminator (doc $docId)")
+        val httpLines = new String(bytes, bodyStart, httpHdrEnd - bodyStart,
+          "US-ASCII").split("\r\n", -1)
+        val statusParts = httpLines.head.split(" ", 3)
+        require(statusParts.length >= 2 && statusParts(0).startsWith("HTTP/"),
+          s"bad HTTP status line (doc $docId)")
+        val status = statusParts(1).toLong
+        val httpFields = httpLines.tail.map { ln =>
+          val i = ln.indexOf(':')
+          require(i > 0, s"malformed HTTP header '$ln' (doc $docId)")
+          ln.substring(0, i) -> ln.substring(i + 1).trim
+        }.toMap
+        val bodyLen = httpFields.getOrElse("Content-Length",
+          throw new IllegalArgumentException(s"missing HTTP Content-Length (doc $docId)")).toInt
+        val httpBodyStart = httpHdrEnd + 4
+        require(httpBodyStart + bodyLen == httpEnd,
+          s"HTTP body length ${bodyLen} disagrees with record framing (doc $docId)")
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        md5.update(bytes, httpBodyStart, bodyLen)
+        val bodyMd5 = md5.digest().map(b => f"${b & 0xff}%02x").mkString
+        out += WarcRecord(docId, fields.getOrElse("WARC-Type", ""),
+          fields.getOrElse("WARC-Target-URI", ""), clen,
+          (lines.length - 1).toLong, status, bodyLen.toLong, bodyMd5)
+        // record separator: two CRLFs after the body
+        require(bytes(httpEnd) == '\r' && bytes(httpEnd + 1) == '\n' &&
+          bytes(httpEnd + 2) == '\r' && bytes(httpEnd + 3) == '\n',
+          s"missing record separator (doc $docId)")
+        p = httpEnd + 4
+      }
+      out.toSeq
+    }
+  }
+
+  /** Doc-keyed WARC synth: uri from the doc's source, ids % 10 == 7 are
+    * 404s with empty bodies (the parser must trust Content-Length, not
+    * content), everything else a 200 carrying the REAL document text.
+    */
+  def synthWarcUri(docId: Long, source: String): String =
+    s"https://$source.example.com/doc/$docId"
+
+  /** documents → grouped concatenated WARC files (8 records per file,
+    * the multi-record framing a real crawl segment has) → split + parse
+    * every record → per-record exact metadata. The groupBy models
+    * crawl-segment file boundaries; at 100 TB the input IS files, so the
+    * production shape is a binaryFile scan followed by the same
+    * flatMap — one shuffle here only to BUILD the fixture, none to
+    * parse it.
+    */
+  def warcExtract(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String): Dataset[WarcRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"),
+        col(srcCol).cast("string"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1 / 8)
+      .mapGroups { (gid, it) =>
+        val recs = it.toSeq.sortBy(_._1).map { case (id, text, src) =>
+          val status = if (id % 10 == 7) 404 else 200
+          val body = if (status == 404) Array.empty[Byte]
+            else text.getBytes("UTF-8")
+          Warc.encodeRecord(id, synthWarcUri(id, src), status, body)
+        }
+        (gid, recs.flatten.toArray)
+      }
+      .flatMap { case (gid, fileBytes) => Warc.parseFile(gid, fileBytes) }
+  }
+}

@@ -49,6 +49,8 @@ object Multimodal {
     else if (ascii(0, 2) == "BM") "bmp"
     else if (ascii(0, 4) == "GIF8") "gif"
     else if (ascii(0, 4) == "fLaC") "flac"
+    else if (ascii(0, 3) == "ID3" ||
+      (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0)) "mp3"
     else "unknown"
   }
 
@@ -105,6 +107,9 @@ object Multimodal {
             case "flac" =>
               val m = Flac.decode(id, bytes)
               MediaMeta(id, len, 0, 0, m.total_samples, head, fmt, decode_ok = true)
+            case "mp3" =>
+              val m = Mp3.decode(id, bytes)
+              MediaMeta(id, len, 0, 0, m.n_frames, head, fmt, decode_ok = true)
             case _ => fake
           } catch { case scala.util.control.NonFatal(_) => fake }
         }
@@ -2102,5 +2107,145 @@ object Multimodal {
     bytes.foreach(b => hist((b & 0xff) / 32) += 1.0)
     val n = math.max(1, bytes.length).toDouble
     hist.map(_ / n)
+  }
+
+  /** Decoded MP3 stream metadata: everything a frame-header walk yields
+    * without touching the audio payload. `sum_bitrate_kbps` sums the
+    * PER-FRAME bitrate indices (the stream is VBR), so it only matches
+    * the oracle if every single frame header was decoded — a one-header
+    * shortcut reproduces none of it.
+    */
+  case class Mp3Meta(doc_id: Long, has_id3: Boolean, id3_size: Long,
+      sample_rate: Long, channels: Long, n_frames: Long, duration_ms: Long,
+      total_bytes: Long, sum_bitrate_kbps: Long)
+
+  /** Minimal REAL MPEG-1 Layer III frame walker (round 10 — eighth
+    * format). Public format (ISO/IEC 11172-3): optional ID3v2 tag
+    * (syncsafe 28-bit size), then back-to-back frames, each a 4-byte
+    * header — 11-bit sync, version/layer bits, 4-bit bitrate index and
+    * 2-bit sample-rate index through published tables, padding bit —
+    * with frame length 144·bitrate/samplerate + padding. The walk IS
+    * the parse: no length field exists; getting any header wrong
+    * desynchronizes every following frame. Audio payload (Huffman
+    * spectral data) is the library-bound step, same line as MP4/FLAC.
+    */
+  object Mp3 {
+    /** MPEG-1 Layer III bitrate table, kbps, index 1–14 (0 = free, 15 =
+      * bad — both rejected here).
+      */
+    val BitrateKbps: Array[Int] =
+      Array(-1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+    /** Sample-rate table, index 0–2 (3 = reserved). */
+    val SampleRate: Array[Int] = Array(44100, 48000, 32000, -1)
+
+    /** One frame header as bytes. */
+    private def header(brIdx: Int, srIdx: Int, pad: Int, mono: Boolean): Array[Byte] =
+      Array(0xff.toByte, 0xfb.toByte, // sync + MPEG1 + Layer III + no CRC
+        ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte,
+        (if (mono) 0xc0 else 0x00).toByte)
+
+    def frameLen(brIdx: Int, srIdx: Int, pad: Int): Int =
+      (144L * BitrateKbps(brIdx) * 1000L / SampleRate(srIdx)).toInt + pad
+
+    /** Encode an ID3v2.3 tag with a syncsafe payload size. */
+    def id3v2(payload: Int): Array[Byte] =
+      Array[Byte]('I', 'D', '3', 3, 0, 0,
+        ((payload >> 21) & 0x7f).toByte, ((payload >> 14) & 0x7f).toByte,
+        ((payload >> 7) & 0x7f).toByte, (payload & 0x7f).toByte) ++
+        new Array[Byte](payload)
+
+    /** Encode a VBR stream: per-frame (bitrateIdx, padding) from the
+      * caller, deterministic filler payload.
+      */
+    def encode(srIdx: Int, mono: Boolean, frames: Seq[(Int, Int)],
+        id3Payload: Option[Int], fill: (Int, Int) => Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      id3Payload.foreach(p => out.write(id3v2(p), 0, 10 + p))
+      frames.zipWithIndex.foreach { case ((br, pad), i) =>
+        val h = header(br, srIdx, pad, mono)
+        out.write(h, 0, 4)
+        val body = frameLen(br, srIdx, pad) - 4
+        var j = 0
+        while (j < body) { out.write(fill(i, j)); j += 1 }
+      }
+      out.toByteArray
+    }
+
+    /** Walk every frame header. Total-decode contract: malformed input
+      * fails with a doc-tagged NonFatal error; the frame loop is bounded
+      * by the byte length (each frame advances ≥ 24 bytes at the
+      * smallest legal frame), so no crafted input can loop forever.
+      */
+    def decode(id: Long, bytes: Array[Byte]): Mp3Meta = {
+      var p = 0
+      var id3Size = 0L
+      var hasId3 = false
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+        hasId3 = true
+        require((bytes(6) | bytes(7) | bytes(8) | bytes(9)) >= 0 &&
+          ((bytes(6) | bytes(7) | bytes(8) | bytes(9)) & 0x80) == 0,
+          s"non-syncsafe ID3 size byte (doc $id)")
+        id3Size = ((bytes(6) & 0x7fL) << 21) | ((bytes(7) & 0x7fL) << 14) |
+          ((bytes(8) & 0x7fL) << 7) | (bytes(9) & 0x7fL)
+        p = 10 + id3Size.toInt
+        require(p <= bytes.length, s"ID3 tag overruns file (doc $id)")
+      }
+      var nFrames = 0L
+      var totalBytes = 0L
+      var sumBr = 0L
+      var sampleRate = -1L
+      var channels = -1L
+      while (p < bytes.length) {
+        require(p + 4 <= bytes.length, s"truncated frame header at $p (doc $id)")
+        require((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xe0) == 0xe0,
+          s"lost frame sync at $p (doc $id)")
+        require((bytes(p + 1) & 0x18) == 0x18, s"not MPEG-1 at $p (doc $id)")
+        require((bytes(p + 1) & 0x06) == 0x02, s"not Layer III at $p (doc $id)")
+        val brIdx = (bytes(p + 2) >> 4) & 0xf
+        val srIdx = (bytes(p + 2) >> 2) & 0x3
+        val pad = (bytes(p + 2) >> 1) & 0x1
+        require(brIdx >= 1 && brIdx <= 14, s"bad bitrate index $brIdx (doc $id)")
+        require(srIdx <= 2, s"reserved sample-rate index (doc $id)")
+        val sr = SampleRate(srIdx).toLong
+        require(sampleRate < 0 || sampleRate == sr,
+          s"sample rate changed mid-stream (doc $id)")
+        sampleRate = sr
+        val ch = if (((bytes(p + 3) >> 6) & 0x3) == 3) 1L else 2L
+        require(channels < 0 || channels == ch,
+          s"channel mode changed mid-stream (doc $id)")
+        channels = ch
+        val len = frameLen(brIdx, srIdx, pad)
+        require(p + len <= bytes.length, s"frame overruns file at $p (doc $id)")
+        nFrames += 1; totalBytes += len; sumBr += BitrateKbps(brIdx)
+        p += len
+      }
+      require(nFrames > 0, s"no frames (doc $id)")
+      Mp3Meta(id, hasId3, id3Size, sampleRate, channels, nFrames,
+        nFrames * 1152L * 1000L / sampleRate, totalBytes, sumBr)
+    }
+  }
+
+  /** Doc-keyed VBR MP3 synth: sample rate, channel mode, frame count,
+    * per-frame bitrate index and padding bit all closed-form in doc_id
+    * (and the frame index), ID3v2 tag on ids % 4 == 0 — so the oracle
+    * recomputes the whole walk including per-frame byte arithmetic.
+    */
+  def synthMp3(docId: Long): Array[Byte] = {
+    val n = (20 + docId % 30).toInt
+    Mp3.encode(
+      srIdx = (docId % 3).toInt,
+      mono = docId % 2 == 0,
+      frames = Seq.tabulate(n)(i =>
+        ((1 + (docId + i) % 14).toInt, ((docId + i) % 2).toInt)),
+      id3Payload = if (docId % 4 == 0) Some((64 + docId % 100).toInt) else None,
+      fill = (i, j) => ((docId + i * 7 + j) % 251).toInt)
+  }
+
+  /** documents → real VBR MP3 binary column → REAL frame-header walk. */
+  def mp3RoundTrip(ids: DataFrame, idCol: String): Dataset[Mp3Meta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => Mp3.decode(id, synthMp3(id))))
   }
 }

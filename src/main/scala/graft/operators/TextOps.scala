@@ -590,4 +590,46 @@ object TextOps {
       when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
     }
   }
+
+  /** C4-style corpus-global SPAN dedup (round 10): chop every document
+    * into disjoint n-token spans and keep only the FIRST occurrence of
+    * each span text across the whole corpus (first = lowest (doc_id,
+    * span_idx)); later occurrences are the removable boilerplate /
+    * syndicated-content mass the C4 and RefinedWeb reports strip before
+    * training. Returns one row per spanned doc: (doc_id, n_spans,
+    * n_kept, n_dup). Docs shorter than n tokens have no spans and no
+    * row (mirror the filter in downstream joins).
+    *
+    * Scale shape: explode to one row per span, ONE shuffle on the span
+    * text (hash-partitioned window, no global sort), then a map-side
+    * partial-aggregated groupBy back on doc_id. Span texts are bounded
+    * (n tokens), so the shuffle payload is O(corpus tokens) — the same
+    * profile as exact doc dedup (q20), just at span granularity. Skewed
+    * ultra-common spans each land on one partition but a window over
+    * (span_text) needs no buffering beyond the count — no OOM key.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col(textCol))
+    // disjoint windows: span i covers 1-indexed tokens [i*n+1, i*n+n]
+    val spans = df
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), (size(col("w")) / n).cast("int") - 1),
+          i => array_join(slice(col("w"), i * n + 1, lit(n)), " "))))
+      .withColumnRenamed("pos", "span_idx")
+      .withColumnRenamed("col", "span_text")
+    val firstWin = Window.partitionBy(col("span_text"))
+      .orderBy(col("doc_id"), col("span_idx"))
+    spans
+      .withColumn("rn", row_number().over(firstWin))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+  }
 }

@@ -302,4 +302,50 @@ object TrainPrep {
       .filter(col("quota_rank") <= cap)
       .drop("__lr", "__rk")
   }
+
+  /** Morton (Z-order) key over two bucketized dimensions — the
+    * multi-column data-layout clustering the public lakehouse engines
+    * expose as OPTIMIZE ZORDER BY. Interleaves the low `bits` bits of x
+    * (even positions) and y (odd positions); sorting by the key gives
+    * range-scan locality on BOTH columns at once, so a 100-TB table
+    * laid out by it prunes files for predicates on either dimension.
+    * Pure integer column arithmetic — whole-stage-codegen'd, no UDF.
+    */
+  def mortonKey(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      val xb = shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+      val yb = shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      (xb + yb).cast("long")
+    }.reduce(_ + _)
+  }
+
+  /** Z-order layout audit: assign every row a Morton key over the two
+    * bucketized dimensions, split the key space into `files` equal
+    * ranges (the file a layout writer would place the row in), and
+    * report per-file row counts plus the bounding box on both source
+    * dimensions. The bounding boxes ARE the min/max column statistics a
+    * parquet footer would carry, so the output directly measures how
+    * prunable the layout is — the operator a table-maintenance job runs
+    * before committing a rewrite. One shuffle (the groupBy); the keying
+    * itself is map-side expression work.
+    */
+  def zorderLayout(df: DataFrame, xCol: Column, yCol: Column, bits: Int,
+      files: Int): DataFrame = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    val mask = (1L << bits) - 1
+    val x = xCol.cast("long").bitwiseAND(lit(mask))
+    val y = yCol.cast("long").bitwiseAND(lit(mask))
+    val zkey = mortonKey(x, y, bits)
+    val span = 1L << (2 * bits)
+    val fileId = least(zkey * files / span, lit(files - 1L)).cast("long")
+    df.select(x.as("x"), y.as("y"), fileId.as("file_id"))
+      .groupBy(col("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .withColumn("bbox_area",
+        (col("max_x") - col("min_x") + 1) * (col("max_y") - col("min_y") + 1))
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import graft.operators.CrawlFormats
+import graft.operators.CrawlFormats.{Gzip, Warc}
+
+/** Adversarial-input gates for the crawl-transport codecs (q135/q136):
+  * the oracle proves the happy path byte-exact; these prove the
+  * total-decode contract — every malformed input fails with a NonFatal,
+  * doc-tagged error (dispatcher-catchable), never a hang, OOM, or
+  * silent garbage.
+  */
+class CrawlFormatsSpec extends SparkSpec {
+
+  private def bad(f: => Any): String =
+    intercept[IllegalArgumentException](f).getMessage
+
+  // ---------------------------------------------------------------- gzip
+
+  test("gzip round-trips text byte-exact with all optional fields") {
+    val text = "the quick brown fox é中" // non-ASCII: UTF-8 path
+    val enc = Gzip.encode(text.getBytes("UTF-8"), mtime = 42L, os = 3,
+      fname = Some("a.txt"), extra = Some(Array[Byte](1, 2)), withHcrc = true)
+    val m = Gzip.decode(7L, enc)
+    assert(m.mtime == 42L && m.os == 3 && m.fname == "a.txt")
+    assert(m.flg == (2 | 4 | 8) && m.n_extra == 2)
+    assert(m.n_bytes == text.getBytes("UTF-8").length && m.crc_ok)
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(m.text_md5 == expectMd5)
+  }
+
+  test("gzip rejects bad magic, truncation, and reserved flags") {
+    val ok = CrawlFormats.synthGzip(3L, "hello world")
+    assert(bad(Gzip.decode(3L, ok.take(10))).contains("doc 3"))
+    val magic = ok.clone(); magic(0) = 0x1e
+    assert(bad(Gzip.decode(3L, magic)).contains("magic"))
+    val flg = ok.clone(); flg(3) = (flg(3) | 0x80).toByte
+    assert(bad(Gzip.decode(3L, flg)).contains("reserved"))
+  }
+
+  test("gzip FHCRC catches header corruption; body corruption fails decode") {
+    val enc = CrawlFormats.synthGzip(7L, "abcdefgh" * 10) // %7==0 → FHCRC on
+    val hdr = enc.clone(); hdr(4) = (hdr(4) ^ 1).toByte // mtime bit flip
+    assert(bad(Gzip.decode(7L, hdr)).contains("FHCRC"))
+    // flip a byte mid-DEFLATE: either the inflater throws or CRC/ISIZE trips
+    val body = enc.clone(); body(enc.length - 12) = (body(enc.length - 12) ^ 0x5a).toByte
+    val r = scala.util.Try(Gzip.decode(7L, body))
+    assert(r.isFailure || !r.get.crc_ok)
+  }
+
+  test("gzip bomb: declared ISIZE over the cap fails BEFORE allocation") {
+    val enc = Gzip.encode(Array.fill(1000)('a'.toByte), 0L, 3, None, None, withHcrc = false)
+    // forge the ISIZE trailer to claim 1 GiB
+    val forged = enc.clone()
+    forged(enc.length - 4) = 0; forged(enc.length - 3) = 0
+    forged(enc.length - 2) = 0; forged(enc.length - 1) = 0x40
+    assert(bad(Gzip.decode(1L, forged, maxBytes = 1 << 20)).contains("cap"))
+    // and a true stream that inflates past the cap trips the running check
+    assert(bad(Gzip.decode(1L, enc, maxBytes = 100)).contains("cap"))
+  }
+
+  // ---------------------------------------------------------------- WARC
+
+  test("WARC body containing 'WARC/1.0' does not split the record") {
+    val trap = "see WARC/1.0\r\n\r\nWARC-Type: response\r\n\r\n inside body"
+    val rec = Warc.encodeRecord(5L, "https://x/5", 200, trap.getBytes("UTF-8")) ++
+      Warc.encodeRecord(6L, "https://x/6", 200, "second".getBytes("UTF-8"))
+    val out = Warc.parseFile(0L, rec)
+    assert(out.map(_.doc_id) == Seq(5L, 6L))
+    assert(out.head.body_bytes == trap.getBytes("UTF-8").length)
+  }
+
+  test("WARC truncated body and missing separator are doc-tagged errors") {
+    val rec = Warc.encodeRecord(9L, "https://x/9", 200, "hello".getBytes)
+    assert(bad(Warc.parseFile(1L, rec.dropRight(6))).nonEmpty)
+    val noVersion = "WARC/0.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes("US-ASCII")
+    assert(bad(Warc.parseFile(1L, noVersion)).contains("version"))
+  }
+
+  test("warcExtract parses every record of multi-record grouped files") {
+    import spark.implicits._
+    val docs = (0L until 20L).map(i => (i, s"text body $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val out = CrawlFormats.warcExtract(docs, "doc_id", "text", "source")
+      .collect().sortBy(_.doc_id)
+    assert(out.length == 20)
+    assert(out.forall(_.warc_type == "response"))
+    assert(out(7).http_status == 404 && out(7).body_bytes == 0)
+    assert(out(17).http_status == 404)
+    assert(out(3).http_status == 200 && out(3).body_bytes == "text body 3".length)
+    assert(out(3).target_uri == "https://src0.example.com/doc/3")
+  }
+}

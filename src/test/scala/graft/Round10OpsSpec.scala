@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextOps, TrainPrep}
+
+/** Gates for the round-10 additions beyond the crawl-transport codecs:
+  * span dedup (q137), the MP3 frame walker (q138), and the Z-order
+  * layout audit (q139).
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- spanDedup
+
+  test("spanDedup keeps the first (doc_id, span_idx) occurrence corpus-wide") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // spans: "a b c", "d e f"
+      (2L, "a b c x y z"),        // "a b c" dup of doc 1; "x y z" fresh
+      (3L, "x y z x y z d e f"),  // "x y z" dup, "x y z" dup, "d e f" dup
+      (4L, "a b")                 // < 3 tokens → no row
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDedup(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byId(1L) == ((2L, 2L, 0L)))
+    assert(byId(2L) == ((2L, 1L, 1L)))
+    assert(byId(3L) == ((3L, 0L, 3L)))
+  }
+
+  test("spanDedup within-doc repeats: first span wins, later ones are dups") {
+    val docs = Seq((5L, "p q r p q r p q r")).toDF("doc_id", "text")
+    val r = TextOps.spanDedup(docs, "doc_id", "text", 3).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 1L, 2L)))
+  }
+
+  // ----------------------------------------------------------------- MP3
+
+  private def badMp3(f: => Any): String =
+    intercept[IllegalArgumentException](f).getMessage
+
+  test("MP3 VBR walk: every frame's bitrate and padding counted exactly") {
+    val frames = Seq((1, 0), (14, 1), (5, 0)) // 32, 320, 64 kbps
+    val enc = Multimodal.Mp3.encode(srIdx = 1, mono = false, frames,
+      id3Payload = Some(20), fill = (_, _) => 0x55)
+    val m = Multimodal.Mp3.decode(9L, enc)
+    assert(m.has_id3 && m.id3_size == 20)
+    assert(m.sample_rate == 48000 && m.channels == 2 && m.n_frames == 3)
+    assert(m.sum_bitrate_kbps == 32 + 320 + 64)
+    val expBytes = frames.map { case (br, pad) =>
+      Multimodal.Mp3.frameLen(br, 1, pad) }.sum
+    assert(m.total_bytes == expBytes)
+    assert(m.duration_ms == 3L * 1152 * 1000 / 48000)
+  }
+
+  test("MP3 rejects desync, free/bad bitrate, reserved rate, truncation") {
+    val ok = Multimodal.synthMp3(1L)
+    // flip a sync byte mid-stream: the walk must fail, not resync blindly
+    val desync = ok.clone()
+    val firstLen = {
+      val m = Multimodal.Mp3.decode(1L, ok)
+      (m.total_bytes / m.n_frames).toInt // frames vary; just grab offset 0
+    }
+    desync(0) = 0x00
+    assert(badMp3(Multimodal.Mp3.decode(1L, desync)).contains("sync"))
+    assert(badMp3(Multimodal.Mp3.decode(1L, ok.dropRight(3))).contains("doc 1"))
+    // bitrate index 0 (free) and 15 (bad) both rejected
+    val free = ok.clone(); free(2) = (free(2) & 0x0f).toByte
+    assert(badMp3(Multimodal.Mp3.decode(1L, free)).contains("bitrate"))
+    assert(firstLen > 0)
+  }
+
+  test("MP3 sniffs into the media dispatcher as a real decode") {
+    val df = Seq((8L, Multimodal.synthMp3(8L)), (3L, "plain text".getBytes))
+      .toDF("doc_id", "bin")
+    val out = Multimodal.decodeMedia(df, "doc_id", "bin").collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(8L).format == "mp3" && out(8L).decode_ok)
+    assert(out(8L).n_frames == 20 + 8 % 30)
+    assert(out(3L).format == "unknown" && !out(3L).decode_ok)
+  }
+
+  // -------------------------------------------------------------- Z-order
+
+  test("mortonKey interleaves bits exactly") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L))
+      .toDF("x", "y")
+    val keys = df.select(TrainPrep.mortonKey(col("x"), col("y"), 8).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    assert(keys == Seq(ref(0, 0), ref(1, 0), ref(0, 1), ref(3, 5), ref(255, 255)))
+    assert(keys(1) == 1L && keys(2) == 2L && keys(4) == 65535L)
+  }
+
+  test("zorderLayout bounding boxes are tighter than a one-dimension sort") {
+    // uniform grid: a z-order layout bounds BOTH dims per file; a layout
+    // sorted by x alone leaves max_y - min_y at full range in every file
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val z = TrainPrep.zorderLayout(grid, col("x"), col("y"), bits = 6, files = 16)
+      .collect()
+    assert(z.map(_.getAs[Long]("n_rows")).sum == 64L * 64)
+    // 16 files over a 12-bit keyspace → each file is a 16x16 z-block
+    assert(z.forall(_.getAs[Long]("bbox_area") <= 16L * 16))
+    val xSorted = grid.withColumn("file_id", (col("x") / 4).cast("long"))
+      .groupBy("file_id")
+      .agg((max("y") - min("y") + 1).as("yspan"))
+      .collect()
+    assert(xSorted.forall(_.getAs[Long]("yspan") == 64L)) // unpruned dim
+  }
+}
