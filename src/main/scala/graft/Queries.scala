@@ -4774,6 +4774,66 @@ object Queries {
       |""".stripMargin.trim
     })
 
+  /** REAL TIFF decode (round 10 — ninth format, the endianness one):
+    * half the synth corpus declares "II" (little-endian), half "MM"
+    * (big-endian); IFD chains (ids % 3 == 0 carry a second page) and
+    * uncompressed RGB strips are read under the DECLARED order, so the
+    * channel sums only match if both the 16/32-bit field decode and
+    * the spec's left-justified SHORT value placement are right for
+    * both orders. See `Multimodal.Tiff`.
+    */
+  val q140: Q = Q(
+    "q140_tiff_decode",
+    (s, dir) => Multimodal.tiffRoundTrip(t(s, dir, "documents"), "doc_id")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |WITH m AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h
+      |           FROM documents),
+      |px AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM m),
+      |pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM px),
+      |c AS (SELECT doc_id, w, h, x, y,
+      |    (doc_id*5 + 3*x + 7*y) % 256 AS r,
+      |    (doc_id*3 + 5*x + 11*y) % 256 AS g,
+      |    (doc_id*7 + 2*x + 13*y) % 256 AS b
+      |  FROM pxy)
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_pages,
+      |  CAST(SUM(r) AS BIGINT) AS sum_r,
+      |  CAST(SUM(g) AS BIGINT) AS sum_g,
+      |  CAST(SUM(b) AS BIGINT) AS sum_b,
+      |  CAST(MAX(CASE WHEN x = 0 AND y = 0 THEN r * 65536 + g * 256 + b END)
+      |    AS BIGINT) AS px00
+      |FROM c GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** UTF-8 validate + repair (round 10): the encoding-sanitize pass a
+    * crawl pipeline runs on every byte stream before text ops apply.
+    * Doc-keyed corruptions (lone continuation byte, truncated 2-byte
+    * lead at EOF) are repaired to exactly one U+FFFD per malformed
+    * EVENT via a REPORT-mode JDK decoder; the oracle rebuilds the
+    * repaired string with chr(65533) and digest-matches it. See
+    * `CrawlFormats.Utf8`.
+    */
+  val q141: Q = Q(
+    "q141_utf8_sanitize",
+    (s, dir) => CrawlFormats.utf8Sanitize(t(s, dir, "documents"), "doc_id", "text")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |SELECT doc_id,
+      |  CAST(octet_length(encode(text))
+      |    + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bytes,
+      |  CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+      |  doc_id % 3 <> 0 AND doc_id % 4 <> 0 AS valid,
+      |  md5(text
+      |    || CASE WHEN doc_id % 3 = 0 THEN chr(65533) ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0 THEN chr(65533) ELSE '' END) AS repaired_md5
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4788,5 +4848,5 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-    q135, q136, q137, q138, q139)
+    q135, q136, q137, q138, q139, q140, q141)
 }

@@ -349,4 +349,89 @@ object CrawlFormats {
       }
       .flatMap { case (gid, fileBytes) => Warc.parseFile(gid, fileBytes) }
   }
+
+  // ========================================================================
+  // UTF-8 validation + repair
+  // ========================================================================
+
+  /** Encoding-repair result: `n_invalid` counts malformed-sequence
+    * EVENTS (not bytes), `repaired_md5` digests the repaired text's
+    * UTF-8 bytes — each malformed sequence replaced by exactly one
+    * U+FFFD, the W3C/WHATWG policy every production decoder follows.
+    */
+  case class Utf8Meta(doc_id: Long, n_bytes: Long, n_invalid: Long,
+      valid: Boolean, repaired_md5: String)
+
+  object Utf8 {
+    import java.nio.charset.{CodingErrorAction, StandardCharsets}
+    import java.nio.{ByteBuffer, CharBuffer}
+
+    /** Decode with REPORT-mode error handling and replace each
+      * malformed/unmappable sequence with ONE U+FFFD, counting events —
+      * REPLACE mode would hide the count, and counting U+FFFD in the
+      * output would miscount documents that legitimately contain it.
+      */
+    def repair(bytes: Array[Byte]): (String, Int) = {
+      val dec = StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      val in = ByteBuffer.wrap(bytes)
+      val out = CharBuffer.allocate(bytes.length + 2)
+      val sb = new StringBuilder
+      var events = 0
+      var done = false
+      while (!done) {
+        val r = dec.decode(in, out, true)
+        if (r.isMalformed || r.isUnmappable) {
+          out.flip(); sb.append(out); out.clear()
+          sb.append('�')
+          events += 1
+          in.position(in.position() + r.length())
+        } else if (r.isOverflow) {
+          out.flip(); sb.append(out); out.clear()
+        } else { // underflow: input fully consumed
+          done = true
+        }
+      }
+      var flushed = false
+      while (!flushed) {
+        val r = dec.flush(out)
+        out.flip(); sb.append(out); out.clear()
+        if (!r.isOverflow) flushed = true
+      }
+      (sb.toString, events)
+    }
+  }
+
+  /** Doc-keyed corruption synth: UTF-8 of the real text, plus a lone
+    * continuation byte (0x80) on ids % 3 == 0 and a truncated two-byte
+    * lead (0xC3 at end-of-input) on ids % 4 == 0 — the two malformed
+    * shapes a crawler sees most (mid-stream mojibake and records cut at
+    * a byte boundary).
+    */
+  def synthCorruptUtf8(docId: Long, text: String): Array[Byte] = {
+    val base = text.getBytes("UTF-8")
+    val tail = Array.empty[Byte] ++
+      (if (docId % 3 == 0) Array(0x80.toByte) else Array.empty[Byte]) ++
+      (if (docId % 4 == 0) Array(0xc3.toByte) else Array.empty[Byte])
+    base ++ tail
+  }
+
+  /** documents.text → corrupted byte column → REAL validate + repair →
+    * exact repair metadata (the oracle reconstructs the repaired string
+    * with chr(65533) and digest-matches it). Map-side only.
+    */
+  def utf8Sanitize(df: DataFrame, idCol: String, textCol: String): Dataset[Utf8Meta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = synthCorruptUtf8(id, text)
+        val (repaired, events) = Utf8.repair(bytes)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(repaired.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+        Utf8Meta(id, bytes.length.toLong, events.toLong, events == 0, md5)
+      })
+  }
 }

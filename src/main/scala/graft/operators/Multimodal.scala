@@ -49,6 +49,9 @@ object Multimodal {
     else if (ascii(0, 2) == "BM") "bmp"
     else if (ascii(0, 4) == "GIF8") "gif"
     else if (ascii(0, 4) == "fLaC") "flac"
+    else if (bytes.length >= 4 &&
+      ((ascii(0, 2) == "II" && (bytes(2) & 0xff) == 42 && bytes(3) == 0) ||
+        (ascii(0, 2) == "MM" && bytes(2) == 0 && (bytes(3) & 0xff) == 42))) "tiff"
     else if (ascii(0, 3) == "ID3" ||
       (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xe0) == 0xe0)) "mp3"
     else "unknown"
@@ -110,6 +113,10 @@ object Multimodal {
             case "mp3" =>
               val m = Mp3.decode(id, bytes)
               MediaMeta(id, len, 0, 0, m.n_frames, head, fmt, decode_ok = true)
+            case "tiff" =>
+              val m = Tiff.decode(id, bytes)
+              MediaMeta(id, len, m.width, m.height, m.n_pages, head, fmt,
+                decode_ok = true)
             case _ => fake
           } catch { case scala.util.control.NonFatal(_) => fake }
         }
@@ -2247,5 +2254,201 @@ object Multimodal {
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(id => Mp3.decode(id, synthMp3(id))))
+  }
+
+  /** Decoded TIFF metadata + page-1 pixel proof. `byte_order` is the
+    * container's own declaration ("II" little- / "MM" big-endian) — the
+    * channel sums only match the oracle if every IFD field AND the
+    * strip pixel data were read under the right endianness.
+    */
+  case class TiffMeta(doc_id: Long, byte_order: String, width: Long,
+      height: Long, n_pages: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+      px00: Long)
+
+  /** Minimal REAL TIFF codec (round 10 — ninth format, and the only one
+    * where BYTE ORDER is data: the same file bytes mean different
+    * numbers under II vs MM, so a decoder that ignores the declaration
+    * fails half the corpus). Public format (TIFF 6.0): 8-byte header
+    * (order mark, magic 42, first-IFD offset), chained IFDs of 12-byte
+    * entries, uncompressed (Compression=1) 8-bit RGB strip data via
+    * StripOffsets/StripByteCounts. Short values sit left-justified
+    * INSIDE the 4-byte value field per spec — under MM that means the
+    * HIGH half, a classic real-world decoder bug this codec gets right
+    * (and the oracle would catch getting wrong).
+    */
+  object Tiff {
+    private val TWidth = 256
+    private val TLength = 257
+    private val TBits = 258
+    private val TCompression = 259
+    private val TStripOffsets = 273
+    private val TSamplesPerPixel = 277
+    private val TStripByteCounts = 279
+
+    private final class Order(littleEndian: Boolean, bytes: Array[Byte]) {
+      def u16(off: Int): Int =
+        if (littleEndian) (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+        else ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+      def u32(off: Int): Long =
+        if (littleEndian)
+          (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+            ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+        else
+          ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+            ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    }
+
+    /** Encode: header + per-page (IFD + RGB strip), pages chained via
+      * next-IFD offsets. SHORT (type 3) inline values, LONG (type 4)
+      * for offsets/counts.
+      */
+    def encode(littleEndian: Boolean, pages: Seq[(Int, Int, (Int, Int) => (Int, Int, Int))]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit =
+        if (littleEndian) { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+        else { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      def w32(v: Long): Unit =
+        if (littleEndian) {
+          out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+          out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+        } else {
+          out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+          out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+        }
+      // header: order mark, 42, first IFD right after the header
+      if (littleEndian) { out.write('I'); out.write('I') }
+      else { out.write('M'); out.write('M') }
+      w16(42); w32(8)
+      val nEntries = 7
+      var pos = 8L
+      pages.zipWithIndex.foreach { case ((w, h, px), pi) =>
+        val ifdSize = 2 + nEntries * 12 + 4
+        val stripOff = pos + ifdSize
+        val stripLen = w * h * 3
+        val nextIfd = if (pi == pages.length - 1) 0L else stripOff + stripLen
+        w16(nEntries)
+        def entryShort(tag: Int, v: Int): Unit = {
+          w16(tag); w16(3); w32(1)
+          // SHORT inline: left-justified in the 4-byte field
+          if (littleEndian) { w16(v); w16(0) } else { w16(v); w16(0) }
+        }
+        def entryLong(tag: Int, v: Long): Unit = { w16(tag); w16(4); w32(1); w32(v) }
+        entryShort(TWidth, w)
+        entryShort(TLength, h)
+        entryShort(TBits, 8)
+        entryShort(TCompression, 1)
+        entryLong(TStripOffsets, stripOff)
+        entryShort(TSamplesPerPixel, 3)
+        entryLong(TStripByteCounts, stripLen)
+        w32(nextIfd)
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = px(x, y)
+          out.write(r); out.write(g); out.write(b)
+        }
+        pos = stripOff + stripLen
+      }
+      out.toByteArray
+    }
+
+    /** Decode: walk the IFD chain under the DECLARED byte order; page 1
+      * gets its strip pixels summed for the oracle proof. Total-decode
+      * contract: doc-tagged NonFatal failures, page-chain capped.
+      */
+    def decode(id: Long, bytes: Array[Byte]): TiffMeta = {
+      require(bytes.length >= 8, s"TIFF shorter than header (doc $id)")
+      val orderMark = new String(bytes, 0, 2, "US-ASCII")
+      val le = orderMark match {
+        case "II" => true
+        case "MM" => false
+        case o => throw new IllegalArgumentException(s"bad byte-order mark '$o' (doc $id)")
+      }
+      val ord = new Order(le, bytes)
+      require(ord.u16(2) == 42, s"bad TIFF magic ${ord.u16(2)} (doc $id)")
+      var ifdOff = ord.u32(4)
+      var nPages = 0L
+      var width = 0L; var height = 0L
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var px00 = 0L
+      while (ifdOff != 0) {
+        nPages += 1
+        require(nPages <= 64, s"IFD chain longer than 64 pages (doc $id)")
+        require(ifdOff + 2 <= bytes.length, s"IFD offset past EOF (doc $id)")
+        val n = ord.u16(ifdOff.toInt)
+        require(ifdOff + 2 + n * 12 + 4 <= bytes.length, s"IFD overruns file (doc $id)")
+        var w = 0L; var h = 0L; var stripOff = 0L; var stripLen = 0L
+        var comp = 1L; var bits = 8L; var spp = 3L
+        (0 until n).foreach { i =>
+          val e = (ifdOff + 2 + i * 12).toInt
+          val tag = ord.u16(e)
+          val typ = ord.u16(e + 2)
+          // SHORT values are left-justified inside the value field; LONG
+          // fills it — both read correctly under either byte order
+          val v: Long = typ match {
+            case 3 => ord.u16(e + 8).toLong
+            case 4 => ord.u32(e + 8)
+            case _ => ord.u32(e + 8)
+          }
+          tag match {
+            case TWidth => w = v
+            case TLength => h = v
+            case TBits => bits = v
+            case TCompression => comp = v
+            case TStripOffsets => stripOff = v
+            case TSamplesPerPixel => spp = v
+            case TStripByteCounts => stripLen = v
+            case _ => ()
+          }
+        }
+        require(comp == 1, s"only uncompressed TIFF supported, got $comp (doc $id)")
+        require(bits == 8 && spp == 3, s"only 8-bit RGB supported (doc $id)")
+        require(w >= 1 && h >= 1 && w <= (1 << 16) && h <= (1 << 16),
+          s"bad dims ${w}x$h (doc $id)")
+        require(stripLen == w * h * 3, s"strip size != dims (doc $id)")
+        require(stripOff + stripLen <= bytes.length, s"strip past EOF (doc $id)")
+        if (nPages == 1) {
+          width = w; height = h
+          var p = stripOff.toInt
+          val end = (stripOff + stripLen).toInt
+          while (p < end) {
+            sumR += bytes(p) & 0xff; sumG += bytes(p + 1) & 0xff
+            sumB += bytes(p + 2) & 0xff
+            p += 3
+          }
+          px00 = ((bytes(stripOff.toInt) & 0xffL) << 16) |
+            ((bytes(stripOff.toInt + 1) & 0xffL) << 8) |
+            (bytes(stripOff.toInt + 2) & 0xffL)
+        }
+        ifdOff = ord.u32((ifdOff + 2 + n * 12).toInt)
+      }
+      require(nPages >= 1, s"no IFD (doc $id)")
+      TiffMeta(id, orderMark, width, height, nPages, sumR, sumG, sumB, px00)
+    }
+  }
+
+  /** Doc-keyed TIFF synth: byte order alternates by id (half the corpus
+    * is big-endian), ids % 3 == 0 carry a second page, page-1 pixels
+    * follow the same linear channel formulas as the GIF/BMP synths so
+    * the oracle recomputes the sums closed-form.
+    */
+  def synthTiff(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 9).toInt
+    val h = (3 + docId % 7).toInt
+    def px(x: Int, y: Int): (Int, Int, Int) = (
+      ((docId * 5 + 3 * x + 7 * y) % 256).toInt,
+      ((docId * 3 + 5 * x + 11 * y) % 256).toInt,
+      ((docId * 7 + 2 * x + 13 * y) % 256).toInt)
+    val pages =
+      if (docId % 3 == 0) Seq((w, h, px _), (2, 2, px _))
+      else Seq((w, h, px _))
+    Tiff.encode(littleEndian = docId % 2 == 0, pages)
+  }
+
+  /** documents → real TIFF binary column → REAL IFD-chain decode under
+    * the declared byte order.
+    */
+  def tiffRoundTrip(ids: DataFrame, idCol: String): Dataset[TiffMeta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => Tiff.decode(id, synthTiff(id))))
   }
 }

@@ -80,6 +80,62 @@ class Round10OpsSpec extends SparkSpec {
     assert(out(3L).format == "unknown" && !out(3L).decode_ok)
   }
 
+  // ---------------------------------------------------------------- TIFF
+
+  test("TIFF decodes identically under II and MM byte orders") {
+    def px(x: Int, y: Int) = (x * 10 + y, 100 + x, 200 - y)
+    val le = Multimodal.Tiff.decode(1L,
+      Multimodal.Tiff.encode(littleEndian = true, Seq((3, 2, px _))))
+    val be = Multimodal.Tiff.decode(2L,
+      Multimodal.Tiff.encode(littleEndian = false, Seq((3, 2, px _))))
+    assert(le.byte_order == "II" && be.byte_order == "MM")
+    assert((le.width, le.height, le.sum_r, le.sum_g, le.sum_b, le.px00) ==
+      (be.width, be.height, be.sum_r, be.sum_g, be.sum_b, be.px00))
+    assert(le.width == 3 && le.height == 2)
+    assert(le.px00 == (0 << 16) + (100 << 8) + 200)
+  }
+
+  test("TIFF multi-page chain and malformed inputs") {
+    val two = Multimodal.Tiff.encode(littleEndian = false,
+      Seq((2, 2, (_, _) => (1, 2, 3)), (4, 1, (_, _) => (9, 9, 9))))
+    val m = Multimodal.Tiff.decode(3L, two)
+    assert(m.n_pages == 2 && m.width == 2 && m.height == 2) // page-1 dims
+    assert(m.sum_r == 4 && m.sum_g == 8 && m.sum_b == 12)
+    val junk = "XX".getBytes ++ two.drop(2)
+    assert(intercept[IllegalArgumentException](
+      Multimodal.Tiff.decode(3L, junk)).getMessage.contains("byte-order"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.Tiff.decode(3L, two.take(20))).getMessage.contains("doc 3"))
+  }
+
+  test("TIFF sniffs into the media dispatcher under both orders") {
+    val df = Seq((2L, Multimodal.synthTiff(2L)), (3L, Multimodal.synthTiff(3L)))
+      .toDF("doc_id", "bin")
+    val out = Multimodal.decodeMedia(df, "doc_id", "bin").collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(2L).format == "tiff" && out(2L).decode_ok) // II
+    assert(out(3L).format == "tiff" && out(3L).decode_ok) // MM
+    assert(out(3L).n_frames == 2) // 3 % 3 == 0 → two pages
+  }
+
+  // ---------------------------------------------------------------- UTF-8
+
+  test("UTF-8 repair replaces each malformed EVENT with one U+FFFD") {
+    import graft.operators.CrawlFormats
+    val clean = "héllo wörld".getBytes("UTF-8")
+    assert(CrawlFormats.Utf8.repair(clean) == (("héllo wörld", 0)))
+    // lone continuation mid-stream + truncated lead at EOF = 2 events
+    val bad = "ab".getBytes ++ Array(0x80.toByte) ++ "cd".getBytes ++ Array(0xc3.toByte)
+    val (txt, n) = CrawlFormats.Utf8.repair(bad)
+    assert(txt == "ab�cd�" && n == 2)
+    // a 3-byte sequence truncated to 2 bytes: ONE event, not two
+    val trunc = "x".getBytes ++ Array(0xe2.toByte, 0x82.toByte)
+    assert(CrawlFormats.Utf8.repair(trunc) == (("x�", 1)))
+    // pre-existing U+FFFD in valid text is NOT counted as an event
+    val legit = "a�b".getBytes("UTF-8")
+    assert(CrawlFormats.Utf8.repair(legit) == (("a�b", 0)))
+  }
+
   // -------------------------------------------------------------- Z-order
 
   test("mortonKey interleaves bits exactly") {
