@@ -4834,6 +4834,69 @@ object Queries {
       |FROM documents ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Gopher-style composite quality filter (round 10): the published
+    * rule battery (token bounds, mean word length, stopword evidence,
+    * symbol ratio) as one map-side pass emitting a per-doc failure
+    * BITMASK — the reason distribution, not just a boolean, is the
+    * 100-TB operational signal. See `TextOps.gopherFilter`.
+    */
+  val q142: Q = Q(
+    "q142_gopher_filter",
+    (s, dir) => TextOps.gopherFilter(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""
+      |WITH b AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w,
+      |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+      |    length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_symbol
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |    CASE WHEN len(w) = 0 THEN 0.0
+      |      ELSE CAST(n_alpha AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS mean_word_len,
+      |    CAST(len(list_intersect(list_distinct(w),
+      |      ['the','a','of','and','to','in','is','for','on','with'])) AS BIGINT)
+      |      AS n_stopwords,
+      |    CASE WHEN len(w) = 0 THEN 1.0
+      |      ELSE CAST(n_symbol AS DOUBLE) / CAST(len(w) AS DOUBLE) END AS sym_ratio
+      |  FROM b)
+      |SELECT doc_id, n_tokens, mean_word_len, n_stopwords,
+      |  CAST((CASE WHEN n_tokens < 10 OR n_tokens > 100000 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN n_stopwords < 2 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN sym_ratio > 0.1 THEN 8 ELSE 0 END) AS BIGINT) AS fail_mask,
+      |  (CASE WHEN n_tokens < 10 OR n_tokens > 100000 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN n_stopwords < 2 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN sym_ratio > 0.1 THEN 8 ELSE 0 END) = 0 AS keep
+      |FROM m ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Inverted-index build (round 10): per-term posting lists with df,
+    * total tf, and a portable digest of the doc-ordered postings. The
+    * materialization behind the q90/q130 retrieval operators. See
+    * `TextOps.invertedIndex`.
+    */
+  val q143: Q = Q(
+    "q143_inverted_index",
+    (s, dir) => TextOps.invertedIndex(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("term")),
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS term
+      |  FROM documents),
+      |td AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(SUM(tf) AS BIGINT) AS total_tf,
+      |  md5(array_to_string(list_sort(list(
+      |    lpad(CAST(doc_id AS VARCHAR), 10, '0') || ':' || CAST(tf AS VARCHAR))),
+      |    ',')) AS postings_md5
+      |FROM td GROUP BY term ORDER BY term
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4848,5 +4911,5 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143)
 }

@@ -608,6 +608,67 @@ object TextOps {
     * ultra-common spans each land on one partition but a window over
     * (span_text) needs no buffering beyond the count — no OOM key.
     */
+  /** Gopher/MassiveText-style composite document filter (round 10):
+    * the published rule battery as one pass — token-count bounds, mean
+    * word length bounds, minimum stopword evidence, symbol-to-word
+    * ratio cap — emitting a per-doc `fail_mask` bitmask (bit 0 =
+    * too-few/too-many tokens, bit 1 = mean word length out of [3,10],
+    * bit 2 = fewer than 2 distinct stopwords, bit 3 = symbol ratio
+    * over 0.1) plus the final keep verdict. A bitmask instead of a
+    * boolean because at 100 TB the REASON distribution is the
+    * operational signal (which rule fires where tells you whether a
+    * crawl segment is tables, code, or another language). Pure column
+    * expressions — one map-side pass, no shuffle.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 10, maxTokens: Int = 100000): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val nAlpha = length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double")
+    val meanLen = when(nTok === 0, lit(0.0)).otherwise(nAlpha / nTok.cast("double"))
+    val nStopDistinct = size(array_intersect(array_distinct(toks),
+      array(Stopwords.map(lit): _*))).cast("long")
+    val nSymbol = length(regexp_replace(col(textCol), "[a-zA-Z0-9\\s]", "")).cast("double")
+    val symbolRatio = when(nTok === 0, lit(1.0)).otherwise(nSymbol / nTok.cast("double"))
+    val bit0 = when(nTok < minTokens || nTok > maxTokens, 1L).otherwise(0L)
+    val bit1 = when(meanLen < 3.0 || meanLen > 10.0, 2L).otherwise(0L)
+    val bit2 = when(nStopDistinct < 2, 4L).otherwise(0L)
+    val bit3 = when(symbolRatio > 0.1, 8L).otherwise(0L)
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      nTok.as("n_tokens"),
+      meanLen.as("mean_word_len"),
+      nStopDistinct.as("n_stopwords"),
+      (bit0 + bit1 + bit2 + bit3).as("fail_mask"))
+      .withColumn("keep", col("fail_mask") === 0L)
+  }
+
+  /** Inverted-index build (round 10): the IR artifact behind q90/q130 as
+    * a first-class materialization — one posting list per term with
+    * document frequency, total term frequency, and a digest of the
+    * doc-ordered postings (`lpad(doc):tf` entries, lexicographic =
+    * numeric by padding, so the digest is engine-portable without
+    * relying on aggregation order). Scale shape: partial-aggregated
+    * groupBy (term, doc) then groupBy term — two shuffles, both keyed
+    * fine-grained enough to spread; the heaviest term's postings list
+    * lives on one reducer, which is why production indexes shard
+    * postings by doc range — here the md5 keeps the reduced row O(1)
+    * regardless of posting length.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol).cast("long").as("doc_id"), explode(toks).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        md5(concat_ws(",", sort_array(collect_list(
+          concat(lpad(col("doc_id").cast("string"), 10, "0"), lit(":"),
+            col("tf").cast("string")))))).as("postings_md5"))
+  }
+
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     require(n >= 1, s"span length must be >= 1, got $n")

@@ -136,6 +136,47 @@ class Round10OpsSpec extends SparkSpec {
     assert(CrawlFormats.Utf8.repair(legit) == (("a�b", 0)))
   }
 
+  // --------------------------------------------------- Gopher filter
+
+  test("gopherFilter sets the right failure bits") {
+    val docs = Seq(
+      // passes everything: 10+ tokens, sane word length, stopwords, no symbols
+      (1L, "the quick brown fox jumps over and over the lazy sleeping dog"),
+      // too few tokens (bit 0) + too few stopwords (bit 2)
+      (2L, "short doc"),
+      // symbol soup: bit 3 (plus whatever else trips)
+      (3L, "the £$%^ &*(@ !!%% ^^&* (((( )))) @@@@ #### $$$$ %%%% and extra words here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherFilter(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("fail_mask") == 0L && out(1L).getAs[Boolean]("keep"))
+    val m2 = out(2L).getAs[Long]("fail_mask")
+    assert((m2 & 1L) != 0 && (m2 & 4L) != 0 && !out(2L).getAs[Boolean]("keep"))
+    assert((out(3L).getAs[Long]("fail_mask") & 8L) != 0)
+  }
+
+  // --------------------------------------------------- inverted index
+
+  test("invertedIndex postings digest is doc-ordered and tf-exact") {
+    val docs = Seq(
+      (7L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (11L, "apple")
+    ).toDF("doc_id", "text")
+    val out = TextOps.invertedIndex(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[String]("term") -> r).toMap
+    assert(out("apple").getAs[Long]("df") == 2 &&
+      out("apple").getAs[Long]("total_tf") == 3)
+    assert(out("banana").getAs[Long]("df") == 2 &&
+      out("banana").getAs[Long]("total_tf") == 2)
+    assert(out("cherry").getAs[Long]("df") == 1)
+    // digest = md5 of zero-padded doc:tf entries in doc order
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(out("apple").getAs[String]("postings_md5") ==
+      md5("0000000007:2,0000000011:1"))
+  }
+
   // -------------------------------------------------------------- Z-order
 
   test("mortonKey interleaves bits exactly") {
