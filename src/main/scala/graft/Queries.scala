@@ -4897,6 +4897,47 @@ object Queries {
       |FROM td GROUP BY term ORDER BY term
       |""".stripMargin.trim))
 
+  /** REAL POSIX-ustar tar walk (round 10 — the WebDataset shard
+    * format): 8-member shards, NUL-terminated names, octal size fields,
+    * the header's own checksum re-verified with the field blanked, and
+    * payload digests framed EXACTLY by the parsed size (not by block
+    * padding). See `CrawlFormats.Tar`.
+    */
+  val q144: Q = Q(
+    "q144_tar_extract",
+    (s, dir) => CrawlFormats.tarExtract(t(s, dir, "documents"), "doc_id", "text")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |SELECT doc_id,
+      |  'shard/doc_' || doc_id || '.txt' AS name,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS size,
+      |  '0' AS typeflag,
+      |  TRUE AS checksum_ok,
+      |  md5(text) AS payload_md5
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** REAL ZIP central-directory decode (round 10): EOCD found by the
+    * spec's backward signature scan, entries resolved central-directory
+    * first (local headers re-validated), even ids stored / odd ids
+    * deflated (JDK raw inflate, size-capped), per-entry CRC32
+    * verified. comp_size is compressor-dependent and projected away;
+    * everything else is exact. See `CrawlFormats.Zip`.
+    */
+  val q145: Q = Q(
+    "q145_zip_extract",
+    (s, dir) => CrawlFormats.zipExtract(t(s, dir, "documents"), "doc_id", "text")
+      .toDF().drop("comp_size").orderBy(col("doc_id")),
+    Some("""
+      |SELECT doc_id,
+      |  'doc_' || doc_id || '.txt' AS name,
+      |  CAST(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE 0 END AS BIGINT) AS method,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS uncomp_size,
+      |  TRUE AS crc_ok,
+      |  md5(text) AS payload_md5
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4911,5 +4952,5 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141, q142, q143)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145)
 }

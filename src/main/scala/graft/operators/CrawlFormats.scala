@@ -351,6 +351,293 @@ object CrawlFormats {
   }
 
   // ========================================================================
+  // TAR — POSIX ustar (the WebDataset shard format)
+  // ========================================================================
+
+  /** One parsed tar member. `checksum_ok` verifies the header's octal
+    * checksum field (sum of header bytes with the checksum field
+    * blanked — the spec's self-check most quick parsers skip);
+    * `payload_md5` digests the member's exactly-size-framed bytes.
+    */
+  case class TarMember(doc_id: Long, name: String, size: Long,
+      typeflag: String, checksum_ok: Boolean, payload_md5: String)
+
+  object Tar {
+    private val Block = 512
+
+    private def octal(v: Long, width: Int): Array[Byte] = {
+      val s = java.lang.Long.toOctalString(v)
+      val pad = "0" * (width - 1 - s.length) + s
+      (pad + " ").getBytes("US-ASCII")
+    }
+
+    /** Serialize one ustar member (header block + zero-padded payload). */
+    def encodeMember(name: String, typeflag: Char, payload: Array[Byte]): Array[Byte] = {
+      val hdr = new Array[Byte](Block)
+      def put(off: Int, bytes: Array[Byte]): Unit =
+        System.arraycopy(bytes, 0, hdr, off, bytes.length)
+      put(0, name.getBytes("US-ASCII"))
+      put(100, octal(420, 8)) // mode 0644
+      put(108, octal(0, 8)); put(116, octal(0, 8)) // uid/gid
+      put(124, octal(payload.length.toLong, 12))
+      put(136, octal(0, 12)) // mtime
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte) // checksum blanked
+      hdr(156) = typeflag.toByte
+      put(257, "ustar ".getBytes("US-ASCII"))
+      put(263, "00".getBytes("US-ASCII"))
+      val sum = hdr.map(_ & 0xff).sum.toLong
+      put(148, (("%06o".format(sum)) + "  ").getBytes("US-ASCII"))
+      val padded = (payload.length + Block - 1) / Block * Block
+      hdr ++ payload ++ new Array[Byte](padded - payload.length)
+    }
+
+    /** Terminal: two zero blocks. */
+    val Terminator: Array[Byte] = new Array[Byte](2 * Block)
+
+    /** Walk a tar stream: per member, parse the NUL-terminated name, the
+      * octal size, verify the header checksum (re-sum with the field
+      * blanked), digest exactly `size` payload bytes, and advance by the
+      * 512-rounded frame. Stops at the all-zero terminator block.
+      */
+    def parseArchive(groupId: Long, bytes: Array[Byte]): Seq[TarMember] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[TarMember]
+      var p = 0
+      def cstr(off: Int, max: Int): String = {
+        var e = off
+        while (e < off + max && bytes(e) != 0) e += 1
+        new String(bytes, off, e - off, "US-ASCII")
+      }
+      while (p + Block <= bytes.length && !(bytes(p) == 0 && cstr(p, 100).isEmpty)) {
+        val name = cstr(p, 100)
+        val sizeStr = cstr(p + 124, 12).trim
+        require(sizeStr.nonEmpty && sizeStr.forall(c => c >= '0' && c <= '7'),
+          s"bad octal size '$sizeStr' in '$name' (group $groupId)")
+        val size = java.lang.Long.parseLong(sizeStr, 8)
+        require(size >= 0 && p + Block + size <= bytes.length,
+          s"member '$name' overruns archive (group $groupId)")
+        val storedSum = java.lang.Long.parseLong(cstr(p + 148, 8).trim, 8)
+        var sum = 0L
+        var i = 0
+        while (i < Block) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(p + i) & 0xff)
+          i += 1
+        }
+        val typeflag = (bytes(p + 156) & 0xff).toChar.toString
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        md5.update(bytes, p + Block, size.toInt)
+        val docId = {
+          val m = "doc_(\\d+)\\.".r.findFirstMatchIn(name)
+          require(m.isDefined, s"unparseable member name '$name' (group $groupId)")
+          m.get.group(1).toLong
+        }
+        out += TarMember(docId, name, size, typeflag, sum == storedSum,
+          md5.digest().map(b => f"${b & 0xff}%02x").mkString)
+        p += Block + ((size + Block - 1) / Block * Block).toInt
+      }
+      out.toSeq
+    }
+  }
+
+  /** documents → grouped tar shards (8 members per shard, the
+    * WebDataset shape) → REAL ustar walk: names, octal sizes, header
+    * checksums, size-framed payload digests. Like [[warcExtract]], the
+    * groupBy exists only to build the fixture; production reads shard
+    * FILES and the parse itself is a map-side flatMap.
+    */
+  def tarExtract(df: DataFrame, idCol: String, textCol: String): Dataset[TarMember] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / 8)
+      .mapGroups { (gid, it) =>
+        val members = it.toSeq.sortBy(_._1).map { case (id, text) =>
+          Tar.encodeMember(s"shard/doc_$id.txt", '0', text.getBytes("UTF-8"))
+        }
+        (gid, (members.flatten ++ Tar.Terminator).toArray)
+      }
+      .flatMap { case (gid, bytes) => Tar.parseArchive(gid, bytes) }
+  }
+
+  // ========================================================================
+  // ZIP — central-directory walk (PKWARE APPNOTE)
+  // ========================================================================
+
+  /** One parsed zip entry, read via the CENTRAL DIRECTORY (the correct
+    * path — local headers may lag behind data-descriptor writers).
+    * `crc_ok` recomputes CRC32 over the extracted payload; `stored`
+    * distinguishes method 0 from method 8 (raw deflate via the JDK,
+    * same line as gzip/PNG).
+    */
+  case class ZipEntry(doc_id: Long, name: String, method: Long,
+      comp_size: Long, uncomp_size: Long, crc_ok: Boolean, payload_md5: String)
+
+  object Zip {
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    /** Build an archive: local headers + payloads, central directory,
+      * end-of-central-directory. Method 0 (stored) or 8 (deflate).
+      */
+    def encode(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val central = new java.io.ByteArrayOutputStream()
+      var count = 0
+      entries.foreach { case (name, payload, deflate) =>
+        val nameB = name.getBytes("US-ASCII")
+        val crc = new CRC32; crc.update(payload)
+        val data = if (deflate) {
+          val d = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+          d.setInput(payload); d.finish()
+          val buf = new Array[Byte](8192)
+          val b = new java.io.ByteArrayOutputStream()
+          while (!d.finished()) b.write(buf, 0, d.deflate(buf))
+          d.end(); b.toByteArray
+        } else payload
+        val method = if (deflate) 8 else 0
+        val offset = out.size()
+        // local file header
+        out.write(le32(0x04034b50L), 0, 4)
+        out.write(le16(20), 0, 2); out.write(le16(0), 0, 2)
+        out.write(le16(method), 0, 2)
+        out.write(le16(0), 0, 2); out.write(le16(0), 0, 2) // time/date
+        out.write(le32(crc.getValue), 0, 4)
+        out.write(le32(data.length.toLong), 0, 4)
+        out.write(le32(payload.length.toLong), 0, 4)
+        out.write(le16(nameB.length), 0, 2); out.write(le16(0), 0, 2)
+        out.write(nameB, 0, nameB.length)
+        out.write(data, 0, data.length)
+        // central directory record
+        central.write(le32(0x02014b50L), 0, 4)
+        central.write(le16(20), 0, 2); central.write(le16(20), 0, 2)
+        central.write(le16(0), 0, 2); central.write(le16(method), 0, 2)
+        central.write(le16(0), 0, 2); central.write(le16(0), 0, 2)
+        central.write(le32(crc.getValue), 0, 4)
+        central.write(le32(data.length.toLong), 0, 4)
+        central.write(le32(payload.length.toLong), 0, 4)
+        central.write(le16(nameB.length), 0, 2)
+        central.write(le16(0), 0, 2); central.write(le16(0), 0, 2)
+        central.write(le16(0), 0, 2); central.write(le16(0), 0, 2)
+        central.write(le32(0L), 0, 4)
+        central.write(le32(offset.toLong), 0, 4)
+        central.write(nameB, 0, nameB.length)
+        count += 1
+      }
+      val cdOff = out.size()
+      val cd = central.toByteArray
+      out.write(cd, 0, cd.length)
+      // EOCD
+      out.write(le32(0x06054b50L), 0, 4)
+      out.write(le16(0), 0, 2); out.write(le16(0), 0, 2)
+      out.write(le16(count), 0, 2); out.write(le16(count), 0, 2)
+      out.write(le32(cd.length.toLong), 0, 4)
+      out.write(le32(cdOff.toLong), 0, 4)
+      out.write(le16(0), 0, 2)
+      out.toByteArray
+    }
+
+    /** Decode via EOCD → central directory → local headers → payload
+      * (stored copied, deflated inflated with a size cap), CRC32
+      * verified per entry. The EOCD is found by scanning BACKWARD for
+      * its signature (the spec's method — a trailing comment makes a
+      * fixed offset wrong).
+      */
+    def decode(groupId: Long, bytes: Array[Byte],
+        maxBytes: Int = 1 << 26): Seq[ZipEntry] = {
+      def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def u32(off: Int): Long =
+        (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+          ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+      var eocd = bytes.length - 22
+      while (eocd >= 0 && u32(eocd) != 0x06054b50L) eocd -= 1
+      require(eocd >= 0, s"no end-of-central-directory (group $groupId)")
+      val n = u16(eocd + 10)
+      var p = u32(eocd + 16).toInt
+      val out = scala.collection.mutable.ArrayBuffer.empty[ZipEntry]
+      (0 until n).foreach { _ =>
+        require(u32(p) == 0x02014b50L, s"bad central-directory signature (group $groupId)")
+        val method = u16(p + 10)
+        val crcStored = u32(p + 16)
+        val compSize = u32(p + 20)
+        val uncompSize = u32(p + 24)
+        val nameLen = u16(p + 28)
+        val extraLen = u16(p + 30)
+        val commentLen = u16(p + 32)
+        val lho = u32(p + 42).toInt
+        val name = new String(bytes, p + 46, nameLen, "US-ASCII")
+        require(uncompSize <= maxBytes,
+          s"entry '$name' declares $uncompSize bytes past cap (group $groupId)")
+        // local header: skip its (possibly different) name/extra lengths
+        require(u32(lho) == 0x04034b50L, s"bad local header for '$name' (group $groupId)")
+        val dataOff = lho + 30 + u16(lho + 26) + u16(lho + 28)
+        require(dataOff + compSize <= bytes.length,
+          s"entry '$name' data overruns archive (group $groupId)")
+        val payload: Array[Byte] = method match {
+          case 0 =>
+            require(compSize == uncompSize, s"stored sizes disagree for '$name'")
+            java.util.Arrays.copyOfRange(bytes, dataOff, dataOff + compSize.toInt)
+          case 8 =>
+            val inf = new Inflater(true)
+            inf.setInput(bytes, dataOff, compSize.toInt)
+            val b = new java.io.ByteArrayOutputStream(uncompSize.toInt + 16)
+            val buf = new Array[Byte](8192)
+            try {
+              while (!inf.finished()) {
+                val k = inf.inflate(buf)
+                if (k == 0) require(inf.finished(), s"truncated deflate in '$name'")
+                else { b.write(buf, 0, k); require(b.size() <= maxBytes, "cap") }
+              }
+            } catch {
+              case e: java.util.zip.DataFormatException =>
+                throw new IllegalArgumentException(s"corrupt deflate in '$name': ${e.getMessage}")
+            } finally inf.end()
+            b.toByteArray
+          case m => throw new IllegalArgumentException(s"unsupported method $m for '$name'")
+        }
+        require(payload.length.toLong == uncompSize,
+          s"inflated size mismatch for '$name' (group $groupId)")
+        val crc = new CRC32; crc.update(payload)
+        val docId = {
+          val m = "doc_(\\d+)\\.".r.findFirstMatchIn(name)
+          require(m.isDefined, s"unparseable entry name '$name' (group $groupId)")
+          m.get.group(1).toLong
+        }
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(payload).map(b => f"${b & 0xff}%02x").mkString
+        out += ZipEntry(docId, name, method.toLong, compSize, uncompSize,
+          crc.getValue == crcStored, md5)
+        p += 46 + nameLen + extraLen + commentLen
+      }
+      out.toSeq
+    }
+  }
+
+  /** documents → grouped zip archives (8 entries each; even ids stored,
+    * odd ids deflated) → REAL central-directory decode with per-entry
+    * CRC verification. comp_size for deflated entries depends on the
+    * compressor and is NOT part of the oracle contract — the query
+    * projects it away; uncomp_size, method, and the payload digest are
+    * exact.
+    */
+  def zipExtract(df: DataFrame, idCol: String, textCol: String): Dataset[ZipEntry] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / 8)
+      .mapGroups { (gid, it) =>
+        val entries = it.toSeq.sortBy(_._1).map { case (id, text) =>
+          (s"doc_$id.txt", text.getBytes("UTF-8"), id % 2 == 1)
+        }
+        (gid, Zip.encode(entries))
+      }
+      .flatMap { case (gid, bytes) => Zip.decode(gid, bytes) }
+  }
+
+  // ========================================================================
   // UTF-8 validation + repair
   // ========================================================================
 

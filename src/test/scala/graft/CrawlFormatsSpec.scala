@@ -77,6 +77,68 @@ class CrawlFormatsSpec extends SparkSpec {
     assert(bad(Warc.parseFile(1L, noVersion)).contains("version"))
   }
 
+  // ----------------------------------------------------------------- tar
+
+  test("tar: header checksum verifies; corruption flips checksum_ok only") {
+    val a = CrawlFormats.Tar.encodeMember("shard/doc_5.txt", '0', "hello".getBytes) ++
+      CrawlFormats.Tar.Terminator
+    val ok = CrawlFormats.Tar.parseArchive(0L, a)
+    assert(ok.length == 1 && ok.head.checksum_ok && ok.head.size == 5)
+    val bad = a.clone(); bad(100) = '7'.toByte // mode field byte: sum changes
+    val r = CrawlFormats.Tar.parseArchive(0L, bad)
+    assert(r.length == 1 && !r.head.checksum_ok)
+  }
+
+  test("tar: payload digest is size-framed, not block-framed") {
+    // two members whose payloads differ only past the first's size field
+    val m = CrawlFormats.Tar.encodeMember("shard/doc_1.txt", '0', "abc".getBytes)
+    // the 512-block padding after "abc" is zeros; digest must cover 3 bytes only
+    val rec = CrawlFormats.Tar.parseArchive(0L, m ++ CrawlFormats.Tar.Terminator).head
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("abc".getBytes).map(b => f"${b & 0xff}%02x").mkString
+    assert(rec.payload_md5 == expect)
+    val big = CrawlFormats.Tar.encodeMember("shard/doc_2.txt", '0',
+      Array.fill(600)('x'.toByte))
+    assert(bad(CrawlFormats.Tar.parseArchive(0L, big.take(700))).contains("overruns"))
+  }
+
+  // ----------------------------------------------------------------- zip
+
+  test("zip: EOCD backward scan survives payloads containing the signature") {
+    val trap = Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ "decoy eocd in payload".getBytes
+    val z = CrawlFormats.Zip.encode(Seq(
+      ("doc_1.txt", trap, false), ("doc_2.txt", "plain".getBytes, true)))
+    val out = CrawlFormats.Zip.decode(0L, z).sortBy(_.doc_id)
+    assert(out.length == 2 && out.forall(_.crc_ok))
+    assert(out(0).method == 0 && out(0).uncomp_size == trap.length)
+    assert(out(1).method == 8 && out(1).uncomp_size == 5)
+  }
+
+  test("zip: stored+deflated round-trip exact; corrupt CRC reported not fatal") {
+    val z = CrawlFormats.Zip.encode(Seq(("doc_9.txt", "payload nine".getBytes, true)))
+    val good = CrawlFormats.Zip.decode(1L, z).head
+    assert(good.crc_ok)
+    // flip a stored-CRC byte in the central directory (last copy wins in
+    // decode, so corrupt BOTH local and central copies deterministically:
+    // find and flip every le32(crc) occurrence)
+    val crcLe = {
+      val c = new java.util.zip.CRC32; c.update("payload nine".getBytes)
+      val v = c.getValue
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    }
+    val bad2 = z.clone()
+    var i = 0
+    while (i + 4 <= bad2.length) {
+      if (bad2(i) == crcLe(0) && bad2(i + 1) == crcLe(1) &&
+        bad2(i + 2) == crcLe(2) && bad2(i + 3) == crcLe(3)) bad2(i) = (bad2(i) ^ 1).toByte
+      i += 1
+    }
+    val r = CrawlFormats.Zip.decode(1L, bad2).head
+    assert(!r.crc_ok) // reported, batch survives
+    assert(bad(CrawlFormats.Zip.decode(1L, z.take(10))).contains("central"))
+  }
+
   test("warcExtract parses every record of multi-record grouped files") {
     import spark.implicits._
     val docs = (0L until 20L).map(i => (i, s"text body $i", s"src${i % 3}"))
