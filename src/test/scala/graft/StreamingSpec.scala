@@ -501,4 +501,34 @@ class StreamingSpec extends SparkSpec {
         .where(col("doc_id") === r._1).select("n_bands").as[Long].head() == 4))
     } finally q.stop()
   }
+
+  test("streaming media-decode health ledger accumulates per-format rates") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val dir = java.nio.file.Files.createTempDirectory("health").toString + "/ledger"
+    val q = StreamingOps.mediaHealthStream(
+      mem.toDF().toDF("doc_id", "bin"), "doc_id", "bin", dir).start()
+    def ledger(): Map[String, (Long, Long, Double)] =
+      spark.read.parquet(dir).collect().map(r =>
+        r.getAs[String]("format") -> ((r.getAs[Long]("n_seen"),
+          r.getAs[Long]("n_ok"), r.getAs[Double]("fail_rate")))).toMap
+    try {
+      mem.addData((0L, Multimodal.synthWav(0L)), (1L, Multimodal.synthBmp(1L)),
+        (2L, "garbage text payload".getBytes))
+      q.processAllAvailable()
+      val l1 = ledger()
+      assert(l1("wav") == ((1L, 1L, 0.0)) && l1("bmp") == ((1L, 1L, 0.0)))
+      assert(l1("unknown")._2 == 0L && l1("unknown")._3 == 1.0)
+      // batch 2: a truncated PNG sniffs as png but FAILS decode — the
+      // per-format rate moves within one trigger, cumulatively
+      mem.addData((3L, Multimodal.synthWav(3L)),
+        (4L, Multimodal.synthPng(4L).take(30)))
+      q.processAllAvailable()
+      val l2 = ledger()
+      assert(l2("wav") == ((2L, 2L, 0.0)))
+      assert(l2("png") == ((1L, 0L, 1.0)))
+      assert(l2("unknown") == ((1L, 0L, 1.0))) // batch-1 state survived
+    } finally q.stop()
+  }
 }
