@@ -4938,6 +4938,56 @@ object Queries {
       |FROM documents ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** PRODUCTION-path tar-shard scan (round 10): q144 proves the ustar
+    * walk; this proves the INGESTION path — `prepare` materializes real
+    * shard FILES (16 docs per shard, deterministic layout) and the
+    * measured query is a `binaryFile` scan flatMapped through the same
+    * walk, one task per shard, no fixture groupBy anywhere. The shard
+    * write is prepare-time by the same argument as q108's bucketed
+    * layout: a production corpus IS already sharded. See
+    * `CrawlFormats.readTarShards`.
+    */
+  val q146: Q = Q(
+    "q146_tar_shard_scan",
+    (s, dir) => CrawlFormats.readTarShards(s,
+        s"${System.getProperty("java.io.tmpdir")}/graft_q146_shards")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |SELECT doc_id,
+      |  'shard/doc_' || doc_id || '.txt' AS name,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS size,
+      |  '0' AS typeflag,
+      |  TRUE AS checksum_ok,
+      |  md5(text) AS payload_md5
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim),
+    prepare = Some { (s, dir) =>
+      import s.implicits._
+      val out = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_q146_shards")
+      if (out.exists()) out.listFiles().foreach(_.delete()) else out.mkdirs()
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 16)
+        .mapGroups { (gid, it) =>
+          val members = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            CrawlFormats.Tar.encodeMember(s"shard/doc_$id.txt", '0',
+              text.getBytes("UTF-8"))
+          }
+          (gid, (members.flatten ++ CrawlFormats.Tar.Terminator).toArray)
+        }
+        // executor-side writes (local FS here = shared FS on a cluster):
+        // the corpus never collects to the driver
+        .foreachPartition { it: Iterator[(Long, Array[Byte])] =>
+          it.foreach { case (gid, bytes) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"${System.getProperty("java.io.tmpdir")}" +
+                f"/graft_q146_shards/shard-$gid%06d.tar"), bytes)
+          }
+        }
+    })
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -4952,5 +5002,5 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
 }

@@ -459,6 +459,27 @@ object CrawlFormats {
       .flatMap { case (gid, bytes) => Tar.parseArchive(gid, bytes) }
   }
 
+  /** PRODUCTION tar-shard source: a `binaryFile` scan over a shard
+    * directory, one task per shard, flatMapped through the real ustar
+    * walk — the WebDataset ingestion path with no fixture groupBy. At
+    * 100 TB this is the whole plan: shard files are the parallelism
+    * unit (thousands of multi-hundred-MB shards spread across
+    * executors), the walk is sequential WITHIN a shard by design
+    * (that's the format's contract), and nothing shuffles until a
+    * downstream operator asks for it.
+    */
+  def readTarShards(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Dataset[TarMember] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        // group id = stable hash of the shard path, for error tags
+        Tar.parseArchive(path.hashCode.toLong, bytes)
+      }
+  }
+
   // ========================================================================
   // ZIP — central-directory walk (PKWARE APPNOTE)
   // ========================================================================

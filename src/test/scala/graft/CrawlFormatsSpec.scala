@@ -102,6 +102,25 @@ class CrawlFormatsSpec extends SparkSpec {
     assert(bad(CrawlFormats.Tar.parseArchive(0L, big.take(700))).contains("overruns"))
   }
 
+  test("readTarShards: binaryFile scan over shard FILES, no fixture groupBy") {
+    val dir = java.nio.file.Files.createTempDirectory("shards")
+    (0 until 3).foreach { s =>
+      val members = (0 until 4).map { i =>
+        val id = s * 4 + i
+        CrawlFormats.Tar.encodeMember(s"d/doc_$id.txt", '0',
+          s"payload $id".getBytes("UTF-8"))
+      }
+      java.nio.file.Files.write(dir.resolve(f"shard-$s%05d.tar"),
+        (members.flatten ++ CrawlFormats.Tar.Terminator).toArray)
+    }
+    val out = CrawlFormats.readTarShards(spark, dir.toString).collect()
+    assert(out.length == 12)
+    assert(out.map(_.doc_id).sorted.toSeq == (0L until 12L))
+    assert(out.forall(_.checksum_ok))
+    val r7 = out.find(_.doc_id == 7).get
+    assert(r7.size == "payload 7".length)
+  }
+
   // ----------------------------------------------------------------- zip
 
   test("zip: EOCD backward scan survives payloads containing the signature") {
