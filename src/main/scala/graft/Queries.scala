@@ -4988,6 +4988,67 @@ object Queries {
         }
     })
 
+  /** SemDeDup (round 10): the published semantic-dedup recipe —
+    * cluster the embedding space (fixed q115 centroids, exact argmin),
+    * rank within each cell by true centroid distance, drop any vector
+    * with an earlier-ranked cellmate above cosine `tau`. The oracle
+    * replays assignment, ranking, the within-cell pair join, and the
+    * cosine threshold from the same literals — the q115 exact-twin
+    * move applied to the dedup recipe itself. See `VectorOps.semDedup`.
+    */
+  val q147: Q = Q(
+    "q147_semdedup",
+    (s, dir) => VectorOps.semDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", q115Centroids, tau = 0.3)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("n_dup"), col("kept"))
+      .orderBy(col("vec_id")),
+    Some {
+      val cellRows = q115Centroids.zipWithIndex.map { case (ct, i) =>
+        s"($i, [${ct.map(_.toLong).mkString(",")}])"
+      }.mkString(",\n      |    ")
+      s"""
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings),
+      |cells(cell, cent) AS (VALUES
+      |    $cellRows),
+      |dist AS (
+      |  SELECT e.vec_id, e.v, c.cell,
+      |    list_sum(list_transform(c.cent, x -> CAST(x AS DOUBLE) * x))
+      |      - 2 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cent[i])) AS d
+      |  FROM e CROSS JOIN cells c),
+      |assigned AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT vec_id, v, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1),
+      |rk AS (
+      |  SELECT a.vec_id, a.v, a.cell,
+      |    list_sum(list_transform(a.v, x -> x * x))
+      |      - 2 * list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.cent[i])) AS rk
+      |  FROM assigned a JOIN cells c USING (cell)),
+      |sim AS (
+      |  SELECT x.vec_id AS ia,
+      |    list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) AS dp,
+      |    list_sum(list_transform(x.v, t -> t * t)) AS nq,
+      |    list_sum(list_transform(y.v, t -> t * t)) AS nc
+      |  FROM rk x JOIN rk y ON x.cell = y.cell
+      |    AND (y.rk < x.rk OR (y.rk = x.rk AND y.vec_id < x.vec_id))),
+      |dups AS (
+      |  SELECT ia AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+      |  FROM sim
+      |  WHERE (CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+      |    ELSE dp / (sqrt(nq) * sqrt(nc)) END) > 0.3
+      |  GROUP BY ia)
+      |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+      |  COALESCE(d.n_dup, 0) AS n_dup, COALESCE(d.n_dup, 0) = 0 AS kept
+      |FROM assigned a LEFT JOIN dups d USING (vec_id)
+      |ORDER BY a.vec_id
+      |""".stripMargin.trim
+    })
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5002,5 +5063,6 @@ object Queries {
     q97, q98, q99, q100, q101, q102, q103, q104, q105, q106, q107, q108,
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
+    q147)
 }

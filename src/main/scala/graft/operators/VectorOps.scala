@@ -353,4 +353,48 @@ object VectorOps {
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select("query_id", "neighbor_id", "cosine_sim")
   }
+
+  /** SemDeDup (round 10 — the published semantic-dedup recipe: cluster
+    * the embedding space, then deduplicate WITHIN clusters by pairwise
+    * cosine, keeping the representative closest to the centroid).
+    * Ranking inside a cell is by TRUE distance to the cell centroid —
+    * |v|² − 2·v·c in exact integer arithmetic (|c|² constant within a
+    * cell), ties to the lower id — and an item is dropped iff an
+    * EARLIER-ranked cellmate is within `tau` cosine. One-shot rule
+    * (earlier item, kept or not — documented stricter-never-leakier,
+    * the same contract as the streaming LSH twin). Output per vector:
+    * (vec_id, cell, n_dup = earlier cellmates within tau, kept).
+    *
+    * Scale shape: one shuffle on cell, then a within-cell self-join —
+    * quadratic per CELL, which is the paper's own cost model: the
+    * cluster count is chosen so cells are small (here the fixed q115
+    * centroid table; production fits k ≈ √n cells). No all-pairs
+    * stage touches the full corpus.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Seq[Double]], tau: Double): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cents = typedlit(centroids.map(_.toIndexedSeq).toIndexedSeq)
+    val cells = assignCells(corpus, idCol, vecCol, centroids)
+    val v = corpus.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("v"))
+      .join(cells.withColumnRenamed(idCol, "vec_id"), "vec_id")
+      .withColumn("rk",
+        nativeDot(col("v"), col("v"))
+          - lit(2.0) * nativeDot(col("v"), element_at(cents, col("cell") + 1)))
+    val a = v.select(col("vec_id").as("ia"), col("v").as("va"),
+      col("cell"), col("rk").as("ra"))
+    val b = v.select(col("vec_id").as("ib"), col("v").as("vb"),
+      col("cell"), col("rk").as("rb"))
+    val earlierSimilar = a.join(b,
+        a("cell") === b("cell") &&
+          (col("rb") < col("ra") ||
+            (col("rb") === col("ra") && col("ib") < col("ia"))))
+      .filter(nativeCosine(col("va"), col("vb")) > tau)
+      .groupBy(col("ia").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup"))
+    v.select(col("vec_id"), col("cell"))
+      .join(earlierSimilar, Seq("vec_id"), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .withColumn("kept", col("n_dup") === 0L)
+  }
 }

@@ -177,6 +177,31 @@ class Round10OpsSpec extends SparkSpec {
       md5("0000000007:2,0000000011:1"))
   }
 
+  // -------------------------------------------------------------- SemDeDup
+
+  test("semDedup keeps the centroid-closest representative per near-dup group") {
+    import graft.operators.VectorOps
+    // centroids: cell 0 ≈ +x, cell 1 ≈ +y (quantized-int units)
+    val cents: Array[Seq[Double]] = Array(
+      Seq(1000.0, 0.0, 0.0), Seq(0.0, 1000.0, 0.0))
+    // ids 1,2,3: near-identical +x vectors (cosine ≈ 1), id 2 closest to
+    // the centroid → 2 kept, 1 and 3 dropped. id 4: +y, alone in cell 1.
+    val vecs = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.95f, 0.05f, 0.0f)),
+      (4L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = VectorOps.semDedup(vecs, "vec_id", "embedding", cents, tau = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_dup"), r.getAs[Boolean]("kept")))).toMap
+    assert(out(2L) == ((0L, true)))  // rank 1 in cell 0
+    assert(out(1L)._2 == false && out(3L)._2 == false)
+    assert(out(4L) == ((0L, true)))  // sole occupant of cell 1
+    // id 3 outranks id 1 (closer to centroid) → 1 sees 2 earlier similars
+    assert(out(1L)._1 == 2L && out(3L)._1 == 1L)
+  }
+
   // -------------------------------------------------------------- Z-order
 
   test("mortonKey interleaves bits exactly") {
