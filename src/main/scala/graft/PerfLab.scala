@@ -194,6 +194,20 @@ object PerfLab {
           col("doc_id") < 10000000000L)
         time("decon_fixed_probe", reps)(
           TextOps.decontaminate(docs, probes, "doc_id", "text", n = 3))
+      case "semdedup10x" =>
+        // SemDeDup at recipe-scaled cell counts: the paper sizes k with
+        // the corpus (cells bound the quadratic pair work), so the fair
+        // 10x rehearsal grows k 10x alongside n — the registered q147
+        // keeps the fixed 4-cell table for oracle determinism.
+        import graft.sources.Ingest
+        import graft.operators.VectorOps
+        val emb = Ingest.table(spark, sfDir, "embeddings")
+        Seq(4, 40).foreach { k =>
+          val cents: Array[Seq[Double]] = Array.tabulate(k)(c =>
+            Seq.tabulate(64)(d => (((c * 131 + d * 17) % 101) - 50) * 20.0))
+          time(s"semdedup_k$k", reps)(
+            VectorOps.semDedup(emb, "vec_id", "embedding", cents, tau = 0.3))
+        }
       case n =>
         Queries.all.find(_.name == n).foreach { q =>
           q.prepare.foreach(_(spark, sfDir)) // untimed, same as Bench
