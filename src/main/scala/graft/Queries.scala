@@ -5049,6 +5049,48 @@ object Queries {
       |""".stripMargin.trim
     })
 
+  /** JSONL ingest with corrupt-line quarantine (round 10): the
+    * manifest/dataset-exchange format, parsed with the production
+    * contract — malformed lines (truncated on a doc-keyed schedule)
+    * quarantine instead of failing the batch, with the id SALVAGED
+    * from the raw line by regex (what a real quarantine pipeline does
+    * so corrupt records stay attributable). ok rows prove the full
+    * JSON round-trip via the text digest; all pure codegen'd column
+    * expressions (`to_json`/`from_json`), no shuffle before the sort.
+    */
+  val q148: Q = Q(
+    "q148_jsonl_quarantine",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val line0 = to_json(struct(col("doc_id").cast("long").as("id"),
+        col("text"), col("lang")))
+      val line = when(col("doc_id") % 9 === 4,
+        substring(line0, lit(1), length(line0) - 5)).otherwise(line0)
+      val parsed = from_json(line, "id LONG, text STRING, lang STRING",
+        Map.empty[String, String])
+      d.select(col("doc_id").cast("long").as("orig_id"), line.as("raw"),
+          parsed.as("p"))
+        .select(
+          coalesce(col("p.id"),
+            regexp_extract(col("raw"), "\"id\":(\\d+)", 1).cast("long"))
+            .as("doc_id"),
+          (col("p.id").isNotNull && col("p.text").isNotNull &&
+            col("p.lang").isNotNull).as("ok"),
+          coalesce(length(col("p.text")).cast("long"), lit(0L)).as("n_chars"),
+          coalesce(col("p.lang"), lit("")).as("lang"),
+          coalesce(md5(col("p.text")), lit("")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |SELECT doc_id,
+      |  doc_id % 9 <> 4 AS ok,
+      |  CAST(CASE WHEN doc_id % 9 <> 4 THEN length(text) ELSE 0 END
+      |    AS BIGINT) AS n_chars,
+      |  CASE WHEN doc_id % 9 <> 4 THEN lang ELSE '' END AS lang,
+      |  CASE WHEN doc_id % 9 <> 4 THEN md5(text) ELSE '' END AS text_md5
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5064,5 +5106,5 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
-    q147)
+    q147, q148)
 }

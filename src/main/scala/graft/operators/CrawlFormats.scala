@@ -459,14 +459,56 @@ object CrawlFormats {
       .flatMap { case (gid, bytes) => Tar.parseArchive(gid, bytes) }
   }
 
+  /** Inflate a (possibly multi-member) gzip stream to raw bytes —
+    * RFC 1952 §2.2 allows concatenated members and `gzip`/`cat` produce
+    * them routinely, so a shard reader that stops at the first trailer
+    * silently truncates. Reuses the single-member parser: decode one
+    * member, find where its DEFLATE stream ended via the Inflater's
+    * consumed-byte count, continue at the next member boundary.
+    */
+  private[operators] def gunzipAll(id: Long, bytes: Array[Byte],
+      maxBytes: Int = 1 << 26): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 3)
+    var p = 0
+    while (p < bytes.length) {
+      require(bytes.length - p >= 18, s"trailing garbage after member (doc $id)")
+      // parse header fields to find the DEFLATE start (same walk as decode)
+      val flg = bytes(p + 3) & 0xff
+      var q = p + 10
+      if ((flg & 4) != 0) {
+        val n = (bytes(q) & 0xff) | ((bytes(q + 1) & 0xff) << 8); q += 2 + n
+      }
+      if ((flg & 8) != 0) { val z = bytes.indexOf(0.toByte, q); require(z >= 0, s"doc $id"); q = z + 1 }
+      if ((flg & 16) != 0) { val z = bytes.indexOf(0.toByte, q); require(z >= 0, s"doc $id"); q = z + 1 }
+      if ((flg & 2) != 0) q += 2
+      val inf = new Inflater(true)
+      inf.setInput(bytes, q, bytes.length - q - 8)
+      val buf = new Array[Byte](8192)
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0) require(inf.finished(), s"truncated member (doc $id)")
+          else { out.write(buf, 0, n); require(out.size() <= maxBytes, s"cap (doc $id)") }
+        }
+        p = q + inf.getBytesRead.toInt + 8 // trailer: CRC32 + ISIZE
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"corrupt member (doc $id): ${e.getMessage}")
+      } finally inf.end()
+    }
+    out.toByteArray
+  }
+
   /** PRODUCTION tar-shard source: a `binaryFile` scan over a shard
     * directory, one task per shard, flatMapped through the real ustar
-    * walk — the WebDataset ingestion path with no fixture groupBy. At
-    * 100 TB this is the whole plan: shard files are the parallelism
-    * unit (thousands of multi-hundred-MB shards spread across
-    * executors), the walk is sequential WITHIN a shard by design
-    * (that's the format's contract), and nothing shuffles until a
-    * downstream operator asks for it.
+    * walk — the WebDataset ingestion path with no fixture groupBy.
+    * Shards may be plain `.tar` or gzip-compressed `.tar.gz` (detected
+    * by magic, multi-member streams handled — the actual WebDataset
+    * wire format). At 100 TB this is the whole plan: shard files are
+    * the parallelism unit (thousands of multi-hundred-MB shards spread
+    * across executors), the walk is sequential WITHIN a shard by
+    * design (that's the format's contract), and nothing shuffles until
+    * a downstream operator asks for it.
     */
   def readTarShards(spark: org.apache.spark.sql.SparkSession,
       dir: String): Dataset[TarMember] = {
@@ -476,7 +518,12 @@ object CrawlFormats {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         // group id = stable hash of the shard path, for error tags
-        Tar.parseArchive(path.hashCode.toLong, bytes)
+        val gid = path.hashCode.toLong
+        val tar =
+          if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+            (bytes(1) & 0xff) == 0x8b) gunzipAll(gid, bytes)
+          else bytes
+        Tar.parseArchive(gid, tar)
       }
   }
 

@@ -121,6 +121,27 @@ class CrawlFormatsSpec extends SparkSpec {
     assert(r7.size == "payload 7".length)
   }
 
+  test("readTarShards: .tar.gz shards with MULTI-member gzip streams") {
+    val dir = java.nio.file.Files.createTempDirectory("gzshards")
+    (0 until 2).foreach { s =>
+      val members = (0 until 3).map { i =>
+        val id = s * 3 + i
+        CrawlFormats.Tar.encodeMember(s"d/doc_$id.txt", '0',
+          s"gz payload $id".getBytes("UTF-8"))
+      }
+      val tar = (members.flatten ++ CrawlFormats.Tar.Terminator).toArray
+      // split the tar across TWO concatenated gzip members (cat a.gz b.gz)
+      val half = tar.length / 2
+      val gz = CrawlFormats.Gzip.encode(tar.take(half), s.toLong, 3, None, None, withHcrc = false) ++
+        CrawlFormats.Gzip.encode(tar.drop(half), s.toLong, 3, None, None, withHcrc = false)
+      java.nio.file.Files.write(dir.resolve(f"shard-$s%05d.tar.gz"), gz)
+    }
+    val out = CrawlFormats.readTarShards(spark, dir.toString).collect()
+    assert(out.length == 6)
+    assert(out.map(_.doc_id).sorted.toSeq == (0L until 6L))
+    assert(out.forall(_.checksum_ok))
+  }
+
   // ----------------------------------------------------------------- zip
 
   test("zip: EOCD backward scan survives payloads containing the signature") {
