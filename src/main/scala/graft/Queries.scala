@@ -5091,6 +5091,41 @@ object Queries {
       |FROM documents ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Encoding advisor (round 10): per layout file, the statistics a
+    * parquet writer uses to pick a column's physical encoding — run
+    * count (RLE), distinct count (dictionary), max consecutive delta
+    * (bit-packed delta). The companion to q139's Z-order audit: q139
+    * measures WHERE rows land, this measures how the landed order
+    * compresses. Windows are per FILE (row groups live inside files),
+    * so no global sort exists in the plan. See
+    * `TrainPrep.encodingAdvisor`.
+    */
+  val q149: Q = Q(
+    "q149_encoding_advisor",
+    (s, dir) => TrainPrep.encodingAdvisor(t(s, dir, "lineitem"),
+        col("l_orderkey") % 32,
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey")),
+        col("l_suppkey"))
+      .orderBy(col("file_id")),
+    Some("""
+      |WITH s AS (
+      |  SELECT l_orderkey % 32 AS file_id, l_suppkey AS v,
+      |    lag(l_suppkey) OVER (PARTITION BY l_orderkey % 32
+      |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS prev
+      |  FROM lineitem)
+      |SELECT CAST(file_id AS BIGINT) AS file_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_values,
+      |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(CASE WHEN prev IS NULL OR prev <> v THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_runs,
+      |  CAST(MAX(CASE WHEN prev IS NOT NULL THEN abs(v - prev) END)
+      |    AS BIGINT) AS max_delta,
+      |  CAST(SUM(CASE WHEN prev IS NULL OR prev <> v THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rle_ratio
+      |FROM s GROUP BY file_id ORDER BY file_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5106,5 +5141,5 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
-    q147, q148)
+    q147, q148, q149)
 }

@@ -348,4 +348,33 @@ object TrainPrep {
       .withColumn("bbox_area",
         (col("max_x") - col("min_x") + 1) * (col("max_y") - col("min_y") + 1))
   }
+
+  /** Encoding advisor — the companion to [[zorderLayout]]: given a file
+    * assignment and the write order WITHIN each file, report per file
+    * the statistics that decide a column's physical encoding the way a
+    * parquet writer does — value count, RUN count (RLE pays when runs
+    * are long), distinct count (dictionary pays when it is small), and
+    * the max absolute delta between consecutive values (bit-packed
+    * delta pays when it is narrow). A table-maintenance job runs this
+    * before choosing a rewrite; at 100 TB the window is per FILE
+    * (PlanAuditSpec's no-partitionless-window rule holds — row groups
+    * live inside files, so a global order is never needed).
+    */
+  def encodingAdvisor(df: DataFrame, fileCol: Column, orderCols: Seq[Column],
+      valueCol: Column): DataFrame = {
+    df.select(fileCol.cast("long").as("file_id"),
+        valueCol.cast("long").as("v"),
+        lag(valueCol.cast("long"), 1).over(
+          Window.partitionBy(fileCol).orderBy(orderCols: _*)).as("prev"))
+      .groupBy(col("file_id"))
+      .agg(
+        count(lit(1)).as("n_values"),
+        countDistinct(col("v")).as("n_distinct"),
+        sum(when(col("prev").isNull || col("prev") =!= col("v"), 1L)
+          .otherwise(0L)).as("n_runs"),
+        max(when(col("prev").isNotNull, abs(col("v") - col("prev"))))
+          .as("max_delta"))
+      .withColumn("rle_ratio",
+        col("n_runs").cast("double") / col("n_values").cast("double"))
+  }
 }
