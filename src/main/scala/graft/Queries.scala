@@ -5126,6 +5126,102 @@ object Queries {
       |FROM s GROUP BY file_id ORDER BY file_id
       |""".stripMargin.trim))
 
+  /** Unicode NFC canonicalization (round 10): every text pipeline
+    * normalizes before hashing — decomposed `e + U+0301` and
+    * precomposed `é` are the same text to a reader but different bytes
+    * to every dedup/fingerprint operator upstream (q20/q23/q24). Spark
+    * has no built-in normalizer, so this is the round's custom codegen
+    * [[graft.functions.NfcNormalize]] Expression (a UDF here would box
+    * the hottest column in the pipeline). Inputs synthesize the
+    * interesting cases deterministically from doc_id — combining
+    * accents (changed by NFC), precomposed chars and the U+FB01
+    * ligature (NFC-invariant; NFKC would rewrite it) — prefixed onto a
+    * real text slice so the already-normalized fast path runs too.
+    * Oracle: DuckDB's `nfc_normalize` — same Unicode normal form,
+    * byte-identical output.
+    */
+  val q150: Q = Q(
+    "q150_unicode_nfc",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val variants = array(
+        lit("plain ascii only"),
+        lit("café"),
+        lit("café"),
+        lit("Å"),
+        lit("öre"),
+        lit("ﬁsh ligature stays"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(
+            element_at(variants, (col("doc_id") % 6 + 1).cast("int")),
+            lit(" "), substring(col("text"), 1, 32)).as("raw"))
+        .select(col("doc_id"), col("raw"),
+          expr("graft_nfc(raw)").as("nfc"))
+        .select(col("doc_id"), col("nfc"),
+          (col("nfc") =!= col("raw")).as("changed"),
+          length(col("nfc")).cast("long").as("n_cp"),
+          expr("octet_length(nfc)").cast("long").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH v AS (
+      |  SELECT doc_id,
+      |    list_extract(['plain ascii only',
+      |      'cafe' || chr(769),
+      |      'caf' || chr(233),
+      |      'A' || chr(778),
+      |      'o' || chr(776) || 're',
+      |      chr(64257) || 'sh ligature stays'],
+      |      CAST(doc_id % 6 + 1 AS INT)) || ' ' || substr(text, 1, 32) AS raw
+      |  FROM documents),
+      |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM v)
+      |SELECT doc_id, nfc, nfc <> raw AS changed,
+      |  CAST(length(nfc) AS BIGINT) AS n_cp,
+      |  CAST(strlen(nfc) AS BIGINT) AS n_bytes
+      |FROM n ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** ORC round-trip with partition pruning (round 10): the third
+    * columnar interchange format after parquet (native) and Avro
+    * (q96, hand-built codec). ORC needs no custom codec — Spark ships
+    * a vectorized ORC reader/writer, and the Spark-first move is to
+    * use it: write lineitem partitioned by return flag, read it back
+    * with a partition-column filter, and prove BOTH schema fidelity
+    * (the aggregate hash-matches parquet through the oracle) and
+    * partition pruning (the filtered read scans 2 of 3 directories —
+    * at 100 TB the pruned partition is never listed, let alone read).
+    */
+  val q151: Q = Q(
+    "q151_orc_roundtrip",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q151-orc").toString
+      val src = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_shipdate"), col("l_returnflag"))
+      src.write.mode("overwrite").partitionBy("l_returnflag")
+        .orc(s"$tmp/lineitem_orc")
+      // explicit schema: an all-empty write leaves no files to infer from
+      // (and skipping inference also saves a footer-listing pass at scale)
+      s.read.schema(src.schema).orc(s"$tmp/lineitem_orc")
+        .filter(col("l_returnflag") =!= "N")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          max(col("l_shipdate")).cast("string").as("max_ship"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      |SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(MAX(l_shipdate) AS VARCHAR) AS max_ship
+      |FROM lineitem WHERE l_returnflag <> 'N'
+      |GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5141,5 +5237,5 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
-    q147, q148, q149)
+    q147, q148, q149, q150, q151)
 }

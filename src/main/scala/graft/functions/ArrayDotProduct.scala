@@ -81,6 +81,30 @@ object GraftFunctions {
   val PackedDotName = "graft_packed_dot"
   val KmvName = "graft_kmv"
   val FreqName = "graft_freq"
+  val NfcName = "graft_nfc"
+
+  private def registerUnary(spark: SparkSession, name: String,
+      clazz: Class[_], build: Expression => Expression): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier(name)
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(
+        ident,
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => {
+          if (children.length != 1) {
+            throw new AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> name,
+                "expectedNum" -> "1",
+                "actualNum" -> children.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          }
+          build(children.head)
+        })
+    }
+  }
 
   private def registerBinary(spark: SparkSession, name: String,
       clazz: Class[_], build: (Expression, Expression) => Expression): Unit = {
@@ -117,6 +141,7 @@ object GraftFunctions {
       KmvDistinctSketch(_, _))
     registerBinary(spark, FreqName, classOf[FreqItemsSketch],
       FreqItemsSketch(_, _))
+    registerUnary(spark, NfcName, classOf[NfcNormalize], NfcNormalize(_))
     // Parity with the GraftExtensions path: sessions registered at runtime
     // get the size(array_intersect) fusion too, not just the functions.
     val experimental = spark.experimental

@@ -21,6 +21,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def unary(name: String, clazz: Class[_],
+      build: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"$name requires exactly 1 argument, got ${children.length}")
+        build(children.head)
+      })
+
   private def binary(name: String, clazz: Class[_],
       build: (Expression, Expression) => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
@@ -44,6 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[KmvDistinctSketch], KmvDistinctSketch(_, _)))
     ext.injectFunction(binary(GraftFunctions.FreqName,
       classOf[FreqItemsSketch], FreqItemsSketch(_, _)))
+    ext.injectFunction(unary(GraftFunctions.NfcName,
+      classOf[NfcNormalize], NfcNormalize(_)))
     ext.injectOptimizerRule(_ => NativeSetOpsRule)
   }
 }

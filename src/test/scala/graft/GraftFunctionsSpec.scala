@@ -169,4 +169,42 @@ class GraftFunctionsSpec extends SparkSpec {
       "SELECT graft_kmv(vec_id, 64) FROM emb_sql").head().getSeq[Long](0)
     assert(sketch.nonEmpty && sketch.length <= 64 && sketch == sketch.sorted)
   }
+  test("graft_nfc matches java.text.Normalizer on combining sequences") {
+    GraftFunctions.register(spark)
+    val cases = Seq(
+      "plain ascii",
+      "cafe\u0301",            // e + combining acute -> composes
+      "caf\u00e9",             // precomposed, NFC-invariant
+      "A\u030angstro\u0308m", // two combining marks
+      "a\u0328\u0301",        // stacked combining marks on one base
+      "\ufb01sh",              // fi ligature: NFC keeps it (NFKC would not)
+      "",                       // empty
+      "\ud55c\u1100\u1161")  // Hangul: precomposed + decomposed jamo pair
+    val df = cases.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "raw")
+      .select(col("i"), col("raw"), expr("graft_nfc(raw)").as("nfc"))
+    val got = df.orderBy(col("i")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    got.foreach { case (raw, nfc) =>
+      assert(nfc == java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC),
+        s"mismatch for ${raw.map(c => f"\\u${c.toInt}%04x").mkString}")
+    }
+    // the decomposed forms actually changed (the test isn't vacuous)...
+    assert(got(1)._2 == "caf\u00e9" && got(1)._1 != got(1)._2)
+    // ...and the NFC-invariant forms passed through unchanged
+    assert(got(2)._1 == got(2)._2 && got(5)._1 == got(5)._2)
+  }
+
+  test("graft_nfc participates in whole-stage codegen and is null-safe") {
+    GraftFunctions.register(spark)
+    val df = spark.range(3)
+      .select(when(col("id") =!= 1, concat(lit("e\u0301x"), col("id"))).as("raw"))
+      .select(col("raw"), expr("graft_nfc(raw)").as("nfc"))
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(1)) == 1) // null in -> null out
+    assert(rows.filter(!_.isNullAt(1)).forall(r => r.getString(1).startsWith("\u00e9x")))
+    val plan = df.queryExecution.executedPlan.toString()
+    val line = plan.linesIterator.find(_.contains("graft_nfc")).get
+    assert(line.trim.startsWith("*("))
+    assert(!plan.contains("CodegenFallback"))
+  }
 }
