@@ -5222,6 +5222,71 @@ object Queries {
       |GROUP BY 1 ORDER BY 1
       |""".stripMargin.trim))
 
+  /** BPE pair statistics (round 10): the inner building block of BPE
+    * vocabulary training — word-frequency table first (vocab-sized;
+    * the corpus is touched once), then adjacent character-pair counts
+    * weighted by word frequency. [[graft.operators.TrainPrep.bpeTrain]]
+    * loops the generalized symbol-level form of this with a one-row
+    * argmax read per merge round; the full n-merge trainer is gated by
+    * `BpeSpec` against a naive single-machine reference (the loop is
+    * not SQL-expressible, the building block is).
+    */
+  val q152: Q = Q(
+    "q152_bpe_pairs",
+    (s, dir) => TrainPrep.bpePairCounts(t(s, dir, "documents"), "text")
+      .select(col("a"), col("b"), col("cnt").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b")),
+    Some("""
+      |WITH words AS (
+      |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents),
+      |wf AS (SELECT w, COUNT(*) AS f FROM words WHERE w <> '' GROUP BY w),
+      |pairs AS (
+      |  SELECT substr(w, CAST(i AS INT), 1) AS a,
+      |         substr(w, CAST(i AS INT) + 1, 1) AS b, f
+      |  FROM (SELECT w, f, unnest(range(1, length(w))) AS i
+      |        FROM wf WHERE length(w) >= 2))
+      |SELECT a, b, CAST(SUM(f) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY a, b ORDER BY cnt DESC, a, b
+      |""".stripMargin.trim))
+
+  /** Parquet footer-stats audit (round 10): write lineitem into a
+    * bucket-partitioned parquet layout, then recompute per-bucket
+    * (row count, key min, key max) from FOOTERS ONLY — no data page is
+    * read on the audit side (see
+    * [[graft.sources.ParquetFooters.footerStats]]). The oracle computes
+    * the same aggregates FROM the data in DuckDB, so a hash match
+    * proves the stats a scan planner prunes on are consistent with the
+    * rows — the stats-audit half of the lakehouse-maintenance family
+    * (q116 layout cost, q139 Z-order, q149 encoding advisor).
+    */
+  val q153: Q = Q(
+    "q153_footer_audit",
+    (s, dir) => {
+      import graft.sources.ParquetFooters
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q153-footer").toString
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          (col("l_orderkey") % 8).as("bucket"))
+        .repartition(8, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$tmp/lineitem_bucketed")
+      ParquetFooters.footerStats(s, s"$tmp/lineitem_bucketed", "l_orderkey")
+        .select(regexp_extract(col("path"), "bucket=(\\d+)", 1)
+          .cast("long").as("bucket"),
+          col("n_rows"), col("min_v"), col("max_v"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          min(col("min_v")).as("min_key"),
+          max(col("max_v")).as("max_key"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      |SELECT l_orderkey % 8 AS bucket, COUNT(*) AS n_rows,
+      |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+      |FROM lineitem GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5237,5 +5302,5 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
-    q147, q148, q149, q150, q151)
+    q147, q148, q149, q150, q151, q152, q153)
 }

@@ -360,6 +360,105 @@ object TrainPrep {
     * (PlanAuditSpec's no-partitionless-window rule holds — row groups
     * live inside files, so a global order is never needed).
     */
+  /** Character-pair frequency counts — the inner building block of BPE
+    * vocabulary training ([[bpeTrain]] loops a generalized form of it).
+    * Tokenize on whitespace, collapse to a word-frequency table FIRST
+    * (vocab-sized — orders of magnitude smaller than the corpus; this
+    * is what makes distributed BPE tractable at 100 TB), then count
+    * adjacent character pairs weighted by word frequency. Pure built-in
+    * expressions: `sequence` + `posexplode` + `substring`, all
+    * codegen'd; two shuffles total (word groupBy, pair groupBy), both
+    * over vocab-sized data after the first.
+    */
+  def bpePairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    words
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("f"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substring(w, i, 1)").as("a"),
+        expr("substring(w, i + 1, 1)").as("b"), col("f"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("f")).as("cnt"))
+  }
+
+  /** Distributed BPE vocabulary training (pair-merge loop). Builds the
+    * word-frequency table once (the corpus is touched exactly once; the
+    * loop runs over the vocab-sized symbol table), then for each of
+    * `nMerges` rounds: count adjacent symbol pairs weighted by word
+    * frequency, pick the most frequent (ties broken lexicographically —
+    * fully deterministic at any parallelism), and merge that pair in
+    * every word's symbol sequence. The per-round driver read is ONE row
+    * (the argmax) — a bounded control-plane read, same budget as the
+    * IVF centroid reads. The merge itself is an `aggregate` fold over
+    * the symbol array (greedy leftmost-first, the reference BPE order):
+    * stays declarative, no UDF.
+    *
+    * Words end with an explicit `</w>` symbol so merges can't cross
+    * word boundaries and final-position subwords stay distinct — the
+    * classic formulation. Returns the learned merges (rank, a, b,
+    * weighted count) as a DataFrame; `BpeSpec` checks the full list
+    * against a naive single-machine reference implementation.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 10000, s"bpeTrain: bad nMerges $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    // chars + explicit end-of-word marker as the initial symbol sequence.
+    // Checkpointed iteration (the pagerank/kcore pattern): each round's
+    // symbol table is lineage-truncated, so the per-round fold doesn't
+    // stack nMerges aggregate()s into one plan; dropped checkpoints are
+    // GC-managed, no pin bookkeeping.
+    var symbols = words.select(col("f"),
+      concat(split(col("w"), ""), array(lit("</w>"))).as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    while (rank < nMerges) {
+      val top = symbols
+        .select(col("f"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .select(col("p.l").as("a"), col("p.r").as("b"), col("f"))
+        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) rank = nMerges
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, cnt))
+        // greedy leftmost-first merge of (a, b) inside every sequence:
+        // fold symbols left to right; when the running tail is `a` and
+        // the next symbol is `b`, replace the tail with `a || b`. A
+        // just-merged token never re-merges in the same round (the fold
+        // compares the MERGED tail against `a`), matching reference BPE.
+        val merged = expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+             |  if(size(acc) > 0 and element_at(acc, -1) = ${sqlLit(a)}
+             |       and x = ${sqlLit(b)},
+             |     concat(slice(acc, 1, size(acc) - 1),
+             |            array(${sqlLit(a + b)})),
+             |     concat(acc, array(x))))""".stripMargin)
+        symbols = symbols.select(col("f"), merged.as("syms")).localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result()
+      .toDF("rank", "a", "b", "cnt")
+      .select(col("rank").cast("long").as("rank"), col("a"), col("b"), col("cnt"))
+  }
+
+  /** SQL single-quoted string literal with escaping (merge symbols can
+    * contain quotes if the corpus does). */
+  private def sqlLit(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   def encodingAdvisor(df: DataFrame, fileCol: Column, orderCols: Seq[Column],
       valueCol: Column): DataFrame = {
     df.select(fileCol.cast("long").as("file_id"),

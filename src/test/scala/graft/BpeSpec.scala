@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TrainPrep
+
+/** Gate for the distributed BPE trainer: the learned merge list must
+  * equal, merge for merge, what the textbook single-machine algorithm
+  * produces on the same corpus (word-freq table; count adjacent symbol
+  * pairs weighted by frequency; merge the most frequent, ties broken
+  * lexicographically; repeat). The distributed loop is not
+  * SQL-expressible, so THIS is its oracle; the per-round pair-count
+  * building block is oracle-checked as q152.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Textbook reference: in-memory BPE with the same determinism
+    * contract (max by (count, then lexicographic (a, b) ascending),
+    * greedy leftmost-first merge within a word). */
+  private def referenceBpe(corpus: Seq[String], nMerges: Int)
+      : Seq[(String, String, Long)] = {
+    val wordFreq = corpus
+      .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var syms: Map[Vector[String], Long] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toVector :+ "</w>") -> f }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.values.sum }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val counts = collection.mutable.Map[(String, String), Long]()
+      for ((s, f) <- syms; j <- 0 until s.length - 1)
+        counts((s(j), s(j + 1))) = counts.getOrElse((s(j), s(j + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((a, b, c))
+        def merge(s: Vector[String]): Vector[String] = {
+          val buf = Vector.newBuilder[String]
+          var k = 0
+          while (k < s.length) {
+            if (k < s.length - 1 && s(k) == a && s(k + 1) == b) {
+              buf += a + b; k += 2
+            } else { buf += s(k); k += 1 }
+          }
+          buf.result()
+        }
+        syms = syms.toSeq.map { case (s, f) => merge(s) -> f }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  test("bpeTrain matches the textbook reference merge-for-merge") {
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest newest newest newest newest",
+      "widest widest widest",
+      "the quick brown fox jumps over the lazy dog",
+      "she sells sea shells by the sea shore")
+    val expected = referenceBpe(corpus, 25)
+    val got = TrainPrep.bpeTrain(corpus.toDF("text"), "text", 25)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.size == expected.size)
+    got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g == e, s"merge $i diverged: got $g expected $e")
+    }
+    // sanity: classic toy corpus learns multi-char subwords, not just bigrams
+    assert(got.exists { case (a, b, _) => (a + b).length >= 4 })
+  }
+
+  test("bpeTrain is exhaustion-safe and quote-safe") {
+    // single repeated word exhausts its pairs before nMerges rounds
+    val tiny = Seq("aa aa aa", "it's it's").toDF("text")
+    val merges = TrainPrep.bpeTrain(tiny, "text", 50)
+      .orderBy(col("rank")).collect()
+    // "aa</w>" fully merges in 2 rounds, "it's</w>" in 4; loop must stop
+    // on exhaustion, and the apostrophe symbol must survive the SQL-literal
+    // round-trip inside the merge fold
+    assert(merges.length < 50 && merges.nonEmpty)
+    val ref = referenceBpe(Seq("aa aa aa", "it's it's"), 50)
+    assert(merges.map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq == ref)
+  }
+}
