@@ -5287,6 +5287,101 @@ object Queries {
       |FROM lineitem GROUP BY 1 ORDER BY 1
       |""".stripMargin.trim))
 
+  /** REAL WebP container decode (round 10 — ninth format; the most
+    * common image format on the modern web after JPEG/PNG). The three
+    * bitstream flavors pack dimensions entirely differently — VP8's
+    * LE frame tag + start code + 14-bit u16 dims, VP8L's LSB-first
+    * bit stream (14+14+1+3 bits), VP8X's flag byte + 24-bit LE canvas
+    * dims — and the synthesis schedule exercises all three plus RIFF
+    * odd-size padding; the oracle recomputes every field closed-form,
+    * container size arithmetic included (see
+    * `Multimodal.Webp`). Pixel payloads stay library-bound (MP4/FLAC
+    * honesty line).
+    */
+  val q154: Q = Q(
+    "q154_webp_decode",
+    (s, dir) => Multimodal.webpRoundTrip(t(s, dir, "documents"), "doc_id")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+      |    ELSE 'vp8x' END AS format,
+      |  CAST(16 + doc_id % 111 AS BIGINT) AS width,
+      |  CAST(8 + doc_id % 77 AS BIGINT) AS height,
+      |  doc_id % 3 <> 0 AND doc_id % 2 = 0 AS has_alpha,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS BIGINT) AS n_chunks,
+      |  CAST(CASE doc_id % 3
+      |    WHEN 0 THEN 12 + (10 + doc_id % 5) + (doc_id % 5) % 2
+      |    WHEN 1 THEN 12 + (5 + doc_id % 5) + (5 + doc_id % 5) % 2
+      |    ELSE 4 + 18 + 8 + (5 + doc_id % 5) + (5 + doc_id % 5) % 2
+      |  END AS BIGINT) AS riff_size
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Robots.txt compliance filter (round 10): the politeness/consent
+    * gate a crawl pipeline applies before anything else touches a URL.
+    * Synthesizes per-domain robots.txt content (comments, a non-`*`
+    * agent group that must be IGNORED, `Disallow`/`Allow` prefixes,
+    * domain-dependent extra rules) and a URL table from doc ids, then
+    * runs [[graft.operators.TextOps.robotsFilter]]: declarative
+    * line-parse (running `last` window carries the agent group),
+    * longest-prefix-match with allow-wins-ties. The oracle recomputes
+    * every decision closed-form — including the `/private/pub/` case
+    * where a longer Allow overrides a shorter Disallow, and the gptbot
+    * `Disallow: /` that must NOT leak into the `*` group.
+    */
+  val q155: Q = Q(
+    "q155_robots_filter",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("d"), (col("doc_id") % 7).cast("string")).as("domain"),
+        when(col("doc_id") % 5 === 0, lit("/"))
+          .when(col("doc_id") % 5 === 1, concat(lit("/public/a"), id))
+          .when(col("doc_id") % 5 === 2, concat(lit("/private/x"), id))
+          .when(col("doc_id") % 5 === 3, concat(lit("/private/pub/ok"), id))
+          .otherwise(concat(lit("/tmp/z"), id)).as("path"))
+      val robots = t(s, dir, "documents").filter(col("doc_id") < 7)
+        .select(concat(lit("d"), col("doc_id").cast("string")).as("domain"),
+          concat_ws("\n",
+            lit("# crawl policy"),
+            lit("User-agent: gptbot"),
+            lit("Disallow: /"),
+            lit(""),
+            lit("USER-AGENT: *"),
+            lit("Disallow: /private/"),
+            lit("Allow: /private/pub/"),
+            when(col("doc_id") % 2 === 0, lit("Disallow: /tmp/"))
+              .otherwise(lit(""))).as("robots_txt"))
+      TextOps.robotsFilter(urls, "doc_id", "domain", "path",
+          robots, "domain", "robots_txt")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |SELECT doc_id,
+      |  'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN '/'
+      |    WHEN 1 THEN '/public/a' || CAST(doc_id AS VARCHAR)
+      |    WHEN 2 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+      |    WHEN 3 THEN '/private/pub/ok' || CAST(doc_id AS VARCHAR)
+      |    ELSE '/tmp/z' || CAST(doc_id AS VARCHAR) END AS path,
+      |  CASE doc_id % 5
+      |    WHEN 2 THEN FALSE
+      |    WHEN 4 THEN (doc_id % 7) % 2 <> 0
+      |    ELSE TRUE END AS allowed,
+      |  CASE doc_id % 5
+      |    WHEN 2 THEN '/private/'
+      |    WHEN 3 THEN '/private/pub/'
+      |    WHEN 4 THEN CASE WHEN (doc_id % 7) % 2 = 0 THEN '/tmp/' END
+      |  END AS matched_prefix,
+      |  CAST(CASE doc_id % 5
+      |    WHEN 2 THEN 9 WHEN 3 THEN 13
+      |    WHEN 4 THEN CASE WHEN (doc_id % 7) % 2 = 0 THEN 5 END
+      |  END AS BIGINT) AS matched_len
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5302,5 +5397,5 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
-    q147, q148, q149, q150, q151, q152, q153)
+    q147, q148, q149, q150, q151, q152, q153, q154, q155)
 }

@@ -43,6 +43,7 @@ object Multimodal {
     def ascii(off: Int, n: Int) =
       if (bytes.length >= off + n) new String(bytes, off, n, "US-ASCII") else ""
     if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") "wav"
+    else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WEBP") "webp"
     else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && ascii(1, 3) == "PNG") "png"
     else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
     else if (ascii(4, 4) == "ftyp") "mp4"
@@ -117,6 +118,9 @@ object Multimodal {
               val m = Tiff.decode(id, bytes)
               MediaMeta(id, len, m.width, m.height, m.n_pages, head, fmt,
                 decode_ok = true)
+            case "webp" =>
+              val m = Webp.decode(id, bytes)
+              MediaMeta(id, len, m.width, m.height, 1, head, fmt, decode_ok = true)
             case _ => fake
           } catch { case scala.util.control.NonFatal(_) => fake }
         }
@@ -2450,5 +2454,203 @@ object Multimodal {
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(id => Tiff.decode(id, synthTiff(id))))
+  }
+
+  /** Decoded WebP container metadata. `format` is the bitstream flavor
+    * ("vp8" lossy, "vp8l" lossless, "vp8x" extended), dims come from
+    * the flavor's own header encoding (three different layouts — see
+    * [[Webp]]), `has_alpha` from the VP8L header bit / VP8X flag byte,
+    * `riff_size` is the container's declared size (padding-aware).
+    */
+  case class WebpMeta(doc_id: Long, format: String, width: Long, height: Long,
+      has_alpha: Boolean, n_chunks: Long, riff_size: Long)
+
+  /** Minimal REAL WebP container codec (round 10 — ninth format; the
+    * most common image format on the modern web after JPEG/PNG, so a
+    * crawl pipeline's media column is full of it). Public format (the
+    * WebP container + bitstream specs): a RIFF wrapper ("RIFF" +
+    * u32le size + "WEBP") around fourcc chunks with odd-size padding,
+    * where the three flavors pack dimensions entirely differently —
+    *   VP8  (lossy): 3-byte LE frame tag, the 9D 01 2A start code,
+    *        then 14-bit width/height each in a u16le (top 2 bits are
+    *        rescale hints);
+    *   VP8L (lossless): 0x2F signature then an LSB-first BIT stream:
+    *        14 bits (w-1), 14 bits (h-1), 1 alpha bit, 3 version bits;
+    *   VP8X (extended): a flag byte (bit 4 = alpha) + 24-bit LE
+    *        canvas dims (minus one), followed by the frame chunk.
+    * Decoding all three proves real per-flavor bit parsing, same
+    * contract as FLAC's bit-packed STREAMINFO. The VP8/VP8L PIXEL
+    * payloads (boolean-coder DCT / Huffman-coded transforms) are the
+    * library-bound step, same honesty line as MP4/FLAC: container
+    * real, payload out of scope.
+    */
+  object Webp {
+    private def u16le(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def u24le(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16)
+    private def u32le(b: Array[Byte], off: Int): Long =
+      (u24le(b, off).toLong) | ((b(off + 3) & 0xff).toLong << 24)
+
+    /** LSB-first bit reader over a byte array (the VP8L convention). */
+    private final class BitReader(bytes: Array[Byte], var off: Int) {
+      private var acc = 0L
+      private var n = 0
+      def read(width: Int): Int = {
+        while (n < width) {
+          acc |= (bytes(off) & 0xffL) << n; off += 1; n += 8
+        }
+        val v = (acc & ((1L << width) - 1)).toInt
+        acc >>>= width; n -= width
+        v
+      }
+    }
+    private final class BitWriter {
+      private val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      private var acc = 0L
+      private var n = 0
+      def put(v: Int, width: Int): Unit = {
+        acc |= (v.toLong & ((1L << width) - 1)) << n
+        n += width
+        while (n >= 8) { bytes += (acc & 0xff).toByte; acc >>>= 8; n -= 8 }
+      }
+      def finish(): Array[Byte] = {
+        if (n > 0) { bytes += (acc & 0xff).toByte; n = 0 }
+        bytes.toArray
+      }
+    }
+
+    private def chunk(fourcc: String, payload: Array[Byte]): Array[Byte] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      buf ++= fourcc.getBytes("US-ASCII")
+      val s = payload.length
+      buf += (s & 0xff).toByte; buf += ((s >> 8) & 0xff).toByte
+      buf += ((s >> 16) & 0xff).toByte; buf += ((s >> 24) & 0xff).toByte
+      buf ++= payload
+      if (s % 2 == 1) buf += 0 // RIFF pad byte
+      buf.toArray
+    }
+
+    private def vp8Payload(w: Int, h: Int, filler: Int): Array[Byte] = {
+      val partSize = 100 + filler // 19-bit first-partition size (unchecked)
+      val tag = (partSize << 5) | (1 << 4) | 0 // show_frame=1, keyframe, v0
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      buf += (tag & 0xff).toByte; buf += ((tag >> 8) & 0xff).toByte
+      buf += ((tag >> 16) & 0xff).toByte
+      buf += 0x9d.toByte; buf += 0x01.toByte; buf += 0x2a.toByte
+      buf += (w & 0xff).toByte; buf += ((w >> 8) & 0x3f).toByte
+      buf += (h & 0xff).toByte; buf += ((h >> 8) & 0x3f).toByte
+      buf ++= Array.fill[Byte](filler)(0)
+      buf.toArray
+    }
+
+    private def vp8lPayload(w: Int, h: Int, alpha: Boolean, filler: Int): Array[Byte] = {
+      val bw = new BitWriter
+      bw.put(w - 1, 14); bw.put(h - 1, 14)
+      bw.put(if (alpha) 1 else 0, 1); bw.put(0, 3)
+      Array[Byte](0x2f) ++ bw.finish() ++ Array.fill[Byte](filler)(0)
+    }
+
+    def encode(variant: Int, w: Int, h: Int, alpha: Boolean, filler: Int): Array[Byte] = {
+      val chunks: Seq[Array[Byte]] = variant match {
+        case 0 => Seq(chunk("VP8 ", vp8Payload(w, h, filler)))
+        case 1 => Seq(chunk("VP8L", vp8lPayload(w, h, alpha, filler)))
+        case _ =>
+          val flags = if (alpha) 0x10 else 0x00
+          val x = scala.collection.mutable.ArrayBuffer.empty[Byte]
+          x += flags.toByte; x += 0; x += 0; x += 0
+          val cw = w - 1; val ch = h - 1
+          x += (cw & 0xff).toByte; x += ((cw >> 8) & 0xff).toByte; x += ((cw >> 16) & 0xff).toByte
+          x += (ch & 0xff).toByte; x += ((ch >> 8) & 0xff).toByte; x += ((ch >> 16) & 0xff).toByte
+          Seq(chunk("VP8X", x.toArray), chunk("VP8L", vp8lPayload(w, h, alpha, filler)))
+      }
+      val body = chunks.foldLeft(Array.emptyByteArray)(_ ++ _)
+      val riffSize = 4 + body.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      out ++= "RIFF".getBytes("US-ASCII")
+      out += (riffSize & 0xff).toByte; out += ((riffSize >> 8) & 0xff).toByte
+      out += ((riffSize >> 16) & 0xff).toByte; out += ((riffSize >> 24) & 0xff).toByte
+      out ++= "WEBP".getBytes("US-ASCII")
+      out ++= body
+      out.toArray
+    }
+
+    def decode(id: Long, b: Array[Byte]): WebpMeta = {
+      def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+      require(b.length >= 20, s"truncated webp (${b.length} bytes, doc $id)")
+      require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WEBP",
+        s"not a RIFF/WEBP container (doc $id)")
+      val riffSize = u32le(b, 4)
+      require(riffSize == b.length - 8,
+        s"RIFF size $riffSize != payload ${b.length - 8} (doc $id)")
+      var off = 12
+      var nChunks = 0L
+      var format: String = null
+      var w = -1L; var h = -1L; var alpha = false
+      while (off + 8 <= b.length) {
+        val fourcc = ascii(off, 4)
+        val size = u32le(b, off + 4)
+        require(size <= Int.MaxValue && off + 8 + size <= b.length,
+          s"chunk $fourcc overruns container (doc $id)")
+        val p = off + 8
+        fourcc match {
+          case "VP8 " =>
+            require(size >= 10, s"short VP8 chunk (doc $id)")
+            require((b(p) & 0x01) == 0, s"VP8 first frame not a keyframe (doc $id)")
+            require((b(p + 3) & 0xff) == 0x9d && (b(p + 4) & 0xff) == 0x01 &&
+              (b(p + 5) & 0xff) == 0x2a, s"bad VP8 start code (doc $id)")
+            if (format == null || format == "vp8x") {
+              if (format == null) format = "vp8"
+              if (w < 0) { w = u16le(b, p + 6) & 0x3fff; h = u16le(b, p + 8) & 0x3fff }
+            }
+          case "VP8L" =>
+            require(size >= 5, s"short VP8L chunk (doc $id)")
+            require((b(p) & 0xff) == 0x2f, s"bad VP8L signature (doc $id)")
+            val br = new BitReader(b, p + 1)
+            val lw = br.read(14) + 1L
+            val lh = br.read(14) + 1L
+            val la = br.read(1) == 1
+            require(br.read(3) == 0, s"unknown VP8L version (doc $id)")
+            if (format == null) { format = "vp8l"; w = lw; h = lh; alpha = la }
+            else if (format == "vp8x" && w < 0) { w = lw; h = lh }
+          case "VP8X" =>
+            require(size == 10, s"VP8X chunk must be 10 bytes (doc $id)")
+            require(format == null, s"VP8X after a frame chunk (doc $id)")
+            format = "vp8x"
+            alpha = (b(p) & 0x10) != 0
+            w = u24le(b, p + 4) + 1L
+            h = u24le(b, p + 7) + 1L
+          case _ => // ANIM/ICCP/EXIF/XMP/ALPH etc: counted, not parsed
+        }
+        nChunks += 1
+        off = p + size.toInt + (size % 2).toInt
+      }
+      require(off == b.length, s"trailing garbage after chunks (doc $id)")
+      require(format != null && w > 0 && h > 0,
+        s"no image chunk found (doc $id)")
+      WebpMeta(id, format, w, h, alpha, nChunks, riffSize)
+    }
+  }
+
+  /** Deterministic WebP synthesis: flavor, dims, alpha, and filler
+    * length all derived from the id (the q154 oracle recomputes every
+    * field closed-form, padding arithmetic included).
+    */
+  def synthWebp(docId: Long): Array[Byte] = {
+    val variant = (docId % 3).toInt
+    val w = (16 + docId % 111).toInt
+    val h = (8 + docId % 77).toInt
+    val alpha = variant != 0 && docId % 2 == 0
+    Webp.encode(variant, w, h, alpha, (docId % 5).toInt)
+  }
+
+  /** documents → real WebP binary column → REAL three-flavor header
+    * decode → exact metadata.
+    */
+  def webpRoundTrip(ids: DataFrame, idCol: String): Dataset[WebpMeta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => Webp.decode(id, synthWebp(id))))
   }
 }

@@ -707,4 +707,73 @@ object TextOps {
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
   }
+  /** Parse robots.txt content into per-domain (prefix, allow) rules for
+    * the wildcard agent — the compliance half of a polite crawler
+    * (companions: `canonicalizeUrls` q128, per-domain quota q107).
+    * Declarative line-machine: explode lines, strip `#` comments, tag
+    * `User-agent:` lines, carry the CURRENT group forward with a
+    * running `last(_, ignoreNulls)` window keyed by line order, keep
+    * `Allow:`/`Disallow:` lines inside `*` groups. Directive matching
+    * is case-insensitive, prefix case is preserved, empty `Disallow:`
+    * means no restriction (per the robots.txt de-facto spec) and is
+    * dropped. Simplification vs RFC 9309, documented: one agent line
+    * per group (stacked agent lines take the last), no `$`/`*`
+    * wildcards in paths — plain prefix rules only.
+    */
+  def parseRobots(robots: DataFrame, domainCol: String, contentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(contentCol), "\n")).as(Seq("line_no", "raw")))
+      .select(col("domain"), col("line_no"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+    lines
+      .withColumn("agent",
+        when(lower(col("line")).startsWith("user-agent:"),
+          lower(trim(expr("substring(line, 12)")))))
+      .withColumn("cur_agent",
+        last(col("agent"), ignoreNulls = true)
+          .over(Window.partitionBy(col("domain")).orderBy(col("line_no"))))
+      .filter(col("cur_agent") === "*")
+      .withColumn("is_allow",
+        when(lower(col("line")).startsWith("allow:"), lit(true))
+          .when(lower(col("line")).startsWith("disallow:"), lit(false)))
+      .filter(col("is_allow").isNotNull)
+      .withColumn("prefix",
+        when(col("is_allow"), trim(expr("substring(line, 7)")))
+          .otherwise(trim(expr("substring(line, 10)"))))
+      .filter(col("prefix") =!= "")
+      .select(col("domain"), col("prefix"), col("is_allow"),
+        length(col("prefix")).cast("long").as("prefix_len"))
+  }
+
+  /** Robots.txt compliance filter: decide `allowed` for every URL by
+    * longest-prefix-match against the domain's wildcard-agent rules
+    * (Google/RFC 9309 semantics: most specific rule wins; on a length
+    * tie the Allow wins; no matching rule means allowed). The rules
+    * side is robots-corpus-sized (bounded rules per domain) and
+    * broadcast by default; at a scale where it stops fitting, pass
+    * `broadcastRules = false` and the same plan becomes a domain-keyed
+    * shuffle equi-join — never an all-pairs comparison. The per-URL
+    * argmax is a `max(struct(...))` aggregate (partial map-side
+    * combine), not a window — no single-partition sort at 100 TB.
+    */
+  def robotsFilter(urls: DataFrame, idCol: String, domainCol: String,
+      pathCol: String, robots: DataFrame, robotsDomainCol: String,
+      contentCol: String, broadcastRules: Boolean = true): DataFrame = {
+    val rules0 = parseRobots(robots, robotsDomainCol, contentCol)
+    val rules = if (broadcastRules) broadcast(rules0) else rules0
+    urls
+      .select(col(idCol), col(domainCol).as("domain"), col(pathCol).as("path"))
+      .join(rules, Seq("domain"), "left")
+      .withColumn("hit",
+        col("prefix").isNotNull && col("path").startsWith(col("prefix")))
+      .groupBy(col(idCol), col("domain"), col("path"))
+      .agg(max(when(col("hit"),
+        struct(col("prefix_len"), col("is_allow"), col("prefix")))).as("best"))
+      .select(col(idCol), col("domain"), col("path"),
+        coalesce(col("best.is_allow"), lit(true)).as("allowed"),
+        col("best.prefix").as("matched_prefix"),
+        col("best.prefix_len").as("matched_len"))
+  }
 }

@@ -78,7 +78,7 @@ class CrawlFormatsPropSpec extends SparkSpec {
   test("decodeMedia total-decode: random mutations never fail the batch") {
     val rnd = new scala.util.Random(23)
     val mutated = (0 until 120).map { i =>
-      val base = (i % 9) match {
+      val base = (i % 10) match {
         case 0 => Multimodal.synthWav(i.toLong)
         case 1 => Multimodal.synthBmp(i.toLong)
         case 2 => Multimodal.synthPng(i.toLong)
@@ -87,7 +87,8 @@ class CrawlFormatsPropSpec extends SparkSpec {
         case 5 => Multimodal.synthGif(i.toLong)
         case 6 => Multimodal.synthFlac(i.toLong)
         case 7 => Multimodal.synthMp3(i.toLong)
-        case _ => Multimodal.synthTiff(i.toLong)
+        case 8 => Multimodal.synthTiff(i.toLong)
+        case _ => Multimodal.synthWebp(i.toLong)
       }
       val b = rnd.nextInt(3) match {
         case 0 => base.take(rnd.nextInt(base.length + 1)) // truncate
@@ -109,7 +110,7 @@ class CrawlFormatsPropSpec extends SparkSpec {
     // labeled fallback (decode_ok=false), never a task failure
     assert(out.length == mutated.length)
     assert(out.count(_.decode_ok) >= mutated.count { case (i, b) =>
-      java.util.Arrays.equals(b, (i % 9) match {
+      java.util.Arrays.equals(b, (i % 10) match {
         case 0 => Multimodal.synthWav(i)
         case 1 => Multimodal.synthBmp(i)
         case 2 => Multimodal.synthPng(i)
@@ -118,7 +119,8 @@ class CrawlFormatsPropSpec extends SparkSpec {
         case 5 => Multimodal.synthGif(i)
         case 6 => Multimodal.synthFlac(i)
         case 7 => Multimodal.synthMp3(i)
-        case _ => Multimodal.synthTiff(i)
+        case 8 => Multimodal.synthTiff(i)
+        case _ => Multimodal.synthWebp(i)
       })
     }) // untouched payloads all decode
   }

@@ -630,4 +630,28 @@ class MultimodalSpec extends SparkSpec {
     // histogram vectors are all-positive → cosine in (0, 1]
     assert(topk.filter(col("cosine_sim") <= 0 || col("cosine_sim") > 1.0001).count() == 0)
   }
+
+  test("Webp decodes all three flavors and rejects corrupt containers") {
+    // flavor coverage: vp8 (id 3), vp8l (id 4), vp8x (id 5)
+    val m3 = Multimodal.Webp.decode(3L, Multimodal.synthWebp(3L))
+    assert(m3.format == "vp8" && m3.width == 19 && m3.height == 11 && !m3.has_alpha)
+    val m4 = Multimodal.Webp.decode(4L, Multimodal.synthWebp(4L))
+    assert(m4.format == "vp8l" && m4.has_alpha && m4.n_chunks == 1)
+    val m5 = Multimodal.Webp.decode(5L, Multimodal.synthWebp(5L))
+    assert(m5.format == "vp8x" && !m5.has_alpha && m5.n_chunks == 2)
+    // declared RIFF size must match the actual byte count
+    val enc = Multimodal.synthWebp(3L)
+    val truncated = enc.dropRight(1)
+    intercept[IllegalArgumentException](Multimodal.Webp.decode(3L, truncated))
+    // corrupt the VP8 start code
+    val bad = enc.clone()
+    bad(12 + 8 + 3) = 0x00 // first VP8 payload byte + 3 = 0x9d start code
+    intercept[IllegalArgumentException](Multimodal.Webp.decode(3L, bad))
+    // the dispatcher downgrades both to the labeled fallback, no task failure
+    val out = Multimodal.decodeMedia(
+      Seq((3L, truncated), (4L, Multimodal.synthWebp(4L))).toDF("doc_id", "bin"),
+      "doc_id", "bin").collect().sortBy(_.doc_id)
+    assert(!out(0).decode_ok && out(0).format == "webp")
+    assert(out(1).decode_ok && out(1).width == m4.width)
+  }
 }
