@@ -5382,6 +5382,122 @@ object Queries {
       |FROM documents ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Link extraction → host graph (round 10): the crawl-frontier
+    * feeder between raw HTML (q125's envelope) and the graph family
+    * (PageRank q80, triangles q104, k-core q111 all consume edge
+    * lists shaped exactly like this). Synthesizes per-doc HTML with
+    * absolute links (authority from the URL), relative links (resolve
+    * to the page's own domain), a single-quoted href that must NOT
+    * match the double-quote contract, then aggregates
+    * [[graft.operators.TextOps.extractLinks]] into per-(src, dst)
+    * edge weights. The oracle rebuilds the same edges closed-form from
+    * the id schedule — independent of the regex path.
+    */
+  val q156: Q = Q(
+    "q156_link_graph",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      def dom(k: Column) = concat(lit("d"), k.cast("string"), lit(".ex.com"))
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        dom(col("doc_id") % 7).as("domain"),
+        concat(
+          lit("<html><body><a href=\"https://"),
+          dom(col("doc_id") * 3 % 7), lit("/p"), id, lit("\">t</a>"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("<a href=\"/local/"), id, lit("\">rel</a>")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("<a href=\"http://"), dom(col("doc_id") * 5 % 7),
+              lit("/q/"), id, lit("\">u</a>")))
+            .otherwise(lit("")),
+          lit("<a href='https://skip.me/x'>noise</a></body></html>")).as("html"))
+      TextOps.extractLinks(docs, "doc_id", "html", "domain")
+        .groupBy(col("src_domain"), col("dst_domain"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("src_domain"), col("dst_domain"))
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT doc_id,
+      |    'd' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com' AS src,
+      |    'd' || CAST(doc_id * 3 % 7 AS VARCHAR) || '.ex.com' AS dst
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    'd' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com',
+      |    'd' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com'
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    'd' || CAST(doc_id % 7 AS VARCHAR) || '.ex.com',
+      |    'd' || CAST(doc_id * 5 % 7 AS VARCHAR) || '.ex.com'
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT src AS src_domain, dst AS dst_domain,
+      |  COUNT(*) AS n_links, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2
+      |""".stripMargin.trim))
+
+  /** Composed crawl pipeline (round 10): the end-to-end path a crawl
+    * batch actually takes, chained from this round's first-class
+    * operators — robots.txt compliance gate (q155 semantics) → HTML
+    * text extraction (q125) → Unicode NFC canonicalization (q150's
+    * `graft_nfc`) → exact dedup on the md5 of the NORMALIZED text
+    * (decomposed accents in the raw bytes, so skipping NFC would
+    * change every fingerprint) → per-domain yield report. The oracle
+    * recomputes the whole chain closed-form (DuckDB `nfc_normalize` +
+    * `md5`), so a hash match proves the operators COMPOSE, not just
+    * pass individually. Bodies repeat on a mod-37 schedule to force
+    * real cross-document duplicates; first-writer (min doc id) wins,
+    * the F3 contract.
+    */
+  val q157: Q = Q(
+    "q157_crawl_pipeline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val id = col("doc_id").cast("string")
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("d"), (col("doc_id") % 7).cast("string")).as("domain"),
+        when(col("doc_id") % 5 === 2, concat(lit("/private/x"), id))
+          .otherwise(concat(lit("/page/"), id)).as("path"))
+      val robots = t(s, dir, "documents").filter(col("doc_id") < 7)
+        .select(concat(lit("d"), col("doc_id").cast("string")).as("domain"),
+          lit("User-agent: *\nDisallow: /private/").as("robots_txt"))
+      val allowed = TextOps.robotsFilter(urls, "doc_id", "domain", "path",
+          robots, "domain", "robots_txt")
+        .filter(col("allowed"))
+        .select(col("doc_id"), col("domain"))
+      val withHtml = allowed.withColumn("html",
+        concat(lit("<html><body><p>café B"), (col("doc_id") % 37).cast("string"),
+          lit("</p><script>var x = 1;</script></body></html>")))
+      val extracted = TextOps.extractHtml(withHtml, "doc_id", "html")
+        .select(col("doc_id"), expr("graft_nfc(text)").as("nfc_text"))
+        .join(allowed, "doc_id")
+        .withColumn("fp", md5(col("nfc_text")))
+      extracted
+        .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_allowed"),
+          sum(when(col("doc_id") === col("keeper"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_dup"))
+        .orderBy(col("domain"))
+    },
+    Some("""
+      |WITH a AS (
+      |  SELECT doc_id, 'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+      |    nfc_normalize('cafe' || chr(769) || ' B'
+      |      || CAST(doc_id % 37 AS VARCHAR)) AS nfc_text
+      |  FROM documents WHERE doc_id % 5 <> 2),
+      |k AS (SELECT doc_id, domain, md5(nfc_text) AS fp,
+      |    MIN(doc_id) OVER (PARTITION BY md5(nfc_text)) AS keeper
+      |  FROM a)
+      |SELECT domain, COUNT(*) AS n_allowed,
+      |  CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |FROM k GROUP BY domain ORDER BY domain
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5397,5 +5513,5 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
-    q147, q148, q149, q150, q151, q152, q153, q154, q155)
+    q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157)
 }

@@ -776,4 +776,26 @@ object TextOps {
         col("best.prefix").as("matched_prefix"),
         col("best.prefix_len").as("matched_len"))
   }
+  /** Hyperlink extraction over raw HTML — the crawl-frontier /
+    * link-graph feeder (PageRank q80 and the k-core/triangle family
+    * consume edge lists exactly like this one). `regexp_extract_all`
+    * pulls every `href="…"` value (double-quoted attributes; the same
+    * markup envelope `extractHtml`/q125 targets), one `explode` per
+    * link, then relative references resolve against the page's own
+    * domain and absolute `http(s)://` references contribute their
+    * authority. Pure codegen'd column work — no UDF, no shuffle until
+    * the caller aggregates edges.
+    */
+  def extractLinks(docs: DataFrame, idCol: String, htmlCol: String,
+      baseDomainCol: String): DataFrame = {
+    docs
+      .select(col(idCol), col(baseDomainCol).as("src_domain"),
+        explode(expr(s"regexp_extract_all($htmlCol, 'href=\"([^\"]*)\"', 1)"))
+          .as("href"))
+      .withColumn("dst_domain",
+        when(col("href").rlike("^https?://"),
+          regexp_extract(col("href"), "^https?://([^/]+)", 1))
+          .otherwise(col("src_domain")))
+      .filter(col("dst_domain") =!= "")
+  }
 }
