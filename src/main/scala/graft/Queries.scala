@@ -5498,6 +5498,69 @@ object Queries {
       |FROM k GROUP BY domain ORDER BY domain
       |""".stripMargin.trim))
 
+  /** Incremental near-dup admission (round 10): the INDEX-LOOKUP half
+    * of MinHash dedup — the corpus (ids with `doc_id % 3 != 0`) is
+    * represented purely by its persisted band-key ledger
+    * ([[graft.operators.TextOps.lshIndex]]); the new batch
+    * (`doc_id % 3 == 0`) is hashed and joined against that ledger
+    * without the corpus text ever being re-read. This is the daily
+    * operation a 100-TB pipeline actually runs — q24 is the
+    * build-the-index-from-scratch shape, this is the admit-a-new-batch
+    * shape, and the streaming twin is `lshNearDupStream`. The oracle
+    * reproduces the full md5-affine minhash family in SQL (the q24
+    * machinery) and takes the same ledger-side filter, so the
+    * decisions match exactly.
+    */
+  val q158: Q = Q(
+    "q158_incremental_neardup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ledger = TextOps.lshIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", 8, 4, 2)
+      TextOps.incrementalNearDup(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          ledger, 8, 4, 2)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH base AS (
+      |  SELECT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      list_distinct(CASE WHEN len(toks) < 2 THEN []
+      |        ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS sh
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      |          FROM documents))
+      |  WHERE len(sh) > 0),
+      |hv AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(list_transform(sh, s -> md5(s)), h ->
+      |      list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+      |          * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % ${TextOps.MinhashP}) AS hvals
+      |  FROM base),
+      |sig AS (
+      |  SELECT doc_id, sh,
+      |    [${TextOps.MinhashCoeffs.map { case (a, b) =>
+               s"list_min(list_transform(hvals, h -> (h * $a + $b) % ${TextOps.MinhashP}))"
+             }.mkString(",\n      |     ")}] AS sg
+      |  FROM hv),
+      |banded AS (
+      |  ${(0 until 4).map { bd =>
+           s"SELECT doc_id, $bd AS band, CAST(sg[${2 * bd + 1}] AS VARCHAR) || '-' || " +
+             s"CAST(sg[${2 * bd + 2}] AS VARCHAR) AS bkey FROM sig"
+         }.mkString(" UNION ALL\n      |  ")})
+      |SELECT d.doc_id,
+      |  MIN(l.doc_id) IS NOT NULL AS is_dup,
+      |  MIN(l.doc_id) AS first_match,
+      |  CAST(COUNT(DISTINCT l.doc_id) AS BIGINT) AS n_hits
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+      |LEFT JOIN (SELECT * FROM banded WHERE doc_id % 3 = 0) b ON b.doc_id = d.doc_id
+      |LEFT JOIN (SELECT doc_id, band, bkey FROM banded WHERE doc_id % 3 <> 0) l
+      |  ON l.band = b.band AND l.bkey = b.bkey
+      |GROUP BY d.doc_id ORDER BY d.doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5513,5 +5576,5 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
-    q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157)
+    q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
 }

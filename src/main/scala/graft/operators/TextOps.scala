@@ -798,4 +798,51 @@ object TextOps {
           .otherwise(col("src_domain")))
       .filter(col("dst_domain") =!= "")
   }
+  /** Banded LSH index rows for a corpus — the PERSISTED form of the
+    * near-dup index an incremental pipeline stores between batches:
+    * one (doc_id, band, bkey) row per band per doc (same md5-affine
+    * minhash family and banding as q24). At 100 TB this table is what
+    * lives in the lakehouse; text is read once, at indexing time.
+    */
+  def lshIndex(docs: DataFrame, idCol: String, textCol: String,
+      nHashes: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        wordBigrams(tokens(col(textCol))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(shingleHashes(col("sh")), nHashes))
+      .select(col("doc_id"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bkey")))
+
+  /** Incremental near-dup admission — the lookup half of [[lshIndex]]:
+    * decide, for every document in a NEW batch, whether it collides
+    * with the already-indexed corpus, touching only the batch text and
+    * the band-key ledger. The corpus text is never re-read and never
+    * re-hashed — the cost is O(batch) hashing plus an equi-join on
+    * (band, bkey) against the stored index, which is the only shape
+    * that stays affordable when the corpus is 100 TB and the batch is
+    * a day's crawl. Batch docs with no shingles (empty text) are
+    * admitted (no index rows, no collisions). Returns one row per
+    * batch doc: is_dup, the smallest colliding corpus id, and the
+    * count of distinct colliding corpus docs. In-batch first-writer
+    * dedup composes downstream (q00/F3); this operator is strictly
+    * batch-vs-index.
+    */
+  def incrementalNearDup(batch: DataFrame, idCol: String, textCol: String,
+      ledger: DataFrame, nHashes: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bk = lshIndex(batch, idCol, textCol, nHashes, bands, rowsPerBand)
+    val hits = bk
+      .join(ledger.select(col("doc_id").as("old_id"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("old_id")).as("first_match"),
+        countDistinct(col("old_id")).as("n_hits"))
+    batch.select(col(idCol).cast("long").as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("first_match").isNotNull.as("is_dup"),
+        col("first_match"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
 }
