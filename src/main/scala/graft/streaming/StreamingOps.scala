@@ -82,6 +82,36 @@ object StreamingOps {
       keyCols: Seq[String]): DataFrame =
     stream.join(dim, keyCols, "left")
 
+  /** Streaming robots.txt admission — the crawl-frontier gate as a
+    * stream-static broadcast join, the stateless twin of
+    * `TextOps.robotsFilter` (q155). The static side pre-aggregates the
+    * parsed rules into ONE array-valued row per domain, so the
+    * per-URL longest-prefix decision is a pure array fold
+    * (`array_max(filter(...))` over (len, is_allow, prefix) structs —
+    * the SAME lexicographic key the batch operator maxes over, so
+    * decisions are identical by construction; StreamingSpec asserts
+    * it). No state store, no watermark: robots semantics are
+    * memoryless per URL, which is why this runs at ingest rate — the
+    * rules table is crawl-config-sized and broadcasts.
+    */
+  def robotsAdmitStream(urls: DataFrame, domainCol: String, pathCol: String,
+      robots: DataFrame, robotsDomainCol: String, contentCol: String): DataFrame = {
+    val rules = graft.operators.TextOps
+      .parseRobots(robots, robotsDomainCol, contentCol)
+      .groupBy(col("domain"))
+      .agg(collect_list(
+        struct(col("prefix_len"), col("is_allow"), col("prefix"))).as("__rules"))
+      .withColumnRenamed("domain", "__rdomain")
+    urls
+      .join(broadcast(rules), urls(domainCol) === rules("__rdomain"), "left")
+      .withColumn("__best", array_max(filter(col("__rules"),
+        r => col(pathCol).startsWith(r.getField("prefix")))))
+      .withColumn("allowed", coalesce(col("__best.is_allow"), lit(true)))
+      .withColumn("matched_prefix", col("__best.prefix"))
+      .withColumn("matched_len", col("__best.prefix_len"))
+      .drop("__rdomain", "__rules", "__best")
+  }
+
   /** Stream enrichment with PER-BATCH dimension refresh: the dim frame is
     * rebuilt from `dimPath` inside `foreachBatch`, so its file listing
     * re-resolves every micro-batch and rows added mid-stream are joined

@@ -462,6 +462,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming robots admission matches the batch filter decision-for-decision") {
+    import graft.operators.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /private/\nAllow: /private/pub/"),
+      ("b.com", "User-agent: *\nDisallow: /")).toDF("domain", "robots_txt")
+    val urlRows = Seq(
+      (1L, "a.com", "/private/x"), (2L, "a.com", "/private/pub/ok"),
+      (3L, "a.com", "/open"), (4L, "b.com", "/anything"),
+      (5L, "nowhere.com", "/x"))
+    val mem = MemoryStream[(Long, String, String)]
+    val admitted = StreamingOps.robotsAdmitStream(
+      mem.toDF().toDF("id", "domain", "path"), "domain", "path",
+      robots, "domain", "robots_txt")
+    val q = admitted.writeStream.format("memory").queryName("robots_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(urlRows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(urlRows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("robots_out")
+        .select("id", "allowed", "matched_prefix")
+        .as[(Long, Boolean, Option[String])].collect()
+        .map { case (k, a, p) => k -> ((a, p)) }.toMap
+      val batch = TextOps.robotsFilter(
+          urlRows.toDF("id", "domain", "path"), "id", "domain", "path",
+          robots, "domain", "robots_txt")
+        .select("id", "allowed", "matched_prefix")
+        .as[(Long, Boolean, Option[String])].collect()
+        .map { case (k, a, p) => k -> ((a, p)) }.toMap
+      assert(streamed == batch)
+      assert(streamed(1L) == ((false, Some("/private/"))))
+      assert(streamed(2L) == ((true, Some("/private/pub/"))))
+      assert(streamed(5L) == ((true, None)))
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup: admit-at-ingest across micro-batches, batch-consistent buckets") {
     import graft.operators.TextOps
     implicit val sqlCtx = spark.sqlContext
