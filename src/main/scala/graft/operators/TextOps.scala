@@ -324,21 +324,33 @@ object TextOps {
       pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinhashP))))
 
   /** MinHash signature: array of n mins over the affine family. */
-  def minhashSignature(hashes: Column, n: Int): Column =
+  def minhashSignature(hashes: Column, n: Int): Column = {
+    require(n >= 1 && n <= MinhashCoeffs.size,
+      s"minhashSignature: n must be in [1, ${MinhashCoeffs.size}] " +
+        s"(coefficient pool size), got $n — a silent take($n) would emit a " +
+        "shorter signature and downstream band keys would index past it")
     array(MinhashCoeffs.take(n).map { case (a, b) =>
       array_min(transform(hashes, h => pmod(h * a + b, lit(MinhashP))))
     }: _*)
+  }
 
   /** LSH band keys: signature split into `bands` bands of `rowsPerBand`,
     * each band's values joined into one bucket key. Docs sharing any
     * band key are candidate near-dups — turns the O(n²) pair scan into a
     * shuffle on band keys (SURVEY.md §2.4 scale note).
     */
-  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands >= 1 && rowsPerBand >= 1 &&
+      bands * rowsPerBand <= MinhashCoeffs.size,
+      s"lshBandKeys: bands*rowsPerBand must fit the signature " +
+        s"(max ${MinhashCoeffs.size}), got $bands x $rowsPerBand — " +
+        "element_at past the array end yields null band components that " +
+        "concat_ws silently drops (degenerate colliding keys)")
     array((0 until bands).map { b =>
       concat_ws("-",
         (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
     }: _*)
+  }
 
   /** SimHash over documents: explode tokens → one md5 per token → 32
     * per-bit majority votes as a hash aggregation → recombine. The
@@ -805,7 +817,10 @@ object TextOps {
     * lives in the lakehouse; text is read once, at indexing time.
     */
   def lshIndex(docs: DataFrame, idCol: String, textCol: String,
-      nHashes: Int, bands: Int, rowsPerBand: Int): DataFrame =
+      nHashes: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand <= nHashes,
+      s"lshIndex: bands*rowsPerBand ($bands x $rowsPerBand) exceeds the " +
+        s"signature length ($nHashes)")
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         wordBigrams(tokens(col(textCol))).as("sh"))
@@ -814,6 +829,7 @@ object TextOps {
       .select(col("doc_id"),
         posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bkey")))
+  }
 
   /** Incremental near-dup admission — the lookup half of [[lshIndex]]:
     * decide, for every document in a NEW batch, whether it collides

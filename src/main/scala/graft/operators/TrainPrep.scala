@@ -118,7 +118,14 @@ object TrainPrep {
       .select(col("domain"), col("n_docs"),
         (col("mass_micro").cast("double") / col("mass_total").cast("double"))
           .as("weight"),
-        expr(s"CAST($totalBudget * mass_micro DIV mass_total AS BIGINT)")
+        // multiply in DECIMAL: budget * mass_micro can pass 2^63
+        // (mass_micro ≈ sqrt(n_docs)·1e6) and int64 would wrap silently
+        // under non-ANSI SQL. DECIMAL(20,0) × DECIMAL(18,0) → (38,0)
+        // holds the product exactly (≤ 10^19 · 10^18 = 10^37 < 10^38);
+        // the integral quotient is back under `budget`, so the final
+        // BIGINT cast is safe
+        expr(s"CAST(CAST($totalBudget AS DECIMAL(20,0)) " +
+          "* CAST(mass_micro AS DECIMAL(18,0)) DIV mass_total AS BIGINT)")
           .as("target_docs"))
   }
 
@@ -333,12 +340,19 @@ object TrainPrep {
   def zorderLayout(df: DataFrame, xCol: Column, yCol: Column, bits: Int,
       files: Int): DataFrame = {
     require(files >= 1, s"files must be >= 1, got $files")
+    // zkey < 2^(2·bits) and the file split multiplies by `files` BEFORE
+    // dividing, so the product must stay inside int64:
+    // 2·bits + ceil(log2(files)) ≤ 62. (`/` on Columns would be DOUBLE
+    // division — exact only below 2^53 — hence the integer DIV below.)
+    val fileBits = 64 - java.lang.Long.numberOfLeadingZeros(files.toLong - 1).max(0)
+    require(2 * bits + fileBits <= 62,
+      s"zorderLayout: zkey*files overflows int64 (bits=$bits, files=$files)")
     val mask = (1L << bits) - 1
     val x = xCol.cast("long").bitwiseAND(lit(mask))
     val y = yCol.cast("long").bitwiseAND(lit(mask))
     val zkey = mortonKey(x, y, bits)
-    val span = 1L << (2 * bits)
-    val fileId = least(zkey * files / span, lit(files - 1L)).cast("long")
+    val fileId = least(
+      shiftright(zkey * lit(files.toLong), 2 * bits), lit(files - 1L)).cast("long")
     df.select(x.as("x"), y.as("y"), fileId.as("file_id"))
       .groupBy(col("file_id"))
       .agg(

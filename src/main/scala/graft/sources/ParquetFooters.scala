@@ -54,11 +54,15 @@ object ParquetFooters {
         buf.result()
       }
     val slices = math.max(1, math.min(paths.size, 32))
+    // ship the SESSION Hadoop conf to executors (Configuration itself is
+    // not serializable — SerializableConfiguration is Spark's own wrapper
+    // for exactly this): a vanilla `new Configuration()` on the executor
+    // would drop credentials / FS bindings and break footer reads on
+    // object stores (s3a, abfs) or kerberized HDFS
+    val bcConf = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
     val rows = spark.sparkContext.parallelize(paths, slices).mapPartitions { it =>
-      // file:// and hdfs:// defaults resolve from a vanilla conf; the
-      // driver conf is not serializable and nothing session-specific is
-      // needed to read a footer
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = bcConf.value.value
       it.flatMap { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new Path(p), conf)

@@ -505,7 +505,15 @@ object StreamingOps {
         .agg(count(lit(1)).as("n_seen"),
           sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_ok"))
       val spark = batch.sparkSession
-      val merged = if (new java.io.File(ledgerPath).exists()) {
+      // resolve existence through the Hadoop FileSystem, not java.io.File:
+      // the ledger is read/written as a Spark path, so on hdfs:// or s3a://
+      // a local-file check would always be false and silently reset the
+      // cumulative ledger to the current batch every trigger
+      val ledgerExists = {
+        val p = new org.apache.hadoop.fs.Path(ledgerPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      val merged = if (ledgerExists) {
         val prev = spark.read.parquet(ledgerPath)
           .select(col("format"), col("n_seen"), col("n_ok"))
         prev.unionByName(delta)
