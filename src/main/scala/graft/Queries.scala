@@ -5561,6 +5561,88 @@ object Queries {
       |GROUP BY d.doc_id ORDER BY d.doc_id
       |""".stripMargin.trim))
 
+  /** Fixture merge list for the BPE APPLY queries (q159/q160) — FIXED,
+    * not trained in-query, so the oracle replays the IDENTICAL merge
+    * chain from the same literals (training itself is gated by BpeSpec
+    * against a textbook reference, and its pair-count building block is
+    * q152). Ordered: later merges consume earlier merges' outputs
+    * ("t"+"h" → "th", then "th"+"e" → "the", then "the"+"</w>").
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "the" -> "</w>", "i" -> "n", "a" -> "n",
+    "an" -> "d", "and" -> "</w>", "e" -> "r", "o" -> "n", "in" -> "</w>",
+    "s" -> "</w>", "e" -> "</w>")
+
+  /** DuckDB replay of `TrainPrep.bpeTokenizeWord`'s delimited replace
+    * chain over a word expression: same encoding (" t  h  e  </w> "),
+    * same literal replaces in the same order. */
+  private def sqlBpeChain(wExpr: String): String =
+    bpeMerges.foldLeft(
+      s"regexp_replace($wExpr, '(.)', ' \\1 ', 'g') || ' </w> '") {
+      case (s, (a, b)) => s"replace($s, ' $a  $b ', ' $a$b ')"
+    }
+
+  /** BPE tokenizer APPLY (round 11 — the verdict's top item): tokenize
+    * the corpus with a trained merge table. The merge chain runs as
+    * literal string replaces over a space-delimited symbol encoding,
+    * entirely map-side (no UDF, no join, no shuffle) — see
+    * `TrainPrep.bpeTokenizeWord` for why replace semantics equal the
+    * training fold's greedy leftmost merge. The md5 token-stream digest
+    * makes the oracle sensitive to every token boundary in every doc.
+    */
+  val q159: Q = Q(
+    "q159_bpe_apply",
+    (s, dir) => TrainPrep.bpeApply(t(s, dir, "documents"), "doc_id", "text",
+        bpeMerges)
+      .drop("toks")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+      |    flatten(list_transform(w, x ->
+      |      list_filter(string_split(${sqlBpeChain("x")}, ' '), t -> t <> ''))) AS toks
+      |  FROM toks)
+      |SELECT doc_id, n_words, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(toks, ' ')) AS tokens_md5
+      |FROM b ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Sequence packing on REAL BPE token counts (round 11): q63's packing
+    * with the budget measured in actual trained-tokenizer tokens
+    * (`TrainPrep.bpeTokenCount`) instead of the regex proxy — the form a
+    * production shard writer runs, since pack budgets are model context
+    * lengths in real tokens. Same one-shuffle window shape as q63.
+    */
+  val q160: Q = Q(
+    "q160_bpe_packing",
+    (s, dir) => {
+      val withTok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TrainPrep.bpeTokenCount(col("text"), bpeMerges).as("n_tok"))
+      TrainPrep.packSequences(withTok, "doc_id", "source", "n_tok", budget = 2048L)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(flatten(list_transform(
+      |      list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),
+      |      x -> list_filter(string_split(${sqlBpeChain("x")}, ' '), t -> t <> ''))))
+      |      AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+      |SELECT doc_id, source, n_tok,
+      |  CAST((cum - n_tok) // 2048 AS BIGINT) AS pack_id,
+      |  CAST((cum - n_tok) % 2048 AS BIGINT) AS pack_offset
+      |FROM c ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5576,5 +5658,6 @@ object Queries {
     q109, q110, q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
-    q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158)
+    q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
+    q159, q160)
 }

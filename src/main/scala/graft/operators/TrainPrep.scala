@@ -473,6 +473,69 @@ object TrainPrep {
     * contain quotes if the corpus does). */
   private def sqlLit(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+  /** Tokenize ONE word with a trained BPE merge list — the apply half of
+    * [[bpeTrain]], and the single most-executed step in a training-data
+    * pipeline (its output counts feed packing, budget mixing and shard
+    * writing).
+    *
+    * Encoding trick: the word is spread into a delimited symbol string
+    * where every symbol owns one LEADING and one TRAILING space
+    * ("the" → " t  h  e  </w> "), so applying merge (a, b) is ONE
+    * literal string replace: " a  b " → " ab ". `replace` substitutes
+    * disjoint matches scanning left to right, which is exactly the
+    * greedy leftmost-first semantics of [[bpeTrain]]'s aggregate fold —
+    * each pair's boundary spaces belong to that pair alone, so adjacent
+    * matches (" a  b  a  b ") both fire, while a just-merged token
+    * never re-merges in the same round. BpeSpec proves token-for-token
+    * equality against the textbook apply on TRAINED merges.
+    *
+    * The whole merge chain is codegen'd string expressions — no UDF, no
+    * join, no shuffle: the scan IS the tokenizer. Per-word CPU is
+    * |merges| linear scans; corpora with heavy word repetition can
+    * amortize further by applying over a distinct-word vocabulary and
+    * broadcast-joining back (same output, one extra shuffle) — this
+    * direct form keeps the operator stateless, which is what a
+    * streaming/incremental pipeline wants.
+    *
+    * Symbols must not contain spaces (impossible for merges trained on
+    * whitespace-split words — enforced anyway).
+    */
+  def bpeTokenizeWord(word: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (a, b) => !a.contains(" ") && !b.contains(" ") },
+      "bpeTokenizeWord: merge symbols must not contain spaces")
+    val enc = concat(regexp_replace(word, "(.)", " $1 "), lit(" </w> "))
+    val merged = merges.foldLeft(enc) { case (s, (a, b)) =>
+      replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    filter(split(merged, " "), t => length(t) > 0)
+  }
+
+  /** Per-document BPE token array: lowercase-whitespace words, each run
+    * through [[bpeTokenizeWord]], flattened in document order. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(TextOps.tokens(text), w => bpeTokenizeWord(w, merges)))
+
+  /** Real per-document BPE token count under a trained merge list — the
+    * drop-in replacement for the regex proxy `bpeishTokenCount` in
+    * packing budgets (q160 wires it into [[packSequences]]). */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpeTokens(text, merges)).cast("long")
+
+  /** Corpus tokenization with a trained BPE merge table. Output per doc:
+    * word count, real token count, and an order-sensitive digest of the
+    * token stream (md5 of the space-joined tokens — spaces cannot occur
+    * inside tokens, so the join is injective), plus the token array
+    * itself for downstream consumers. Entirely map-side. */
+  def bpeApply(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+      .select(col(idCol), size(col("__w")).cast("long").as("n_words"),
+        flatten(transform(col("__w"), w => bpeTokenizeWord(w, merges))).as("toks"))
+      .select(col(idCol), col("n_words"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(array_join(col("toks"), " ")).as("tokens_md5"),
+        col("toks"))
+
   def encodingAdvisor(df: DataFrame, fileCol: Column, orderCols: Seq[Column],
       valueCol: Column): DataFrame = {
     df.select(fileCol.cast("long").as("file_id"),

@@ -73,6 +73,55 @@ class BpeSpec extends SparkSpec {
     assert(got.exists { case (a, b, _) => (a + b).length >= 4 })
   }
 
+  /** Textbook apply: run each trained merge over a word's symbol
+    * sequence with the same greedy leftmost-first semantics the trainer
+    * uses. */
+  private def referenceApply(word: String,
+      merges: Seq[(String, String)]): Vector[String] = {
+    var s = word.map(_.toString).toVector :+ "</w>"
+    for ((a, b) <- merges) {
+      val buf = Vector.newBuilder[String]
+      var k = 0
+      while (k < s.length) {
+        if (k < s.length - 1 && s(k) == a && s(k + 1) == b) { buf += a + b; k += 2 }
+        else { buf += s(k); k += 1 }
+      }
+      s = buf.result()
+    }
+    s
+  }
+
+  test("bpeApply round-trip: trained merges tokenize token-for-token; detokenize restores the words") {
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest newest newest newest newest newest",
+      "widest widest widest",
+      "the quick brown fox jumps over the lazy dog",
+      "she sells sea shells by the sea shore")
+    val merges = TrainPrep.bpeTrain(corpus.toDF("text"), "text", 20)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TrainPrep.bpeApply(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id")).collect()
+    corpus.zipWithIndex.foreach { case (text, i) =>
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+      val expected = words.flatMap(referenceApply(_, merges))
+      val gotToks = got(i).getSeq[String](4).toVector
+      assert(gotToks == expected, s"doc $i tokens diverged:\n$gotToks\n$expected")
+      assert(got(i).getLong(2) == expected.size)
+      // detokenize identity: concatenated tokens split on the word-end
+      // marker reproduce the original word sequence exactly
+      val rebuilt = gotToks.mkString("").split("</w>", -1).filter(_.nonEmpty).toVector
+      assert(rebuilt == words, s"doc $i detokenize diverged")
+    }
+    // the trained merges must actually bite (multi-token compression)
+    val totalToks = got.map(_.getLong(2)).sum
+    val totalChars = corpus.map(_.toLowerCase.count(!_.isWhitespace)).sum
+    assert(totalToks < totalChars, "apply produced no compression")
+  }
+
   test("bpeTrain is exhaustion-safe and quote-safe") {
     // single repeated word exhausts its pairs before nMerges rounds
     val tiny = Seq("aa aa aa", "it's it's").toDF("text")
