@@ -5643,6 +5643,108 @@ object Queries {
       |FROM c ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Admission-loop closure (round 11): two-batch incremental near-dup
+    * where the second batch must collide with the FIRST batch's ADMITS,
+    * not just with the original corpus — the property q158 could not
+    * show because `incrementalNearDup` never appended admitted band
+    * keys. Construction: corpus = doc_id % 3 != 0 (ledger0); batch A =
+    * doc_id % 3 == 0, admitted via `TextOps.admitBatch` (ledger1 =
+    * ledger0 + A-admit band keys); batch B = an exact-text TWIN of every
+    * A doc (id + 100000 — caught via A's admits when the twin's A doc
+    * was admitted, via the corpus otherwise) plus a FRESH doc per A doc
+    * (id + 200000, synthetic two-token md5 text — collides with nothing,
+    * exercising the admit path at B). `via_admit` (first_match % 3 == 0)
+    * marks decisions that only the appended ledger could produce. The
+    * oracle replays the full md5-affine minhash machinery over the
+    * unioned corpus+twins+fresh text, derives A's admits by NOT EXISTS
+    * against corpus bands, rebuilds ledger1, and decides B identically.
+    */
+  val q161: Q = Q(
+    "q161_admit_loop",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batchA = docs.filter(col("doc_id") % 3 === 0)
+      val ledger0 = TextOps.lshIndex(corpus, "doc_id", "text", 8, 4, 2)
+      val (_, ledger1) =
+        TextOps.admitBatch(batchA, "doc_id", "text", ledger0, 8, 4, 2)
+      val twins = batchA.select(
+        (col("doc_id") + 100000).as("doc_id"), col("text"))
+      val fresh = batchA.select(
+        (col("doc_id") + 200000).as("doc_id"),
+        concat(lit("zq"), md5(col("doc_id").cast("string")), lit(" wv"),
+          md5((col("doc_id") * 7).cast("string"))).as("text"))
+      TextOps.incrementalNearDup(twins.unionByName(fresh), "doc_id", "text",
+          ledger1, 8, 4, 2)
+        .withColumn("via_admit",
+          coalesce(col("first_match") % 3 === 0, lit(false)))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH alltext AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |    'zq' || md5(CAST(doc_id AS VARCHAR)) || ' wv'
+      |      || md5(CAST(doc_id * 7 AS VARCHAR))
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |base AS (
+      |  SELECT doc_id, sh FROM (
+      |    SELECT doc_id,
+      |      list_distinct(CASE WHEN len(toks) < 2 THEN []
+      |        ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END) AS sh
+      |    FROM (SELECT doc_id,
+      |            list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      |          FROM alltext))
+      |  WHERE len(sh) > 0),
+      |hv AS (
+      |  SELECT doc_id,
+      |    list_transform(list_transform(sh, s -> md5(s)), h ->
+      |      list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+      |          * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % ${TextOps.MinhashP}) AS hvals
+      |  FROM base),
+      |sig AS (
+      |  SELECT doc_id,
+      |    [${TextOps.MinhashCoeffs.map { case (a, b) =>
+               s"list_min(list_transform(hvals, h -> (h * $a + $b) % ${TextOps.MinhashP}))"
+             }.mkString(",\n      |     ")}] AS sg
+      |  FROM hv),
+      |banded AS (
+      |  ${(0 until 4).map { bd =>
+           s"SELECT doc_id, $bd AS band, CAST(sg[${2 * bd + 1}] AS VARCHAR) || '-' || " +
+             s"CAST(sg[${2 * bd + 2}] AS VARCHAR) AS bkey FROM sig"
+         }.mkString(" UNION ALL\n      |  ")}),
+      |collA AS (
+      |  SELECT DISTINCT b.doc_id FROM banded b JOIN banded l
+      |    ON l.band = b.band AND l.bkey = b.bkey
+      |      AND l.doc_id < 100000 AND l.doc_id % 3 <> 0
+      |  WHERE b.doc_id < 100000 AND b.doc_id % 3 = 0),
+      |ledger1 AS (
+      |  SELECT doc_id, band, bkey FROM banded
+      |  WHERE doc_id < 100000 AND doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, band, bkey FROM banded b
+      |  WHERE doc_id < 100000 AND doc_id % 3 = 0
+      |    AND NOT EXISTS (SELECT 1 FROM collA c WHERE c.doc_id = b.doc_id)),
+      |bkeys AS (SELECT doc_id, band, bkey FROM banded WHERE doc_id >= 100000),
+      |allB AS (
+      |  SELECT doc_id + 100000 AS doc_id FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 FROM documents WHERE doc_id % 3 = 0)
+      |SELECT d.doc_id,
+      |  MIN(l.doc_id) IS NOT NULL AS is_dup,
+      |  MIN(l.doc_id) AS first_match,
+      |  CAST(COUNT(DISTINCT l.doc_id) AS BIGINT) AS n_hits,
+      |  COALESCE(MIN(l.doc_id) % 3 = 0, FALSE) AS via_admit
+      |FROM allB d
+      |LEFT JOIN bkeys b ON b.doc_id = d.doc_id
+      |LEFT JOIN ledger1 l ON l.band = b.band AND l.bkey = b.bkey
+      |GROUP BY d.doc_id ORDER BY d.doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5659,5 +5761,5 @@ object Queries {
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160)
+    q159, q160, q161)
 }

@@ -236,4 +236,40 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(top2.length == 2 && top2.head == 3L)
   }
+
+  test("admitBatch appends admitted band keys so later batches collide with admits") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val ledger0 = TextOps.lshIndex(corpus, "doc_id", "text", 8, 4, 2)
+    // batch A: doc 10 duplicates corpus doc 1 (refused); doc 11 is fresh
+    val batchA = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "totally novel content right here")).toDF("doc_id", "text")
+    val (decA, ledger1) =
+      TextOps.admitBatch(batchA, "doc_id", "text", ledger0, 8, 4, 2)
+    val aById = decA.collect().map(r => r.getLong(0) -> r).toMap
+    assert(aById(10L).getBoolean(1) && aById(10L).getLong(2) == 1L)
+    assert(!aById(11L).getBoolean(1))
+    // batch B: doc 20 duplicates A's ADMIT (doc 11) — only catchable
+    // because ledger1 carries the appended keys; doc 21 is fresh
+    val batchB = Seq(
+      (20L, "totally novel content right here"),
+      (21L, "yet another unrelated string entirely")).toDF("doc_id", "text")
+    val decB = TextOps.incrementalNearDup(batchB, "doc_id", "text",
+      ledger1, 8, 4, 2).collect().map(r => r.getLong(0) -> r).toMap
+    assert(decB(20L).getBoolean(1) && decB(20L).getLong(2) == 11L,
+      "B dup of an A admit must be caught via the appended ledger")
+    assert(!decB(21L).getBoolean(1))
+    // idempotency: replaying batch A against ledger1 refuses both docs
+    // (each collides with its own prior entry) and leaves the ledger
+    // row-identical
+    val (decA2, ledger2) =
+      TextOps.admitBatch(batchA, "doc_id", "text", ledger1, 8, 4, 2)
+    assert(decA2.collect().forall(_.getBoolean(1)))
+    assert(ledger2.count() == ledger1.count())
+    // rejected doc 10's keys were NOT appended
+    assert(ledger1.filter(col("doc_id") === 10L).count() == 0)
+    assert(ledger1.filter(col("doc_id") === 11L).count() == 4)
+  }
 }
