@@ -5745,6 +5745,72 @@ object Queries {
       |GROUP BY d.doc_id ORDER BY d.doc_id
       |""".stripMargin.trim))
 
+  /** SemDeDup with the CORPUS-SCALED cell count (round 11 — de-trapping
+    * q147's fixed-k registration, the round-10 verdict's one
+    * scale-sensitive artifact): k = ⌈√n⌉ cells derived from the corpus
+    * count, centroids = the quantized corpus vectors at evenly spaced
+    * id ranks — all deterministic, so the oracle replays the derivation
+    * (params CTE), the assignment, the within-cell ranking, and the
+    * cosine threshold from first principles. This is the registration
+    * to COPY: cells grow as √n, keeping total within-cell pair work
+    * Θ(n) (SCALE.md measured exponent 0.66 for scaled-k vs 1.34 for
+    * the fixed-k trap). q147 stays as the fixed-centroid parity twin.
+    */
+  val q162: Q = Q(
+    "q162_semdedup_scaled",
+    (s, dir) => VectorOps.semDedupAuto(t(s, dir, "embeddings"), "vec_id",
+        "embedding", tau = 0.3)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("n_dup"), col("kept"))
+      .orderBy(col("vec_id")),
+    Some("""
+      |WITH params AS (
+      |  SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k,
+      |    GREATEST(1, COUNT(*) // CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS stride
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings),
+      |ranked AS (
+      |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) - 1 AS rn FROM e),
+      |cells AS (
+      |  SELECT CAST(rn // stride AS BIGINT) AS cell, v AS cent
+      |  FROM ranked, params WHERE rn % stride = 0 AND rn // stride < k),
+      |dist AS (
+      |  SELECT e.vec_id, e.v, c.cell,
+      |    list_sum(list_transform(c.cent, x -> CAST(x AS DOUBLE) * x))
+      |      - 2 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cent[i])) AS d
+      |  FROM e CROSS JOIN cells c),
+      |assigned AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT vec_id, v, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1),
+      |rk AS (
+      |  SELECT a.vec_id, a.v, a.cell,
+      |    list_sum(list_transform(a.v, x -> x * x))
+      |      - 2 * list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * c.cent[i])) AS rk
+      |  FROM assigned a JOIN cells c USING (cell)),
+      |sim AS (
+      |  SELECT x.vec_id AS ia,
+      |    list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * y.v[i])) AS dp,
+      |    list_sum(list_transform(x.v, t -> t * t)) AS nq,
+      |    list_sum(list_transform(y.v, t -> t * t)) AS nc
+      |  FROM rk x JOIN rk y ON x.cell = y.cell
+      |    AND (y.rk < x.rk OR (y.rk = x.rk AND y.vec_id < x.vec_id))),
+      |dups AS (
+      |  SELECT ia AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+      |  FROM sim
+      |  WHERE (CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+      |    ELSE dp / (sqrt(nq) * sqrt(nc)) END) > 0.3
+      |  GROUP BY ia)
+      |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+      |  COALESCE(d.n_dup, 0) AS n_dup, COALESCE(d.n_dup, 0) = 0 AS kept
+      |FROM assigned a LEFT JOIN dups d USING (vec_id)
+      |ORDER BY a.vec_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5761,5 +5827,5 @@ object Queries {
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161)
+    q159, q160, q161, q162)
 }

@@ -397,4 +397,38 @@ object VectorOps {
       .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
       .withColumn("kept", col("n_dup") === 0L)
   }
+
+  /** [[semDedup]] with the production cell-count contract BAKED IN
+    * (round 11 — de-trapping the q147 fixed-k registration): k =
+    * ⌈√n⌉ cells derived from a corpus count, centroids picked
+    * deterministically from the corpus itself — the quantized vectors
+    * at evenly spaced ranks of the id order (rank via the scale-safe
+    * `stableRowIds` machinery, never a global window). Because cells
+    * grow as √n, per-cell membership also grows as √n and the
+    * within-cell quadratic stays Θ(n) pairs total — the paper's own
+    * sizing rule, now impossible to forget when copying this operator
+    * (SCALE.md measured the fixed-k trap at exponent 1.34 vs 0.66
+    * scaled).
+    *
+    * Determinism: the count and the evenly-spaced ranks are exact, so
+    * the derived centroid table is a pure function of the corpus — an
+    * oracle replays it from SQL (q162). Driver-side reads: one count
+    * (via the stableRowIds prefix-sum job) plus the k·dim centroid
+    * collect — O(√n · dim), ~16 MB at n = 10⁹, dim = 64.
+    */
+  def semDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
+      tau: Double): DataFrame = {
+    val (ranked, n) = TrainPrep.stableRowIdsWithCount(
+      corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    require(n > 0, "semDedupAuto: empty corpus")
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    val stride = math.max(1L, n / k)
+    val cents = ranked
+      .filter(pmod(col("row_id"), lit(stride)) === 0 &&
+        expr(s"row_id DIV $stride") < k)
+      .orderBy(col("row_id"))
+      .select(quantize(col(vecCol)).as("q"))
+      .collect().map(_.getSeq[Double](0))
+    semDedup(corpus, idCol, vecCol, cents.toArray, tau)
+  }
 }
