@@ -5811,6 +5811,59 @@ object Queries {
       |ORDER BY a.vec_id
       |""".stripMargin.trim))
 
+  /** Exact substring dedup at arbitrary offsets (round 11): the
+    * suffix-array-recipe result as overlapping-n-gram seed detection +
+    * interval union — see `TextOps.substringDedup`. The fixture plants
+    * a shared 10-token span at MISALIGNED offsets (0–2 filler tokens,
+    * `doc_id % 3`) in every `doc_id % 4 == 1` doc: q137's disjoint
+    * 3-token windows tile differently in each doc and provably miss it,
+    * while the overlapping detector recovers the full span coverage
+    * regardless of alignment (spec-pinned on a closed-form example).
+    */
+  val q163: Q = Q(
+    "q163_substring_dedup",
+    (s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 1,
+          concat(expr("repeat('pad ', CAST(doc_id % 3 AS INT))"),
+            lit("alpha bravo charlie delta echo foxtrot golf hotel india juliet "),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      TextOps.substringDedup(aug, "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 1 THEN repeat('pad ', CAST(doc_id % 3 AS INT))
+      |      || 'alpha bravo charlie delta echo foxtrot golf hotel india juliet ' || text
+      |    ELSE text END AS text
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM aug),
+      |base AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens FROM toks WHERE len(w) >= 5),
+      |pos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(w[i:i+4], ' ') AS gram
+      |  FROM base, UNNEST(range(1, len(w) - 3)) AS u(i)),
+      |seeds AS (SELECT doc_id, pos FROM (
+      |  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS occ FROM pos) t WHERE occ > 1),
+      |m AS (SELECT doc_id, pos,
+      |  MAX(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM seeds),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_pos,
+      |  CAST(SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_regions,
+      |  CAST(SUM(GREATEST(0, pos + 4 - GREATEST(COALESCE(prev_end, 0), pos - 1))) AS BIGINT) AS n_dup_tokens
+      |  FROM m GROUP BY doc_id)
+      |SELECT b.doc_id, b.n_tokens,
+      |  COALESCE(a.n_dup_pos, 0) AS n_dup_pos,
+      |  COALESCE(a.n_dup_regions, 0) AS n_dup_regions,
+      |  COALESCE(a.n_dup_tokens, 0) AS n_dup_tokens
+      |FROM base b LEFT JOIN agg a USING (doc_id)
+      |ORDER BY b.doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5827,5 +5880,5 @@ object Queries {
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162)
+    q159, q160, q161, q162, q163)
 }

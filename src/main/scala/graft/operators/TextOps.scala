@@ -719,6 +719,63 @@ object TextOps {
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"))
   }
+  /** EXACT substring dedup at ARBITRARY offsets (round 11 — the
+    * published suffix-array recipe's result, Spark-shaped): find every
+    * maximal duplicated token span of length ≥ n anywhere in the
+    * corpus, regardless of alignment — the stronger operator next to
+    * [[spanDedup]]'s disjoint-window approximation (which only catches
+    * spans that happen to tile the same window boundaries).
+    *
+    * Equivalence to the suffix-array formulation: a token span of
+    * length L ≥ n is duplicated iff every one of its L−n+1 OVERLAPPING
+    * n-grams is duplicated, and conversely each duplicated n-gram
+    * witnesses a duplicated span — so the union of duplicated-n-gram
+    * intervals IS the set of maximal ≥n-token duplicated regions.
+    * Pipeline: explode overlapping n-gram positions; count occurrences
+    * per gram with a partition-only window (one hash shuffle on the
+    * gram text, no global sort — same O(corpus tokens) mass a
+    * distributed suffix sort moves); keep positions whose gram occurs
+    * more than once corpus-wide (within-doc repeats count, as in the
+    * reference recipe); merge each doc's seed intervals with the
+    * classic running-max sweep (per-doc window, bounded by doc
+    * length). Output per doc (with ≥ n tokens): n_tokens, duplicated
+    * seed positions, merged duplicated regions, and the exact token
+    * coverage of those regions.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= n)
+    val pos = base.select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => array_join(slice(col("w"), i, lit(n)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
+    val seeds = pos
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("occ") > 1)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = seeds
+      .withColumn("prev_end", max(col("pos") + (n - 1)).over(wDoc))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_pos"),
+        sum(when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L)).as("n_dup_regions"),
+        sum(greatest(lit(0L), col("pos") + (n - 1)
+          - greatest(coalesce(col("prev_end"), lit(0L)), col("pos") - 1)))
+          .as("n_dup_tokens"))
+    base.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("n_dup_regions"), lit(0L)).as("n_dup_regions"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
+  }
+
   /** Parse robots.txt content into per-domain (prefix, allow) rules for
     * the wildcard agent — the compliance half of a polite crawler
     * (companions: `canonicalizeUrls` q128, per-domain quota q107).

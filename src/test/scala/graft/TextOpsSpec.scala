@@ -237,6 +237,26 @@ class TextOpsSpec extends SparkSpec {
     assert(top2.length == 2 && top2.head == 3L)
   }
 
+  test("substringDedup catches misaligned spans spanDedup's disjoint windows miss") {
+    // two docs share an 8-token run at different offsets (0 vs 1 filler)
+    val docs = Seq(
+      (0L, "a b c d e f g h unique0 tail0"),
+      (1L, "x a b c d e f g h unique1"),
+      (2L, "p q r s p q r s")) // within-doc repeat, overlapping intervals
+      .toDF("doc_id", "text")
+    // disjoint 3-token windows tile differently in docs 0/1 → q137 blind
+    val span = TextOps.spanDedup(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(span(0L) == 0 && span(1L) == 0)
+    val sub = TextOps.substringDedup(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the shared a..h span is recovered in full in both docs
+    assert(sub(0L).getLong(3) == 1 && sub(0L).getLong(4) == 8)
+    assert(sub(1L).getLong(3) == 1 && sub(1L).getLong(4) == 8)
+    // within-doc repeat: "p q r s" twice → 2 merged regions covering all 8
+    assert(sub(2L).getLong(3) == 2 && sub(2L).getLong(4) == 8)
+  }
+
   test("admitBatch appends admitted band keys so later batches collide with admits") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon"),
