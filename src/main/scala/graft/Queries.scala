@@ -4426,9 +4426,11 @@ object Queries {
       |FROM documents ORDER BY doc_id
       |""".stripMargin.trim))
 
-  /** Cross-document boilerplate scrub (round 10): word 3-grams shared by
-    * more than 25 distinct docs are corpus boilerplate; per doc, how
-    * much of its gram set is common. The synthetic corpus's small
+  /** Cross-document boilerplate scrub (round 10; threshold made
+    * corpus-RELATIVE in round 11): word 3-grams shared by more than 5%
+    * of the corpus's documents (perMille = 50, derived from a count in
+    * exact integer arithmetic on both engines) are boilerplate; per
+    * doc, how much of its gram set is common. The synthetic corpus's small
     * vocabulary makes the threshold bite (many 3-grams recur), so the
     * oracle discriminates: a wrong doc-frequency count or a dropped
     * left-join null shifts every ratio. See
@@ -4436,8 +4438,8 @@ object Queries {
     */
   val q129: Q = Q(
     "q129_common_ngram_scrub",
-    (s, dir) => TextOps.commonNgramScrub(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, maxDocs = 25)
+    (s, dir) => TextOps.commonNgramScrubRelative(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, perMille = 50)
       .orderBy(col("doc_id")),
     Some("""
       |WITH toks AS (
@@ -4448,12 +4450,13 @@ object Queries {
       |  SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS gram
       |  FROM toks WHERE len(w) >= 3),
+      |thr AS (SELECT GREATEST(1, (COUNT(*) * 50 + 999) // 1000) AS t FROM documents),
       |dfreq AS (SELECT gram, COUNT(*) AS gram_df FROM g GROUP BY gram)
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-      |  CAST(SUM(CASE WHEN gram_df > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
-      |  CAST(SUM(CASE WHEN gram_df > 25 THEN 1 ELSE 0 END) AS DOUBLE)
+      |  CAST(SUM(CASE WHEN gram_df > t THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |  CAST(SUM(CASE WHEN gram_df > t THEN 1 ELSE 0 END) AS DOUBLE)
       |    / CAST(COUNT(*) AS DOUBLE) AS common_ratio
-      |FROM g JOIN dfreq USING (gram)
+      |FROM g JOIN dfreq USING (gram) CROSS JOIN thr
       |GROUP BY doc_id ORDER BY doc_id
       |""".stripMargin.trim))
 
@@ -5864,6 +5867,50 @@ object Queries {
       |ORDER BY b.doc_id
       |""".stripMargin.trim))
 
+  /** Deterministic weight fixture for the q164 linear classifier: 64
+    * integer micro-unit weights in [-1000, 1000] from a multiplicative
+    * hash of the bucket index — generated once here, interpolated into
+    * BOTH the Spark call and the oracle SQL, so the two sides score
+    * with identical literals (a fitted model would arrive the same
+    * way: as a broadcast constant table). */
+  private val q164Weights: Seq[Long] =
+    (0 until 64).map(i => ((i * 2654435761L) % 2001) - 1000)
+
+  /** Model-based quality classifier inference (round 11 — the
+    * fastText-shape gate beside the rule-based q142): hashed
+    * unigram+bigram features × broadcast integer weights → exact
+    * logit, keep = logit > 0 (a 0.5 sigmoid cut without evaluating
+    * exp, whose last-ulp behavior is engine-specific). Entirely
+    * map-side — see `TextOps.linearQualityClassifier`.
+    */
+  val q164: Q = Q(
+    "q164_quality_classifier",
+    (s, dir) => TextOps.linearQualityClassifier(t(s, dir, "documents"),
+        "doc_id", "text", q164Weights, biasMicro = 100L)
+      .orderBy(col("doc_id")),
+    Some(s"""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, list_concat(w,
+      |    CASE WHEN len(w) < 2 THEN []
+      |      ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS f
+      |  FROM toks),
+      |scored AS (
+      |  SELECT doc_id, CAST(len(f) AS BIGINT) AS n_feats,
+      |    CAST(100 + COALESCE(list_sum(list_transform(f, t ->
+      |      [${q164Weights.mkString(", ")}][CAST(
+      |        list_sum(list_transform(range(1, 9), i ->
+      |          (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+      |            * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 64 + 1 AS INT)])), 0)
+      |      AS BIGINT) AS logit_micro
+      |  FROM feats)
+      |SELECT doc_id, n_feats, logit_micro, logit_micro > 0 AS keep
+      |FROM scored ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5880,5 +5927,5 @@ object Queries {
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163)
+    q159, q160, q161, q162, q163, q164)
 }

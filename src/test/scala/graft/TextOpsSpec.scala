@@ -237,6 +237,45 @@ class TextOpsSpec extends SparkSpec {
     assert(top2.length == 2 && top2.head == 3L)
   }
 
+  test("commonNgramScrubRelative derives the absolute threshold from the corpus count") {
+    val docs = Seq(
+      (0L, "shared common gram one two three"),
+      (1L, "shared common gram four five six"),
+      (2L, "shared common gram seven eight nine"),
+      (3L, "totally different words entirely here now"))
+      .toDF("doc_id", "text")
+    // N = 4, perMille = 500 → threshold = (4·500 + 999) DIV 1000 = 2
+    val rel = TextOps.commonNgramScrubRelative(docs, "doc_id", "text",
+      n = 3, perMille = 500).orderBy("doc_id").collect()
+    val abs = TextOps.commonNgramScrub(docs, "doc_id", "text",
+      n = 3, maxDocs = 2).orderBy("doc_id").collect()
+    assert(rel.map(_.toSeq).toSeq == abs.map(_.toSeq).toSeq)
+    // "shared common gram" (df 3 > 2) is common; docs 0-2 carry it
+    assert(rel(0).getLong(2) == 1 && rel(3).getLong(2) == 0)
+  }
+
+  test("linearQualityClassifier computes the exact hashed-feature logit") {
+    val weights = (0 until 64).map(i => ((i * 2654435761L) % 2001) - 1000)
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.substring(0, 8), 16) % 64).toInt
+    }
+    val docs = Seq((0L, "Alpha beta gamma"), (1L, ""), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.linearQualityClassifier(docs, "doc_id", "text",
+      weights, biasMicro = 100L).orderBy("doc_id").collect()
+    // doc 0: 3 unigrams + 2 bigrams, lowercased
+    val feats = Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma")
+    val expected = 100L + feats.map(f => weights(bucket(f))).sum
+    assert(got(0).getLong(1) == 5 && got(0).getLong(2) == expected)
+    assert(got(0).getBoolean(3) == (expected > 0))
+    // empty text → no features, logit = bias
+    assert(got(1).getLong(1) == 0 && got(1).getLong(2) == 100L)
+    // single token → no bigram
+    assert(got(2).getLong(1) == 1)
+  }
+
   test("substringDedup catches misaligned spans spanDedup's disjoint windows miss") {
     // two docs share an 8-token run at different offsets (0 vs 1 filler)
     val docs = Seq(
