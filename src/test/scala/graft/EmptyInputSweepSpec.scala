@@ -12,8 +12,9 @@ import java.nio.file.Files
   */
 class EmptyInputSweepSpec extends SparkSpec {
 
-  // k-means/IVF require a non-empty corpus by contract
-  private val documentedFailFast = Set("q28_ann_ivf_topk")
+  // k-means/IVF and corpus-derived SemDeDup centroids require a
+  // non-empty corpus by contract (seeding needs at least one vector)
+  private val documentedFailFast = Set("q28_ann_ivf_topk", "q162_semdedup_scaled")
 
   test("all registered queries survive empty inputs (or fail fast by contract)") {
     val dir = Files.createTempDirectory("graft-empty").toString
