@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, CrawlFormats, Dedup, Multimodal, Similarity, TextOps, TrainPrep, Transforms, VectorOps}
+import graft.operators.{Analytics, CrawlFormats, Dedup, Multimodal, Perceptual, Similarity, TextOps, TrainPrep, Transforms, VectorOps}
 import graft.sources.Ingest
 
 /** Single source of truth: every registered query, colocated with its
@@ -5911,6 +5911,199 @@ object Queries {
       |FROM scored ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Shared q165/q166 oracle CTEs: full closed-form replay of the dHash
+    * chain — synth pixels (with the planted 4k+3 corner nudge), the q126
+    * fixed-point bilinear formula per 9×8 cell, adjacent-luma comparison
+    * bits, and 32-bit half packing. Ends in `dh(doc_id, hi, lo, nb)`.
+    */
+  private def dhashSqlCtes: String = """
+    |m AS (
+    |  SELECT doc_id,
+    |    CASE WHEN doc_id % 4 = 3 THEN doc_id - 1 ELSE doc_id END AS base
+    |  FROM documents),
+    |dims AS (SELECT doc_id, base, 8 + base % 5 AS w, 8 + base % 3 AS h FROM m),
+    |o AS (SELECT doc_id, base, w, h, unnest(range(0, 9)) AS ox FROM dims),
+    |oo AS (SELECT doc_id, base, w, h, ox, unnest(range(0, 8)) AS oy FROM o),
+    |c AS (SELECT doc_id, base, w, h, ox, oy,
+    |  (ox * (w - 1) * 256) // 8 AS sx, (oy * (h - 1) * 256) // 7 AS sy FROM oo),
+    |d AS (SELECT doc_id, base, ox, oy,
+    |  sx // 256 AS x0, LEAST(sx // 256 + 1, w - 1) AS x1, sx % 256 AS fx,
+    |  sy // 256 AS y0, LEAST(sy // 256 + 1, h - 1) AS y1, sy % 256 AS fy FROM c),
+    |cn AS (SELECT doc_id, base, ox, oy,
+    |  unnest([
+    |    {'px': x0, 'py': y0, 'wt': (256 - fx) * (256 - fy)},
+    |    {'px': x1, 'py': y0, 'wt': fx * (256 - fy)},
+    |    {'px': x0, 'py': y1, 'wt': (256 - fx) * fy},
+    |    {'px': x1, 'py': y1, 'wt': fx * fy}]) AS cr
+    |  FROM d),
+    |pv AS (SELECT doc_id, ox, oy, cr.wt AS wt,
+    |  ((3 + base % 11)*cr.px*cr.px + (5 + base % 7)*cr.py*cr.py
+    |    + (1 + base % 13)*cr.px*cr.py + (base % 17)*cr.px
+    |    + (base % 19)*cr.py + base*37) % 256 AS v0,
+    |  doc_id % 4 = 3 AND cr.px = 0 AND cr.py = 0 AS pert
+    |  FROM cn),
+    |g AS (SELECT doc_id, ox, oy,
+    |  (SUM((CASE WHEN pert THEN LEAST(v0 + 3, 255) ELSE v0 END) * wt)
+    |    + 32768) // 65536 AS v
+    |  FROM pv GROUP BY doc_id, ox, oy),
+    |bits AS (SELECT a.doc_id, a.oy, a.ox,
+    |  CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+    |  FROM g a JOIN g b
+    |    ON a.doc_id = b.doc_id AND a.oy = b.oy AND b.ox = a.ox + 1
+    |  WHERE a.ox < 8),
+    |dh AS (SELECT doc_id,
+    |  SUM(CASE WHEN oy*8 + ox >= 32
+    |    THEN bit * (CAST(1 AS BIGINT) << CAST(oy*8 + ox - 32 AS INT))
+    |    ELSE 0 END) AS hi,
+    |  SUM(CASE WHEN oy*8 + ox < 32
+    |    THEN bit * (CAST(1 AS BIGINT) << CAST(oy*8 + ox AS INT))
+    |    ELSE 0 END) AS lo,
+    |  SUM(bit) AS nb
+    |  FROM bits GROUP BY doc_id)
+    |""".stripMargin.trim
+
+  /** Image dHash perceptual fingerprints (round 11 — the multimodal arm
+    * of the dedup family): real PNG synth (with planted near-duplicate
+    * pairs, docs 4k+2/4k+3) → REAL decode → exact fixed-point 9×8
+    * bilinear resample → 64-bit difference hash in two 32-bit halves.
+    * The oracle replays the ENTIRE chain — source pixels, the q126
+    * bilinear formula per resampled cell, the per-cell comparisons, and
+    * the bit packing — in closed-form SQL, so a hash match proves the
+    * perceptual hash is bit-exact end-to-end, not merely self-consistent.
+    * Map-side only (see [[graft.operators.Perceptual.imageDhash]]).
+    */
+  val q165: Q = Q(
+    "q165_image_dhash",
+    (s, dir) => Perceptual.imageDhash(t(s, dir, "documents"), "doc_id")
+      .toDF().orderBy(col("doc_id")),
+    Some(s"""
+      |WITH $dhashSqlCtes
+      |SELECT doc_id, CAST(hi AS BIGINT) AS dhash_hi,
+      |  CAST(lo AS BIGINT) AS dhash_lo, CAST(nb AS BIGINT) AS bits_set
+      |FROM dh ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Near-duplicate IMAGE pairs via banded dHash blocking (round 11):
+    * 4×16-bit bands over q165's fingerprints + exact `bit_count(xor)`
+    * verify — pigeonhole-exact for Hamming ≤ 3, so the banded equi-join
+    * plan (the 100-TB path: fingerprints shuffle, pixels never do)
+    * returns byte-identical pairs to the quadratic scan the ORACLE runs.
+    * The planted 4k+2/4k+3 synth pairs are the expected positives; the
+    * quadratic-vs-banded agreement is the strongest possible recall
+    * proof. Mirrors q97 (SimHash/text) on real decoded pixels.
+    */
+  val q166: Q = Q(
+    "q166_image_neardup",
+    (s, dir) => Perceptual.imageDhashPairs(t(s, dir, "documents"), "doc_id",
+        maxDist = 3)
+      .orderBy(col("id1"), col("id2")),
+    Some(s"""
+      |WITH $dhashSqlCtes
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+      |    AS BIGINT) AS hamming
+      |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+      |ORDER BY id1, id2
+      |""".stripMargin.trim))
+
+  /** Audio fingerprint dedup (round 11): real WAV synth with planted
+    * exact-duplicate clips (docs 5k+3/5k+4) → REAL PCM decode → 16-frame
+    * energy fingerprint (exact int64 sums of int16²) → duplicate groups
+    * elect min(doc_id). The oracle replays samples, frame boundaries
+    * (k·n div 16), energies, the 15 comparison bits and the window
+    * election in SQL — the audio analogue of q165/q166, with q118's
+    * list-replay machinery. One ~40-byte-row shuffle; audio bytes stay
+    * map-side.
+    */
+  val q167: Q = Q(
+    "q167_audio_fingerprint",
+    (s, dir) => Perceptual.audioFingerprint(t(s, dir, "documents"), "doc_id",
+        nFrames = 16)
+      .orderBy(col("doc_id")),
+    Some("""
+      |WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 4 THEN doc_id - 1 ELSE doc_id END AS b
+      |  FROM documents),
+      |p AS (SELECT doc_id, b, 800 + b % 400 AS n FROM m),
+      |s AS (SELECT doc_id, n,
+      |    list_transform(range(0, n), i -> ((b*31 + i*7) % 65536) - 32768) AS v
+      |  FROM p),
+      |e AS (SELECT doc_id, n, v,
+      |    list_transform(range(0, 16), k ->
+      |      list_sum(list_transform(
+      |        list_slice(v, CAST(k*n//16 AS INT) + 1, CAST((k+1)*n//16 AS INT)),
+      |        x -> x*x))) AS en
+      |  FROM s),
+      |f AS (SELECT doc_id, n,
+      |    COALESCE(list_sum(list_transform(range(0, 15), k ->
+      |      CASE WHEN en[CAST(k AS INT) + 2] > en[CAST(k AS INT) + 1]
+      |        THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE 0 END)), 0) AS fp,
+      |    list_sum(list_transform(v, x -> x*x)) AS sum_sq,
+      |    v[1] AS fs, v[CAST(n AS INT)] AS ls
+      |  FROM e),
+      |d AS (SELECT doc_id, fp, n, sum_sq,
+      |    MIN(doc_id) OVER (PARTITION BY fp, n, sum_sq, fs, ls) AS dup_of
+      |  FROM f)
+      |SELECT doc_id, CAST(fp AS BIGINT) AS fp, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(sum_sq AS BIGINT) AS sum_sq, CAST(dup_of AS BIGINT) AS dup_of,
+      |  doc_id <> dup_of AS is_dup
+      |FROM d ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Small-file compaction plan from FOOTERS ONLY (round 11 — closes the
+    * lakehouse-maintenance loop: q153 audits the stats, this PLANS the
+    * rewrite). Write documents into a deliberately skewed partitioned
+    * layout (bucket = ⌊√(doc_id mod 169)⌋ — 13 buckets whose sizes grow
+    * as the odd numbers), recover per-bucket row counts from parquet
+    * footers alone, then pack buckets in key order into 4 near-equal
+    * rewrite groups (`ParquetFooters.compactionPlan`). The oracle
+    * computes bucket counts FROM the data and replays the cumulative
+    * greedy in SQL — a match proves a plan made purely from metadata
+    * equals the plan made from the rows. Order-preserving, so each
+    * output group spans a contiguous bucket range (min/max pruning
+    * survives compaction).
+    */
+  val q168: Q = Q(
+    "q168_compaction_plan",
+    (s, dir) => {
+      import graft.sources.ParquetFooters
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q168-compact").toString
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          floor(sqrt(col("doc_id") % 169)).cast("long").as("bucket"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$tmp/docs")
+      val perBucket = ParquetFooters.footerStats(s, s"$tmp/docs", "doc_id")
+        .select(regexp_extract(col("path"), "bucket=(\\d+)", 1)
+          .cast("long").as("input_id"), col("n_rows"))
+        .groupBy(col("input_id"))
+        .agg(sum(col("n_rows")).as("n_rows"))
+      ParquetFooters.compactionPlan(perBucket, nGroups = 4)
+        .orderBy(col("group_id"))
+    },
+    Some("""
+      |WITH b AS (
+      |  SELECT CAST(FLOOR(SQRT(doc_id % 169)) AS BIGINT) AS input_id,
+      |    COUNT(*) AS n_rows
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT input_id, n_rows,
+      |    COALESCE(SUM(n_rows) OVER (ORDER BY input_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+      |    SUM(n_rows) OVER () AS total
+      |  FROM b),
+      |g AS (SELECT input_id, n_rows,
+      |    CAST(cum_before AS BIGINT) // CAST((total + 3) // 4 AS BIGINT) AS group_id
+      |  FROM w)
+      |SELECT CAST(group_id AS BIGINT) AS group_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_inputs,
+      |  CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+      |  MIN(input_id) AS min_input, MAX(input_id) AS max_input
+      |FROM g GROUP BY 1 ORDER BY 1
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -5927,5 +6120,5 @@ object Queries {
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163, q164)
+    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168)
 }

@@ -369,6 +369,45 @@ object Multimodal {
       WavMeta(id, rate, channels, bits, n, n * 1000L / rate, sumSq, peak,
         first, last)
     }
+
+    /** The decoded PCM16 samples themselves (mono), plus the sample
+      * rate — the raw material for fingerprinting ([[Perceptual]]) and
+      * decimation. Same chunk walk and validation as [[decode]].
+      */
+    def samples(id: Long, bytes: Array[Byte]): (Long, Array[Short]) = {
+      val buf = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+      require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+        s"not a RIFF/WAVE payload (doc $id)")
+      var off = 12
+      var rate = -1L
+      var channels = -1L
+      var bits = -1L
+      var dataOff, dataLen = -1
+      while (off + 8 <= bytes.length) {
+        val cid = ascii(off, 4)
+        val sz = buf.getInt(off + 4)
+        require(sz >= 0, s"negative $cid chunk size $sz (doc $id)")
+        if (cid == "fmt ") {
+          require(buf.getShort(off + 8) == 1, s"not PCM (doc $id)")
+          channels = buf.getShort(off + 10).toLong
+          rate = buf.getInt(off + 12).toLong
+          bits = buf.getShort(off + 22).toLong
+        } else if (cid == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz + (sz & 1)
+      }
+      require(rate > 0 && dataOff >= 0, s"missing fmt /data chunk (doc $id)")
+      require(bits == 16 && channels == 1,
+        s"samples() supports mono PCM16 only (doc $id)")
+      require(dataLen >= 0 && dataOff + dataLen <= bytes.length,
+        s"data chunk overruns file: $dataLen at $dataOff (doc $id)")
+      val n = dataLen / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { out(i) = buf.getShort(dataOff + 2 * i); i += 1 }
+      (rate, out)
+    }
   }
 
   /** Decoded BMP metadata. Channel sums are exact integers; px00 packs

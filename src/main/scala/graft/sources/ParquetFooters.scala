@@ -88,4 +88,44 @@ object ParquetFooters {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** Order-preserving small-file compaction plan — the maintenance step
+    * that follows a [[footerStats]] audit: coalesce many small inputs
+    * into ~`nGroups` rewrite groups of near-equal row mass WITHOUT
+    * breaking the key order (inputs are packed in `input_id` order, so
+    * each output group covers a contiguous key range and the layout's
+    * min/max pruning survives the rewrite — the same contract as
+    * `TrainPrep.packSequences`, applied to files instead of tokens).
+    *
+    * Input: one row per input file/bucket (`input_id`, `n_rows`) — i.e.
+    * FOOTER data, never row data. Greedy first-fit by running total:
+    * group = (rows before this input) div target, target = ceil(total /
+    * nGroups). Deterministic and SQL-replayable (q168's oracle replays
+    * the cumulative window in DuckDB).
+    *
+    * Scale: the window runs on ONE partition — but over one row per
+    * input FILE (the same O(#files) control-plane cardinality the
+    * driver's split enumeration already holds in memory). At 100 TB /
+    * ~1 M files that is a single-task million-row window; beyond that,
+    * plan per table partition (the outer `partitionBy` this function
+    * deliberately leaves to the caller).
+    */
+  def compactionPlan(inputs: DataFrame, nGroups: Int): DataFrame = {
+    require(nGroups >= 1, s"nGroups must be >= 1, got $nGroups")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cumBefore = coalesce(
+      sum(col("n_rows")).over(Window.orderBy(col("input_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val total = sum(col("n_rows")).over(Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    inputs
+      .withColumn("__cum_before", cumBefore)
+      .withColumn("__total", total)
+      .withColumn("group_id",
+        expr(s"__cum_before DIV ((__total + ${nGroups - 1}) DIV $nGroups)"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_inputs"), sum(col("n_rows")).as("total_rows"),
+        min(col("input_id")).as("min_input"), max(col("input_id")).as("max_input"))
+  }
 }

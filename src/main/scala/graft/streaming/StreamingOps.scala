@@ -356,40 +356,96 @@ object StreamingOps {
     * [[RocksDbStateStoreConfs]]; per-group work is a sort of one band
     * key's rows within one micro-batch. Docs with no shingles (empty
     * text) have no bands and are admitted by definition.
+    *
+    * `stateTtl = Some((tsCol, ttlMs))` switches on the band-key
+    * COMPACTION contract (round-10 verdict sharp edge 3): each band
+    * key's claim expires `ttlMs` after the claimant's event time, the
+    * state store garbage-collects it at the watermark
+    * (EventTimeTimeout — same rationale as [[dedupWithTtl]]: an
+    * event-time TTL settles under test drivers and replays
+    * deterministically), and a doc arriving after expiry RE-CLAIMS the
+    * key. State is then bounded by band keys ACTIVE WITHIN the TTL
+    * window instead of all keys ever seen — the reference's Redis
+    * `SET NX EX` semantics (`src/redis_tools.py:15-24`) scaled from a
+    * 5 s lock to a curation-window TTL. Dedup becomes window-scoped by
+    * contract: a near-dup arriving after the original's claims expired
+    * is admitted, exactly as Redis expiry would.
     */
   def lshNearDupStream(docs: DataFrame, idCol: String, textCol: String,
-      nHashes: Int, bands: Int, rowsPerBand: Int, outPath: String) = {
+      nHashes: Int, bands: Int, rowsPerBand: Int, outPath: String,
+      stateTtl: Option[(String, Long)] = None) = {
     require(nHashes == bands * rowsPerBand,
       s"signature length $nHashes must equal bands*rowsPerBand = ${bands * rowsPerBand}")
     import graft.operators.TextOps
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        TextOps.minhashSignature(
-          TextOps.shingleHashes(TextOps.wordBigrams(TextOps.tokens(col(textCol)))),
-          nHashes).as("sig"))
-      .select(col("doc_id"),
-        explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
-      .as[(Long, String)]
-    val verdicts = banded
-      .groupByKey(_._2)
-      .flatMapGroupsWithState[Long, BandVerdict](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (bandKey: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
-          var claimant = state.getOption.getOrElse(Long.MinValue)
-          val out = Vector.newBuilder[BandVerdict]
-          rows.map(_._1).toSeq.sorted.foreach { docId =>
-            if (claimant == Long.MinValue) {
-              claimant = docId
-              out += BandVerdict(docId, bandKey, docId, is_new = true)
-            } else {
-              out += BandVerdict(docId, bandKey, claimant, is_new = false)
-            }
+    def sig = TextOps.minhashSignature(
+      TextOps.shingleHashes(TextOps.wordBigrams(TextOps.tokens(col(textCol)))),
+      nHashes)
+    val verdicts = stateTtl match {
+      case None =>
+        docs
+          .select(col(idCol).cast("long").as("doc_id"), sig.as("sig"))
+          .select(col("doc_id"),
+            explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+          .as[(Long, String)]
+          .groupByKey(_._2)
+          .flatMapGroupsWithState[Long, BandVerdict](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (bandKey: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+              var claimant = state.getOption.getOrElse(Long.MinValue)
+              val out = Vector.newBuilder[BandVerdict]
+              rows.map(_._1).toSeq.sorted.foreach { docId =>
+                if (claimant == Long.MinValue) {
+                  claimant = docId
+                  out += BandVerdict(docId, bandKey, docId, is_new = true)
+                } else {
+                  out += BandVerdict(docId, bandKey, claimant, is_new = false)
+                }
+              }
+              state.update(claimant)
+              out.result().iterator
           }
-          state.update(claimant)
-          out.result().iterator
-      }
+      case Some((tsCol, ttlMs)) =>
+        require(ttlMs > 0, s"stateTtl must be positive, got $ttlMs ms")
+        docs
+          // watermark delay = the TTL, for the same reason as
+          // dedupWithTtl: a shorter delay would drop late events before
+          // the stateful operator instead of TTL-adjudicating them
+          .withWatermark(tsCol, s"$ttlMs milliseconds")
+          .select(col(idCol).cast("long").as("doc_id"),
+            col(tsCol).as("__wm_ts"), sig.as("sig"))
+          .select(col("doc_id"), col("__wm_ts"),
+            explode(TextOps.lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+          .as[(Long, java.sql.Timestamp, String)]
+          .groupByKey(_._3)
+          .flatMapGroupsWithState[(Long, Long), BandVerdict](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+            (bandKey: String, rows: Iterator[(Long, java.sql.Timestamp, String)],
+                state: GroupState[(Long, Long)]) =>
+              if (state.hasTimedOut) {
+                state.remove()
+                Iterator.empty
+              } else {
+                var (claimant, expiry) =
+                  state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+                val out = Vector.newBuilder[BandVerdict]
+                rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach {
+                  case (docId, ts, _) =>
+                    if (ts.getTime >= expiry) { // unclaimed or expired → claim
+                      claimant = docId
+                      expiry = ts.getTime + ttlMs
+                      out += BandVerdict(docId, bandKey, docId, is_new = true)
+                    } else {
+                      out += BandVerdict(docId, bandKey, claimant, is_new = false)
+                    }
+                }
+                state.update((claimant, expiry))
+                state.setTimeoutTimestamp(expiry) // GC at the watermark
+                out.result().iterator
+              }
+          }
+    }
     verdicts.writeStream.outputMode("append").foreachBatch {
       (batch: Dataset[BandVerdict], _: Long) =>
         batch.toDF()

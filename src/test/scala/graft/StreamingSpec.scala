@@ -540,6 +540,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup with TTL: claims expire, late dups re-admit, state compacts") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_ttl").toString + "/out"
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+    val ttlMs = 30L * 60 * 1000 // 30-minute claim TTL
+    val q = StreamingOps.lshNearDupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      nHashes = 8, bands = 4, rowsPerBand = 2, dir,
+      stateTtl = Some(("ts", ttlMs))).start()
+    try {
+      // t+0: doc 1 claims; t+10: dup doc 2 inside the TTL → blocked
+      mem.addData((1L, ts(0), text), (2L, ts(10), text))
+      q.processAllAvailable()
+      // t+45: doc 1's claims (expiry t+30) lapsed → doc 3 RE-CLAIMS;
+      // t+50: doc 4 inside doc 3's fresh TTL → blocked BY DOC 3
+      mem.addData((3L, ts(45), text), (4L, ts(50), text))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir)
+        .select("doc_id", "admitted", "dup_of")
+        .as[(Long, Boolean, Option[Long])].collect()
+        .map(r => r._1 -> r).toMap
+      assert(out(1L)._2 && out(1L)._3.isEmpty)
+      assert(!out(2L)._2 && out(2L)._3.contains(1L))
+      assert(out(3L)._2 && out(3L)._3.isEmpty) // Redis-expiry re-admission
+      assert(!out(4L)._2 && out(4L)._3.contains(3L)) // new claimant named
+    } finally q.stop()
+  }
+
   test("streaming media-decode health ledger accumulates per-format rates") {
     import graft.operators.Multimodal
     implicit val sqlCtx = spark.sqlContext
