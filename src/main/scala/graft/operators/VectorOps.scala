@@ -431,4 +431,92 @@ object VectorOps {
       .collect().map(_.getSeq[Double](0))
     semDedup(corpus, idCol, vecCol, cents.toArray, tau)
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-bounded ANN scale path
+  // ------------------------------------------------------------------
+
+  /** Deterministic PQ codebooks from the corpus: split the embedding
+    * into `m` contiguous subspaces and, per subspace, take the
+    * quantized sub-vectors of the `k` LOWEST-id corpus vectors as the
+    * code words (the same deterministic seeding rule as `kmeansFit`,
+    * and trivially SQL-replayable — q169's oracle reconstructs the
+    * books with `ORDER BY id LIMIT k`). Bounded driver read: k rows.
+    * A production fit would Lloyd-refine each book exactly as
+    * `kmeansFit` does per cell; the ENCODE/ADC machinery below is
+    * unchanged by where the books come from.
+    *
+    * Returns `books(sub)(code) = Seq[Double]` of length dim/m,
+    * quantized-int units.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Array[Array[Seq[Double]]] = {
+    require(m >= 1 && k >= 1, s"pqCodebooks: bad m=$m k=$k")
+    val donors = corpus.orderBy(col(idCol)).limit(k)
+      .select(quantize(col(vecCol)).as("q"))
+      .collect().map(_.getSeq[Double](0))
+    require(donors.nonEmpty, "pqCodebooks: corpus has no vectors")
+    val dim = donors.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m)(s => donors.map(_.slice(s * sub, (s + 1) * sub)))
+  }
+
+  /** PQ encode: each vector → `m` small integer codes (argmin code word
+    * per subspace, exact integer `|c|² − 2·v·c` compare — the same
+    * monotone trick as [[assignCells]] — ties to the lower code). Pure
+    * map-side projection; this is the 8-byte-per-vector representation
+    * a 100-TB ANN index actually stores. Output: (idCol, codes
+    * ARRAY<INT> of length m).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Seq[Double]]]): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val m = books.length
+    val sub = books.head.head.length
+    val codes = (0 until m).map { s =>
+      argminCell(slice(quantize(col(vecCol)), s * sub + 1, sub), books(s))
+    }
+    corpus.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: queries keep their full
+    * quantized vectors; the CORPUS side carries only its `m` codes.
+    * Approximate squared-L2 distance = Σ over subspaces of the exact
+    * integer distance from the query sub-vector to the neighbor's code
+    * word — the classic ADC estimate. Broadcast-NL over the code table
+    * like [[bruteForceTopK]], but the scan side is m ints per vector
+    * instead of dim floats (32× smaller at m=8/dim=64 — the reason PQ
+    * is the memory-bounded scale path; compose with IVF cells to also
+    * prune the scan). Fully deterministic: books are data-derived
+    * literals, every distance is an exact int64, ties break on
+    * neighbor id — DuckDB-replayable end to end (q169).
+    *
+    * Output: (query_id, neighbor_id, adc_dist BIGINT), top `k` per
+    * query by ascending distance.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, books: Array[Array[Seq[Double]]], k: Int): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val m = books.length
+    val sub = books.head.head.length
+    val enc = pqEncode(corpus, idCol, vecCol, books)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val dist = (0 until m).map { s =>
+      val cw = element_at(typedlit(books(s).map(_.toIndexedSeq).toIndexedSeq),
+        element_at(col("codes"), s + 1) + 1)
+      val qs = slice(col("qv"), s * sub + 1, sub)
+      aggregate(zip_with(qs, cw, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", dist.cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "adc_dist")
+  }
 }

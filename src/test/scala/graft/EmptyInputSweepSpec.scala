@@ -14,7 +14,10 @@ class EmptyInputSweepSpec extends SparkSpec {
 
   // k-means/IVF and corpus-derived SemDeDup centroids require a
   // non-empty corpus by contract (seeding needs at least one vector)
-  private val documentedFailFast = Set("q28_ann_ivf_topk", "q162_semdedup_scaled")
+  // k-means/IVF seeding, corpus-derived SemDeDup centroids and PQ
+  // codebooks all require at least one corpus vector by contract
+  private val documentedFailFast =
+    Set("q28_ann_ivf_topk", "q162_semdedup_scaled", "q169_ann_pq_topk")
 
   test("all registered queries survive empty inputs (or fail fast by contract)") {
     val dir = Files.createTempDirectory("graft-empty").toString

@@ -11,11 +11,15 @@ class PlanAuditSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   // q88's global window runs over a ~30-row post-aggregate (one row per
-  // event day) — a bounded input by construction, documented at the
+  // event day); q168's compaction planner windows over one row per input
+  // FILE — the O(#files) control-plane cardinality a planner's split
+  // enumeration already holds on the driver (ParquetFooters.compactionPlan
+  // scaladoc). Both are bounded inputs by construction, documented at the
   // operator. Every OTHER registered query must partition its windows:
   // an empty partition spec coalesces the ENTIRE input into one task
   // (round 6 shipped exactly this in equiDepthBins — an OOM at 100 TB).
-  private val partitionlessWindowExempt = Set("q88_rolling_dau")
+  private val partitionlessWindowExempt =
+    Set("q88_rolling_dau", "q168_compaction_plan")
 
   /** Run `body` with CacheScope's materializing checkpoint disabled, so
     * `queryExecution` on scoped operators (triangleCount, pareto, ewma,

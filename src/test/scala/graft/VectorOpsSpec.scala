@@ -66,6 +66,47 @@ class VectorOpsSpec extends SparkSpec {
     assert(mean >= 0.6, f"mean recall@10 $mean%.3f below the 0.6 gate")
   }
 
+  test("PQ: donor vectors encode to zero-distance codes; ADC recall@10 gated (q169)") {
+    val emb = graft.sources.Ingest.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding", m = 16, k = 64)
+    assert(books.length == 16 && books.forall(_.length == 64) &&
+      books.forall(_.forall(_.length == 4)))
+    // exactness: a donor's sub-vector IS a code word, so its encoded
+    // ADC distance to itself must be 0 in every subspace
+    val vecs = emb.select(col("vec_id"),
+        VectorOps.quantize(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val codes = VectorOps.pqEncode(emb, "vec_id", "embedding", books)
+      .as[(Long, Seq[Int])].collect().toMap
+    (0L until 64L).foreach { id =>
+      val selfDist = (0 until 16).map { s =>
+        val cw = books(s)(codes(id)(s))
+        vecs(id).slice(s * 4, s * 4 + 4).zip(cw)
+          .map { case (a, b) => val t = a - b; t * t }.sum
+      }.sum
+      assert(selfDist == 0.0, s"donor $id should be exactly representable")
+    }
+    // quality: ADC top-10 vs exact L2 top-10 (the q28 recall-gate
+    // pattern — determinism is oracle-checked by q169, approximation
+    // quality is bounded here)
+    val queries = emb.filter(col("vec_id") < 5)
+    val pq = VectorOps.pqTopK(queries, emb, "vec_id", "embedding", books, 10)
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val exact = (0L until 5L).map { q =>
+      q -> vecs.keys.filter(_ != q).toSeq
+        .sortBy(c => (vecs(q).zip(vecs(c)).map { case (a, b) =>
+          val t = a - b; t * t }.sum, c))
+        .take(10).toSet
+    }.toMap
+    val recalls = exact.map { case (q, ex) =>
+      pq.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ mean recall@10 (m=16, 64-word books, sf0.01): $mean%.3f over ${recalls.size} queries")
+    assert(mean >= 0.4, f"mean recall@10 $mean%.3f below the 0.4 gate")
+  }
+
   test("labelCentroids: per-dim integer mean in index order") {
     val df = Seq(
       (0L, 0, Seq(1f, 2f)), (1L, 0, Seq(3f, 5f)), // label 0: means (2000, 3500)
