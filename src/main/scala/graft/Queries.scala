@@ -5915,12 +5915,17 @@ object Queries {
     * chain — synth pixels (with the planted 4k+3 corner nudge), the q126
     * fixed-point bilinear formula per 9×8 cell, adjacent-luma comparison
     * bits, and 32-bit half packing. Ends in `dh(doc_id, hi, lo, nb)`.
+    * `docFilter` restricts the fingerprinted population (q170 gates on
+    * the decode-health predicate before hashing, exactly as the Spark
+    * pipeline does).
     */
-  private def dhashSqlCtes: String = """
+  private def dhashSqlCtes: String = dhashSqlCtesFiltered("")
+
+  private def dhashSqlCtesFiltered(docFilter: String): String = s"""
     |m AS (
     |  SELECT doc_id,
     |    CASE WHEN doc_id % 4 = 3 THEN doc_id - 1 ELSE doc_id END AS base
-    |  FROM documents),
+    |  FROM documents $docFilter),
     |dims AS (SELECT doc_id, base, 8 + base % 5 AS w, 8 + base % 3 AS h FROM m),
     |o AS (SELECT doc_id, base, w, h, unnest(range(0, 9)) AS ox FROM dims),
     |oo AS (SELECT doc_id, base, w, h, ox, unnest(range(0, 8)) AS oy FROM o),
@@ -6171,6 +6176,53 @@ object Queries {
       |ORDER BY query_id, adc_dist, neighbor_id
       |""".stripMargin.trim))
 
+  /** Composed media-curation pipeline (round 11 — the q157 composition
+    * proof for the MULTIMODAL operators): binary payloads (1-in-7
+    * truncated → sniffs as PNG but fails decode) → `decodeMedia` health
+    * gate → `dhashFromBinary` perceptual fingerprints over the SAME
+    * binary column the gate read → banded near-dup pairs → keep = decoded
+    * AND no earlier near-duplicate. Proves the media operators COMPOSE:
+    * the fingerprint step consumes the decode gate's survivors, never
+    * re-synthesizing. The oracle replays the corrupt predicate, the
+    * decode-gated dHash population, the quadratic pair scan and the
+    * earliest-wins election.
+    */
+  val q170: Q = Q(
+    "q170_media_pipeline",
+    (s, dir) => graft.CacheScope.scoped { cs =>
+      import s.implicits._
+      // pinned: the decode-gate leg and the fingerprint leg both read
+      // the payload column
+      val payloads = cs.cache(
+        t(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+          .mapPartitions(_.map { id =>
+            val full = Perceptual.synthDhashPng(id)
+            (id, if (id % 7 == 0) full.take(20) else full)
+          }).toDF("doc_id", "bin"))
+      val meta = Multimodal.decodeMedia(payloads, "doc_id", "bin").toDF()
+      val ok = meta.filter(col("decode_ok")).select(col("doc_id"))
+      val fp = Perceptual.dhashFromBinary(
+        payloads.join(ok, "doc_id"), "doc_id", "bin").toDF()
+      val dupOf = Perceptual.dhashPairsFromHashes(fp, maxDist = 3)
+        .groupBy(col("id2").as("doc_id")).agg(min(col("id1")).as("dup_of"))
+      meta.select(col("doc_id"), col("format"), col("decode_ok"))
+        .join(dupOf, Seq("doc_id"), "left_outer")
+        .withColumn("kept", col("decode_ok") && col("dup_of").isNull)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH ${dhashSqlCtesFiltered("WHERE doc_id % 7 <> 0")},
+      |dup AS (
+      |  SELECT b.doc_id, MIN(a.doc_id) AS dup_of
+      |  FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      |    AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+      |  GROUP BY b.doc_id)
+      |SELECT d.doc_id, 'png' AS format, d.doc_id % 7 <> 0 AS decode_ok,
+      |  dup.dup_of, (d.doc_id % 7 <> 0 AND dup.dup_of IS NULL) AS kept
+      |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+      |ORDER BY d.doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -6187,5 +6239,5 @@ object Queries {
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
+    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
 }

@@ -98,19 +98,44 @@ object Perceptual {
   case class ImageHash(doc_id: Long, dhash_hi: Long, dhash_lo: Long,
       bits_set: Long)
 
+  /** dHash a BINARY image column: sniff the container, decode with the
+    * matching real codec (PNG/BMP/GIF pixel grids), resample, hash.
+    * Map-side only; the binary column never shuffles. Undecodable
+    * payloads throw — gate with `Multimodal.decodeMedia`'s `decode_ok`
+    * first (the q170 composition), exactly as a production pipeline
+    * health-filters before fingerprinting.
+    */
+  def dhashFromBinary(df: DataFrame, idCol: String,
+      binCol: String): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (w, h, rgb) = Multimodal.sniffFormat(bytes) match {
+          case "png" => Multimodal.Png.pixels(id, bytes)
+          case "bmp" => Multimodal.Bmp.pixels(id, bytes)
+          case "gif" => Multimodal.Gif.pixels(id, bytes)
+          case f => throw new IllegalArgumentException(
+            s"dhashFromBinary: no pixel decoder for format '$f' (doc $id)")
+        }
+        val (hi, lo) = dhashBits(w, h, rgb)
+        ImageHash(id, hi, lo, java.lang.Long.bitCount(hi) +
+          java.lang.Long.bitCount(lo))
+      })
+  }
+
   /** documents → real PNG bytes → REAL decode → exact 9×8 resample →
     * dHash. Map-side only; the binary column never shuffles.
     */
   def imageDhash(ids: DataFrame, idCol: String): Dataset[ImageHash] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.map { id =>
-        val (w, h, rgb) = Multimodal.Png.pixels(id, synthDhashPng(id))
-        val (hi, lo) = dhashBits(w, h, rgb)
-        ImageHash(id, hi, lo, java.lang.Long.bitCount(hi) +
-          java.lang.Long.bitCount(lo))
-      })
+    dhashFromBinary(
+      ids.select(col(idCol).cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, synthDhashPng(id))))
+        .toDF("doc_id", "bin"),
+      "doc_id", "bin")
   }
 
   /** Near-duplicate image pairs within `maxDist` Hamming bits: 4×16-bit
@@ -123,12 +148,20 @@ object Perceptual {
     */
   def imageDhashPairs(ids: DataFrame, idCol: String,
       maxDist: Int = 3): DataFrame = graft.CacheScope.scoped { cs =>
-    require(maxDist >= 0 && maxDist <= 3,
-      s"4x16-bit banding is exact only for maxDist <= 3, got $maxDist")
     // pinned: both self-join sides read the fingerprints — without it the
     // whole decode+resample+hash pass runs twice (same contract as
     // TextOps.simhashHammingPairs; callers own the cache lifecycle)
-    val fp = cs.cache(imageDhash(ids, idCol).toDF())
+    dhashPairsFromHashes(cs.cache(imageDhash(ids, idCol).toDF()), maxDist)
+  }
+
+  /** Banded Hamming pairs over an EXISTING fingerprint table
+    * (doc_id, dhash_hi, dhash_lo) — the join half of [[imageDhashPairs]],
+    * exposed so compositions that already hold fingerprints (q170's
+    * decode-gated pipeline) don't recompute them.
+    */
+  def dhashPairsFromHashes(fp: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16-bit banding is exact only for maxDist <= 3, got $maxDist")
     val banded = fp.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
         explode(array(
           struct(lit(0).as("band"), (col("dhash_lo") % 65536).as("bkey")),
