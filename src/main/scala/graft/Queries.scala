@@ -6223,6 +6223,59 @@ object Queries {
       |ORDER BY d.doc_id
       |""".stripMargin.trim))
 
+  /** DSIR-shape importance-resampling selection (round 11 — the
+    * published data-selection recipe: score raw docs by how TARGET-like
+    * their hashed-n-gram distribution is). Target set = lang 'en';
+    * fit = per-bucket add-1-smoothed log-likelihood ratios over the
+    * q164 featurizer's 64 md5 buckets, each ln quantized to micros (the
+    * q134 contract); score = exact integer Σλ per doc, map-side against
+    * the collected λ literal (bounded driver read, `dim` rows). The
+    * oracle refits the counts, recomputes every λ from the same
+    * rationals, and replays the per-doc sum. See
+    * [[graft.operators.TrainPrep.dsirScore]].
+    */
+  val q171: Q = Q(
+    "q171_dsir_select",
+    (s, dir) => TrainPrep.dsirScore(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en", dim = 64)
+      .orderBy(col("doc_id")),
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, lang = 'en' AS tgt, list_concat(w,
+      |    CASE WHEN len(w) < 2 THEN []
+      |      ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS f
+      |  FROM toks),
+      |fx AS (
+      |  SELECT doc_id, tgt,
+      |    CAST(list_sum(list_transform(range(1, 9), i ->
+      |      (strpos('0123456789abcdef', substr(md5(t.t), i, 1)) - 1)
+      |        * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 64 AS BIGINT) AS b
+      |  FROM feats, unnest(f) AS t(t)),
+      |cnt AS (
+      |  SELECT b, COUNT(*) AS n_raw,
+      |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+      |  FROM fx GROUP BY b),
+      |lam AS (
+      |  SELECT b,
+      |    CAST(round(ln((n_tgt + 1) / CAST(SUM(n_tgt) OVER () + 64 AS DOUBLE)) * 1e6, 0)
+      |      - round(ln((n_raw + 1) / CAST(SUM(n_raw) OVER () + 64 AS DOUBLE)) * 1e6, 0)
+      |      AS BIGINT) AS l
+      |  FROM cnt),
+      |scored AS (
+      |  SELECT fx.doc_id, COALESCE(SUM(lam.l), 0) AS score_micro
+      |  FROM fx JOIN lam ON fx.b = lam.b
+      |  GROUP BY fx.doc_id)
+      |SELECT f.doc_id, CAST(len(f.f) AS BIGINT) AS n_feats,
+      |  CAST(COALESCE(s.score_micro, 0) AS BIGINT) AS score_micro,
+      |  COALESCE(s.score_micro, 0) > 0 AS keep
+      |FROM feats f LEFT JOIN scored s ON f.doc_id = s.doc_id
+      |ORDER BY f.doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -6239,5 +6292,6 @@ object Queries {
     q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
-    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
+    q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
+    q171)
 }

@@ -122,6 +122,41 @@ object StreamBench {
       .where(col("admitted")).count()
     println(f"""{"op":"lsh_near_dup","rows":$nDocs,"secs":$secs%.2f,"rows_per_sec":${(nDocs / secs).toLong},"micro_batches":$batches,"state_rows":$stateRows,"state_bytes":$stateBytes,"admitted":$admitted}""")
 
+    // round-11: the TTL-compaction variant. Each doc gets a synthetic
+    // event time (epoch + doc_id seconds, so the range-partitioned
+    // replay feeds roughly increasing times) and claims expire 600
+    // event-seconds after the claimant — final state_rows should track
+    // the ACTIVE window, not every band key ever seen (compare against
+    // the unbounded run above).
+    val ttlReplay = s"$replay/docs_ttl"
+    val docsTtl = Ingest.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(1767225600L) + col("doc_id")).as("ts"))
+    docsTtl.repartitionByRange(16, col("doc_id")).write.parquet(s"$ttlReplay/in")
+    val tSchema = spark.read.parquet(s"$ttlReplay/in").schema
+    val tsrc = spark.readStream.schema(tSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$ttlReplay/in")
+    val tt0 = System.nanoTime()
+    val tq = StreamingOps.lshNearDupStream(tsrc, "doc_id", "text",
+        nHashes = 8, bands = 4, rowsPerBand = 2, s"$ttlReplay/out",
+        stateTtl = Some(("ts", 600000L)))
+      .option("checkpointLocation", s"$ttlReplay/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    tq.awaitTermination()
+    val tsecs = (System.nanoTime() - tt0) / 1e9
+    val tlast = Option(tq.lastProgress)
+    val tbatches = tlast.map(_.batchId + 1).getOrElse(0L)
+    val tStateRows = tlast
+      .flatMap(p => Option(p.stateOperators)).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+    val tStateBytes = tlast
+      .flatMap(p => Option(p.stateOperators)).map(_.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    tq.stop()
+    val tAdmitted = spark.read.parquet(s"$ttlReplay/out")
+      .where(col("admitted")).count()
+    println(f"""{"op":"lsh_near_dup_ttl600","rows":$nDocs,"secs":$tsecs%.2f,"rows_per_sec":${(nDocs / tsecs).toLong},"micro_batches":$tbatches,"state_rows":$tStateRows,"state_bytes":$tStateBytes,"admitted":$tAdmitted}""")
+
     spark.stop()
   }
 }

@@ -553,4 +553,72 @@ object TrainPrep {
       .withColumn("rle_ratio",
         col("n_runs").cast("double") / col("n_values").cast("double"))
   }
+
+  /** DSIR-shape data selection (round 11 — the published importance-
+    * resampling recipe: score raw documents by how target-like their
+    * hashed n-gram distribution is, then keep/sample by the importance
+    * weight). Two passes over the SAME featurization (pinned):
+    *
+    *   1. fit: per-bucket counts of hashed unigram+bigram features
+    *      (the q164 featurizer — md5 8-hex-digit buckets mod `dim`)
+    *      over the RAW corpus and over the `targetPred` subset; the
+    *      add-1-smoothed per-bucket log-likelihood ratio
+    *      λ(b) = ln((n_tgt+1)/(T_tgt+dim)) − ln((n_raw+1)/(T_raw+dim))
+    *      is quantized to integer micros PER ln (the q134 contract —
+    *      both engines round the same single ln of a single rational).
+    *   2. score: per doc, score_micro = Σ λ(bucket(f)) over all feature
+    *      occurrences — exact integer sum, any accumulation order.
+    *
+    * The fitted λ table is `dim` rows — a bounded driver read (the
+    * assignCells/kmeansFit pattern) inlined as an array literal, so the
+    * scoring pass is map-side with ZERO joins: selection costs one
+    * corpus scan, which is what makes DSIR affordable at crawl scale.
+    * keep = score > 0 (target-leaning); a pipeline wanting true
+    * proportional sampling composes the score with the md5-bucket
+    * machinery of [[stratifiedSample]].
+    *
+    * Output: (idCol, n_feats, score_micro, keep).
+    */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, dim: Int): DataFrame = graft.CacheScope.scoped { cs =>
+    require(dim >= 1 && dim <= (1 << 20), s"dsirScore: bad dim $dim")
+    def bucket(t: Column): Column =
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+    val toks = TextOps.tokens(col(textCol))
+    // featurized once, read by the fit pass and the score pass
+    val feats = cs.cache(
+      df.select(col(idCol), targetPred.as("__tgt"), toks.as("__w"))
+        .select(col(idCol), col("__tgt"), concat(col("__w"),
+          when(size(col("__w")) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(col("__w")) - 1),
+              i => concat_ws(" ", element_at(col("__w"), i),
+                element_at(col("__w"), i + 1))))).as("__f")))
+    val counts = feats
+      .select(col("__tgt"), explode(col("__f")).as("__t"))
+      .select(col("__tgt"), bucket(col("__t")).as("__b"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_tgt"))
+    // totals ride along; λ is computed IN Spark SQL (same ln/round the
+    // oracle's engine applies to the same rationals) then collected —
+    // `dim` rows, a bounded control-plane read
+    val w = Window.partitionBy(lit(0))
+    val lam = counts
+      .withColumn("__traw", sum(col("n_raw")).over(w))
+      .withColumn("__ttgt", sum(col("n_tgt")).over(w))
+      .select(col("__b"),
+        (round(log((col("n_tgt") + 1).cast("double") /
+            (col("__ttgt") + dim).cast("double")) * 1e6, 0) -
+          round(log((col("n_raw") + 1).cast("double") /
+            (col("__traw") + dim).cast("double")) * 1e6, 0))
+          .cast("long").as("__lam"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val lamArr = array((0 until dim).map(b => lit(lam.getOrElse(b, 0L))): _*)
+    feats.select(col(idCol),
+        size(col("__f")).cast("long").as("n_feats"),
+        aggregate(col("__f"), lit(0L),
+          (acc, t) => acc + element_at(lamArr, (bucket(t) + 1).cast("int")))
+          .as("score_micro"))
+      .withColumn("keep", col("score_micro") > 0L)
+  }
 }

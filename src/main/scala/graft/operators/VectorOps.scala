@@ -502,6 +502,13 @@ object VectorOps {
     val sub = books.head.head.length
     val enc = pqEncode(corpus, idCol, vecCol, books)
       .select(col(idCol).as("neighbor_id"), col("codes"))
+    // NOTE on the textbook ADC lookup-table split (precompute the
+    // m×|book| query-to-codeword table once per query, then m
+    // element_at's per pair): measured SLOWER here — the 1024-fold LUT
+    // expression tree blows up codegen (73 s first-run compile, 22–25 s
+    // warm vs 16.5 s inline at 10× sf0.1) — so the distance stays
+    // inlined: per pair, one 4-wide exact fold per subspace against the
+    // literal code word the neighbor's code selects.
     val q = queries.select(col(idCol).as("query_id"),
       quantize(col(vecCol)).as("qv"))
     val dist = (0 until m).map { s =>

@@ -192,7 +192,11 @@ object StreamingOps {
               } // else: lock live → duplicate dropped
             }
             state.update(expiry)
-            state.setTimeoutTimestamp(expiry) // GC once the watermark passes
+            // clamped like lshNearDupStream's TTL: an admit by an event
+            // far behind the watermark can carry expiry < wm, which
+            // setTimeoutTimestamp rejects — wm+1 GCs next batch instead
+            state.setTimeoutTimestamp(
+              math.max(expiry, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }
@@ -441,7 +445,14 @@ object StreamingOps {
                     }
                 }
                 state.update((claimant, expiry))
-                state.setTimeoutTimestamp(expiry) // GC at the watermark
+                // GC once the watermark passes the expiry. Clamped: a
+                // claim taken by an event far behind the watermark can
+                // have expiry < wm already, and setTimeoutTimestamp
+                // rejects past timestamps — wm+1 fires the GC on the
+                // next batch, and admission correctness never depends
+                // on the timeout (the inline `ts >= expiry` check does)
+                state.setTimeoutTimestamp(
+                  math.max(expiry, state.getCurrentWatermarkMs() + 1))
                 out.result().iterator
               }
           }

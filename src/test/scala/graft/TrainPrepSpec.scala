@@ -172,4 +172,28 @@ class TrainPrepSpec extends SparkSpec {
     // floor never over-allocates: totals ≤ budget
     assert(got.map(_.getLong(3)).sum <= 1000)
   }
+
+  test("dsirScore: target-marker docs score above the rest, deterministically") {
+    import org.apache.spark.sql.functions.col
+    // target docs share a marker vocabulary; raw-only docs use another.
+    // DSIR must rank marker-bearing held-out docs above raw-style ones.
+    val docs = ((0 until 12).map(i =>
+        (i.toLong, s"alpha beta gamma delta marker$i token$i", true)) ++
+      (12 until 24).map(i =>
+        (i.toLong, s"noise$i junk$i filler$i spam$i other$i extra$i", false)) ++
+      Seq((24L, "alpha beta gamma delta fresh new", false), // target-like holdout
+        (25L, "noise1 junk2 filler3 spam4 words here", false))) // raw-like holdout
+      .toDF("doc_id", "text", "is_tgt")
+    val out = TrainPrep.dsirScore(docs, "doc_id", "text", col("is_tgt"), dim = 64)
+      .select("doc_id", "score_micro", "keep")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(24L)._2 > out(25L)._2,
+      s"target-like holdout ${out(24L)._2} should outscore raw-like ${out(25L)._2}")
+    assert(out(24L)._3 && !out(25L)._3)
+    // exact determinism: a second fit+score run reproduces every score
+    val again = TrainPrep.dsirScore(docs, "doc_id", "text", col("is_tgt"), dim = 64)
+      .select("doc_id", "score_micro", "keep")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out == again)
+  }
 }
