@@ -3907,8 +3907,8 @@ object Queries {
     "q115_ivf_fixed_probe",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cells = VectorOps.assignCells(emb, "vec_id", "embedding", q115Centroids)
-      VectorOps.ivfTopK(emb.filter(col("vec_id") < 5), emb.join(cells, "vec_id"),
+      VectorOps.ivfTopK(emb.filter(col("vec_id") < 5),
+          VectorOps.assignCellsAll(emb, "embedding", q115Centroids),
           "vec_id", "embedding", "cell", q115Centroids, k = 10, nProbe = 2)
         .orderBy(col("query_id"), col("cosine_sim").desc, col("neighbor_id"))
     },
@@ -6276,6 +6276,211 @@ object Queries {
       |ORDER BY f.doc_id
       |""".stripMargin.trim))
 
+  /** IVF-PQ ANN (round 11 — the composed scale path q169's scaladoc and
+    * SCALE.md promise): coarse cells prune WHICH vectors each query
+    * scans (q115's probe, same fixed centroids) while PQ codes shrink
+    * WHAT the scan reads per vector (q169's books and ADC ranking).
+    * The index a 100-TB deployment stores is exactly this query's
+    * mid-plan relation — (cell, neighbor_id, 16 codes) — and a probe
+    * reads nProbe/nCells of it. Probe ranking uses the assignment's own
+    * exact-L2 monotone compare, so pruning and assignment agree. The
+    * oracle replays assignment, probe, encode and ADC end-to-end from
+    * the same centroid/book derivations (the q115 + q169 CTEs joined on
+    * the probed cells). Recall vs exact and vs unpruned PQ is gated in
+    * VectorOpsSpec.
+    */
+  val q172: Q = Q(
+    "q172_ann_ivfpq_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding", m = 16, k = 64)
+      VectorOps.ivfPqTopK(emb.filter(col("vec_id") < 5),
+          VectorOps.assignCellsAll(emb, "embedding", q115Centroids),
+          "vec_id", "embedding", "cell", q115Centroids, books, k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("adc_dist"), col("neighbor_id"))
+    },
+    Some {
+      val cellRows = q115Centroids.zipWithIndex.map { case (ct, i) =>
+        s"($i, [${ct.map(_.toLong).mkString(",")}])"
+      }.mkString(",\n      |    ")
+      s"""
+      |WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings),
+      |cells(cell, cent) AS (VALUES
+      |    $cellRows),
+      |cdist AS (
+      |  SELECT e.vec_id, c.cell,
+      |    list_sum(list_transform(c.cent, x -> CAST(x AS DOUBLE) * x))
+      |      - 2 * list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cent[i])) AS d
+      |  FROM e CROSS JOIN cells c),
+      |assigned AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+      |    FROM cdist)
+      |  WHERE rn = 1),
+      |don AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+      |  FROM e ORDER BY vec_id LIMIT 64),
+      |ms AS (SELECT unnest(range(0, 16)) AS m),
+      |book AS (SELECT j, m,
+      |    list_slice(v, CAST(m*4+1 AS INT), CAST(m*4+4 AS INT)) AS c
+      |  FROM don CROSS JOIN ms),
+      |sv AS (SELECT vec_id, m,
+      |    list_slice(v, CAST(m*4+1 AS INT), CAST(m*4+4 AS INT)) AS s
+      |  FROM e CROSS JOIN ms),
+      |encd AS (SELECT vec_id, m, j,
+      |    list_sum(list_transform(range(1, 5), i ->
+      |      (s[CAST(i AS INT)] - c[CAST(i AS INT)])
+      |        * (s[CAST(i AS INT)] - c[CAST(i AS INT)]))) AS d
+      |  FROM sv JOIN book USING (m)),
+      |code AS (SELECT vec_id, m, j FROM (
+      |    SELECT vec_id, m, j,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+      |    FROM encd)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      |probe AS (SELECT qid, cell FROM (
+      |    SELECT cd.vec_id AS qid, cd.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY cd.vec_id ORDER BY cd.d, cd.cell) AS pr
+      |    FROM cdist cd WHERE cd.vec_id < 5)
+      |  WHERE pr <= 2),
+      |adm AS (SELECT q.qid, code.vec_id AS cid, code.m,
+      |    list_slice(q.qv, CAST(code.m*4+1 AS INT), CAST(code.m*4+4 AS INT)) AS qs,
+      |    book.c
+      |  FROM q
+      |  JOIN probe p ON p.qid = q.qid
+      |  JOIN assigned a ON a.cell = p.cell
+      |  JOIN code ON code.vec_id = a.vec_id
+      |  JOIN book ON book.m = code.m AND book.j = code.j
+      |  WHERE q.qid <> a.vec_id),
+      |ads AS (SELECT qid, cid,
+      |    SUM(list_sum(list_transform(range(1, 5), i ->
+      |      (qs[CAST(i AS INT)] - c[CAST(i AS INT)])
+      |        * (qs[CAST(i AS INT)] - c[CAST(i AS INT)])))) AS adc
+      |  FROM adm GROUP BY qid, cid)
+      |SELECT qid AS query_id, cid AS neighbor_id, CAST(adc AS BIGINT) AS adc_dist
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rn
+      |  FROM ads)
+      |WHERE rn <= 10
+      |ORDER BY query_id, adc_dist, neighbor_id
+      |""".stripMargin.trim
+    })
+
+  /** Shared q173/q174 oracle tail: q61's recursive-CTE component closure
+    * over the blocked trigram-Jaccard pairs, ending in
+    * `comp(doc_id, cluster_id)` with singletons mapped to themselves. */
+  private def componentSqlCtes(theta: Double): String =
+    ngramPairsSql(theta) + """,
+      |e AS (SELECT id1 AS a, id2 AS b FROM pr
+      |      UNION ALL SELECT id2, id1 FROM pr),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS l FROM documents
+      |  UNION
+      |  SELECT e.a, reach.l FROM e JOIN reach ON e.b = reach.id),
+      |comp AS (SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id)"""
+
+  /** Quality-aware canonical dedup (round 11 — the composed curation
+    * decision the published pipelines actually ship): near-dup pairs
+    * (q36's blocked trigram Jaccard) → connected components (q61) →
+    * model quality score per doc (q164's classifier, same weight
+    * fixture) → keep THE BEST copy per cluster
+    * (`Dedup.keepBestPerCluster`: argmax logit, ties to the lower id).
+    * q61's min-id election keeps whichever duplicate happens to sort
+    * first; this replaces arrival order with measured quality — the
+    * semantics RefinedWeb/FineWeb-class pipelines use when collapsing
+    * duplicate clusters. One extra shuffle over q61 (the score window
+    * on the cluster key); the scorer itself is map-side.
+    */
+  val q173: Q = Q(
+    "q173_quality_canonical",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = ngramJaccardPairs(s, dir, theta = 0.7)
+      val comp = Analytics.connectedComponents(pairs, "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+      val scored = TextOps.linearQualityClassifier(docs, "doc_id", "text",
+          q164Weights, biasMicro = 100L)
+        .select(col("doc_id"), col("logit_micro"))
+      val clustered = docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .join(scored, "doc_id")
+      Dedup.keepBestPerCluster(clustered, "cluster_id", "logit_micro", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some((componentSqlCtes(0.7) + s""",
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |feats AS (
+      |  SELECT doc_id, list_concat(w,
+      |    CASE WHEN len(w) < 2 THEN []
+      |      ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS f
+      |  FROM toks),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CAST(100 + COALESCE(list_sum(list_transform(f, t ->
+      |      [${q164Weights.mkString(", ")}][CAST(
+      |        list_sum(list_transform(range(1, 9), i ->
+      |          (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+      |            * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 64 + 1 AS INT)])), 0)
+      |      AS BIGINT) AS logit_micro
+      |  FROM feats)
+      |SELECT c.doc_id, c.cluster_id, sc.logit_micro,
+      |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |    ORDER BY sc.logit_micro DESC, c.doc_id) = 1 AS keep
+      |FROM comp c JOIN sc ON c.doc_id = sc.doc_id
+      |ORDER BY c.doc_id
+      |""").stripMargin.trim))
+
+  /** Leakage-safe train/valid/test split (round 11 — the published
+    * decontamination-by-construction recipe): split on the NEAR-DUP
+    * CLUSTER id, not the document id, so near-duplicates can never
+    * straddle train and eval. q46's per-doc hash split — the naive
+    * recipe — leaks: a pair of near-identical docs lands in train and
+    * test whenever their ids hash apart (TrainPrepSpec measures the
+    * straddling pairs it produces on the same corpus; this split
+    * produces zero BY CONSTRUCTION, since the bucket is a function of
+    * the cluster id every member shares). Same 80/10/10 md5 thresholds
+    * as q46, applied to the cluster id.
+    */
+  val q174: Q = Q(
+    "q174_leakage_safe_split",
+    (s, dir) => {
+      val pairs = ngramJaccardPairs(s, dir, theta = 0.7)
+      val comp = Analytics.connectedComponents(pairs, "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+      val bucket = pmod(
+        conv(substring(md5(col("cluster_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"),
+        lit(100))
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("bucket", bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid").otherwise("test"))
+        .orderBy(col("doc_id"))
+    },
+    Some((componentSqlCtes(0.7) + """,
+      |b AS (
+      |  SELECT doc_id, cluster_id,
+      |    CAST(list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), i, 1)) - 1)
+      |        * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % 100 AS BIGINT) AS bucket
+      |  FROM comp)
+      |SELECT doc_id, cluster_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id
+      |""").stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -6293,5 +6498,5 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171)
+    q171, q172, q173, q174)
 }

@@ -175,4 +175,25 @@ object Dedup {
     batch.filter(!maybe(col(key)))
       .unionByName(batch.filter(maybe(col(key))).join(keys, Seq(key), "left_anti"))
   }
+
+  /** Quality-aware canonical selection: given rows already labeled with a
+    * duplicate-cluster id and a quality score, keep exactly one row per
+    * cluster — the HIGHEST-scoring one, ties to the lowest id. This is
+    * the published curation semantics for near-dup clusters (keep the
+    * best copy, e.g. longest/highest-classifier-score), where the
+    * reference's Redis set (`/root/reference/src/redis_tools.py:42-54`)
+    * and q61's min-id election keep whichever copy ARRIVED first —
+    * arrival order says nothing about quality.
+    *
+    * Shape: one `row_number` window partitioned by the cluster id — a
+    * single shuffle on the cluster key, no join; cluster sizes are
+    * near-dup group sizes (tiny), so no skew concern. All input columns
+    * pass through plus a boolean `keep`.
+    */
+  def keepBestPerCluster(df: DataFrame, clusterCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("keep", row_number().over(w) === 1)
+  }
 }

@@ -192,6 +192,20 @@ object VectorOps {
       argminCell(quantize(col(vecCol)), centroids).as("cell"))
   }
 
+  /** [[assignCells]] keeping every input column: `withColumn("cell", …)`
+    * instead of a two-column projection, so callers that need the vector
+    * AND its cell (the IVF probe join input) don't pay a self-join to
+    * reattach it — assignment is a pure map, and composing it as one
+    * saves the two shuffles `corpus.join(assignCells(corpus), id)`
+    * costs (measured in the q115/q172 plan fingerprints).
+    */
+  def assignCellsAll(corpus: DataFrame, vecCol: String,
+      centroids: Array[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "assignCellsAll: centroids must be non-empty")
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.withColumn("cell", argminCell(quantize(col(vecCol)), centroids))
+  }
+
   /** IVF-style ANN top-k: corpus vectors live in coarse cells (here the
     * `cellCol` clustering, e.g. a pre-computed label or k-means id);
     * each query scores the tiny broadcast centroid table, probes its
@@ -519,6 +533,78 @@ object VectorOps {
         lit(0.0), (acc, x) => acc + x)
     }.reduce(_ + _)
     val scored = enc.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", dist.cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist"), col("neighbor_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select("query_id", "neighbor_id", "adc_dist")
+  }
+
+  /** IVF-PQ top-k: the COMPOSED 100-TB ANN path [[pqTopK]]'s scaladoc
+    * promises — coarse cells prune WHICH vectors each query scans
+    * (q115's probe shape) while PQ codes shrink WHAT the scan reads per
+    * vector (q169's ADC shape). The serving layout this models is the
+    * standard one (IVF-PQ): the index stores, per cell, only
+    * (neighbor_id, m codes) — at m=16 that is 16 ints where the raw
+    * vector is 64 floats — and a probe touches nProbe/nCells of it.
+    *
+    * Cell probing uses the SAME exact-L2 monotone compare as the cell
+    * assignment (`|c|² − 2·q·c` in exact ints, ascending, ties to the
+    * lower cell) — probing by the assignment metric is what makes the
+    * pruning sound; ADC then ranks the survivors. Everything is
+    * deterministic (fixed centroid literals, lowest-id-donor books,
+    * integer distances, id tie-breaks), so the DuckDB oracle replays
+    * assignment, probe, encode and ADC end-to-end (q172).
+    *
+    * `corpus` must carry `cellCol` (e.g. from [[assignCells]] with the
+    * same `centroids`). Output: (query_id, neighbor_id, adc_dist BIGINT),
+    * top `k` per query by ascending ADC distance.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, cellCol: String, centroids: Array[Seq[Double]],
+      books: Array[Array[Seq[Double]]], k: Int, nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfPqTopK: centroids must be non-empty")
+    require(nProbe >= 1, s"ivfPqTopK: nProbe must be >= 1, got $nProbe")
+    val s = queries.sparkSession
+    import s.implicits._
+    GraftFunctions.register(s)
+    val m = books.length
+    val sub = books.head.head.length
+    // The stored index: (cell, neighbor_id, codes) — the per-subspace
+    // argmin encode inlined so the cell column rides along without a
+    // second pass over the corpus.
+    val codes = (0 until m).map { sp =>
+      argminCell(slice(quantize(col(vecCol)), sp * sub + 1, sub), books(sp))
+    }
+    val enc = corpus.select(col(cellCol).as("cell"),
+      col(idCol).as("neighbor_id"), array(codes: _*).as("codes"))
+    // Probe: rank the broadcast centroid table by the exact assignment
+    // metric per query; keep each query's nProbe best cells.
+    val centroidDf = centroids.zipWithIndex
+      .map { case (ct, i) => (i, ct, ct.map(x => x * x).sum) }.toSeq
+      .toDF("cell", "centroid", "cnorm")
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val probed = q.crossJoin(broadcast(centroidDf))
+      .withColumn("cdist",
+        col("cnorm") - lit(2.0) * nativeDot(col("qv"), col("centroid")))
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
+      .filter(col("__cr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // ADC distance stays inlined per pair (see the pqTopK LUT note: the
+    // precomputed-table split measured slower under codegen).
+    val dist = (0 until m).map { sp =>
+      val cw = element_at(typedlit(books(sp).map(_.toIndexedSeq).toIndexedSeq),
+        element_at(col("codes"), sp + 1) + 1)
+      val qs = slice(col("qv"), sp * sub + 1, sub)
+      aggregate(zip_with(qs, cw, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    }.reduce(_ + _)
+    // The cell-pruned scoring join: the small probed side broadcasts;
+    // only the probed cells' code rows are ever scored.
+    val scored = enc.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", dist.cast("long"))
     val w = Window.partitionBy(col("query_id"))

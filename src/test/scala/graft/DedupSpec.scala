@@ -53,4 +53,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.mergeUpsert(target.limit(0), updates, Seq("k"))
       .as[(Long, String)].collect().toSet == Set((2L, "new2"), (4L, "new4")))
   }
+
+  test("keepBestPerCluster: argmax score wins, ties to lowest id, singletons kept") {
+    val df = Seq(
+      (1L, 10L, 5L),  // cluster 10: doc 2 scores higher
+      (2L, 10L, 9L),
+      (3L, 30L, 7L),  // cluster 30: tie on score → doc 3 (lower id) wins
+      (4L, 30L, 7L),
+      (5L, 50L, -2L)  // singleton: kept even with a negative score
+    ).toDF("doc_id", "cluster_id", "logit_micro")
+    val kept = Dedup.keepBestPerCluster(df, "cluster_id", "logit_micro", "doc_id")
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 5L))
+    // exactly one keeper per cluster, every input row passes through
+    val out = Dedup.keepBestPerCluster(df, "cluster_id", "logit_micro", "doc_id")
+    assert(out.count() == 5)
+    assert(out.filter(col("keep")).groupBy("cluster_id").count()
+      .filter(col("count") =!= 1).count() == 0)
+  }
 }

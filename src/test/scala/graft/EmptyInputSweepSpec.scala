@@ -17,7 +17,8 @@ class EmptyInputSweepSpec extends SparkSpec {
   // k-means/IVF seeding, corpus-derived SemDeDup centroids and PQ
   // codebooks all require at least one corpus vector by contract
   private val documentedFailFast =
-    Set("q28_ann_ivf_topk", "q162_semdedup_scaled", "q169_ann_pq_topk")
+    Set("q28_ann_ivf_topk", "q162_semdedup_scaled", "q169_ann_pq_topk",
+      "q172_ann_ivfpq_topk")
 
   test("all registered queries survive empty inputs (or fail fast by contract)") {
     val dir = Files.createTempDirectory("graft-empty").toString

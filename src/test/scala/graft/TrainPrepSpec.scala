@@ -196,4 +196,34 @@ class TrainPrepSpec extends SparkSpec {
       .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
     assert(out == again)
   }
+
+  test("cluster split never straddles a near-dup pair; q46's doc split does (q174)") {
+    val dir = "/root/testdata/sf0.01"
+    val pairs = Queries.ngramJaccardPairsNoCache(spark, dir, 0.7)
+      .select(col("id1").cast("long"), col("id2").cast("long"))
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs at theta 0.7")
+    // q46's per-doc md5 split, replayed driver-side
+    def bucket(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 100
+    }
+    def docSplit(id: Long): String = {
+      val v = bucket(id.toString)
+      if (v < 80) "train" else if (v < 90) "valid" else "test"
+    }
+    val docStraddle = pairs.count { case (a, b) => docSplit(a) != docSplit(b) }
+    val bySplit = Queries.all.find(_.name == "q174_leakage_safe_split").get
+      .run(spark, dir)
+      .select(col("doc_id").cast("long"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val clusterStraddle = pairs.count { case (a, b) => bySplit(a) != bySplit(b) }
+    info(s"near-dup pairs: ${pairs.length}; straddling doc-split: $docStraddle; " +
+      s"straddling cluster-split: $clusterStraddle")
+    assert(clusterStraddle == 0,
+      "cluster-keyed split must never separate a near-dup pair")
+    assert(docStraddle > 0,
+      "fixture should demonstrate the leak the cluster split closes")
+  }
 }

@@ -107,6 +107,60 @@ class VectorOpsSpec extends SparkSpec {
     assert(mean >= 0.4, f"mean recall@10 $mean%.3f below the 0.4 gate")
   }
 
+  test("IVF-PQ: probing all cells equals plain PQ; pruned probe gated (q172)") {
+    val emb = graft.sources.Ingest.table(spark, "/root/testdata/sf0.01", "embeddings")
+    // the q115/q172 fixed centroid fixture
+    val cents: Array[Seq[Double]] = Array(
+      Seq.fill(64)(0.0),
+      Seq.fill(64)(100.0),
+      Seq.fill(64)(-100.0),
+      Seq.tabulate(64)(d => if (d % 2 == 0) 100.0 else -100.0))
+    val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding", m = 16, k = 64)
+    val corpus = VectorOps.assignCellsAll(emb, "embedding", cents)
+    // the keep-all assignment must agree with the two-column one
+    val viaJoin = emb.join(
+      VectorOps.assignCells(emb, "vec_id", "embedding", cents), "vec_id")
+    assert(corpus.select(col("vec_id").cast("long"), col("cell"))
+        .as[(Long, Int)].collect().toMap ==
+      viaJoin.select(col("vec_id").cast("long"), col("cell"))
+        .as[(Long, Int)].collect().toMap)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("adc_dist").cast("long")).as[(Long, Long, Long)].collect().toSet
+    // nProbe = nCells disables pruning — the composed plan must then be
+    // EXACTLY the unpruned ADC ranking (same distances, same tie-breaks)
+    val full = rows(VectorOps.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+      "cell", cents, books, k = 10, nProbe = 4))
+    val plain = rows(VectorOps.pqTopK(queries, emb, "vec_id", "embedding", books, 10))
+    assert(full == plain, "all-cells IVF-PQ must equal plain PQ ADC exactly")
+    // pruned (the q172 registration, nProbe=2): every neighbor must come
+    // from a probed cell, and recall vs the unpruned ADC ranking is gated
+    val pruned = rows(VectorOps.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+      "cell", cents, books, k = 10, nProbe = 2))
+    val cellOf = corpus.select(col("vec_id").cast("long"), col("cell"))
+      .as[(Long, Int)].collect().toMap
+    val qv = emb.filter(col("vec_id") < 5)
+      .select(VectorOps.quantize(col("embedding")).as("v"), col("vec_id").cast("long"))
+      .as[(Seq[Double], Long)].collect().map(_.swap).toMap
+    val probedCells = qv.map { case (q, v) =>
+      q -> cents.indices.sortBy { i =>
+        val d = cents(i).map(x => x * x).sum -
+          2.0 * v.zip(cents(i)).map { case (a, b) => a * b }.sum
+        (d, i)
+      }.take(2).toSet
+    }
+    pruned.foreach { case (q, n, _) =>
+      assert(probedCells(q).contains(cellOf(n)),
+        s"neighbor $n of query $q came from an unprobed cell") }
+    val recalls = plain.groupBy(_._1).map { case (q, rs) =>
+      val ex = rs.map(_._2)
+      pruned.filter(_._1 == q).map(_._2).intersect(ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF-PQ recall@10 vs unpruned ADC (nProbe=2/4 cells, sf0.01): $mean%.3f")
+    assert(mean >= 0.4, f"mean recall@10 $mean%.3f below the 0.4 gate")
+  }
+
   test("labelCentroids: per-dim integer mean in index order") {
     val df = Seq(
       (0L, 0, Seq(1f, 2f)), (1L, 0, Seq(3f, 5f)), // label 0: means (2000, 3500)
