@@ -6481,6 +6481,78 @@ object Queries {
       |FROM b ORDER BY doc_id
       |""").stripMargin.trim))
 
+  /** Gopher repetition battery (round 11 — the within-document
+    * repetition half of the MassiveText rules, complementing q142's
+    * length/stopword/symbol battery): duplicate-line fraction,
+    * duplicate-line CHARACTER fraction, top-2-gram character coverage,
+    * and duplicated-5-gram character coverage, with the published keep
+    * thresholds. The fixture corpus has no newlines, so the query
+    * plants deterministic boilerplate lines per doc_id on BOTH sides
+    * first (the q58 planting pattern) — docs at doc_id % 3 == 0 carry a
+    * twice-repeated line and fail the dup-line rule, % 3 == 1 carry it
+    * once. Entirely map-side: every signal is a higher-order fold, the
+    * top-gram argmax a linear run-length scan over the doc's sorted
+    * gram array — see `TextOps.repetitionStats`.
+    */
+  val q175: Q = Q(
+    "q175_repetition_filter",
+    (s, dir) => {
+      val bp = "boiler plate line"
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(s"\n$bp\n$bp"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(s"\n$bp"))
+            .otherwise(lit(""))).as("text"))
+      TextOps.repetitionStats(planted, "doc_id", "text", topN = 2, dupN = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH planted AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |           THEN chr(10) || 'boiler plate line' || chr(10) || 'boiler plate line'
+      |         WHEN doc_id % 3 = 1 THEN chr(10) || 'boiler plate line'
+      |         ELSE '' END AS text
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |    list_filter(string_split(text, chr(10)), l -> l <> '') AS ls,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM planted),
+      |lstat AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(ls) AS BIGINT) AS n_lines,
+      |    CAST(len(list_distinct(ls)) AS BIGINT) AS n_dlines,
+      |    CAST(coalesce(list_sum(list_transform(ls, l -> length(l))), 0) AS BIGINT) AS line_chars,
+      |    CAST(coalesce(list_sum(list_transform(list_distinct(ls), l -> length(l))), 0) AS BIGINT) AS dline_chars,
+      |    CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), i -> array_to_string(w[i:i+1], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END AS g2,
+      |    CASE WHEN len(w) >= 5 THEN list_transform(range(1, len(w) - 3), i -> array_to_string(w[i:i+4], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END AS g5
+      |  FROM base),
+      |gc AS (SELECT doc_id, gram, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(g2) AS gram FROM lstat) GROUP BY doc_id, gram),
+      |b1 AS (SELECT doc_id, gram, c FROM (
+      |    SELECT doc_id, gram, c,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+      |    FROM gc) WHERE rn = 1)
+      |SELECT l.doc_id, l.n_chars, l.n_lines,
+      |  CASE WHEN l.n_lines = 0 THEN 0.0
+      |       ELSE CAST(l.n_lines - l.n_dlines AS DOUBLE) / CAST(l.n_lines AS DOUBLE) END AS dup_line_frac,
+      |  CASE WHEN l.line_chars = 0 THEN 0.0
+      |       ELSE CAST(l.line_chars - l.dline_chars AS DOUBLE) / CAST(l.line_chars AS DOUBLE) END AS dup_line_char_frac,
+      |  b1.gram AS top_ngram,
+      |  CASE WHEN l.n_chars = 0 OR b1.c IS NULL THEN 0.0
+      |       ELSE CAST(b1.c * length(b1.gram) AS DOUBLE) / CAST(l.n_chars AS DOUBLE) END AS top_ngram_frac,
+      |  CASE WHEN l.n_chars = 0 THEN 0.0
+      |       ELSE CAST(coalesce(list_sum(list_transform(l.g5, x -> length(x))), 0)
+      |              - coalesce(list_sum(list_transform(list_distinct(l.g5), x -> length(x))), 0) AS DOUBLE)
+      |            / CAST(l.n_chars AS DOUBLE) END AS dup_ngram_frac,
+      |  (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+      |    AND top_ngram_frac <= 0.20 AND dup_ngram_frac <= 0.15) AS keep
+      |FROM lstat l LEFT JOIN b1 USING (doc_id) ORDER BY l.doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -6498,5 +6570,5 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174)
+    q171, q172, q173, q174, q175)
 }

@@ -1029,4 +1029,99 @@ object TextOps {
       .dropDuplicates("doc_id", "band", "bkey")
     (decisions, updated)
   }
+
+  /** Overlapping (non-distinct) word n-grams — the counting variant of
+    * [[wordNgrams]]: a gram that occurs k times appears k times, so
+    * repetition mass is measurable. Short docs return an explicit empty
+    * array (`sequence(1, size-n+1)` DESCENDS when size < n).
+    */
+  def wordNgramsAll(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+
+  private def sumLengths(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => acc + length(x).cast("long"))
+
+  /** Gopher/MassiveText REPETITION battery (round 11 — the missing half
+    * of q142's rule battery: the paper's within-document repetition
+    * signals, Rae et al. 2021 Table A1). Per document:
+    *
+    *  - `dup_line_frac`: fraction of non-empty lines that are repeats of
+    *    an earlier line (= 1 − distinct/total);
+    *  - `dup_line_char_frac`: fraction of line characters inside those
+    *    repeats — computed as (total line chars − distinct-line chars) /
+    *    total line chars, an identity that needs NO per-line counting;
+    *  - `top_ngram` / `top_ngram_frac`: the most frequent word `topN`-gram
+    *    (ties → lexicographically smallest) and the fraction of document
+    *    characters its occurrences cover (count × gram length / doc chars);
+    *  - `dup_ngram_frac`: fraction of document characters inside
+    *    duplicated `dupN`-grams, the same total−distinct identity over
+    *    overlapping grams (occurrences may overlap, so this is the
+    *    deterministic OVERCOUNTING variant of the paper's position-union
+    *    measure — documented, and replayed identically by the oracle);
+    *  - `keep`: all four under the published thresholds (0.30 / 0.20 /
+    *    0.20 / 0.15).
+    *
+    * Scale shape: ENTIRELY map-side — one staged select evaluates the
+    * token split and line split once (the q142 lesson), every signal is
+    * a higher-order fold over those arrays, and the top-gram argmax is a
+    * single linear `aggregate` over the doc's SORTED gram array (run-
+    * length scan; ascending sort + strictly-greater update = smallest
+    * gram wins ties at any parallelism). No shuffle, no join: at 100 TB
+    * this runs at scan bandwidth next to `gopherFilter`, where a
+    * groupBy-(doc, gram) formulation would shuffle the whole token
+    * stream twice.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 2, dupN: Int = 5): DataFrame = {
+    require(topN >= 1 && dupN >= 1, s"repetitionStats: bad n ($topN, $dupN)")
+    val lines = filter(split(col("__text"), "\n"), l => length(l) > 0)
+    val s1 = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    val s2 = s1.select(col("doc_id"),
+      length(col("__text")).cast("long").as("n_chars"),
+      lines.as("__l"), tokens(col("__text")).as("__w"))
+    val s3 = s2.select(col("doc_id"), col("n_chars"),
+      size(col("__l")).cast("long").as("n_lines"),
+      size(array_distinct(col("__l"))).cast("long").as("n_dlines"),
+      sumLengths(col("__l")).as("line_chars"),
+      sumLengths(array_distinct(col("__l"))).as("dline_chars"),
+      array_sort(wordNgramsAll(col("__w"), topN)).as("__gt"),
+      wordNgramsAll(col("__w"), dupN).as("__gd"))
+    // linear run-length argmax over the sorted gram array; '' is never a
+    // gram (tokens are non-empty), so the zero accumulator is safe.
+    val top = expr(
+      """aggregate(__gt,
+        |  named_struct('prev', '', 'run', cast(0 as bigint),
+        |               'best', cast(0 as bigint), 'bestg', ''),
+        |  (acc, x) -> named_struct(
+        |    'prev', x,
+        |    'run', if(x = acc.prev, acc.run + 1, cast(1 as bigint)),
+        |    'best', if(if(x = acc.prev, acc.run + 1, 1) > acc.best,
+        |               cast(if(x = acc.prev, acc.run + 1, 1) as bigint),
+        |               acc.best),
+        |    'bestg', if(if(x = acc.prev, acc.run + 1, 1) > acc.best,
+        |               x, acc.bestg)),
+        |  acc -> named_struct('best', acc.best, 'bestg', acc.bestg))
+        |""".stripMargin)
+    val s4 = s3.withColumn("__top", top).select(col("doc_id"),
+      col("n_chars"), col("n_lines"),
+      when(col("n_lines") === 0, lit(0.0)).otherwise(
+        (col("n_lines") - col("n_dlines")).cast("double") /
+          col("n_lines").cast("double")).as("dup_line_frac"),
+      when(col("line_chars") === 0, lit(0.0)).otherwise(
+        (col("line_chars") - col("dline_chars")).cast("double") /
+          col("line_chars").cast("double")).as("dup_line_char_frac"),
+      when(col("__top.best") > 0, col("__top.bestg")).as("top_ngram"),
+      when(col("n_chars") === 0 || col("__top.best") === 0, lit(0.0))
+        .otherwise((col("__top.best") * length(col("__top.bestg"))).cast("double") /
+          col("n_chars").cast("double")).as("top_ngram_frac"),
+      when(col("n_chars") === 0, lit(0.0)).otherwise(
+        (sumLengths(col("__gd")) - sumLengths(array_distinct(col("__gd"))))
+          .cast("double") / col("n_chars").cast("double")).as("dup_ngram_frac"))
+    s4.withColumn("keep",
+      col("dup_line_frac") <= 0.30 && col("dup_line_char_frac") <= 0.20 &&
+        col("top_ngram_frac") <= 0.20 && col("dup_ngram_frac") <= 0.15)
+  }
 }

@@ -331,4 +331,65 @@ class TextOpsSpec extends SparkSpec {
     assert(ledger1.filter(col("doc_id") === 10L).count() == 0)
     assert(ledger1.filter(col("doc_id") === 11L).count() == 4)
   }
+
+  test("repetitionStats: hand-computed Gopher repetition signals") {
+    val docs = Seq(
+      // doc 0: 3 lines, one repeated ("dup dup"); tokens carry a
+      // dominant 2-gram and a repeated 5-gram
+      (0L, "dup dup\nmid line\ndup dup"),
+      // doc 1: no repetition anywhere (long enough that the singleton
+      // top 2-gram stays under the 20% char-coverage threshold)
+      (1L, "all words here are unique tokens in this sentence today"),
+      // doc 2: empty text
+      (2L, ""),
+      // doc 3: one token — no 2-grams, no 5-grams, one line
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    val d0 = out(0)
+    // lines: [dup dup, mid line, dup dup] → 1 of 3 duplicated
+    assert(math.abs(d0.getAs[Double]("dup_line_frac") - 1.0 / 3) < 1e-12)
+    // line chars: 7+8+7=22, distinct 7+8=15 → 7/22
+    assert(math.abs(d0.getAs[Double]("dup_line_char_frac") - 7.0 / 22) < 1e-12)
+    // tokens: dup dup mid line dup dup → top 2-gram "dup dup" ×2 (ties
+    // impossible: "dup mid"/"mid line"/"line dup" are singletons)
+    assert(d0.getAs[String]("top_ngram") == "dup dup")
+    // 2·len("dup dup")=14 over n_chars=24 (text length incl newlines)
+    assert(math.abs(d0.getAs[Double]("top_ngram_frac") - 14.0 / 24) < 1e-12)
+    // six tokens → two 5-grams, distinct → dup_ngram_frac 0
+    assert(d0.getAs[Double]("dup_ngram_frac") == 0.0)
+    assert(!d0.getAs[Boolean]("keep")) // dup_line_frac 0.33 > 0.30
+
+    val d1 = out(1)
+    assert(d1.getAs[Double]("dup_line_frac") == 0.0)
+    assert(d1.getAs[String]("top_ngram") == "all words") // all counts 1 → lexicographic min
+    assert(d1.getAs[Boolean]("keep"))
+
+    val d2 = out(2)
+    assert(d2.getAs[Long]("n_lines") == 0L)
+    assert(d2.getAs[Double]("dup_line_frac") == 0.0)
+    assert(d2.getAs[String]("top_ngram") == null)
+    assert(d2.getAs[Boolean]("keep"))
+
+    val d3 = out(3)
+    assert(d3.getAs[Long]("n_lines") == 1L)
+    assert(d3.getAs[String]("top_ngram") == null)
+    assert(d3.getAs[Double]("top_ngram_frac") == 0.0)
+    assert(d3.getAs[Boolean]("keep"))
+  }
+
+  test("repetitionStats: duplicated overlapping 5-grams are counted by the total-minus-distinct identity") {
+    // "a b c d e" repeated twice with a separator: the 5-gram
+    // "a b c d e" occurs twice (positions 1 and 7)
+    val docs = Seq((0L, "a b c d e x a b c d e")).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(docs, "doc_id", "text").collect()(0)
+    // 7 overlapping 5-grams, total chars 9*5+2*... compute: grams are
+    // 'a b c d e'(9) 'b c d e x'(9) 'c d e x a'(9) 'd e x a b'(9)
+    // 'e x a b c'(9) 'x a b c d'(9) 'a b c d e'(9) → total 63,
+    // distinct 54 → dup chars 9 over n_chars 21
+    assert(math.abs(r.getAs[Double]("dup_ngram_frac") - 9.0 / 21) < 1e-12)
+    assert(!r.getAs[Boolean]("keep")) // 0.43 > 0.15
+  }
 }
