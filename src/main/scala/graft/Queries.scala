@@ -6553,6 +6553,34 @@ object Queries {
       |FROM lstat l LEFT JOIN b1 USING (doc_id) ORDER BY l.doc_id
       |""".stripMargin.trim))
 
+  /** EXIF metadata extraction (round 11 — the canonical image-curation
+    * metadata op): a real APP1 "Exif\0\0" TIFF block is spliced into the
+    * q121 synthetic JPEG and parsed back by composing the JPEG marker
+    * walk with the TIFF IFD walk — `Multimodal.Exif`. Make/Model travel
+    * as offset-addressed ASCII values (word-aligned), Orientation/ISO as
+    * inline SHORTs, PixelXDimension as an inline LONG pinned to the
+    * actual JPEG width; byte order alternates per doc. No pixel decode:
+    * at 100 TB this is a KB-per-file metadata scan. The oracle recomputes
+    * every field closed-form from doc_id — values only match if the
+    * splice + two-walk parse round-tripped every byte.
+    */
+  val q176: Q = Q(
+    "q176_jpeg_exif",
+    (s, dir) => Multimodal.exifRoundTrip(t(s, dir, "documents"), "doc_id")
+      .toDF().orderBy(col("doc_id")),
+    Some("""
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+      |  'maker' || CAST(doc_id % 5 AS VARCHAR) AS make,
+      |  'model' || CAST(doc_id % 7 AS VARCHAR) AS model,
+      |  CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+      |  CAST(100 * (1 + doc_id % 16) AS BIGINT) AS iso,
+      |  CAST(5 + doc_id % 20 AS BIGINT) AS pixel_x,
+      |  CAST(4 AS BIGINT) AS n_ifd0,
+      |  CAST(2 AS BIGINT) AS n_exif
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -6570,5 +6598,5 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175)
+    q171, q172, q173, q174, q175, q176)
 }

@@ -2692,4 +2692,217 @@ object Multimodal {
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(id => Webp.decode(id, synthWebp(id))))
   }
+
+  case class ExifMeta(doc_id: Long, byte_order: String, make: String,
+      model: String, orientation: Long, iso: Long, pixel_x: Long,
+      n_ifd0: Long, n_exif: Long)
+
+  /** EXIF metadata in JPEG (round 11): the APP1 marker segment carries
+    * "Exif\0\0" followed by a SELF-CONTAINED TIFF structure (EXIF 2.3
+    * §4.5.2 = TIFF 6.0 headers/IFDs with EXIF tag numbers; all offsets
+    * relative to the TIFF header start, either byte order). This is the
+    * composition of the two codecs already in the file — the JPEG
+    * marker-segment walk (`Jpeg`) finds the payload, the TIFF IFD walk
+    * (`Tiff`'s shape) reads it — and the canonical image-curation
+    * metadata op: camera make/model, orientation, ISO, declared pixel
+    * dimensions, extracted WITHOUT decoding any pixels (footer-read
+    * economics: ~KB per file at 100 TB).
+    *
+    * Encoder writes IFD0 (Make/Model as external ASCII values — the
+    * offset-addressed path, word-aligned per spec — Orientation inline
+    * SHORT, and the ExifIFD LONG pointer) plus the pointed-to EXIF
+    * sub-IFD (ISO inline SHORT, PixelXDimension inline LONG). Parser is
+    * general for that tag set under both byte orders and enforces the
+    * same total-decode contract as the other codecs (doc-tagged
+    * failures, bounds-checked reads).
+    */
+  object Exif {
+    private val TMake = 271
+    private val TModel = 272
+    private val TOrientation = 274
+    private val TExifIfd = 34665
+    private val TIso = 34855
+    private val TPixelX = 40962
+
+    /** "Exif\0\0" + TIFF block with IFD0 {Make, Model, Orientation,
+      * ExifIFD*} and EXIF sub-IFD {ISO, PixelXDimension}.
+      */
+    def encodeApp1(littleEndian: Boolean, make: String, model: String,
+        orientation: Int, iso: Int, pixelX: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('E'); out.write('x'); out.write('i'); out.write('f')
+      out.write(0); out.write(0)
+      val tiff = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit =
+        if (littleEndian) { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+        else { tiff.write((v >> 8) & 0xff); tiff.write(v & 0xff) }
+      def w32(v: Long): Unit =
+        if (littleEndian) {
+          tiff.write((v & 0xff).toInt); tiff.write(((v >> 8) & 0xff).toInt)
+          tiff.write(((v >> 16) & 0xff).toInt); tiff.write(((v >> 24) & 0xff).toInt)
+        } else {
+          tiff.write(((v >> 24) & 0xff).toInt); tiff.write(((v >> 16) & 0xff).toInt)
+          tiff.write(((v >> 8) & 0xff).toInt); tiff.write((v & 0xff).toInt)
+        }
+      if (littleEndian) { tiff.write('I'); tiff.write('I') }
+      else { tiff.write('M'); tiff.write('M') }
+      w16(42); w32(8)
+      // IFD0: 4 entries. ASCII counts include the NUL; external values
+      // are padded to even offsets (TIFF word-alignment requirement).
+      val makeBytes = make.getBytes("US-ASCII") :+ 0.toByte
+      val modelBytes = model.getBytes("US-ASCII") :+ 0.toByte
+      val ifd0Size = 2 + 4 * 12 + 4
+      val makeOff = 8L + ifd0Size
+      val modelOff = makeOff + makeBytes.length + (makeBytes.length & 1)
+      val exifIfdOff = modelOff + modelBytes.length + (modelBytes.length & 1)
+      w16(4)
+      def entry(tag: Int, tpe: Int, count: Long)(value: => Unit): Unit = {
+        w16(tag); w16(tpe); w32(count); value
+      }
+      entry(TMake, 2, makeBytes.length)(w32(makeOff))
+      entry(TModel, 2, modelBytes.length)(w32(modelOff))
+      entry(TOrientation, 3, 1) { w16(orientation); w16(0) }
+      entry(TExifIfd, 4, 1)(w32(exifIfdOff))
+      w32(0) // next IFD
+      tiff.write(makeBytes, 0, makeBytes.length)
+      if ((makeBytes.length & 1) == 1) tiff.write(0)
+      tiff.write(modelBytes, 0, modelBytes.length)
+      if ((modelBytes.length & 1) == 1) tiff.write(0)
+      // EXIF sub-IFD: 2 entries, both inline
+      w16(2)
+      entry(TIso, 3, 1) { w16(iso); w16(0) }
+      entry(TPixelX, 4, 1)(w32(pixelX))
+      w32(0)
+      val t = tiff.toByteArray
+      out.write(t, 0, t.length)
+      out.toByteArray
+    }
+
+    /** Insert an APP1 segment directly after SOI. */
+    def spliceApp1(jpeg: Array[Byte], payload: Array[Byte]): Array[Byte] = {
+      require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+        "not a JPEG (no SOI)")
+      val segLen = payload.length + 2
+      require(segLen <= 0xffff, s"APP1 payload too large ($segLen)")
+      val out = new Array[Byte](jpeg.length + 4 + payload.length)
+      out(0) = 0xff.toByte; out(1) = 0xd8.toByte
+      out(2) = 0xff.toByte; out(3) = 0xe1.toByte
+      out(4) = ((segLen >> 8) & 0xff).toByte; out(5) = (segLen & 0xff).toByte
+      System.arraycopy(payload, 0, out, 6, payload.length)
+      System.arraycopy(jpeg, 2, out, 6 + payload.length, jpeg.length - 2)
+      out
+    }
+
+    /** Walk the JPEG marker stream to the first APP1 "Exif\0\0" payload,
+      * then walk its TIFF block (declared byte order, offsets relative
+      * to the TIFF header) through IFD0 and the EXIF sub-IFD.
+      */
+    def parse(id: Long, bytes: Array[Byte]): ExifMeta = {
+      def u8(i: Int) = bytes(i) & 0xff
+      def ju16(i: Int) = (u8(i) << 8) | u8(i + 1)
+      require(bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8,
+        s"no SOI (doc $id)")
+      var i = 2
+      var tiffStart = -1
+      var tiffLen = 0
+      while (tiffStart < 0 && i + 4 <= bytes.length && u8(i) == 0xff) {
+        val m = u8(i + 1)
+        if (m == 0xd9 || m == 0xda) { i = bytes.length } // EOI / SOS: stop
+        else {
+          val len = ju16(i + 2)
+          require(len >= 2 && i + 2 + len <= bytes.length,
+            s"APPn segment overruns file (doc $id)")
+          if (m == 0xe1 && len >= 8 + 6 &&
+            bytes(i + 4) == 'E' && bytes(i + 5) == 'x' && bytes(i + 6) == 'i' &&
+            bytes(i + 7) == 'f' && bytes(i + 8) == 0 && bytes(i + 9) == 0) {
+            tiffStart = i + 10
+            tiffLen = len - 2 - 6
+          }
+          i += 2 + len
+        }
+      }
+      require(tiffStart >= 0, s"no EXIF APP1 segment (doc $id)")
+      require(tiffLen >= 8, s"EXIF TIFF block shorter than header (doc $id)")
+      val le = (bytes(tiffStart), bytes(tiffStart + 1)) match {
+        case ('I', 'I') => true
+        case ('M', 'M') => false
+        case _ => throw new IllegalArgumentException(
+          s"bad EXIF byte-order mark (doc $id)")
+      }
+      def t8(off: Long): Int = {
+        require(off >= 0 && off < tiffLen, s"EXIF read past block (doc $id)")
+        bytes(tiffStart + off.toInt) & 0xff
+      }
+      def t16(off: Long): Int =
+        if (le) t8(off) | (t8(off + 1) << 8) else (t8(off) << 8) | t8(off + 1)
+      def t32(off: Long): Long =
+        if (le) t8(off) | (t8(off + 1).toLong << 8) | (t8(off + 2).toLong << 16) | (t8(off + 3).toLong << 24)
+        else (t8(off).toLong << 24) | (t8(off + 1).toLong << 16) | (t8(off + 2).toLong << 8) | t8(off + 3)
+      require(t16(2) == 42, s"bad EXIF TIFF magic ${t16(2)} (doc $id)")
+      def ascii(off: Long, count: Long): String = {
+        require(count >= 1 && off + count <= tiffLen,
+          s"EXIF ASCII value past block (doc $id)")
+        val b = new Array[Byte](count.toInt - 1) // strip the NUL
+        var j = 0
+        while (j < b.length) { b(j) = bytes(tiffStart + off.toInt + j); j += 1 }
+        new String(b, "US-ASCII")
+      }
+      var make = ""; var model = ""; var orientation = 0L
+      var iso = 0L; var pixelX = 0L; var exifOff = 0L
+      def walk(ifdOff: Long, sub: Boolean): Long = {
+        require(ifdOff + 2 <= tiffLen, s"EXIF IFD offset past block (doc $id)")
+        val n = t16(ifdOff)
+        require(ifdOff + 2 + n * 12 + 4 <= tiffLen,
+          s"EXIF IFD overruns block (doc $id)")
+        var e = 0
+        while (e < n) {
+          val eo = ifdOff + 2 + e * 12
+          val tag = t16(eo)
+          val tpe = t16(eo + 2)
+          val count = t32(eo + 4)
+          (tag, tpe) match {
+            case (TMake, 2) if !sub => make = ascii(t32(eo + 8), count)
+            case (TModel, 2) if !sub => model = ascii(t32(eo + 8), count)
+            case (TOrientation, 3) if !sub => orientation = t16(eo + 8).toLong
+            case (TExifIfd, 4) if !sub => exifOff = t32(eo + 8)
+            case (TIso, 3) if sub => iso = t16(eo + 8).toLong
+            case (TPixelX, 4) if sub => pixelX = t32(eo + 8)
+            case _ => // unknown tags: skipped, per spec
+          }
+          e += 1
+        }
+        n.toLong
+      }
+      val nIfd0 = walk(t32(4), sub = false)
+      require(exifOff > 0, s"no ExifIFD pointer in IFD0 (doc $id)")
+      val nExif = walk(exifOff, sub = true)
+      ExifMeta(id, if (le) "II" else "MM", make, model, orientation, iso,
+        pixelX, nIfd0, nExif)
+    }
+  }
+
+  /** Doc-keyed EXIF-carrying JPEG: the q121 synthetic image with an
+    * APP1 block whose PixelXDimension matches the actual JPEG width —
+    * every field closed-form in doc_id for the oracle.
+    */
+  def synthExifJpeg(docId: Long): Array[Byte] = {
+    val app1 = Exif.encodeApp1(
+      littleEndian = docId % 2 == 0,
+      make = "maker" + (docId % 5),
+      model = "model" + (docId % 7),
+      orientation = (1 + docId % 8).toInt,
+      iso = (100 * (1 + docId % 16)).toInt,
+      pixelX = 5 + docId % 20)
+    Exif.spliceApp1(synthJpeg(docId), app1)
+  }
+
+  /** documents → EXIF-tagged JPEG binary → marker-walk + IFD-walk parse
+    * → exact metadata (no pixel decode).
+    */
+  def exifRoundTrip(ids: DataFrame, idCol: String): Dataset[ExifMeta] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => Exif.parse(id, synthExifJpeg(id))))
+  }
 }

@@ -654,4 +654,36 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(0).decode_ok && out(0).format == "webp")
     assert(out(1).decode_ok && out(1).width == m4.width)
   }
+
+  test("Exif: APP1 TIFF block round-trips under both byte orders") {
+    for (id <- Seq(0L, 1L, 7L, 42L)) {
+      val m = Multimodal.Exif.parse(id, Multimodal.synthExifJpeg(id))
+      assert(m.byte_order == (if (id % 2 == 0) "II" else "MM"))
+      assert(m.make == s"maker${id % 5}" && m.model == s"model${id % 7}")
+      assert(m.orientation == 1 + id % 8)
+      assert(m.iso == 100 * (1 + id % 16))
+      assert(m.pixel_x == 5 + id % 20)
+      assert(m.n_ifd0 == 4 && m.n_exif == 2)
+    }
+  }
+
+  test("Exif: splice leaves the underlying JPEG decodable and its width matches PixelXDimension") {
+    val id = 13L
+    val withExif = Multimodal.synthExifJpeg(id)
+    // the pixel decoder skips APPn segments, so the spliced file still decodes
+    val jm = Multimodal.Jpeg.decode(id, withExif)
+    val em = Multimodal.Exif.parse(id, withExif)
+    assert(jm.width == em.pixel_x)
+  }
+
+  test("Exif: doc-tagged errors for missing APP1 and truncated block") {
+    val plain = Multimodal.synthJpeg(5L)
+    val e1 = intercept[IllegalArgumentException](Multimodal.Exif.parse(5L, plain))
+    assert(e1.getMessage.contains("doc 5"))
+    val ok = Multimodal.synthExifJpeg(6L)
+    // truncate inside the APP1 segment: the segment length now overruns
+    val cut = ok.take(20)
+    val e2 = intercept[IllegalArgumentException](Multimodal.Exif.parse(6L, cut))
+    assert(e2.getMessage.contains("doc 6"))
+  }
 }
