@@ -6581,6 +6581,43 @@ object Queries {
       |FROM documents ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Token-level benchmark decontamination (round 11): q124's collision
+    * check run over the TRAINED BPE tokenizer's token stream — the form
+    * the public training reports specify (13 consecutive TOKENS shared
+    * with a held-out probe doc), and the composition proof that q159's
+    * token streams feed the hygiene operators. Both sides tokenize with
+    * the q159 fixture merges; probe grams broadcast as in q124. The
+    * oracle replays the merge chain and the 13-token gram join exactly.
+    */
+  val q177: Q = Q(
+    "q177_token_decontaminate",
+    (s, dir) => {
+      val tokd = TrainPrep.bpeApply(t(s, dir, "documents"), "doc_id", "text",
+        bpeMerges).select(col("doc_id"), col("toks"))
+      TextOps.decontaminateTokens(tokd,
+          tokd.where(col("doc_id") % 97 === 0), "doc_id", "toks", n = 13)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, flatten(list_transform(w, x ->
+      |    list_filter(string_split(${sqlBpeChain("x")}, ' '), t -> t <> ''))) AS tk
+      |  FROM toks),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(tk) - 11), i -> array_to_string(tk[i:i+12], ' ')))) AS gram
+      |  FROM tk WHERE len(tk) >= 13),
+      |p AS (SELECT doc_id AS probe_id, gram FROM g WHERE doc_id % 97 = 0)
+      |SELECT g.doc_id, CAST(COUNT(DISTINCT p.probe_id) AS BIGINT) AS n_probes,
+      |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams
+      |FROM g JOIN p USING (gram) WHERE g.doc_id <> p.probe_id
+      |GROUP BY g.doc_id ORDER BY g.doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -6598,5 +6635,5 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176)
+    q171, q172, q173, q174, q175, q176, q177)
 }

@@ -69,6 +69,30 @@ object TextOps {
         countDistinct(col("gram")).as("n_grams"))
   }
 
+  /** Token-ID-level decontamination (round 11): the q124 collision
+    * check over a TRAINED tokenizer's token stream instead of raw words
+    * — the form the public training reports actually specify (8–13
+    * consecutive-token overlap against held-out benchmarks), and the
+    * composition proof that `TrainPrep.bpeApply`'s token streams feed
+    * the hygiene operators. `toksCol` is any `array<string>` token
+    * column; gram construction, broadcast shape and self-exclusion are
+    * exactly [[decontaminate]]'s (probe grams broadcast, the corpus
+    * side never shuffles its grams).
+    */
+  def decontaminateTokens(corpus: DataFrame, probes: DataFrame,
+      idCol: String, toksCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"token n-gram order must be >= 1, got $n")
+    val cg = corpus.select(col(idCol).as("doc_id"),
+      explode(wordNgrams(col(toksCol), n)).as("gram"))
+    val pg = probes.select(col(idCol).as("probe_id"),
+      explode(wordNgrams(col(toksCol), n)).as("gram"))
+    cg.join(broadcast(pg), "gram")
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("probe_id")).as("n_probes"),
+        countDistinct(col("gram")).as("n_grams"))
+  }
+
   /** HTML→text extraction (round 10 — the most-hit stage of any
     * crawl-scale training pipeline: every document passes through this
     * before the dedup/quality/langid operators apply). Pure column
