@@ -6618,6 +6618,129 @@ object Queries {
       |GROUP BY g.doc_id ORDER BY g.doc_id
       |""".stripMargin.trim))
 
+  /** Training-shard export manifest (round 11): deterministic md5 shard
+    * assignment plus per-shard doc/token counts and an order-insensitive
+    * `bit_xor` content digest — the consumer-verifiable manifest every
+    * shard writer emits. The xor digest is a commutative monoid, so it
+    * partial-aggregates map-side (no per-shard list, unlike q86's
+    * sorted-collect fingerprint) — see `TrainPrep.shardManifest`; the
+    * write half (`exportShards`) recomputes this same manifest from the
+    * written files, spec-gated for equality.
+    */
+  val q178: Q = Q(
+    "q178_shard_manifest",
+    (s, dir) => TrainPrep.shardManifest(t(s, dir, "documents"),
+        "doc_id", "text", nShards = 16)
+      .orderBy(col("shard_id")),
+    Some(s"""
+      |WITH h AS (
+      |  SELECT ${sqlMd5Bucket("CAST(doc_id AS VARCHAR)", 16)} AS shard_id,
+      |    CAST(list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef',
+      |         substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), i, 1)) - 1)
+      |        * (CAST(1 AS BIGINT) << (4 * (15 - i))))) AS BIGINT) AS hh,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+      |      t -> t <> '')) AS BIGINT) AS n_tok
+      |  FROM documents)
+      |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(bit_xor(hh) AS BIGINT) AS digest_xor
+      |FROM h GROUP BY shard_id ORDER BY shard_id
+      |""".stripMargin.trim))
+
+  /** Token-distribution drift / PSI (round 11): the admit-gate
+    * monitoring op — population stability index between the English
+    * slice and the rest of the corpus over 64 hashed token buckets,
+    * every quantity integer-quantized before combination so the
+    * per-bucket contributions (and the PSI they sum to) hash-match
+    * DuckDB exactly — see `TrainPrep.tokenDrift`.
+    */
+  val q179: Q = Q(
+    "q179_token_drift",
+    (s, dir) => TrainPrep.tokenDrift(t(s, dir, "documents"), "text",
+        col("lang") === "en", dim = 64)
+      .orderBy(col("bucket")),
+    Some("""
+      |WITH tk AS (
+      |  SELECT lang = 'en' AS a,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS t
+      |  FROM documents),
+      |fx AS (
+      |  SELECT a, CAST(list_sum(list_transform(range(1, 9), i ->
+      |    (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+      |      * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 64 AS BIGINT) AS bucket
+      |  FROM tk),
+      |cnt AS (
+      |  SELECT bucket,
+      |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM fx GROUP BY bucket),
+      |p AS (
+      |  SELECT bucket, n_a, n_b,
+      |    (n_a + 1) / CAST(SUM(n_a) OVER () + 64 AS DOUBLE) AS pa,
+      |    (n_b + 1) / CAST(SUM(n_b) OVER () + 64 AS DOUBLE) AS pb
+      |  FROM cnt)
+      |SELECT bucket, n_a, n_b,
+      |  CAST(round((pa - pb) * 1e9, 0) AS BIGINT) AS dp_nano,
+      |  CAST(round(ln(pa) * 1e6, 0) - round(ln(pb) * 1e6, 0) AS BIGINT) AS dln_micro,
+      |  CAST(round((pa - pb) * 1e9, 0) AS BIGINT)
+      |    * CAST(round(ln(pa) * 1e6, 0) - round(ln(pb) * 1e6, 0) AS BIGINT) AS psi_contrib
+      |FROM p ORDER BY bucket
+      |""".stripMargin.trim))
+
+  /** Surgical decontamination (round 11): q124's flag upgraded to span
+    * SURGERY — dirty trigram spans cut out of the document, the rest
+    * kept. The clean_md5 pins every surviving token and its order, so
+    * the oracle proves the union-of-intervals cut, not just the counts.
+    * Same probe construction as q124 (doc_id % 97); same broadcast
+    * shape — see `TextOps.decontaminateSurgical`.
+    */
+  val q180: Q = Q(
+    "q180_surgical_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.decontaminateSurgical(docs,
+          docs.where(col("doc_id") % 97 === 0), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) - 1), i ->
+      |    {'start': i, 'gram': array_to_string(w[i:i+2], ' ')})) AS sg
+      |  FROM toks WHERE len(w) >= 3),
+      |g AS (SELECT doc_id, CAST(sg.start AS BIGINT) AS start, sg.gram AS gram FROM g0),
+      |p AS (
+      |  SELECT doc_id AS probe_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' ')))) AS gram
+      |  FROM toks WHERE doc_id % 97 = 0 AND len(w) >= 3),
+      |dirty AS (
+      |  SELECT DISTINCT g.doc_id, g.start FROM g JOIN p USING (gram)
+      |  WHERE g.doc_id <> p.probe_id),
+      |dj AS (SELECT DISTINCT d.doc_id, d.start + o AS j
+      |  FROM dirty d, unnest(range(0, 3)) AS r(o)),
+      |t0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1), i ->
+      |    {'j': i, 't': w[i]})) AS e
+      |  FROM toks),
+      |t2 AS (SELECT doc_id, CAST(e.j AS BIGINT) AS j, e.t AS t FROM t0),
+      |cl AS (
+      |  SELECT t2.doc_id, t2.j, t2.t FROM t2
+      |  LEFT JOIN dj ON t2.doc_id = dj.doc_id AND t2.j = dj.j
+      |  WHERE dj.j IS NULL),
+      |agg AS (
+      |  SELECT doc_id, COALESCE(string_agg(t, ' ' ORDER BY j), '') AS ctext,
+      |    CAST(COUNT(*) AS BIGINT) AS n_clean
+      |  FROM cl GROUP BY doc_id)
+      |SELECT toks.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(w) - COALESCE(n_clean, 0) AS BIGINT) AS n_dirty,
+      |  md5(COALESCE(ctext, '')) AS clean_md5
+      |FROM toks LEFT JOIN agg USING (doc_id) ORDER BY toks.doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -6635,5 +6758,5 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
 }

@@ -93,6 +93,59 @@ object TextOps {
         countDistinct(col("gram")).as("n_grams"))
   }
 
+  /** Surgical decontamination (round 11): instead of dropping a
+    * contaminated document wholesale (q124 flags; the caller anti-joins),
+    * CUT the contaminated token spans and keep the rest — the span-level
+    * removal the newer public decontamination write-ups describe, which
+    * preserves the bulk of a long document that shares one quoted
+    * benchmark passage. A token is dirty iff it lies inside any word
+    * n-gram (start s covers tokens [s, s+n−1]) that also occurs in a
+    * DIFFERENT probe document. Returns per corpus doc: n_tokens,
+    * n_dirty, and the md5 of the cleaned (dirty-tokens-removed,
+    * space-rejoined) text — the hash keeps the oracle compact while
+    * pinning every surviving token and its order.
+    *
+    * Scale shape: the probe gram set is broadcast and the corpus grams
+    * are a posexplode → broadcast join → per-doc collect_set of DIRTY
+    * START positions only (bounded by hits, which are rare by
+    * construction at crawl scale — contamination rates are per-mille);
+    * the cut itself is a map-side HOF pass. The per-token dirty check
+    * scans the doc's dirty-start array (exists), so per-doc cost is
+    * O(tokens × dirty_starts) — linear in the common all-clean case.
+    */
+  def decontaminateSurgical(corpus: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val base = corpus.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("__w"))
+    val cg = base.select(col("doc_id"),
+      posexplode(wordNgramsAll(col("__w"), n)).as(Seq("__p", "gram")))
+      .select(col("doc_id"), (col("__p") + 1).cast("long").as("start"),
+        col("gram"))
+    val pg = probes.select(col(idCol).cast("long").as("probe_id"),
+      explode(wordNgrams(tokens(col(textCol)), n)).as("gram"))
+    val dirty = cg.join(broadcast(pg), "gram")
+      .where(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("start")).as("__starts"))
+    val joined = base.join(dirty, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__w"),
+        coalesce(col("__starts"), array().cast("array<long>")).as("__s"))
+    val isDirty: (Column, Column) => Column = (j, starts) =>
+      exists(starts, s => j >= s && j <= s + (n - 1))
+    val clean = filter(
+      transform(sequence(lit(1), size(col("__w"))),
+        j => when(!isDirty(j.cast("long"), col("__s")),
+          element_at(col("__w"), j))),
+      t => t.isNotNull)
+    joined.select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        clean.as("__c"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("__c"))).cast("long").as("n_dirty"),
+        md5(array_join(col("__c"), " ")).as("clean_md5"))
+  }
+
   /** HTML→text extraction (round 10 — the most-hit stage of any
     * crawl-scale training pipeline: every document passes through this
     * before the dedup/quality/langid operators apply). Pure column

@@ -621,4 +621,110 @@ object TrainPrep {
           .as("score_micro"))
       .withColumn("keep", col("score_micro") > 0L)
   }
+
+  /** Token-distribution drift between two corpus slices (round 11 —
+    * the monitoring gate a production pipeline runs before admitting a
+    * new crawl batch: has the token distribution moved?). PSI
+    * (population stability index) over the q171 hashed token buckets:
+    * PSI = Σ_b (pA_b − pB_b)·ln(pA_b/pB_b) with add-1 smoothing, every
+    * term ≥ 0, large contributions localizing WHICH buckets moved.
+    *
+    * Exactness (the q134/q171 contract): each smoothed probability is
+    * ONE IEEE division of exact integers; the probability gap is
+    * quantized to nano-units and each ln to micro-units, so the
+    * per-bucket contribution is an exact int64 product and the table
+    * (and the PSI total it sums to) hash-matches across engines.
+    * One row per OBSERVED bucket (never-seen buckets are excluded by
+    * contract — with add-1 smoothing they carry a corpus-independent
+    * epsilon that monitoring ignores).
+    *
+    * Scale shape: one partial-aggregable shuffle on the bucket key
+    * (dim-bounded output); slice totals are a 1-row aggregate broadcast
+    * back (the temperatureMix pattern) — control-plane sized. The
+    * corpus itself never reshuffles.
+    */
+  def tokenDrift(df: DataFrame, textCol: String, sliceA: Column,
+      dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= (1 << 20), s"tokenDrift: bad dim $dim")
+    def bucket(t: Column): Column =
+      pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+    val counts = df
+      .select(sliceA.as("__a"),
+        explode(TextOps.tokens(col(textCol))).as("__t"))
+      .select(col("__a"), bucket(col("__t")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"))
+    val pa = (col("n_a") + 1).cast("double") /
+      (col("__ta") + dim).cast("double")
+    val pb = (col("n_b") + 1).cast("double") /
+      (col("__tb") + dim).cast("double")
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        round((pa - pb) * 1e9, 0).cast("long").as("dp_nano"),
+        (round(log(pa) * 1e6, 0) - round(log(pb) * 1e6, 0)).cast("long")
+          .as("dln_micro"))
+      .withColumn("psi_contrib", col("dp_nano") * col("dln_micro"))
+  }
+
+  /** Deterministic shard assignment: the portable md5 bucket (q46's
+    * split hash) over the id — uniform by hashing, reproducible on any
+    * engine, independent of partitioning.
+    */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"shardAssign: bad nShards $nShards")
+    df.withColumn("shard_id", pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(nShards.toLong)))
+  }
+
+  /** Training-shard export manifest (round 11 — the last step of every
+    * training-data pipeline: what shards exist, how big they are, and a
+    * digest a consumer can re-verify without trusting the producer).
+    * Per shard: doc count, whitespace-token count, and an
+    * ORDER-INSENSITIVE content digest — `bit_xor` over a per-doc 60-bit
+    * md5 integer of "id:text".
+    *
+    * The digest choice IS the scale design: xor is a commutative,
+    * associative monoid, so Spark computes it as a map-side partial
+    * aggregate — no per-shard row list ever materializes, unlike the
+    * md5-of-sorted-collect_list digest (q86's group fingerprint), whose
+    * reduce-side list is O(shard) memory and dies exactly when shards
+    * get 100-TB big. Detection power is the same for the manifest's
+    * job (any single changed/missing/extra doc flips the digest).
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame =
+    shardAssign(df, idCol, nShards)
+      .select(col("shard_id"),
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          col(textCol))), 1, 15), 16, 10).cast("long").as("__h"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("__t"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        expr("bit_xor(__h)").as("digest_xor"))
+
+  /** The write half: land the corpus as shard-partitioned parquet and
+    * return the manifest recomputed FROM THE WRITTEN FILES — the
+    * manifest certifies what landed, not what was meant. One shuffle-
+    * free partitioned write (partitionBy moves no rows; each input task
+    * appends to its shards' directories), then a read-back aggregate.
+    */
+  def exportShards(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outDir: String): DataFrame = {
+    shardAssign(df, idCol, nShards)
+      .select(col(idCol), col(textCol), col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+    val back = df.sparkSession.read.parquet(outDir)
+    back.select(col("shard_id").cast("long").as("shard_id"),
+        conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+          col(textCol))), 1, 15), 16, 10).cast("long").as("__h"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("__t"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        expr("bit_xor(__h)").as("digest_xor"))
+  }
 }

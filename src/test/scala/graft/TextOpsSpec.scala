@@ -332,6 +332,33 @@ class TextOpsSpec extends SparkSpec {
     assert(ledger1.filter(col("doc_id") === 11L).count() == 4)
   }
 
+  test("decontaminateSurgical: cuts exactly the union of contaminated trigram spans") {
+    val corpus = Seq(
+      (0L, "one two three four"),          // the probe doc itself
+      (1L, "xx one two three yy"),         // one dirty trigram at start 2
+      (2L, "one two three four five"),     // two overlapping dirty trigrams
+      (3L, "totally clean text here")      // untouched
+    ).toDF("doc_id", "text")
+    val out = TextOps.decontaminateSurgical(corpus,
+        corpus.filter(col("doc_id") === 0L), "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    def md5of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // probe doc: self-excluded, nothing cut
+    assert(out(0).getAs[Long]("n_dirty") == 0L)
+    assert(out(0).getAs[String]("clean_md5") == md5of("one two three four"))
+    // doc 1: tokens 2..4 dirty → "xx yy" survives
+    assert(out(1).getAs[Long]("n_dirty") == 3L)
+    assert(out(1).getAs[String]("clean_md5") == md5of("xx yy"))
+    // doc 2: starts {1, 2} cover tokens 1..4 → "five" survives
+    assert(out(2).getAs[Long]("n_dirty") == 4L)
+    assert(out(2).getAs[String]("clean_md5") == md5of("five"))
+    // doc 3: all clean
+    assert(out(3).getAs[Long]("n_dirty") == 0L)
+    assert(out(3).getAs[String]("clean_md5") == md5of("totally clean text here"))
+  }
+
   test("repetitionStats: hand-computed Gopher repetition signals") {
     val docs = Seq(
       // doc 0: 3 lines, one repeated ("dup dup"); tokens carry a

@@ -226,4 +226,45 @@ class TrainPrepSpec extends SparkSpec {
     assert(docStraddle > 0,
       "fixture should demonstrate the leak the cluster split closes")
   }
+
+  test("tokenDrift: zero for identical slices, positive and localized for disjoint vocab") {
+    import org.apache.spark.sql.functions.col
+    // identical token distribution in both slices → every bucket's
+    // counts match → dp_nano = 0 and dln_micro = 0 everywhere
+    val same = Seq((0L, "alpha beta gamma"), (1L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val zero = TrainPrep.tokenDrift(same, "text", col("doc_id") === 0L, dim = 16)
+      .collect()
+    assert(zero.forall(r => r.getAs[Long]("psi_contrib") == 0L))
+    // disjoint vocabularies → strong drift; every contribution is >= 0
+    // (the gap and the log-ratio always share sign, and rounding can
+    // only shrink magnitude, never flip it)
+    val disj = Seq((0L, "aa bb cc dd"), (1L, "xx yy zz ww"))
+      .toDF("doc_id", "text")
+    val out = TrainPrep.tokenDrift(disj, "text", col("doc_id") === 0L, dim = 16)
+      .collect()
+    assert(out.forall(r => r.getAs[Long]("psi_contrib") >= 0L))
+    assert(out.map(_.getAs[Long]("psi_contrib")).sum > 0L)
+  }
+
+  test("exportShards: manifest recomputed from written files equals the pure manifest") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Ingest.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
+    val written = TrainPrep.exportShards(docs, "doc_id", "text", nShards = 8, dir)
+      .orderBy("shard_id").collect()
+    val pure = TrainPrep.shardManifest(docs, "doc_id", "text", nShards = 8)
+      .orderBy("shard_id").collect()
+    assert(written.toSeq == pure.toSeq)
+    // every shard directory landed
+    assert(written.length == pure.length)
+    // xor digest detects a single dropped doc: manifest over written
+    // files minus one row differs in exactly that shard
+    val one = spark.read.parquet(dir).where(col("doc_id") =!= 0L)
+    val tampered = TrainPrep.shardManifest(
+      one.select(col("doc_id"), col("text")), "doc_id", "text", nShards = 8)
+      .orderBy("shard_id").collect()
+    assert(tampered.toSeq != pure.toSeq)
+  }
 }
