@@ -655,6 +655,15 @@ object TrainPrep {
       .groupBy(col("bucket"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    psiFromCounts(counts, dim)
+  }
+
+  /** The PSI arithmetic over a prepared (bucket, n_a, n_b) count table —
+    * shared by [[tokenDrift]] (batch, slice-vs-slice) and the streaming
+    * drift gate (batch-vs-reference-histogram). Exactness contract as
+    * documented on tokenDrift.
+    */
+  def psiFromCounts(counts: DataFrame, dim: Int): DataFrame = {
     val totals = counts.agg(sum(col("n_a")).as("__ta"),
       sum(col("n_b")).as("__tb"))
     val pa = (col("n_a") + 1).cast("double") /
@@ -667,6 +676,18 @@ object TrainPrep {
         (round(log(pa) * 1e6, 0) - round(log(pb) * 1e6, 0)).cast("long")
           .as("dln_micro"))
       .withColumn("psi_contrib", col("dp_nano") * col("dln_micro"))
+  }
+
+  /** Hashed token histogram (the q179 bucket featurizer) — the
+    * REFERENCE side a drift gate compares incoming batches against;
+    * fit it once from the admitted corpus and persist.
+    */
+  def tokenHistogram(df: DataFrame, textCol: String, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= (1 << 20), s"tokenHistogram: bad dim $dim")
+    df.select(explode(TextOps.tokens(col(textCol))).as("__t"))
+      .select(pmod(conv(substring(md5(col("__t")), 1, 8), 16, 10)
+        .cast("long"), lit(dim.toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
   }
 
   /** Deterministic shard assignment: the portable md5 bucket (q46's

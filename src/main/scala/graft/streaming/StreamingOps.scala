@@ -599,4 +599,49 @@ object StreamingOps {
       ()
     }
   }
+
+  /** Streaming drift gate (round 11 — the q179 PSI monitor as an
+    * admit-time check): every micro-batch's token distribution is
+    * compared against a FIXED reference histogram (fit once from the
+    * admitted corpus via `TrainPrep.tokenHistogram` and persisted at
+    * `referencePath`), and one monitor row per batch — (batch_id,
+    * n_tokens, psi_scaled, drifted) — is APPENDED to `monitorPath`.
+    * A batch whose PSI clears `psiThresholdScaled` is the signal to
+    * quarantine the batch before it joins the corpus, the same gate a
+    * production crawl-admission pipeline runs.
+    *
+    * PSI semantics match `TrainPrep.psiFromCounts` exactly (reference
+    * counts as slice A, the batch as slice B, union of observed
+    * buckets, add-1 smoothing) — StreamingSpec pins a batch PSI equal
+    * to the equivalent `tokenDrift` computation. State: NONE in the
+    * stream (the reference is read per trigger, dim-bounded parquet;
+    * the monitor is append-only) — restart-safe by construction.
+    */
+  def driftGateStream(docs: DataFrame, textCol: String,
+      referencePath: String, dim: Int, psiThresholdScaled: Long,
+      monitorPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.TrainPrep
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val ref = spark.read.parquet(referencePath)
+        .select(col("bucket"), col("n").as("n_a"))
+      val cur = TrainPrep.tokenHistogram(batch, textCol, dim)
+        .select(col("bucket"), col("n").as("n_b"))
+      val counts = ref.join(cur, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+      val agg = TrainPrep.psiFromCounts(counts, dim)
+        .agg(sum(col("psi_contrib")).as("psi_scaled"),
+          sum(col("n_b")).as("n_tokens"))
+        .collect()(0) // one row: the gate verdict
+      val psi = Option(agg.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val nTok = Option(agg.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      import spark.implicits._
+      Seq((batchId, nTok, psi, psi > psiThresholdScaled))
+        .toDF("batch_id", "n_tokens", "psi_scaled", "drifted")
+        .coalesce(1).write.mode("append").parquet(monitorPath)
+      ()
+    }
+  }
 }

@@ -600,4 +600,45 @@ class StreamingSpec extends SparkSpec {
       assert(l2("unknown") == ((1L, 0L, 1.0))) // batch-1 state survived
     } finally q.stop()
   }
+
+  test("driftGateStream: per-batch PSI vs a fixed reference, batch-equivalent, gate fires on drift") {
+    import graft.operators.TrainPrep
+    val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    val refPath = s"$base/ref"
+    val monPath = s"$base/mon"
+    val refDocs = Seq.fill(20)("alpha beta gamma delta").toDF("text")
+    TrainPrep.tokenHistogram(refDocs, "text", dim = 32)
+      .write.parquet(refPath)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    // threshold = the standard PSI 0.2 alarm in scaled units
+    // (nano-gap × micro-log = 1e15 per 1.0 of PSI)
+    val q = StreamingOps.driftGateStream(mem.toDF().toDF("text"), "text",
+      refPath, dim = 32, psiThresholdScaled = 200_000_000_000_000L, monPath).start()
+    try {
+      // batch 0: identical token DISTRIBUTION at identical token mass →
+      // every bucket's smoothed pA equals pB exactly → PSI is exactly 0
+      mem.addData(Seq.fill(20)("alpha beta gamma delta"): _*)
+      q.processAllAvailable()
+      // batch 1: disjoint vocabulary → strong drift
+      mem.addData("zz yy xx ww vv uu", "qq pp oo nn mm ll")
+      q.processAllAvailable()
+      val mon = spark.read.parquet(monPath).orderBy("batch_id").collect()
+      assert(mon.length == 2)
+      assert(mon(0).getAs[Long]("psi_scaled") == 0L)
+      assert(!mon(0).getAs[Boolean]("drifted"))
+      assert(mon(1).getAs[Boolean]("drifted"))
+      assert(mon(1).getAs[Long]("psi_scaled") > mon(0).getAs[Long]("psi_scaled"))
+
+      // batch-equivalence pin: the streamed PSI for batch 1 equals the
+      // batch tokenDrift over (reference docs = slice A, batch docs = B)
+      val b1 = Seq("zz yy xx ww vv uu", "qq pp oo nn mm ll")
+        .toDF("text").withColumn("is_ref", lit(false))
+      val union = refDocs.withColumn("is_ref", lit(true)).unionByName(b1)
+      val batchPsi = TrainPrep.tokenDrift(union, "text", col("is_ref"), dim = 32)
+        .agg(sum(col("psi_contrib"))).collect()(0).getLong(0)
+      assert(mon(1).getAs[Long]("psi_scaled") == batchPsi)
+    } finally q.stop()
+  }
 }
