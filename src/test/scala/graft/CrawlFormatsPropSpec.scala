@@ -75,6 +75,37 @@ class CrawlFormatsPropSpec extends SparkSpec {
     }
   }
 
+  test("Exif.parse under mutation: parses or throws a doc-tagged error, never anything else") {
+    val rnd = new scala.util.Random(29)
+    var parsed = 0
+    var rejected = 0
+    for (i <- 0 until 150) {
+      val base = Multimodal.synthExifJpeg(i.toLong)
+      val b = rnd.nextInt(3) match {
+        case 0 => base.take(rnd.nextInt(base.length + 1))
+        case 1 =>
+          val c = base.clone()
+          (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+            val p = rnd.nextInt(c.length); c(p) = (c(p) ^ (1 + rnd.nextInt(255))).toByte
+          }
+          c
+        case _ => base
+      }
+      try { Multimodal.Exif.parse(i.toLong, b); parsed += 1 }
+      catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.contains(s"doc $i"),
+            s"error not doc-tagged: ${e.getMessage}")
+          rejected += 1
+        // any other throwable fails the test: the total-decode contract
+        // allows exactly parse-or-tagged-reject
+      }
+    }
+    // the untouched controls (~1/3) must all parse
+    assert(parsed >= 40, s"suspiciously few parses: $parsed")
+    assert(rejected > 0, "mutations should reject sometimes")
+  }
+
   test("decodeMedia total-decode: random mutations never fail the batch") {
     val rnd = new scala.util.Random(23)
     val mutated = (0 until 120).map { i =>
