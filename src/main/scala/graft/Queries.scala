@@ -5883,33 +5883,41 @@ object Queries {
     * exp, whose last-ulp behavior is engine-specific). Entirely
     * map-side — see `TextOps.linearQualityClassifier`.
     */
+  /** Shared q164/q182 oracle CTEs: tokenize → unigram+bigram features →
+    * exact integer logit per doc. Ends in `scored(doc_id, n_feats,
+    * logit_micro)`; extra doc columns to carry through `toks` are
+    * injected via `passCols` (e.g. ", source, lang, len(w) ..." for the
+    * data card).
+    */
+  private def sqlQualityScoredCtes(passCols: String): String = s"""
+    |WITH toks AS (
+    |  SELECT doc_id$passCols,
+    |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+    |  FROM documents),
+    |feats AS (
+    |  SELECT doc_id, list_concat(w,
+    |    CASE WHEN len(w) < 2 THEN []
+    |      ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS f
+    |  FROM toks),
+    |scored AS (
+    |  SELECT doc_id, CAST(len(f) AS BIGINT) AS n_feats,
+    |    CAST(100 + COALESCE(list_sum(list_transform(f, t ->
+    |      [${q164Weights.mkString(", ")}][CAST(
+    |        list_sum(list_transform(range(1, 9), i ->
+    |          (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+    |            * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 64 + 1 AS INT)])), 0)
+    |      AS BIGINT) AS logit_micro
+    |  FROM feats)""".stripMargin
+
   val q164: Q = Q(
     "q164_quality_classifier",
     (s, dir) => TextOps.linearQualityClassifier(t(s, dir, "documents"),
         "doc_id", "text", q164Weights, biasMicro = 100L)
       .orderBy(col("doc_id")),
-    Some(s"""
-      |WITH toks AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
-      |  FROM documents),
-      |feats AS (
-      |  SELECT doc_id, list_concat(w,
-      |    CASE WHEN len(w) < 2 THEN []
-      |      ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS f
-      |  FROM toks),
-      |scored AS (
-      |  SELECT doc_id, CAST(len(f) AS BIGINT) AS n_feats,
-      |    CAST(100 + COALESCE(list_sum(list_transform(f, t ->
-      |      [${q164Weights.mkString(", ")}][CAST(
-      |        list_sum(list_transform(range(1, 9), i ->
-      |          (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
-      |            * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 64 + 1 AS INT)])), 0)
-      |      AS BIGINT) AS logit_micro
-      |  FROM feats)
+    Some((sqlQualityScoredCtes("") + """
       |SELECT doc_id, n_feats, logit_micro, logit_micro > 0 AS keep
       |FROM scored ORDER BY doc_id
-      |""".stripMargin.trim))
+      |""").stripMargin.trim))
 
   /** Shared q165/q166 oracle CTEs: full closed-form replay of the dHash
     * chain — synth pixels (with the planted 4k+3 corner nudge), the q126
@@ -6741,6 +6749,86 @@ object Queries {
       |FROM toks LEFT JOIN agg USING (doc_id) ORDER BY toks.doc_id
       |""".stripMargin.trim))
 
+  /** Sequence packing with document SPLITTING (round 11): q63's packer
+    * fills packs to exactly 512 tokens, cutting documents at pack
+    * boundaries — one row per (doc, pack) segment with the offsets a
+    * shard writer replays. Pure integer DIV arithmetic over the same
+    * single per-bucket cumsum shuffle — see `TrainPrep.packSplit`.
+    */
+  val q181: Q = Q(
+    "q181_packed_split",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      TrainPrep.packSplit(d, "doc_id", "source", "n_tok", budget = 512L)
+        .orderBy(col("doc_id"), col("seg_idx"))
+    },
+    Some("""
+      |WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))
+      |      AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d WHERE n_tok > 0),
+      |s AS (
+      |  SELECT doc_id, source, n_tok, CAST(cum - n_tok AS BIGINT) AS st,
+      |    CAST((cum - n_tok) // 512 AS BIGINT) AS fp,
+      |    CAST((cum - 1) // 512 AS BIGINT) AS lp
+      |  FROM c),
+      |e AS (
+      |  SELECT doc_id, source, n_tok, st, p AS pack_id, p - fp AS seg_idx
+      |  FROM s, unnest(range(fp, lp + 1)) AS r(p))
+      |SELECT doc_id, source, n_tok,
+      |  CAST(seg_idx AS BIGINT) AS seg_idx,
+      |  CAST(pack_id AS BIGINT) AS pack_id,
+      |  CAST(GREATEST(st, pack_id * 512) - st AS BIGINT) AS offset_in_doc,
+      |  CAST(GREATEST(st, pack_id * 512) - pack_id * 512 AS BIGINT) AS offset_in_pack,
+      |  CAST(LEAST(st + n_tok, (pack_id + 1) * 512)
+      |    - GREATEST(st, pack_id * 512) AS BIGINT) AS seg_len
+      |FROM e ORDER BY doc_id, seg_idx
+      |""".stripMargin.trim))
+
+  /** Corpus data card (round 11): the per-(source, lang) summary a
+    * curation pipeline publishes with every corpus release — doc and
+    * token counts, mean doc length, and the model-based quality profile
+    * (q164 logit sum + keep count). Composition: the classifier's
+    * per-doc scores joined back to the doc dimensions on the id (a
+    * co-partitioned join; at 100 TB the scorer and the card aggregate
+    * run in one pass over the same scan). avg_tokens is the single
+    * final IEEE division of two exact integers.
+    */
+  val q182: Q = Q(
+    "q182_corpus_datacard",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextOps.linearQualityClassifier(docs, "doc_id", "text",
+        q164Weights, biasMicro = 100L)
+      docs.select(col("doc_id"), col("source"), col("lang"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+        .join(scored.select(col("doc_id").cast("long").as("doc_id"),
+          col("logit_micro"), col("keep")), "doc_id")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("logit_micro")).as("sum_logit_micro"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .withColumn("avg_tokens",
+          col("n_tokens").cast("double") / col("n_docs").cast("double"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some((sqlQualityScoredCtes(", source, lang") + """
+      |SELECT t.source, t.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(t.w)) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(s.logit_micro) AS BIGINT) AS sum_logit_micro,
+      |  CAST(SUM(CASE WHEN s.logit_micro > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(SUM(len(t.w)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
+      |FROM toks t JOIN scored s USING (doc_id)
+      |GROUP BY t.source, t.lang ORDER BY t.source, t.lang
+      |""").stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -6758,5 +6846,5 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
 }

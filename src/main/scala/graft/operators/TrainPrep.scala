@@ -690,6 +690,47 @@ object TrainPrep {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
   }
 
+  /** Sequence packing WITH document splitting (round 11 — the
+    * GPT-style packed-batch shape): where [[packSequences]] lets a pack
+    * overflow so documents stay whole, this variant fills every pack to
+    * EXACTLY `budget` tokens, splitting a document across pack
+    * boundaries when its span [start, start+n) crosses one. Emits one
+    * row per (doc, pack) segment: seg_idx (0-based within the doc),
+    * offset_in_doc (tokens consumed before this segment),
+    * offset_in_pack, seg_len — the exact cut list a shard writer
+    * replays to materialize fixed-length training rows.
+    *
+    * Same single shuffle as packSequences (the per-bucket cumsum
+    * window); the segment explode is map-side and bounded by
+    * n/budget + 1 segments per doc. Pure integer DIV/mod arithmetic —
+    * exact at any corpus size, oracle-replayable.
+    */
+  def packSplit(docs: DataFrame, idCol: String, bucketCol: String,
+      nTokCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"packSplit: budget must be positive, got $budget")
+    val w = Window.partitionBy(col(bucketCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.filter(col(nTokCol) > 0)
+      .withColumn("__cum", sum(col(nTokCol)).over(w))
+      .withColumn("__start", col("__cum") - col(nTokCol))
+      .withColumn("__first", expr("__start DIV " + budget + "L"))
+      .withColumn("__last", expr("(__cum - 1) DIV " + budget + "L"))
+      .select(col(idCol), col(bucketCol), col(nTokCol).as("n_tok"),
+        col("__start"),
+        posexplode(sequence(col("__first"), col("__last")))
+          .as(Seq("seg_idx", "pack_id")))
+      .select(col(idCol), col(bucketCol), col("n_tok"), col("__start"),
+        col("seg_idx").cast("long").as("seg_idx"), col("pack_id"),
+        greatest(col("__start"), col("pack_id") * budget).as("__s"),
+        least(col("__start") + col("n_tok"), (col("pack_id") + 1) * budget)
+          .as("__e"))
+      .select(col(idCol), col(bucketCol), col("n_tok"), col("seg_idx"),
+        col("pack_id"),
+        (col("__s") - col("__start")).as("offset_in_doc"),
+        (col("__s") - col("pack_id") * budget).as("offset_in_pack"),
+        (col("__e") - col("__s")).as("seg_len"))
+  }
+
   /** Deterministic shard assignment: the portable md5 bucket (q46's
     * split hash) over the id — uniform by hashing, reproducible on any
     * engine, independent of partitioning.

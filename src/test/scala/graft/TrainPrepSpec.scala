@@ -227,6 +227,30 @@ class TrainPrepSpec extends SparkSpec {
       "fixture should demonstrate the leak the cluster split closes")
   }
 
+  test("packSplit: exact-full packs, docs cut at boundaries, offsets reassemble") {
+    import org.apache.spark.sql.functions.col
+    // bucket a: 300+300+50 tokens over budget 256 → doc 1 spans packs
+    // 0-1, doc 2 spans 1-2, doc 3 fits in pack 2
+    val df = Seq((1L, "a", 300L), (2L, "a", 300L), (3L, "a", 50L),
+      (10L, "b", 600L)).toDF("doc_id", "src", "n_tok")
+    val out = TrainPrep.packSplit(df, "doc_id", "src", "n_tok", budget = 256L)
+      .orderBy("doc_id", "seg_idx")
+      .select("doc_id", "seg_idx", "pack_id", "offset_in_doc",
+        "offset_in_pack", "seg_len")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 0L, 256L), (1L, 1L, 1L, 256L, 0L, 44L),
+      (2L, 0L, 1L, 0L, 44L, 212L), (2L, 1L, 2L, 212L, 0L, 88L),
+      (3L, 0L, 2L, 0L, 88L, 50L),
+      // bucket b restarts its pack ids
+      (10L, 0L, 0L, 0L, 0L, 256L), (10L, 1L, 1L, 256L, 0L, 256L),
+      (10L, 2L, 2L, 512L, 0L, 88L)))
+    // invariants: per-doc segment lengths sum to n_tok; every pack
+    // except each bucket's last is exactly full
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._6).sum).toMap
+    assert(byDoc == Map(1L -> 300L, 2L -> 300L, 3L -> 50L, 10L -> 600L))
+  }
+
   test("tokenDrift: zero for identical slices, positive and localized for disjoint vocab") {
     import org.apache.spark.sql.functions.col
     // identical token distribution in both slices → every bucket's
