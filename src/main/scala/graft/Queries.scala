@@ -5890,7 +5890,7 @@ object Queries {
     * data card).
     */
   private def sqlQualityScoredCtes(passCols: String): String = s"""
-    |WITH toks AS (
+    |toks AS (
     |  SELECT doc_id$passCols,
     |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
     |  FROM documents),
@@ -5914,7 +5914,7 @@ object Queries {
     (s, dir) => TextOps.linearQualityClassifier(t(s, dir, "documents"),
         "doc_id", "text", q164Weights, biasMicro = 100L)
       .orderBy(col("doc_id")),
-    Some((sqlQualityScoredCtes("") + """
+    Some(("WITH " + sqlQualityScoredCtes("").stripMargin.trim + """
       |SELECT doc_id, n_feats, logit_micro, logit_micro > 0 AS keep
       |FROM scored ORDER BY doc_id
       |""").stripMargin.trim))
@@ -6819,7 +6819,7 @@ object Queries {
           col("n_tokens").cast("double") / col("n_docs").cast("double"))
         .orderBy(col("source"), col("lang"))
     },
-    Some((sqlQualityScoredCtes(", source, lang") + """
+    Some(("WITH " + sqlQualityScoredCtes(", source, lang").stripMargin.trim + """
       |SELECT t.source, t.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(len(t.w)) AS BIGINT) AS n_tokens,
       |  CAST(SUM(s.logit_micro) AS BIGINT) AS sum_logit_micro,
@@ -6827,6 +6827,99 @@ object Queries {
       |  CAST(SUM(len(t.w)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_tokens
       |FROM toks t JOIN scored s USING (doc_id)
       |GROUP BY t.source, t.lang ORDER BY t.source, t.lang
+      |""").stripMargin.trim))
+
+  /** Composed crawl-ADMISSION pipeline (round 11 — the q157/q170
+    * composition proof for this round's gate family): an incoming batch
+    * (doc_id % 3 == 0) runs the full admit decision against the already
+    * admitted corpus (the rest) — rule battery (q142), model quality
+    * (q164), exact-dup vs corpus (q20 fingerprint semi-join), near-dup
+    * vs corpus (q36 blocked trigram Jaccard ≥ 0.7 restricted to
+    * cross-side pairs). One row per batch doc with a per-gate fail
+    * bitmask (1 = rules, 2 = model, 4 = exact dup, 8 = near dup) and
+    * the admit verdict — the REASON distribution is the operational
+    * signal, as in q142. Scale shape: every gate keeps its audited
+    * plan (map-side batteries, broadcast-probe joins, blocked pair
+    * join); the composition adds only id-keyed joins on the batch.
+    */
+  val q183: Q = Q(
+    "q183_admission_pipeline",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val rules = TextOps.gopherFilter(batch, "doc_id", "text")
+        .select(col("doc_id"), (col("fail_mask") =!= 0L).as("f_rules"))
+      val model = TextOps.linearQualityClassifier(batch, "doc_id", "text",
+          q164Weights, biasMicro = 100L)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          (!col("keep")).as("f_model"))
+      val exact = batch
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .join(corpus.select(TextOps.fingerprint(col("text")).as("fp")).distinct(),
+          Seq("fp"), "left_semi")
+        .select(col("doc_id")).withColumn("f_exact", lit(true))
+      val near = ngramJaccardPairs(s, dir, theta = 0.7)
+        .where((pmod(col("id1"), lit(3)) === 0) =!= (pmod(col("id2"), lit(3)) === 0))
+        .select(when(pmod(col("id1"), lit(3)) === 0, col("id1"))
+          .otherwise(col("id2")).as("doc_id"))
+        .distinct().withColumn("f_near", lit(true))
+      rules.join(model, "doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (when(col("f_rules"), 1L).otherwise(0L) +
+            when(col("f_model"), 2L).otherwise(0L) +
+            when(coalesce(col("f_exact"), lit(false)), 4L).otherwise(0L) +
+            when(coalesce(col("f_near"), lit(false)), 8L).otherwise(0L))
+            .as("fail_mask"))
+        .withColumn("admitted", col("fail_mask") === 0L)
+        .orderBy(col("doc_id"))
+    },
+    Some((ngramPairsSql(0.7) + "," + sqlQualityScoredCtes("") + s""",
+      |rb AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w,
+      |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+      |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_symbol
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |rm AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN len(w) < 10 OR len(w) > 100000 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN (CASE WHEN len(w) = 0 THEN 0.0
+      |         ELSE CAST(n_alpha AS DOUBLE) / CAST(len(w) AS DOUBLE) END) < 3.0
+      |         OR (CASE WHEN len(w) = 0 THEN 0.0
+      |         ELSE CAST(n_alpha AS DOUBLE) / CAST(len(w) AS DOUBLE) END) > 10.0
+      |       THEN 2 ELSE 0 END)
+      |    + (CASE WHEN len(list_intersect(list_distinct(w),
+      |        ['the','a','of','and','to','in','is','for','on','with'])) < 2
+      |       THEN 4 ELSE 0 END)
+      |    + (CASE WHEN (CASE WHEN len(w) = 0 THEN 1.0
+      |         ELSE CAST(n_symbol AS DOUBLE) / CAST(len(w) AS DOUBLE) END) > 0.1
+      |       THEN 8 ELSE 0 END) AS rules_mask
+      |  FROM rb),
+      |fps AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |exd AS (
+      |  SELECT DISTINCT fb.doc_id FROM fps fb JOIN fps fc
+      |    ON fb.fp = fc.fp AND fb.doc_id % 3 = 0 AND fc.doc_id % 3 <> 0),
+      |nrd AS (
+      |  SELECT DISTINCT CASE WHEN id1 % 3 = 0 THEN id1 ELSE id2 END AS doc_id
+      |  FROM pr WHERE (id1 % 3 = 0) <> (id2 % 3 = 0))
+      |SELECT rm.doc_id,
+      |  CAST((CASE WHEN rm.rules_mask <> 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN s.logit_micro <= 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN exd.doc_id IS NOT NULL THEN 4 ELSE 0 END)
+      |    + (CASE WHEN nrd.doc_id IS NOT NULL THEN 8 ELSE 0 END) AS BIGINT) AS fail_mask,
+      |  (CASE WHEN rm.rules_mask <> 0 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN s.logit_micro <= 0 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN exd.doc_id IS NOT NULL THEN 4 ELSE 0 END)
+      |    + (CASE WHEN nrd.doc_id IS NOT NULL THEN 8 ELSE 0 END) = 0 AS admitted
+      |FROM rm JOIN scored s USING (doc_id)
+      |LEFT JOIN exd ON exd.doc_id = rm.doc_id
+      |LEFT JOIN nrd ON nrd.doc_id = rm.doc_id
+      |ORDER BY rm.doc_id
       |""").stripMargin.trim))
 
   val all: Seq[Q] = Seq(
@@ -6846,5 +6939,5 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183)
 }
