@@ -6922,6 +6922,43 @@ object Queries {
       |ORDER BY rm.doc_id
       |""").stripMargin.trim))
 
+  /** Mixture materialization (round 11): q131's α = 1/2 temperature
+    * budgets EXECUTED — exactly target_docs documents taken per domain
+    * by deterministic md5 rank (the domainQuota election), turning the
+    * mixture table into the actual training subset. Budgets broadcast;
+    * the take is the two-phase salted window, so mega-domains never
+    * concentrate on one reducer — see `TrainPrep.materializeMix`.
+    */
+  val q184: Q = Q(
+    "q184_mix_materialize",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val caps = TrainPrep.temperatureMix(docs, "source", totalBudget = 300L)
+        .select(col("domain").as("source"), col("target_docs"))
+      TrainPrep.materializeMix(docs.select(col("doc_id"), col("source")),
+          "source", "doc_id", caps, "target_docs")
+        .orderBy(col("source"), col("mix_rank"))
+    },
+    Some("""
+      |WITH c AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |sm AS (SELECT domain,
+      |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS mass_micro
+      |  FROM c),
+      |tt AS (SELECT CAST(SUM(mass_micro) AS BIGINT) AS mass_total FROM sm),
+      |caps AS (SELECT domain,
+      |    CAST(300 * mass_micro // mass_total AS BIGINT) AS target
+      |  FROM sm CROSS JOIN tt),
+      |r AS (SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS mix_rank
+      |FROM r JOIN caps ON caps.domain = r.source
+      |WHERE r.rk <= caps.target
+      |ORDER BY r.source, mix_rank
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -6939,5 +6976,5 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184)
 }

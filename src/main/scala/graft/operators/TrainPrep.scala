@@ -310,6 +310,41 @@ object TrainPrep {
       .drop("__lr", "__rk")
   }
 
+  /** Materialize a temperature mixture (round 11 — the step that turns
+    * [[temperatureMix]]'s budget TABLE into the actual training
+    * subset): take EXACTLY `capCol` documents from each domain,
+    * deterministically (md5-ranked — the [[domainQuota]] election, so
+    * the same corpus always yields the same subset on any engine).
+    * Caps arrive as a (domain, cap) DataFrame — #domains rows, tiny by
+    * construction — BROADCAST into the corpus scan.
+    *
+    * Scale shape: the two-phase salted window from domainQuota with the
+    * static cap replaced by the joined per-domain cap: the salted local
+    * window prunes every (domain, salt) partition to ≤ cap rows before
+    * the per-domain global rank, so no single reducer ever sorts more
+    * than nSalts·cap rows of a mega-domain — exactness is unchanged
+    * (TrainPrepSpec pins two-phase ≡ naive single-window).
+    */
+  def materializeMix(df: DataFrame, domainCol: String, idCol: String,
+      caps: DataFrame, capCol: String, nSalts: Int = 16): DataFrame = {
+    require(nSalts > 0, s"materializeMix: need nSalts > 0, got $nSalts")
+    val keyed = df
+      .join(broadcast(caps.select(col(domainCol),
+        col(capCol).cast("long").as("__cap"))), Seq(domainCol))
+      .withColumn("__rk",
+        md5(concat_ws("|", col(domainCol), col(idCol).cast("string"))))
+    val salt = pmod(xxhash64(col(idCol)), lit(nSalts.toLong))
+    val local = Window.partitionBy(col(domainCol), salt)
+      .orderBy(col("__rk"), col(idCol))
+    val global = Window.partitionBy(col(domainCol))
+      .orderBy(col("__rk"), col(idCol))
+    keyed.withColumn("__lr", row_number().over(local))
+      .filter(col("__lr") <= col("__cap"))
+      .withColumn("mix_rank", row_number().over(global).cast("long"))
+      .filter(col("mix_rank") <= col("__cap"))
+      .drop("__lr", "__rk", "__cap")
+  }
+
   /** Morton (Z-order) key over two bucketized dimensions — the
     * multi-column data-layout clustering the public lakehouse engines
     * expose as OPTIMIZE ZORDER BY. Interleaves the low `bits` bits of x

@@ -227,6 +227,41 @@ class TrainPrepSpec extends SparkSpec {
       "fixture should demonstrate the leak the cluster split closes")
   }
 
+  test("materializeMix: exact per-domain takes, two-phase equals naive window, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1L to 120L).map(i => (i, "big.com")) ++
+      (200L to 214L).map(i => (i, "mid.org")) ++
+      (300L to 302L).map(i => (i, "tiny.net"))
+    val df = rows.toDF("doc_id", "source")
+    val caps = Seq(("big.com", 10L), ("mid.org", 12L), ("tiny.net", 99L))
+      .toDF("source", "target_docs")
+    val got = TrainPrep.materializeMix(df, "source", "doc_id", caps, "target_docs",
+        nSalts = 4)
+      .select("source", "doc_id", "mix_rank")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+    // exactly the cap, or the whole domain when the cap exceeds it
+    assert(sizes == Map("big.com" -> 10, "mid.org" -> 12, "tiny.net" -> 3))
+    // equals the naive single-window form (the oracle shape)
+    val naive = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(concat_ws("|", col("source"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      df.withColumn("r", row_number().over(w).cast("long"))
+        .join(caps, "source").filter(col("r") <= col("target_docs"))
+        .select(col("source"), col("doc_id"), col("r"))
+        .as[(String, Long, Long)].collect().toSeq.sorted
+    }
+    assert(got == naive)
+    // invariant to input partitioning and salt count
+    val repart = TrainPrep.materializeMix(df.repartition(7, col("doc_id")),
+        "source", "doc_id", caps, "target_docs", nSalts = 11)
+      .select("source", "doc_id", "mix_rank")
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(repart == got)
+  }
+
   test("packSplit: exact-full packs, docs cut at boundaries, offsets reassemble") {
     import org.apache.spark.sql.functions.col
     // bucket a: 300+300+50 tokens over budget 256 → doc 1 spans packs
