@@ -157,6 +157,36 @@ object StreamBench {
       .where(col("admitted")).count()
     println(f"""{"op":"lsh_near_dup_ttl600","rows":$nDocs,"secs":$tsecs%.2f,"rows_per_sec":${(nDocs / tsecs).toLong},"micro_batches":$tbatches,"state_rows":$tStateRows,"state_bytes":$tStateBytes,"admitted":$tAdmitted}""")
 
+    // round-11: the STATELESS PSI drift gate — reference histogram fit
+    // once from the corpus, then the same docs replayed as
+    // micro-batches. state_rows must be 0 (the restart-safety story);
+    // throughput is the per-trigger histogram + broadcast-join cost.
+    val driftReplay = s"$replay/docs_drift"
+    graft.operators.TrainPrep.tokenHistogram(docs, "text", dim = 64)
+      .write.parquet(s"$driftReplay/ref")
+    docs.repartition(16).write.parquet(s"$driftReplay/in")
+    val gSchema = spark.read.parquet(s"$driftReplay/in").schema
+    val gsrc = spark.readStream.schema(gSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$driftReplay/in")
+    val g0 = System.nanoTime()
+    val gq = StreamingOps.driftGateStream(gsrc, "text", s"$driftReplay/ref",
+        dim = 64, psiThresholdScaled = 200000000000000L, s"$driftReplay/mon")
+      .option("checkpointLocation", s"$driftReplay/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    gq.awaitTermination()
+    val gsecs = (System.nanoTime() - g0) / 1e9
+    val glast = Option(gq.lastProgress)
+    val gbatches = glast.map(_.batchId + 1).getOrElse(0L)
+    val gStateRows = glast
+      .flatMap(p => Option(p.stateOperators)).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+    gq.stop()
+    val mon = spark.read.parquet(s"$driftReplay/mon")
+    val nMon = mon.count()
+    val nDrifted = mon.where(col("drifted")).count()
+    println(f"""{"op":"drift_gate_psi","rows":$nDocs,"secs":$gsecs%.2f,"rows_per_sec":${(nDocs / gsecs).toLong},"micro_batches":$gbatches,"state_rows":$gStateRows,"monitor_rows":$nMon,"drifted":$nDrifted}""")
+
     spark.stop()
   }
 }
