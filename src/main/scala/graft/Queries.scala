@@ -6959,6 +6959,130 @@ object Queries {
       |ORDER BY r.source, mix_rank
       |""".stripMargin.trim))
 
+  /** Hybrid retrieval with reciprocal-rank fusion (round 11): three
+    * queries, each with a lexical side (batch BM25 — ONE corpus scan for
+    * all queries, `TextOps.bm25Batch`) and a vector side (cosine top-k
+    * over the aligned embeddings table), fused per query with exact
+    * integer RRF contributions `1000000 DIV (60 + rank)` — the standard
+    * hybrid-search ranking. Both candidate lists are bounded top-50, so
+    * fusion is a union + hash aggregate + query-partitioned window over
+    * O(queries × k) rows; all corpus-facing work happens in the two
+    * retrieval operators with their audited plans.
+    */
+  val q185: Q = Q(
+    "q185_hybrid_rrf",
+    (s, dir) => {
+      val textQ = Seq(1L -> Seq("spark", "query"), 2L -> Seq("table", "join"),
+        3L -> Seq("data", "stream"))
+      val tRank = TextOps.rrfRanked(
+        TextOps.bm25Batch(t(s, dir, "documents"), "doc_id", "text", textQ, topK = 50),
+        "query_id", "doc_id", Seq(col("score_micro").desc, col("doc_id")))
+      val emb = t(s, dir, "embeddings")
+      val vRank = TextOps.rrfRanked(
+        VectorOps.bruteForceTopK(emb.filter(col("vec_id").isin(1L, 2L, 3L)),
+          emb, "vec_id", "embedding", k = 50),
+        "query_id", "neighbor_id", Seq(col("cosine_sim").desc, col("neighbor_id")))
+      TextOps.rrfFuse(Seq(tRank, vRank), kRrf = 60, topK = 10)
+        .orderBy(col("query_id"), col("rrf_micro").desc, col("item_id"))
+    },
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, w FROM toks),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base),
+      |qm(query_id, term) AS (VALUES (1, 'spark'), (1, 'query'), (2, 'table'),
+      |    (2, 'join'), (3, 'data'), (3, 'stream')),
+      |hit AS (SELECT doc_id, dl, term,
+      |    CAST(len(list_filter(w, x -> x = term)) AS BIGINT) AS tf
+      |  FROM base CROSS JOIN (SELECT DISTINCT term FROM qm)
+      |  WHERE len(list_filter(w, x -> x = term)) > 0),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS gram_df FROM hit GROUP BY term),
+      |pt AS (SELECT doc_id, term,
+      |    CAST(round(ln(1.0 + CAST(2 * (n_docs - gram_df) + 1 AS DOUBLE)
+      |        / CAST(2 * gram_df + 1 AS DOUBLE))
+      |      * (CAST(22 * sum_dl * tf AS DOUBLE)
+      |        / CAST(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS score_micro
+      |  FROM hit JOIN dfreq USING (term) CROSS JOIN stats),
+      |ts AS (SELECT query_id, doc_id, SUM(score_micro) AS score_micro
+      |  FROM pt JOIN qm USING (term) GROUP BY 1, 2),
+      |trank AS (SELECT query_id, doc_id AS item_id, ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+      |  FROM ts),
+      |e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings),
+      |qv AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id IN (1, 2, 3)),
+      |sc AS (SELECT qid, vec_id AS cid,
+      |    list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * v[i])) AS dp,
+      |    list_sum(list_transform(qvec, x -> x * x)) AS nq,
+      |    list_sum(list_transform(v, x -> x * x)) AS nc
+      |  FROM qv JOIN e ON qid <> vec_id),
+      |cs AS (SELECT qid, cid,
+      |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+      |         ELSE dp / (sqrt(nq) * sqrt(nc)) END AS cosine_sim
+      |  FROM sc),
+      |vrank AS (SELECT qid AS query_id, cid AS item_id, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY cosine_sim DESC, cid) AS rank
+      |  FROM cs),
+      |u AS (SELECT * FROM trank WHERE rank <= 50
+      |  UNION ALL SELECT * FROM vrank WHERE rank <= 50),
+      |f AS (SELECT query_id, item_id,
+      |    CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+      |    CAST(COUNT(*) AS BIGINT) AS n_lists,
+      |    CAST(MIN(rank) AS BIGINT) AS best_rank
+      |  FROM u GROUP BY 1, 2)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(item_id AS BIGINT) AS item_id,
+      |  rrf_micro, n_lists, best_rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY rrf_micro DESC, item_id) AS rn FROM f)
+      |WHERE rn <= 10 ORDER BY query_id, rrf_micro DESC, item_id
+      |""".stripMargin.trim))
+
+  /** Interpolated Kneser–Ney bigram LM quality score (round 11): q134's
+    * perplexity-proxy filter with the smoothing the real gates use
+    * (CCNet's KenLM default). D = 3/4 makes every probability an exact
+    * rational; numerator/denominator build as exact wide integers
+    * (DECIMAL(38,0) / HUGEINT — web-scale counts overflow int64
+    * products), then ONE double division + ln + micro-quantization on
+    * both engines — see `TextOps.knBigramLmScore`.
+    */
+  val q186: Q = Q(
+    "q186_kn_lm_score",
+    (s, dir) => TextOps.knBigramLmScore(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+      |        FROM toks WHERE len(w) >= 2)),
+      |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS n1f FROM c2 GROUP BY w1),
+      |nc AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncw2 FROM c2 GROUP BY w2),
+      |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM c2),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(
+      |      CAST(CAST(4 AS HUGEINT) * c1 * ntypes AS DOUBLE)
+      |      / CAST(CAST(4 * c12 - 3 AS HUGEINT) * ntypes
+      |          + CAST(3 * n1f AS HUGEINT) * ncw2 AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS q
+      |  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN nc USING (w2)
+      |  CROSS JOIN tt)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(q) AS BIGINT) AS nll_micro,
+      |  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_nll
+      |FROM scored GROUP BY doc_id ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -6976,5 +7100,6 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144, q145, q146,
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184)
+    q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
+    q185, q186)
 }

@@ -395,6 +395,106 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Batch BM25: score MANY queries in one corpus pass (round 11 — the
+    * production shape of `bm25`; running retrieval per query would
+    * re-tokenize 100 TB once per query). Same scorer and determinism
+    * contract as `bm25` (see its scaladoc): tf over the distinct term
+    * union is computed once per (doc, term), then fanned out to the
+    * (query, term) mapping — a broadcast join against a literal table —
+    * so the corpus scan count is 1 regardless of |queries|. Per-query
+    * top-k via a `query_id`-partitioned window (each query's candidate
+    * set shrinks independently; no global sort).
+    */
+  def bm25Batch(df: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Long, Seq[String])], topK: Int): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.forall(_._2.nonEmpty), "every query needs at least one term")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val allTerms = queries.flatMap(_._2).distinct
+    val qmap = spark.createDataFrame(
+        queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) })
+      .toDF("query_id", "term")
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = base.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val hits = base.select(col("doc_id"), col("dl"),
+        explode(array(allTerms.map(lit): _*)).as("term"), col("toks"))
+      .withColumn("tf", size(filter(col("toks"), x => x === col("term"))).cast("long"))
+      .where(col("tf") > 0)
+      .drop("toks")
+    val dfreq = hits.groupBy("term").agg(count(lit(1)).cast("long").as("gram_df"))
+    val perTerm = hits.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(2L) * (col("n_docs") - col("gram_df")) + lit(1L)).cast("double") /
+          (lit(2L) * col("gram_df") + lit(1L)).cast("double")))
+      .withColumn("tfc",
+        (lit(22L) * col("sum_dl") * col("tf")).cast("double") /
+          (lit(10L) * col("sum_dl") * col("tf") + lit(3L) * col("sum_dl") +
+            lit(9L) * col("dl") * col("n_docs")).cast("double"))
+      .withColumn("score_micro",
+        round(col("idf") * col("tfc") * lit(1000000.0)).cast("long"))
+    val scored = perTerm.join(broadcast(qmap), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("score_micro")).as("score_micro"),
+        count(lit(1)).cast("long").as("n_terms_hit"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= topK)
+      .select("query_id", "doc_id", "score_micro", "n_terms_hit")
+  }
+
+  /** Assign per-query RRF ranks: 1-based position within each query's
+    * result list under the caller's (deterministic, total) sort order.
+    * The window is partitioned by `queryCol`, so rank assignment scales
+    * with the number of concurrent queries — and each list is already a
+    * bounded top-k, so no partition exceeds k rows.
+    */
+  def rrfRanked(list: DataFrame, queryCol: String, idCol: String,
+      sort: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(queryCol)).orderBy(sort: _*)
+    list.select(col(queryCol).cast("long").as("query_id"),
+        col(idCol).cast("long").as("item_id"),
+        row_number().over(w).cast("long").as("rank"))
+  }
+
+  /** Reciprocal-rank fusion (round 11): fuse N ranked candidate lists
+    * per query into one hybrid ranking — the standard recipe for
+    * combining lexical (BM25) and vector (ANN) retrieval, with
+    * `score(d) = Σ_lists 1/(k + rank_list(d))` (Cormack et al.'s RRF;
+    * k = 60 conventionally). An item missing from a list simply
+    * contributes nothing — no imputation.
+    *
+    * Determinism: each contribution is the exact integer
+    * `1000000 DIV (k + rank)`, so the fused score is an exact int64 sum
+    * in any order; ties break on item id.
+    *
+    * Scale shape: inputs are bounded per-query top-k lists (the
+    * expensive corpus-facing work already happened upstream), so this is
+    * a union + one hash aggregate + one query-partitioned window over
+    * O(queries × k × lists) rows — negligible next to retrieval itself.
+    */
+  def rrfFuse(lists: Seq[DataFrame], kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(kRrf >= 1 && topK >= 1, "kRrf and topK must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val u = lists.map(_.select("query_id", "item_id", "rank")).reduce(_ unionAll _)
+    val fused = u
+      .withColumn("__contrib", expr(s"CAST(1000000 DIV ($kRrf + rank) AS BIGINT)"))
+      .groupBy("query_id", "item_id")
+      .agg(sum(col("__contrib")).as("rrf_micro"),
+        count(lit(1)).cast("long").as("n_lists"),
+        min(col("rank")).as("best_rank"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("item_id"))
+    fused.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= topK)
+      .select("query_id", "item_id", "rrf_micro", "n_lists", "best_rank")
+  }
+
   /** Corpus-fitted bigram language-model score (round 10 — the
     * perplexity-proxy quality filter from the public crawl-curation
     * recipes: fit an n-gram LM on the corpus, score each document by
@@ -436,6 +536,65 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("nll_micro")).as("nll_micro"))
+      .withColumn("avg_nll",
+        col("nll_micro").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  /** Interpolated Kneser–Ney bigram LM score (round 11 — the smoothing
+    * the public crawl-quality gates actually use: CCNet's perplexity
+    * filter is a KenLM model, and KenLM's default is interpolated
+    * modified KN). Upgrades `bigramLmScore`'s unsmoothed MLE with the
+    * absolute-discount + continuation-probability estimate:
+    *
+    *   P(w2|w1) = (c(w1w2) − D)/c(w1) + D·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··)
+    *
+    * at the textbook discount D = 3/4. Fit on the corpus and scored on
+    * the corpus (the q134 design), so every scored bigram is seen and
+    * the discounted term is positive. Over the full vocabulary the
+    * conditional sums to exactly 1 (Σ_w2 N1+(·w2) = N1+(··)) — the
+    * property KNSpec pins.
+    *
+    * Determinism: with D = 3/4 every probability is the exact rational
+    *   [(4·c12 − 3)·T + 3·N1f·Nc] / (4·c1·T),  T = N1+(··);
+    * both engines build numerator and denominator as EXACT integers
+    * (DECIMAL(38,0) here, HUGEINT in DuckDB — int64 products of two
+    * count-sized factors overflow at web scale, the ADVICE-r10 lesson),
+    * take ONE identical double division + ln, and quantize to integer
+    * micro-units before the per-doc sum.
+    *
+    * Scale shape: identical to `bigramLmScore` — two partial-aggregable
+    * count shuffles fit the model (the continuation counts reuse the
+    * same c2 table, so no extra corpus pass), scoring joins the doc
+    * bigram stream on (w1,w2), w1, w2; all model tables are
+    * vocabulary-sized broadcast candidates.
+    */
+  def knBigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val big = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // c1 = Σ_w2 c12 (w1's non-final count); n1f = |{w2 : c(w1w2) > 0}|
+    val c1n1 = c2.groupBy("w1").agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1f"))
+    val ncont = c2.groupBy("w2").agg(count(lit(1)).as("ncw2"))
+    val types = c2.agg(count(lit(1)).as("ntypes"))
+    big.join(c2, Seq("w1", "w2")).join(c1n1, Seq("w1")).join(ncont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("__num",
+        (lit(4L) * col("c12") - lit(3L)).cast("decimal(38,0)") * col("ntypes")
+          + (lit(3L) * col("n1f")).cast("decimal(38,0)") * col("ncw2"))
+      .withColumn("__den",
+        (lit(4L) * col("c1")).cast("decimal(38,0)") * col("ntypes"))
+      .withColumn("q", round(log(
+        col("__den").cast("double") / col("__num").cast("double"))
+        * lit(1000000.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("q")).as("nll_micro"))
       .withColumn("avg_nll",
         col("nll_micro").cast("double") / col("n_bigrams").cast("double"))
   }

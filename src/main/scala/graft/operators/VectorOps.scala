@@ -368,6 +368,71 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine_sim")
   }
 
+  /** Semi-hard negative mining (round 11 — the contrastive-training
+    * data step: FaceNet's semi-hard band, the standard triplet-mining
+    * recipe for embedding-model training). Per anchor:
+    *
+    *  1. hardest positive = max cosine over SAME-label others — an
+    *     equi-join on the label (shuffle bounded by label-group size,
+    *     never corpus all-pairs); anchors with no positive drop (no
+    *     triplet can be formed);
+    *  2. negative candidates = DIFFERENT-label vectors sharing the
+    *     anchor's sign-bucket LSH key (the [[mutualTopK]] candidate
+    *     shape: a plain hash shuffle on the bucket key — every vector
+    *     is an anchor, so no side broadcasts);
+    *  3. keep candidates in the semi-hard band
+    *     `pos_sim − margin < neg_sim < pos_sim` (harder than the
+    *     margin allows but not harder than the hardest positive — the
+    *     band that yields useful gradients without label-noise traps),
+    *     rank by cosine desc, top `k`.
+    *
+    * Determinism: quantized-integer dot/norms make every cosine one
+    * exact-operand IEEE divide (see object scaladoc), so the band
+    * comparisons and ranking replay bit-identically in the oracle;
+    * output similarities are micro-quantized.
+    *
+    * Scale shape: two bucket/label equi-joins plus one anchor-keyed
+    * join and one anchor-partitioned bounded window — shuffles on keys,
+    * never vectors; recall follows the sign-bucket blocking (widen via
+    * nBits, or swap step 2 for [[ivfTopK]] candidates at extreme scale).
+    */
+  def mineSemiHardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, margin: Double = 0.5,
+      nBits: Int = 8): DataFrame = {
+    require(k >= 1, s"mineSemiHardNegatives: k must be >= 1, got $k")
+    require(margin > 0, s"mineSemiHardNegatives: margin must be > 0, got $margin")
+    GraftFunctions.register(corpus.sparkSession)
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("label"), quantize(col(vecCol)).as("v"))
+    val pa = base.select(col("label"), col("id").as("anchor_id"), col("v").as("av"))
+    val pb = base.select(col("label"), col("id").as("pos_id"), col("v").as("pv"))
+    val pos = pa.join(pb, Seq("label"))
+      .filter(col("anchor_id") =!= col("pos_id"))
+      .withColumn("__c", nativeCosine(col("av"), col("pv")))
+      .groupBy(col("anchor_id"))
+      .agg(max(col("__c")).as("pos_sim"), count(lit(1)).cast("long").as("n_pos"))
+    val wb = base.withColumn("bucket", signBucket(col("v"), nBits))
+    val na = wb.select(col("bucket"), col("id").as("anchor_id"),
+      col("label").as("anchor_label"), col("v").as("av"))
+    val nb = wb.select(col("bucket"), col("id").as("neg_id"),
+      col("label").as("neg_label"), col("v").as("nv"))
+    val cand = na.join(nb, Seq("bucket"))
+      .filter(col("anchor_label") =!= col("neg_label"))
+      .withColumn("neg_sim", nativeCosine(col("av"), col("nv")))
+      .select("anchor_id", "anchor_label", "neg_id", "neg_label", "neg_sim")
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("neg_sim").desc, col("neg_id"))
+    cand.join(pos, Seq("anchor_id"))
+      .filter(col("neg_sim") < col("pos_sim") &&
+        col("neg_sim") > col("pos_sim") - lit(margin))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), col("neg_rank"),
+        round(col("neg_sim") * lit(1000000.0)).cast("long").as("neg_sim_micro"),
+        round(col("pos_sim") * lit(1000000.0)).cast("long").as("pos_sim_micro"))
+  }
+
   /** SemDeDup (round 10 — the published semantic-dedup recipe: cluster
     * the embedding space, then deduplicate WITHIN clusters by pairwise
     * cosine, keeping the representative closest to the centroid).

@@ -237,6 +237,93 @@ class TextOpsSpec extends SparkSpec {
     assert(top2.length == 2 && top2.head == 3L)
   }
 
+  test("bm25Batch: one corpus pass reproduces per-query bm25 exactly") {
+    val docs = Seq(
+      (0L, "spark spark spark"),
+      (1L, "spark alone among many many many many words here now"),
+      (2L, "rare rare"),
+      (3L, "spark rare"),
+      (4L, "none of these"))
+      .toDF("doc_id", "text")
+    val batch = TextOps.bm25Batch(docs, "doc_id", "text",
+        Seq(7L -> Seq("spark", "rare"), 8L -> Seq("rare")), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // query 7 matches the single-query operator score-for-score
+    val single = TextOps.bm25(docs, "doc_id", "text", Seq("spark", "rare"), topK = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(single.keySet == batch.keys.collect { case (7L, d) => d }.toSet)
+    single.foreach { case (d, (score, hits)) =>
+      assert(batch((7L, d)) == ((score, hits)))
+    }
+    // query 8 only sees "rare" docs; its df (and thus idf) is the same
+    // global per-term stat, so scores agree with the two-term query's
+    // rare-only contribution for the doc that hits both
+    assert(batch.keys.collect { case (8L, d) => d }.toSet == Set(2L, 3L))
+    // per-query topK truncation is independent
+    val top1 = TextOps.bm25Batch(docs, "doc_id", "text",
+        Seq(7L -> Seq("spark", "rare"), 8L -> Seq("rare")), topK = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(top1.length == 2 && top1.toMap.keySet == Set(7L, 8L))
+  }
+
+  test("rrfFuse: exact integer contributions, missing items, per-query topK") {
+    // query 1: list A ranks (10, 11, 12); list B ranks (11, 13)
+    val a = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "item_id", "rank")
+    val b = Seq((1L, 11L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "item_id", "rank")
+    val out = TextOps.rrfFuse(Seq(a, b), kRrf = 60, topK = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // item 11: 1000000/62 + 1000000/61 = 16129 + 16393
+    assert(out(11L) == ((16129L + 16393L, 2L, 1L)))
+    assert(out(10L) == ((1000000L / 61L, 1L, 1L)))
+    assert(out(12L) == ((1000000L / 63L, 1L, 3L)))
+    assert(out(13L) == ((1000000L / 62L, 1L, 2L)))
+    // consensus item 11 wins over any single-list rank-1
+    val ordered = TextOps.rrfFuse(Seq(a, b), kRrf = 60, topK = 2)
+      .orderBy(col("rrf_micro").desc).collect().map(_.getLong(1))
+    assert(ordered.head == 11L && ordered.length == 2)
+    // rrfRanked assigns 1-based ranks under the caller's sort, per query
+    val scored = Seq((1L, 5L, 900L), (1L, 6L, 800L), (2L, 5L, 700L))
+      .toDF("qid", "doc", "score")
+    val ranked = TextOps.rrfRanked(scored, "qid", "doc",
+        Seq(col("score").desc, col("doc")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ranked == Map((1L, 5L) -> 1L, (1L, 6L) -> 2L, (2L, 5L) -> 1L))
+  }
+
+  test("knBigramLmScore: exact KN rationals on a tiny corpus; full-vocab mass sums to 1") {
+    // corpus bigrams: doc0 "a b a b", doc1 "a c"
+    //   instances: (a,b)x2, (b,a)x1, (a,c)x1
+    //   c2: (a,b)=2 (b,a)=1 (a,c)=1; c1: a=3 (n1f=2), b=1 (n1f=1); T=3 types
+    //   ncont: b=1, a=1, c=1
+    val docs = Seq((0L, "a b a b"), (1L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.knBigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def nllMicro(c12: Long, c1: Long, n1f: Long, ncw2: Long, t: Long): Long = {
+      val num = (4 * c12 - 3) * t + 3 * n1f * ncw2
+      val den = 4 * c1 * t
+      math.round(math.log(den.toDouble / num.toDouble) * 1e6)
+    }
+    val pAB = nllMicro(2, 3, 2, 1, 3) // P(b|a) = (5*3+6)/36
+    val pBA = nllMicro(1, 1, 1, 1, 3) // P(a|b) = (1*3+3)/12
+    val pAC = nllMicro(1, 3, 2, 1, 3) // P(c|a) = (1*3+6)/36
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 2 * pAB + pBA)
+    assert(out(1).getLong(1) == 1 && out(1).getLong(2) == pAC)
+    // interpolated-KN invariant: summing the formula over the FULL vocab
+    // per context gives exactly 1 (backoff mass Σ ncw2 = ntypes). For
+    // context "a" over vocab {a, b, c}: unseen (a,a) contributes only
+    // its continuation term D·n1f/c1 · ncw2/T.
+    val seen = (5.0 * 3 + 6) / 36 + (1.0 * 3 + 6) / 36      // P(b|a)+P(c|a)
+    val unseenAA = 0.75 * 2 / 3.0 * (1.0 / 3)               // backoff-only a
+    assert(math.abs(seen + unseenAA - 1.0) < 1e-12)
+    // smoothing sanity: KN NLL exceeds the unsmoothed MLE NLL on seen
+    // bigrams (mass was set aside for unseen continuations)
+    val mle = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) > mle(0).getLong(2))
+  }
+
   test("commonNgramScrubRelative derives the absolute threshold from the corpus count") {
     val docs = Seq(
       (0L, "shared common gram one two three"),
