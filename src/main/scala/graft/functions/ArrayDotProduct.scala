@@ -82,6 +82,7 @@ object GraftFunctions {
   val KmvName = "graft_kmv"
   val FreqName = "graft_freq"
   val NfcName = "graft_nfc"
+  val CmsName = "graft_cms"
 
   private def registerUnary(spark: SparkSession, name: String,
       clazz: Class[_], build: Expression => Expression): Unit = {
@@ -129,6 +130,30 @@ object GraftFunctions {
     }
   }
 
+  private def registerTernary(spark: SparkSession, name: String,
+      clazz: Class[_],
+      build: (Expression, Expression, Expression) => Expression): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = FunctionIdentifier(name)
+    if (!registry.functionExists(ident)) {
+      registry.registerFunction(
+        ident,
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => {
+          if (children.length != 3) {
+            throw new AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map(
+                "functionName" -> name,
+                "expectedNum" -> "3",
+                "actualNum" -> children.length.toString,
+                "docroot" -> "https://spark.apache.org/docs/latest"))
+          }
+          build(children.head, children(1), children(2))
+        })
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     registerBinary(spark, DotName, classOf[ArrayDotProduct], ArrayDotProduct(_, _))
     registerBinary(spark, SortedIntersectName, classOf[SortedArrayIntersectSize],
@@ -142,6 +167,8 @@ object GraftFunctions {
     registerBinary(spark, FreqName, classOf[FreqItemsSketch],
       FreqItemsSketch(_, _))
     registerUnary(spark, NfcName, classOf[NfcNormalize], NfcNormalize(_))
+    registerTernary(spark, CmsName, classOf[CountMinSketchAgg],
+      CountMinSketchAgg(_, _, _))
     // Parity with the GraftExtensions path: sessions registered at runtime
     // get the size(array_intersect) fusion too, not just the functions.
     val experimental = spark.experimental

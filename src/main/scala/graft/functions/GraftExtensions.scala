@@ -41,6 +41,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         build(children.head, children(1))
       })
 
+  private def ternary(name: String, clazz: Class[_],
+      build: (Expression, Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"$name requires exactly 3 arguments, got ${children.length}")
+        build(children.head, children(1), children(2))
+      })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(binary(GraftFunctions.DotName,
       classOf[ArrayDotProduct], ArrayDotProduct(_, _)))
@@ -56,6 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[FreqItemsSketch], FreqItemsSketch(_, _)))
     ext.injectFunction(unary(GraftFunctions.NfcName,
       classOf[NfcNormalize], NfcNormalize(_)))
+    ext.injectFunction(ternary(GraftFunctions.CmsName,
+      classOf[CountMinSketchAgg], CountMinSketchAgg(_, _, _)))
     ext.injectOptimizerRule(_ => NativeSetOpsRule)
   }
 }
