@@ -133,11 +133,16 @@ object TextOps {
         coalesce(col("__starts"), array().cast("array<long>")).as("__s"))
     val isDirty: (Column, Column) => Column = (j, starts) =>
       exists(starts, s => j >= s && j <= s + (n - 1))
-    val clean = filter(
-      transform(sequence(lit(1), size(col("__w"))),
-        j => when(!isDirty(j.cast("long"), col("__s")),
-          element_at(col("__w"), j))),
-      t => t.isNotNull)
+    // empty guard: sequence(1, 0) DESCENDS to [1, 0] (default step −1 when
+    // start > stop) and element_at(_, 0) throws unconditionally — so a
+    // zero-token document must short-circuit before the index walk
+    // (advice r11; crawl corpora carry empty docs routinely).
+    val clean = when(size(col("__w")) === 0, array().cast("array<string>"))
+      .otherwise(filter(
+        transform(sequence(lit(1), size(col("__w"))),
+          j => when(!isDirty(j.cast("long"), col("__s")),
+            element_at(col("__w"), j))),
+        t => t.isNotNull))
     joined.select(col("doc_id"),
         size(col("__w")).cast("long").as("n_tokens"),
         clean.as("__c"))
@@ -1040,9 +1045,11 @@ object TextOps {
     * witnesses a duplicated span — so the union of duplicated-n-gram
     * intervals IS the set of maximal ≥n-token duplicated regions.
     * Pipeline: explode overlapping n-gram positions; count occurrences
-    * per gram with a partition-only window (one hash shuffle on the
-    * gram text, no global sort — same O(corpus tokens) mass a
-    * distributed suffix sort moves); keep positions whose gram occurs
+    * per gram with a partial-aggregating groupBy joined back on gram
+    * (map-side combine collapses hot grams before any shuffle, and the
+    * join-back is AQE-skew-splittable — a gram-keyed window would pin a
+    * corpus-frequent gram's every occurrence to one task); keep
+    * positions whose gram occurs
     * more than once corpus-wide (within-doc repeats count, as in the
     * reference recipe); merge each doc's seed intervals with the
     * classic running-max sweep (per-doc window, bounded by doc
@@ -1062,9 +1069,16 @@ object TextOps {
           i => array_join(slice(col("w"), i, lit(n)), " "))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("gram"))
-    val seeds = pos
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+    // gram occurrence counting as groupBy + join-back, NOT a gram-keyed
+    // window (advice r11): a corpus-frequent gram ("to be or not to"-class)
+    // would concentrate every occurrence row into one window task with no
+    // escape hatch; the aggregate path map-side-combines the count down to
+    // one row per gram, and the join-back is a streaming equi-join AQE can
+    // skew-split — same output, survives the hot key.
+    val dupGrams = pos.groupBy(col("gram"))
+      .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > 1)
+    val seeds = pos.join(dupGrams, "gram")
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val agg = seeds

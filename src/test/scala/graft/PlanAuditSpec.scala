@@ -266,4 +266,24 @@ class PlanAuditSpec extends SparkSpec {
         s"expected <=2 jobs/iteration, got ${d1 / 2.0} (j2=$j2 j4=$j4 j6=$j6)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("substringDedup windows only on doc_id, never on the gram (q163)") {
+    // A gram-keyed window pins a corpus-frequent n-gram's every occurrence
+    // into one task (advice r11). Gram occurrence counting must stay a
+    // partial-aggregating groupBy + join-back; the only windows allowed on
+    // this path are the per-document interval sweeps (bounded by doc
+    // length by construction).
+    import org.apache.spark.sql.execution.window.WindowExec
+    auditingPlans {
+      val q = Queries.all.find(_.name == "q163_substring_dedup").get
+      val plan = q.run(spark, sfDir).queryExecution.sparkPlan
+      val wins = plan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, "q163 lost its per-doc interval-merge window")
+      wins.foreach { w =>
+        val keys = w.partitionSpec.map(_.toString).mkString(",")
+        assert(keys.contains("doc_id") && !keys.contains("gram"),
+          s"q163 windows on a non-doc key (hot-gram skew):\n  keys=$keys\n$plan")
+      }
+    }
+  }
 }

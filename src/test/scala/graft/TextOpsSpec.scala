@@ -424,7 +424,9 @@ class TextOpsSpec extends SparkSpec {
       (0L, "one two three four"),          // the probe doc itself
       (1L, "xx one two three yy"),         // one dirty trigram at start 2
       (2L, "one two three four five"),     // two overlapping dirty trigrams
-      (3L, "totally clean text here")      // untouched
+      (3L, "totally clean text here"),     // untouched
+      (4L, ""),                            // zero tokens (advice r11 crash)
+      (5L, "   \t  ")                      // whitespace-only → zero tokens
     ).toDF("doc_id", "text")
     val out = TextOps.decontaminateSurgical(corpus,
         corpus.filter(col("doc_id") === 0L), "doc_id", "text", n = 3)
@@ -444,6 +446,13 @@ class TextOpsSpec extends SparkSpec {
     // doc 3: all clean
     assert(out(3).getAs[Long]("n_dirty") == 0L)
     assert(out(3).getAs[String]("clean_md5") == md5of("totally clean text here"))
+    // docs 4/5: zero tokens must not crash (sequence(1,0) descends) and
+    // clean to the empty stream
+    Seq(4, 5).foreach { i =>
+      assert(out(i).getAs[Long]("n_tokens") == 0L)
+      assert(out(i).getAs[Long]("n_dirty") == 0L)
+      assert(out(i).getAs[String]("clean_md5") == md5of(""))
+    }
   }
 
   test("repetitionStats: hand-computed Gopher repetition signals") {
