@@ -7083,6 +7083,78 @@ object Queries {
       |FROM scored GROUP BY doc_id ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Count–min sketch point-frequency estimates (round 12 — the matrix-
+    * replay oracle [[graft.functions.CountMinSketchAgg]]'s scaladoc
+    * designs): ONE `graft_cms` aggregate builds the d×w counter matrix
+    * over every document token (fixed memory per group at every stage —
+    * partial buffers, shuffle rows, final merge — regardless of
+    * vocabulary size), then the 25 most frequent tokens probe it with
+    * the column-form estimate `min_i counts[i·w + h_i(token)]`, next to
+    * their exact counts. w = 16 < |vocab| forces real collisions, so
+    * the never-underestimate contract is exercised with visible
+    * overcounts, not vacuously. The sketch is a pure counter matrix
+    * over the portable md5-affine row hashes, so — unlike HLL (q33,
+    * rows-only) — DuckDB rebuilds the identical matrix with a GROUP BY
+    * over (row, bucket) and replays every estimate hash-exact.
+    * SketchBoundsSpec pins the full-matrix replay, merge-order
+    * independence, and the εn overestimate bound.
+    */
+  val q187: Q = Q(
+    "q187_cms_freq",
+    (s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val d = 4; val w = 16
+      graft.CacheScope.scoped { cs =>
+        // pinned: the token stream feeds both the sketch and the exact
+        // counts — one tokenize pass, not two
+        val toks = cs.cache(t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("token")))
+        val sk = toks.agg(call_function(graft.functions.GraftFunctions.CmsName,
+          col("token"), lit(d), lit(w)).as("sk"))
+        val top = toks.groupBy(col("token"))
+          .agg(count(lit(1)).cast("long").as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("token"))
+          .limit(25)
+        def bucket(i: Int): Column =
+          pmod(conv(substring(md5(concat(lit(i.toString), lit(":"),
+            col("token"))), 1, 15), 16, 10).cast("long"), lit(w.toLong))
+        val lookups = array((0 until d).map(i =>
+          element_at(col("sk.counts"), (bucket(i) + lit(i.toLong * w) +
+            lit(1L)).cast("int"))): _*)
+        top.crossJoin(broadcast(sk))
+          .select(col("token"), col("true_cnt"),
+            array_min(lookups).as("est_cnt"),
+            col("sk.n").as("n_stream"))
+          .withColumn("overcount",
+            (col("est_cnt") - col("true_cnt")).cast("long"))
+          .orderBy(col("true_cnt").desc, col("token"))
+      }
+    },
+    Some(s"""
+      |WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+      |    t -> t <> '')) AS token
+      |  FROM documents),
+      |tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      |  FROM toks GROUP BY token),
+      |ri AS (SELECT unnest(range(0, 4)) AS r),
+      |occ AS (SELECT r,
+      |    ${sqlMd5Bucket("CAST(r AS VARCHAR) || ':' || token", 16)} AS b,
+      |    CAST(SUM(true_cnt) AS BIGINT) AS c
+      |  FROM tc CROSS JOIN ri GROUP BY 1, 2),
+      |top AS (SELECT token, true_cnt FROM tc
+      |  ORDER BY true_cnt DESC, token LIMIT 25),
+      |pb AS (SELECT token, true_cnt, r,
+      |    ${sqlMd5Bucket("CAST(r AS VARCHAR) || ':' || token", 16)} AS b
+      |  FROM top CROSS JOIN ri),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_stream FROM toks)
+      |SELECT token, true_cnt, CAST(MIN(c) AS BIGINT) AS est_cnt, n_stream,
+      |  CAST(MIN(c) - true_cnt AS BIGINT) AS overcount
+      |FROM pb JOIN occ USING (r, b) CROSS JOIN tot
+      |GROUP BY token, true_cnt, n_stream
+      |ORDER BY true_cnt DESC, token
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -7101,5 +7173,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186)
+    q185, q186, q187)
 }

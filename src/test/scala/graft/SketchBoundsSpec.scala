@@ -96,4 +96,67 @@ class SketchBoundsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q187 count-min sketch: matrix replay, merge-order independence, eps*n bound") {
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.TextOps
+    val d = 4; val w = 16
+    val toks = Ingest.table(spark, sfDir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    def sketchOf(df: org.apache.spark.sql.DataFrame): (Seq[Long], Long) = {
+      val r = df.agg(expr(s"graft_cms(token, $d, $w)").as("sk"))
+        .select("sk.*").collect().head
+      (r.getSeq[Long](0), r.getLong(3))
+    }
+    // merge-order independence: 1 partition (update-only path) vs 13
+    // partitions (13 partial buffers merged) must produce the identical
+    // counter matrix — the property that makes the sketch safe to persist
+    // and UNION across daily increments
+    val (c1, n1) = sketchOf(toks.repartition(1))
+    val (c13, n13) = sketchOf(toks.repartition(13, col("token")))
+    assert(c1 == c13 && n1 == n13,
+      "counter matrix must be independent of partitioning / merge order")
+    // full matrix replay: every counter equals the exact (row, bucket)
+    // occurrence mass computed with the COLUMN-form md5-affine bucket —
+    // the strongest possible equivalence between the JVM update path and
+    // the SQL contract the scaladoc publishes
+    val exact = toks
+      .crossJoin(spark.range(d).select(col("id").cast("int").as("r")))
+      .select(col("r"),
+        pmod(conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+          col("token"))), 1, 15), 16, 10).cast("long"), lit(w.toLong)).as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+      .collect().map(x => (x.getInt(0), x.getLong(1)) -> x.getLong(2)).toMap
+    for (r <- 0 until d; b <- 0 until w) {
+      val expected = exact.getOrElse((r, b.toLong), 0L)
+      assert(c1(r * w + b) == expected,
+        s"counter ($r,$b): sketch=${c1(r * w + b)} exact=$expected")
+    }
+    // stream length and per-row mass: each of the d rows counts every
+    // update exactly once
+    val total = toks.count()
+    assert(n1 == total)
+    (0 until d).foreach { r =>
+      assert(c1.slice(r * w, (r + 1) * w).sum == total,
+        s"row $r counters must sum to the stream length")
+    }
+    // estimate contract over EVERY token (not just q187's top 25):
+    // never underestimates; overestimates by at most eps*n = (e/w)*n
+    // (Cormode & Muthukrishnan 2005) — and the bound is exercised, not
+    // vacuous (some token really collides at w=16 < |vocab|)
+    val epsN = math.E / w * total
+    val truec = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .collect().map(x => x.getString(0) -> x.getLong(1))
+    var maxOver = 0L
+    truec.foreach { case (tok, cnt) =>
+      val est = (0 until d).map(r =>
+        c1(r * w + graft.functions.CountMinSketchAgg.bucket(r, tok, w))).min
+      assert(est >= cnt, s"'$tok': est $est underestimates true $cnt")
+      assert(est - cnt <= epsN,
+        f"'$tok': overcount ${est - cnt} exceeds eps*n = $epsN%.1f")
+      maxOver = math.max(maxOver, est - cnt)
+    }
+    info(s"tokens=${truec.length} n=$total maxOvercount=$maxOver epsN=$epsN")
+    assert(maxOver > 0, "w=16 must force at least one real collision")
+  }
 }
