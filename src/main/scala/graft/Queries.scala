@@ -7155,6 +7155,84 @@ object Queries {
       |ORDER BY true_cnt DESC, token
       |""".stripMargin.trim))
 
+  /** Robots.txt RFC 9309 wildcard rules (round 12 — closes the q155
+    * simplification the real web hits constantly): `*` spans any
+    * character run (including empty, including `/`), a trailing `$`
+    * anchors to the path end, and specificity counts the rule path as
+    * written. The planted schedule exercises each: a mid-rule `*`
+    * Disallow, a LONGER wildcard Allow overriding it, a `$`-anchored
+    * `.pdf` extension blocker that must NOT catch `.pdfx`, a
+    * domain-conditional rule, and a `$`-anchored Allow that rescues
+    * exactly one path from a plain-prefix Disallow. The oracle
+    * recomputes every decision closed-form from the id schedule —
+    * independent of the regex compilation path under test.
+    */
+  val q188: Q = Q(
+    "q188_robots_wildcards",
+    (s, dir) => {
+      val id = col("doc_id").cast("string")
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("d"), (col("doc_id") % 7).cast("string")).as("domain"),
+        when(col("doc_id") % 6 === 0, concat(lit("/home"), id))
+          .when(col("doc_id") % 6 === 1,
+            concat(lit("/private/x"), id, lit("/secret")))
+          .when(col("doc_id") % 6 === 2,
+            concat(lit("/private/x"), id, lit("/secret/ok")))
+          .when(col("doc_id") % 6 === 3, concat(lit("/doc"), id, lit(".pdf")))
+          .when(col("doc_id") % 6 === 4, concat(lit("/doc"), id, lit(".pdfx")))
+          .otherwise(when(col("doc_id") % 12 === 5, lit("/tmp/keep"))
+            .otherwise(concat(lit("/tmp/keep"), id))).as("path"))
+      val robots = t(s, dir, "documents").filter(col("doc_id") < 7)
+        .select(concat(lit("d"), col("doc_id").cast("string")).as("domain"),
+          concat_ws("\n",
+            lit("# wildcard policy"),
+            lit("User-agent: gptbot"),
+            lit("Disallow: /"),
+            lit(""),
+            lit("User-agent: *"),
+            lit("Disallow: /private/*/secret"),
+            lit("Allow: /private/*/secret/ok"),
+            lit("Disallow: /tmp"),
+            lit("Allow: /tmp/keep$"),
+            when(col("doc_id") % 2 === 0, lit("Disallow: /*.pdf$"))
+              .otherwise(lit(""))).as("robots_txt"))
+      TextOps.robotsFilter(urls, "doc_id", "domain", "path",
+          robots, "domain", "robots_txt")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      |SELECT doc_id,
+      |  'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+      |  CASE doc_id % 6
+      |    WHEN 0 THEN '/home' || CAST(doc_id AS VARCHAR)
+      |    WHEN 1 THEN '/private/x' || CAST(doc_id AS VARCHAR) || '/secret'
+      |    WHEN 2 THEN '/private/x' || CAST(doc_id AS VARCHAR) || '/secret/ok'
+      |    WHEN 3 THEN '/doc' || CAST(doc_id AS VARCHAR) || '.pdf'
+      |    WHEN 4 THEN '/doc' || CAST(doc_id AS VARCHAR) || '.pdfx'
+      |    ELSE CASE WHEN doc_id % 12 = 5 THEN '/tmp/keep'
+      |      ELSE '/tmp/keep' || CAST(doc_id AS VARCHAR) END
+      |  END AS path,
+      |  CASE doc_id % 6
+      |    WHEN 1 THEN FALSE
+      |    WHEN 3 THEN (doc_id % 7) % 2 <> 0
+      |    WHEN 5 THEN doc_id % 12 = 5
+      |    ELSE TRUE END AS allowed,
+      |  CASE doc_id % 6
+      |    WHEN 1 THEN '/private/*/secret'
+      |    WHEN 2 THEN '/private/*/secret/ok'
+      |    WHEN 3 THEN CASE WHEN (doc_id % 7) % 2 = 0 THEN '/*.pdf$' END
+      |    WHEN 5 THEN CASE WHEN doc_id % 12 = 5 THEN '/tmp/keep$'
+      |      ELSE '/tmp' END
+      |  END AS matched_prefix,
+      |  CAST(CASE doc_id % 6
+      |    WHEN 1 THEN 17
+      |    WHEN 2 THEN 20
+      |    WHEN 3 THEN CASE WHEN (doc_id % 7) % 2 = 0 THEN 7 END
+      |    WHEN 5 THEN CASE WHEN doc_id % 12 = 5 THEN 10 ELSE 4 END
+      |  END AS BIGINT) AS matched_len
+      |FROM documents ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -7173,5 +7251,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187)
+    q185, q186, q187, q188)
 }

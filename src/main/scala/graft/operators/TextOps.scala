@@ -1098,18 +1098,28 @@ object TextOps {
         coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"))
   }
 
-  /** Parse robots.txt content into per-domain (prefix, allow) rules for
-    * the wildcard agent — the compliance half of a polite crawler
-    * (companions: `canonicalizeUrls` q128, per-domain quota q107).
-    * Declarative line-machine: explode lines, strip `#` comments, tag
-    * `User-agent:` lines, carry the CURRENT group forward with a
-    * running `last(_, ignoreNulls)` window keyed by line order, keep
-    * `Allow:`/`Disallow:` lines inside `*` groups. Directive matching
-    * is case-insensitive, prefix case is preserved, empty `Disallow:`
-    * means no restriction (per the robots.txt de-facto spec) and is
-    * dropped. Simplification vs RFC 9309, documented: one agent line
-    * per group (stacked agent lines take the last), no `$`/`*`
-    * wildcards in paths — plain prefix rules only.
+  /** Parse robots.txt content into per-domain (rule, allow, pattern)
+    * rows for the wildcard agent — the compliance half of a polite
+    * crawler (companions: `canonicalizeUrls` q128, per-domain quota
+    * q107). Declarative line-machine: explode lines, strip `#`
+    * comments, tag `User-agent:` lines, carry the CURRENT group forward
+    * with a running `last(_, ignoreNulls)` window keyed by line order,
+    * keep `Allow:`/`Disallow:` lines inside `*` groups. Directive
+    * matching is case-insensitive, rule-path case is preserved, empty
+    * `Disallow:` means no restriction (per the robots.txt de-facto
+    * spec) and is dropped.
+    *
+    * RFC 9309 §2.2.3 path patterns (round 12): `*` matches any character
+    * run (including empty) anywhere in the rule, a TRAILING `$` anchors
+    * the match to the end of the path; both are compiled to an anchored
+    * regex at parse time (escape every other regex metacharacter —
+    * a non-trailing `$` is a literal octet per the RFC). `prefix` keeps
+    * the raw rule text (with wildcards) and `prefix_len` its length —
+    * the RFC's most-specific-rule order is by rule-path octet count,
+    * wildcards counted as written. Rules stay one row per (domain,
+    * rule): the compiled-pattern table is exactly as broadcast-sized as
+    * the prefix table was. Remaining documented simplification: one
+    * agent line per group (stacked agent lines take the last).
     */
   def parseRobots(robots: DataFrame, domainCol: String, contentCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1134,14 +1144,31 @@ object TextOps {
         when(col("is_allow"), trim(expr("substring(line, 7)")))
           .otherwise(trim(expr("substring(line, 10)"))))
       .filter(col("prefix") =!= "")
+      .withColumn("__anchored", col("prefix").endsWith("$"))
+      .withColumn("__body",
+        when(col("__anchored"),
+          expr("substring(prefix, 1, length(prefix) - 1)"))
+          .otherwise(col("prefix")))
+      // compile the RFC 9309 pattern: escape regex metacharacters (a
+      // non-trailing '$' is a literal), then '*' -> '.*', '^' start
+      // anchor always, '$' end anchor iff the rule ended in '$'
+      .withColumn("pattern", concat(lit("^"),
+        regexp_replace(
+          regexp_replace(col("__body"),
+            "([\\\\.\\[\\]\\{\\}\\(\\)\\+\\-\\^\\$\\?\\|])", "\\\\$1"),
+          "\\*", ".*"),
+        when(col("__anchored"), lit("$")).otherwise(lit(""))))
       .select(col("domain"), col("prefix"), col("is_allow"),
-        length(col("prefix")).cast("long").as("prefix_len"))
+        length(col("prefix")).cast("long").as("prefix_len"),
+        col("pattern"))
   }
 
   /** Robots.txt compliance filter: decide `allowed` for every URL by
-    * longest-prefix-match against the domain's wildcard-agent rules
-    * (Google/RFC 9309 semantics: most specific rule wins; on a length
-    * tie the Allow wins; no matching rule means allowed). The rules
+    * most-specific-rule-match against the domain's wildcard-agent rules
+    * (Google/RFC 9309 semantics: the longest rule path wins — `*`/`$`
+    * patterns match via the compiled regex, specificity is the rule's
+    * octet count as written; on a length tie the Allow wins; no
+    * matching rule means allowed). The rules
     * side is robots-corpus-sized (bounded rules per domain) and
     * broadcast by default; at a scale where it stops fitting, pass
     * `broadcastRules = false` and the same plan becomes a domain-keyed
@@ -1158,7 +1185,7 @@ object TextOps {
       .select(col(idCol), col(domainCol).as("domain"), col(pathCol).as("path"))
       .join(rules, Seq("domain"), "left")
       .withColumn("hit",
-        col("prefix").isNotNull && col("path").startsWith(col("prefix")))
+        col("pattern").isNotNull && regexp_like(col("path"), col("pattern")))
       .groupBy(col(idCol), col("domain"), col("path"))
       .agg(max(when(col("hit"),
         struct(col("prefix_len"), col("is_allow"), col("prefix")))).as("best"))

@@ -66,4 +66,42 @@ class RobotsSpec extends SparkSpec {
       "User-agent: otherbot\nUser-agent: *\nDisallow: /", "/x")
     assert(!allowed)
   }
+
+  // ---- RFC 9309 §2.2.3 wildcard path patterns (round 12) ----
+
+  test("* matches any run, including empty and across segments") {
+    val content = "User-agent: *\nDisallow: /private/*/secret"
+    assert(!decide(content, "/private/a/secret")._1)
+    assert(!decide(content, "/private/a/b/c/secret")._1) // * spans slashes
+    assert(!decide(content, "/private//secret")._1)      // * matches empty
+    assert(decide(content, "/private/a/secrex")._1)
+  }
+
+  test("trailing $ anchors the rule to the path end") {
+    val content = "User-agent: *\nDisallow: /*.pdf$"
+    assert(!decide(content, "/docs/report.pdf")._1)
+    assert(decide(content, "/docs/report.pdf.html")._1) // not at the end
+    assert(decide(content, "/docs/report.pdfx")._1)
+  }
+
+  test("non-trailing $ and regex metacharacters are literal octets") {
+    val (blocked, _) = decide(
+      "User-agent: *\nDisallow: /a$b(c).d", "/a$b(c).dzz")
+    assert(!blocked)
+    // the '.' must not match an arbitrary character
+    assert(decide("User-agent: *\nDisallow: /a.b", "/aXb")._1)
+  }
+
+  test("specificity counts the rule path as written, wildcards included") {
+    // Allow (10 octets incl '*') vs Disallow (8 octets): allow wins
+    val content = "User-agent: *\nDisallow: /private\nAllow: /pri*te/ok"
+    val (allowed, rule) = decide(content, "/private/ok")
+    assert(allowed && rule.contains("/pri*te/ok"))
+  }
+
+  test("a $-anchored Allow overrides a shorter plain Disallow exactly") {
+    val content = "User-agent: *\nDisallow: /tmp\nAllow: /tmp/keep$"
+    assert(decide(content, "/tmp/keep")._1)
+    assert(!decide(content, "/tmp/keep2")._1)
+  }
 }
