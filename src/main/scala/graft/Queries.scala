@@ -7233,6 +7233,63 @@ object Queries {
       |FROM documents ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Near-duplicate VIDEO pairs (round 12 — closes the image/audio/
+    * video media-dedup triangle): real MP4 synth with planted
+    * re-encoded near-dups (docs 3k+1/3k+2, one nudged pixel in frame
+    * 0) → REAL ISO-BMFF frame-table walk → slice each rawvideo frame
+    * out of mdat via cumulative stsz offsets (q127's machinery) →
+    * per-frame dHash (frames are exactly 9×8, so the q126 bilinear
+    * resample is the identity and the oracle replays pixels directly)
+    * → 4×16-bit banded Hamming join aggregated to video level. The
+    * oracle replays the ENTIRE chain closed-form — pixels, comparison
+    * bits, bit packing, the quadratic frame join the banded plan must
+    * reproduce exactly (pigeonhole recall proof), and the video-level
+    * rollup. Only 16-byte frame fingerprints shuffle.
+    */
+  val q189: Q = Q(
+    "q189_video_neardup",
+    (s, dir) => Perceptual.videoDhashPairs(t(s, dir, "documents"), "doc_id",
+        everyN = 1, maxDist = 3)
+      .orderBy(col("id1"), col("id2")),
+    Some("""
+      |WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 2 THEN doc_id - 1 ELSE doc_id END AS base
+      |  FROM documents),
+      |fr AS (SELECT doc_id, base, unnest(range(0, 3)) AS f FROM m),
+      |o AS (SELECT doc_id, base, f, unnest(range(0, 9)) AS x FROM fr),
+      |oo AS (SELECT doc_id, base, f, x, unnest(range(0, 8)) AS y FROM o),
+      |px AS (SELECT doc_id, f, x, y,
+      |    CASE WHEN doc_id % 3 = 2 AND f = 0 AND x = 0 AND y = 0
+      |      THEN LEAST(v0 + 3, 255) ELSE v0 END AS v
+      |  FROM (SELECT doc_id, f, x, y,
+      |      ((3 + (base*3 + f*5) % 23)*x*x + (5 + (base*5 + f*7) % 29)*y*y
+      |       + (1 + (base*7 + f*11) % 37)*x*y + ((base*11 + f*13) % 47)*x
+      |       + ((base*13 + f*17) % 59)*y + base*37 + f*53) % 256 AS v0
+      |    FROM oo)),
+      |bits AS (SELECT a.doc_id, a.f, a.y, a.x,
+      |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      |  FROM px a JOIN px b
+      |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.y = b.y
+      |      AND b.x = a.x + 1
+      |  WHERE a.x < 8),
+      |dh AS (SELECT doc_id, f,
+      |    SUM(CASE WHEN y*8 + x >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << CAST(y*8 + x - 32 AS INT))
+      |      ELSE 0 END) AS hi,
+      |    SUM(CASE WHEN y*8 + x < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << CAST(y*8 + x AS INT))
+      |      ELSE 0 END) AS lo
+      |  FROM bits GROUP BY 1, 2),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |    bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+      |  FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)
+      |SELECT id1, id2, CAST(COUNT(*) AS BIGINT) AS n_frame_pairs,
+      |  CAST(MIN(hamming) AS BIGINT) AS min_hamming
+      |FROM p GROUP BY 1, 2 ORDER BY id1, id2
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -7251,5 +7308,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188)
+    q185, q186, q187, q188, q189)
 }

@@ -249,4 +249,146 @@ object Perceptual {
       .select(col("doc_id"), col("fp"), col("n_samples"), col("sum_sq"),
         col("dup_of"), (col("doc_id") =!= col("dup_of")).as("is_dup"))
   }
+
+  // ------------------------------------------------------------------
+  // video perceptual dedup (round 12): MP4 frame sampling × dHash —
+  // closes the image/audio/video media-dedup triangle by COMPOSING the
+  // real ISO-BMFF walker (Multimodal.Mp4.frameTable, q127's stts/stsz
+  // machinery) with the image dHash above.
+  // ------------------------------------------------------------------
+
+  /** Sampled frames per synthesized video. */
+  val VideoFrames = 3
+
+  /** Per-doc deterministic MP4 synth with PLANTED near-duplicate
+    * videos: a rawvideo track (track 1) of [[VideoFrames]] frames, each
+    * frame exactly 9×8 grayscale bytes — the one uncompressed layout a
+    * JDK-only pipeline can hash end-to-end honestly (compressed H.264
+    * payloads stay library-bound per the MP4/FLAC honesty line; the
+    * CONTAINER walk, frame slicing and hashing below are the real
+    * production shape either way). Doc 3k+2 re-renders doc 3k+1's
+    * frames with frame 0's top-left pixel nudged +3 (saturating) — the
+    * re-encoded-upload case video dedup exists for: one frame hash
+    * lands a few bits away, the rest identical. Frame pixels are
+    * quadratic in (x, y) with frame-dependent coefficients, so every
+    * frame of every unrelated video hashes ~32 bits apart. A second
+    * track (ignored by the hasher) keeps the track-major mdat offsets
+    * honest.
+    */
+  def synthDupVideo(docId: Long): Array[Byte] = {
+    val base = if (docId % 3 == 2) docId - 1 else docId
+    val nudge = docId % 3 == 2
+    Multimodal.Mp4.encode(
+      timescale = 1000, duration = 100L * VideoFrames,
+      tracks = Seq(
+        Multimodal.Mp4.Track(1, DhashW, DhashH,
+          Seq.fill(VideoFrames)(DhashW * DhashH), 100),
+        Multimodal.Mp4.Track(2, 0, 0, Seq(16, 16), 150)),
+      mvhdV1 = docId % 2 == 1, mdatLen = 0,
+      sampleByte = Some((trk, f, j) =>
+        if (trk == 1) {
+          val x = j % DhashW; val y = j / DhashW
+          videoPixel(base, f, x, y, nudge && f == 0 && x == 0 && y == 0)
+        } else ((j * 11 + f * 7) % 251)))
+  }
+
+  /** Frame-f pixel (x, y) of video `base`: quadratic in (x, y) with
+    * frame-dependent coefficients (a constant-only frame term would
+    * cancel in the adjacent-pixel comparisons and make every frame of a
+    * video hash-identical). Exact-integer; the q189 oracle replays it
+    * closed-form.
+    */
+  def videoPixel(base: Long, f: Int, x: Int, y: Int, nudge: Boolean): Int = {
+    // coefficient ranges are chosen LARGE (primes 23..59) and base-
+    // multiplied: the constant term cancels in dHash's adjacent-pixel
+    // comparisons, so only the gradient coefficients decorrelate
+    // unrelated videos — small ranges would land thousands of chance
+    // pairs inside the Hamming-3 ball (measured while building q189)
+    val a = 3 + (base * 3 + f * 5) % 23
+    val b = 5 + (base * 5 + f * 7) % 29
+    val c = 1 + (base * 7 + f * 11) % 37
+    val d = (base * 11 + f * 13) % 47
+    val e = (base * 13 + f * 17) % 59
+    val v0 = ((a * x * x + b * y * y + c * x * y + d * x + e * y +
+      base * 37 + f * 53) % 256).toInt
+    if (nudge) math.min(v0 + 3, 255) else v0
+  }
+
+  /** doc_id, frame index, 32-bit dHash halves of that frame. */
+  case class VideoFrameHash(doc_id: Long, frame_idx: Long,
+      dhash_hi: Long, dhash_lo: Long)
+
+  /** documents → real MP4 bytes → REAL ISO-BMFF frame-table walk →
+    * slice every `everyN`th track-1 frame out of mdat (cumulative stsz
+    * offsets, track-major single-chunk layout — [[Multimodal
+    * .sampleFrames]]'s exact machinery) → per-frame dHash. Map-side
+    * only: video bytes never shuffle, 16 bytes per sampled frame do.
+    */
+  def videoFrameDhash(ids: DataFrame, idCol: String,
+      everyN: Int = 1): Dataset[VideoFrameHash] = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val bytes = synthDupVideo(id)
+        val ft = Multimodal.Mp4.frameTable(id, bytes)
+        val trk = ft.tracks.head // track 1 = video, written first
+        val offs = trk.sizes.scanLeft(0L)(_ + _)
+        Iterator.range(0, trk.sizes.length, everyN).map { i =>
+          val sz = trk.sizes(i).toInt
+          require(sz == DhashW * DhashH,
+            s"doc $id frame $i: expected ${DhashW * DhashH}-byte raw frame, got $sz")
+          val off = (ft.mdatOff + offs(i)).toInt
+          val rgb = new Array[Byte](sz * 3)
+          var j = 0
+          while (j < sz) {
+            val g = bytes(off + j)
+            rgb(j * 3) = g; rgb(j * 3 + 1) = g; rgb(j * 3 + 2) = g
+            j += 1
+          }
+          val (hi, lo) = dhashBits(DhashW, DhashH, rgb)
+          VideoFrameHash(id, i.toLong, hi, lo)
+        }
+      })
+  }
+
+  /** Near-duplicate VIDEO pairs: 4×16-bit banded blocking over
+    * per-frame dHashes (pigeonhole-exact for `maxDist` ≤ 3 — identical
+    * contract to [[dhashPairsFromHashes]]), frame-pair verify by exact
+    * `bit_count(xor)`, then aggregation to the video level: a pair of
+    * videos is emitted when ANY sampled frame pair matches, with the
+    * matching-frame-pair count and the minimum Hamming distance. Only
+    * 16-byte frame fingerprints shuffle; at 100 TB of video the join
+    * input is ~GBs while the pixel mass stays map-side.
+    */
+  def videoDhashPairs(ids: DataFrame, idCol: String, everyN: Int = 1,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16-bit banding is exact only for maxDist <= 3, got $maxDist")
+    val fp = videoFrameDhash(ids, idCol, everyN).toDF()
+    val banded = fp.select(col("doc_id"), col("frame_idx"),
+        col("dhash_hi"), col("dhash_lo"),
+        explode(array(
+          struct(lit(0).as("band"), (col("dhash_lo") % 65536).as("bkey")),
+          struct(lit(1).as("band"), (col("dhash_lo") / 65536).cast("long").as("bkey")),
+          struct(lit(2).as("band"), (col("dhash_hi") % 65536).as("bkey")),
+          struct(lit(3).as("band"), (col("dhash_hi") / 65536).cast("long").as("bkey"))
+        )).as("b"))
+      .select(col("doc_id"), col("frame_idx"), col("dhash_hi"),
+        col("dhash_lo"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val x = banded.as("x"); val y = banded.as("y")
+    x.join(y, col("x.band") === col("y.band") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        col("x.frame_idx").as("f1"), col("y.frame_idx").as("f2"),
+        (bit_count(expr("x.dhash_hi ^ y.dhash_hi")) +
+          bit_count(expr("x.dhash_lo ^ y.dhash_lo"))).cast("long").as("hamming"))
+      .distinct() // one row per frame pair, however many bands collided
+      .filter(col("hamming") <= maxDist)
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_frame_pairs"),
+        min(col("hamming")).as("min_hamming"))
+  }
 }

@@ -81,6 +81,45 @@ class PerceptualSpec extends SparkSpec {
     assert(fp(loudEnd) != fp(loudStart))
   }
 
+  test("video dedup: planted pairs match on every frame; banded == quadratic") {
+    val df = idsDf(120)
+    // frame hashes: 3 per video, sliced out of the REAL mdat
+    val fh = Perceptual.videoFrameDhash(df, "doc_id").collect()
+    assert(fh.length == 120 * Perceptual.VideoFrames)
+    val byKey = fh.map(h => (h.doc_id, h.frame_idx) -> h).toMap
+    // planted 3k+1/3k+2: frames 1.. identical, frame 0 within 1 bit
+    (0L until 120L).filter(_ % 3 == 2).foreach { id =>
+      (0 until Perceptual.VideoFrames).foreach { f =>
+        val a = byKey((id - 1, f.toLong)); val b = byKey((id, f.toLong))
+        val d = java.lang.Long.bitCount(a.dhash_hi ^ b.dhash_hi) +
+          java.lang.Long.bitCount(a.dhash_lo ^ b.dhash_lo)
+        if (f == 0) assert(d <= 1, s"nudged frame 0 of ($id) drifted to $d")
+        else assert(d == 0, s"unperturbed frame $f of ($id) differs by $d")
+      }
+    }
+    // banded video pairs == quadratic frame scan rolled up to video level
+    val banded = Perceptual.videoDhashPairs(df, "doc_id", maxDist = 3)
+      .select("id1", "id2", "n_frame_pairs", "min_hamming")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val brute = (for {
+      a <- fh; b <- fh if a.doc_id < b.doc_id
+      d = java.lang.Long.bitCount(a.dhash_hi ^ b.dhash_hi) +
+        java.lang.Long.bitCount(a.dhash_lo ^ b.dhash_lo)
+      if d <= 3
+    } yield (a.doc_id, b.doc_id, d.toLong))
+      .groupBy(p => (p._1, p._2))
+      .map { case ((i, j), ps) => (i, j, ps.length.toLong, ps.map(_._3).min) }
+      .toSet
+    assert(banded == brute)
+    val planted = (0L until 120L).filter(_ % 3 == 2).map(id => (id - 1, id)).toSet
+    assert(planted.subsetOf(banded.map(p => (p._1, p._2))),
+      "every planted video pair must be recovered")
+    banded.filter(p => planted((p._1, p._2))).foreach { p =>
+      assert(p._3 == Perceptual.VideoFrames.toLong && p._4 == 0L,
+        s"planted pair $p should match on all frames with min hamming 0")
+    }
+  }
+
   test("compactionPlan conserves mass, preserves key order, bounds groups") {
     import graft.sources.ParquetFooters
     val inputs = Seq((0L, 90L), (1L, 10L), (2L, 10L), (3L, 200L), (4L, 5L),
