@@ -7290,6 +7290,59 @@ object Queries {
       |FROM p GROUP BY 1, 2 ORDER BY id1, id2
       |""".stripMargin.trim))
 
+  /** Semi-hard negative mining (round 12 — the contrastive-training
+    * sampler: for each anchor, negatives whose cosine lands strictly
+    * inside (pos_sim − margin, pos_sim), ranked hardest-first): the
+    * hardest same-label positive is an all-pairs-within-label max
+    * (labels are class-sized, never corpus-sized), negative candidates
+    * come from the 8-bit sign-bucket equi-join (the q27 LSH blocking —
+    * never an all-pairs product), and the per-anchor top-k is a bounded
+    * window. Quantized integer dots make every cosine a single IEEE
+    * divide of exact integers, so the oracle replays band boundaries,
+    * bucket blocking, and tie-breaks digit-for-digit.
+    */
+  val q190: Q = Q(
+    "q190_semi_hard_negatives",
+    (s, dir) => VectorOps.mineSemiHardNegatives(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 3, margin = 0.25, nBits = 8)
+      .orderBy(col("anchor_id"), col("neg_rank")),
+    Some("""
+      |WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |    list_sum(list_transform(v, x -> x*x)) AS nn FROM e),
+      |pos AS (SELECT a.vec_id AS anchor_id,
+      |    MAX(CASE WHEN a.nn = 0 OR b.nn = 0 THEN 0.0
+      |      ELSE list_sum(list_transform(range(1, len(a.v) + 1),
+      |          i -> a.v[i] * b.v[i])) / (sqrt(a.nn) * sqrt(b.nn)) END)
+      |      AS pos_sim
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id
+      |  GROUP BY 1),
+      |bk AS (SELECT vec_id, label, v, nn,
+      |    array_to_string(list_transform(range(1, 9), i ->
+      |      CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS bucket
+      |  FROM n),
+      |cand AS (SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+      |    b.vec_id AS neg_id, b.label AS neg_label,
+      |    CASE WHEN a.nn = 0 OR b.nn = 0 THEN 0.0
+      |      ELSE list_sum(list_transform(range(1, len(a.v) + 1),
+      |          i -> a.v[i] * b.v[i])) / (sqrt(a.nn) * sqrt(b.nn)) END
+      |      AS neg_sim
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.label <> b.label),
+      |f AS (SELECT anchor_id, anchor_label, neg_id, neg_label, neg_sim,
+      |    pos_sim, ROW_NUMBER() OVER (PARTITION BY anchor_id
+      |      ORDER BY neg_sim DESC, neg_id) AS rk
+      |  FROM cand JOIN pos USING (anchor_id)
+      |  WHERE neg_sim < pos_sim AND neg_sim > pos_sim - 0.25)
+      |SELECT anchor_id, CAST(anchor_label AS BIGINT) AS anchor_label,
+      |  neg_id, CAST(neg_label AS BIGINT) AS neg_label,
+      |  CAST(rk AS BIGINT) AS neg_rank,
+      |  CAST(round(neg_sim * 1000000.0) AS BIGINT) AS neg_sim_micro,
+      |  CAST(round(pos_sim * 1000000.0) AS BIGINT) AS pos_sim_micro
+      |FROM f WHERE rk <= 3 ORDER BY anchor_id, neg_rank
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -7308,5 +7361,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189)
+    q185, q186, q187, q188, q189, q190)
 }

@@ -194,6 +194,70 @@ class VectorOpsSpec extends SparkSpec {
     assert(out == (1L until 8L).toSet)
   }
 
+  test("mineSemiHardNegatives: band boundaries, self-exclusion, ties (hand-computed)") {
+    // 2-dim vectors quantized ×1000 exactly; cosines are exact-integer
+    // dots over exact norms, so band comparisons are deterministic.
+    val vecs = Seq(
+      // label 0: pos_sim(1) = cos(v1, v2) = 0.6 exactly (norms 1000, 1000)
+      (1L, Seq(1f, 0f), 0),
+      (2L, Seq(0.6f, 0.8f), 0),
+      // label 1 negatives vs v1 (margin 0.5 → band (0.1, 0.6) EXCLUSIVE):
+      (10L, Seq(1f, 0.01f), 1),   // cos ≈ 0.99995 — hard, NOT semi-hard
+      (11L, Seq(0.5f, 0.866f), 1), // cos ≈ 0.500013 — in band, rank 1
+      (12L, Seq(0.3f, 0.954f), 1), // cos ≈ 0.300035 — in band, rank 2
+      (13L, Seq(0.05f, 0.999f), 1), // cos ≈ 0.05 — too easy, below band
+      // the exact upper boundary: cos(v1, v14) = 0.6 = pos_sim → the
+      // STRICT < must exclude it
+      (14L, Seq(0.6f, 0.8f), 1),
+      // label 2 singleton: no same-label positive → never an anchor
+      (20L, Seq(0.7f, 0.7f), 2),
+      // tie-break block in the y<0 ORTHANT (bucket '10'), so its vectors
+      // never enter the '11' candidates above: anchor 30 (label 3),
+      // positive 31; negatives 40/41 (label 4) are scalar multiples →
+      // bitwise-identical cos = 0.8 with anchor 30
+      (30L, Seq(0f, -1f), 3),
+      (31L, Seq(0.436f, -0.9f), 3),
+      (40L, Seq(0.6f, -0.8f), 4),
+      (41L, Seq(1.2f, -1.6f), 4)
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.mineSemiHardNegatives(vecs, "vec_id", "embedding",
+        "label", k = 3, margin = 0.5, nBits = 2)
+      .select("anchor_id", "neg_id", "neg_rank", "neg_sim_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    // first-principles replication of quantize → exact-int dot → one
+    // IEEE divide (same fold order as the operator)
+    val fix = Seq(1L -> Seq(1f, 0f), 2L -> Seq(0.6f, 0.8f),
+      10L -> Seq(1f, 0.01f), 11L -> Seq(0.5f, 0.866f),
+      12L -> Seq(0.3f, 0.954f), 13L -> Seq(0.05f, 0.999f),
+      14L -> Seq(0.6f, 0.8f), 20L -> Seq(0.7f, 0.7f),
+      30L -> Seq(0f, -1f), 31L -> Seq(0.436f, -0.9f),
+      40L -> Seq(0.6f, -0.8f), 41L -> Seq(1.2f, -1.6f)).toMap
+      .map { case (k, v) => k -> v.map(x => math.round(x.toDouble * 1000).toDouble) }
+    def cos(i: Long, j: Long): Double = {
+      val (a, b) = (fix(i), fix(j))
+      val dp = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      dp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def micro(c: Double): Long = math.round(c * 1e6)
+    val forV1 = out.filter(_._1 == 1L).sortBy(_._3)
+    // in band (0.1, 0.6) for anchor v1: 11 (~0.500) then 12 (~0.300)
+    // hardest-first; excluded: 10 (~0.99995 — hard, not semi-hard),
+    // 13 (~0.05 — too easy), 14 (cos = 0.6 == pos_sim exactly — the
+    // STRICT upper bound), 20 (~0.707 — above band), 30..41 (other
+    // orthant, pruned by the sign-bucket blocking)
+    assert(forV1.map(x => (x._2, x._3)).toSeq == Seq((11L, 1L), (12L, 2L)),
+      s"v1 semi-hard set wrong: ${forV1.mkString(",")}")
+    assert(forV1.map(_._4).toSeq ==
+      Seq(micro(cos(1, 11)), micro(cos(1, 12))))
+    // label-2 singleton can never be an anchor (no positive)
+    assert(!out.exists(_._1 == 20L))
+    // bitwise tie: 40/41 are scalar multiples → identical cos = 0.8 with
+    // anchor 30 (norms 1000/2000 exact) → rank falls to neg_id ascending
+    val for30 = out.filter(_._1 == 30L).sortBy(_._3)
+    assert(for30.map(x => (x._2, x._3)).toSeq == Seq((40L, 1L), (41L, 2L)))
+    assert(for30.map(_._4).distinct.toSeq == Seq(800000L))
+  }
+
   test("sign-bucket LSH finds same-orthant neighbors") {
     val vecs = Seq(
       (0L, Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
