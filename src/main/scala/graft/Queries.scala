@@ -7343,6 +7343,235 @@ object Queries {
       |FROM f WHERE rk <= 3 ORDER BY anchor_id, neg_rank
       |""".stripMargin.trim))
 
+  /** Shared q191/q192 oracle CTEs: full SQL replay of the unigram-LM
+    * SEED training — word frequencies, overlapping substring counts
+    * (len ≤ 4), unconditional single-char retention + top multi-char
+    * pieces by (count desc, piece asc) up to vocabSize 48, and the
+    * integer-micro ln(cnt/total) scores. Ends in `sel(piece, cnt,
+    * is_char)` + `tot(total)`.
+    */
+  private def unigramSeedCtes: String = """
+    |toks AS (
+    |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+    |    t -> t <> '')) AS w
+    |  FROM documents),
+    |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w),
+    |occ AS (SELECT f,
+    |    unnest(flatten(list_transform(range(1, len(w) + 1), i ->
+    |      list_transform(range(1, least(4, len(w) - i + 1) + 1), l ->
+    |        substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS piece
+    |  FROM wf),
+    |cnts AS (SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt,
+    |    len(piece) = 1 AS is_char
+    |  FROM occ GROUP BY 1),
+    |nch AS (SELECT COUNT(*) AS nchars FROM cnts WHERE is_char),
+    |multis AS (SELECT piece, cnt, is_char FROM (
+    |    SELECT piece, cnt, is_char,
+    |      ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+    |    FROM cnts WHERE NOT is_char) CROSS JOIN nch
+    |  WHERE rk <= 48 - nchars),
+    |sel AS (SELECT piece, cnt, is_char FROM cnts WHERE is_char
+    |  UNION ALL SELECT piece, cnt, is_char FROM multis),
+    |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM sel)
+    |""".stripMargin.trim
+
+  /** Unigram-LM (SentencePiece-shape) tokenizer SEED training (round
+    * 12 — the other public tokenizer family next to BPE q152/q159):
+    * word-frequency table → overlapping substring counts → every
+    * single char kept unconditionally (segmentability guarantee) +
+    * the most frequent multi-char pieces, scored by ONE integer-micro
+    * `ln(cnt/total)` each. The oracle replays the ENTIRE training
+    * closed-form — counts, the (cnt desc, piece) selection rank, and
+    * every score — so the trained artifact itself is hash-checked,
+    * not just its application. Corpus touched once; vocab bounded.
+    */
+  val q191: Q = Q(
+    "q191_unigram_seed",
+    (s, dir) => graft.operators.UnigramLm.seedVocab(
+        t(s, dir, "documents"), "text", maxPieceLen = 4, vocabSize = 48)
+      .orderBy(col("piece")),
+    Some(s"""
+      |WITH $unigramSeedCtes
+      |SELECT piece, cnt, is_char,
+      |  CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) AS lp_micro
+      |FROM sel CROSS JOIN tot ORDER BY piece
+      |""".stripMargin.trim))
+
+  /** Unigram-LM tokenization (round 12): train the q191 seed vocab AT
+    * QUERY TIME, then Viterbi-segment every document — per doc: word
+    * count, piece count, an order-sensitive md5 of the piece stream,
+    * and the document's unigram-LM log-likelihood in exact micros.
+    * The oracle re-trains the vocab in SQL and checks the integer DP
+    * against an EXHAUSTIVE enumeration of every segmentation of every
+    * distinct word (≤ 2^7 masks at the corpus's 8-char max), applying
+    * the identical total order: score desc, fewer pieces, then the
+    * lexicographically smallest reversed start list (= the DP's
+    * smallest-predecessor tie rule). Distinct words are segmented
+    * once and joined back — never a per-occurrence DP.
+    */
+  val q192: Q = Q(
+    "q192_unigram_tokenize",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.UnigramLm.collectVocab(
+        graft.operators.UnigramLm.seedVocab(docs, "text", 4, 48))
+      graft.operators.UnigramLm.apply(docs, "doc_id", "text", vocab, 4)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH $unigramSeedCtes,
+      |v AS (SELECT piece,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS lp
+      |  FROM sel CROSS JOIN tot),
+      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks),
+      |em AS (SELECT w, n,
+      |    unnest(range(0, CAST(1 AS BIGINT) << CAST(n - 1 AS INT))) AS mask
+      |  FROM wm),
+      |seg AS (SELECT w, n, mask,
+      |    [CAST(1 AS BIGINT)] || list_transform(
+      |      list_filter(range(1, n), p -> ((mask >> CAST(p - 1 AS INT)) & 1) = 1),
+      |      p -> p + 1) AS starts
+      |  FROM em),
+      |sp AS (SELECT w, mask, starts, CAST(len(starts) AS BIGINT) AS np,
+      |    list_transform(range(1, len(starts) + 1), k ->
+      |      substr(w, CAST(starts[CAST(k AS INT)] AS INT),
+      |        CAST(COALESCE(starts[CAST(k AS INT) + 1],
+      |          CAST(n + 1 AS BIGINT)) - starts[CAST(k AS INT)] AS INT)))
+      |      AS pieces
+      |  FROM seg),
+      |pj AS (SELECT w, mask, t.piece AS piece
+      |  FROM sp, unnest(sp.pieces) AS t(piece)),
+      |ps AS (SELECT w, mask, CAST(COUNT(*) AS BIGINT) AS nj,
+      |    SUM(v.lp) AS score, CAST(COUNT(v.lp) AS BIGINT) AS nmatch
+      |  FROM pj LEFT JOIN v ON pj.piece = v.piece GROUP BY 1, 2),
+      |valid AS (SELECT sp.w, sp.np, sp.pieces, sp.starts, ps.score
+      |  FROM sp JOIN ps ON sp.w = ps.w AND sp.mask = ps.mask
+      |  WHERE ps.nmatch = ps.nj),
+      |best AS (SELECT w, np, pieces, score FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+      |      ORDER BY score DESC, np ASC, list_reverse(starts) ASC) AS rk
+      |    FROM valid) WHERE rk = 1),
+      |dl AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+      |      AS ws
+      |  FROM documents),
+      |du AS (SELECT doc_id, unnest(ws) AS w,
+      |    unnest(range(1, len(ws) + 1)) AS p
+      |  FROM dl),
+      |agg AS (SELECT doc_id,
+      |    CAST(SUM(np) AS BIGINT) AS n_pieces,
+      |    md5(array_to_string(flatten(list(pieces ORDER BY p)), ' '))
+      |      AS pieces_md5,
+      |    CAST(SUM(score) AS BIGINT) AS nll_micro
+      |  FROM du JOIN best USING (w) GROUP BY 1)
+      |SELECT dl.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |  COALESCE(n_pieces, 0) AS n_pieces,
+      |  COALESCE(pieces_md5, md5('')) AS pieces_md5,
+      |  COALESCE(nll_micro, 0) AS nll_micro
+      |FROM dl LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Unigram-LM hard-EM refinement, oracle-checked END TO END (round
+    * 12): seed (q191) → ONE Viterbi-EM round (segment the weighted
+    * word table, recount pieces from the CHOSEN segmentations, drop
+    * unused multi-char pieces, floor every single char at count 1,
+    * re-score) → re-segment the corpus under the REFINED vocab. The
+    * oracle replays the entire loop in SQL — both segmentation passes
+    * as exhaustive enumerations with the q192 total order, the
+    * integer recount, and the refreshed micro scores — so the EM step
+    * itself is hash-checked, not just spec-gated (UnigramSpec keeps
+    * the multi-round monotonicity guarantee). Each EM round touches
+    * the word table once; the vocab stays a bounded driver artifact.
+    */
+  val q193: Q = Q(
+    "q193_unigram_em",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.UnigramLm.train(docs, "text",
+        maxPieceLen = 4, vocabSize = 48, emRounds = 1)
+      graft.operators.UnigramLm.apply(docs, "doc_id", "text", vocab, 4)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH $unigramSeedCtes,
+      |v AS (SELECT piece,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS lp
+      |  FROM sel CROSS JOIN tot),
+      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks),
+      |em AS (SELECT w, n,
+      |    unnest(range(0, CAST(1 AS BIGINT) << CAST(n - 1 AS INT))) AS mask
+      |  FROM wm),
+      |seg AS (SELECT w, n, mask,
+      |    [CAST(1 AS BIGINT)] || list_transform(
+      |      list_filter(range(1, n), p -> ((mask >> CAST(p - 1 AS INT)) & 1) = 1),
+      |      p -> p + 1) AS starts
+      |  FROM em),
+      |sp AS (SELECT w, mask, starts, CAST(len(starts) AS BIGINT) AS np,
+      |    list_transform(range(1, len(starts) + 1), k ->
+      |      substr(w, CAST(starts[CAST(k AS INT)] AS INT),
+      |        CAST(COALESCE(starts[CAST(k AS INT) + 1],
+      |          CAST(n + 1 AS BIGINT)) - starts[CAST(k AS INT)] AS INT)))
+      |      AS pieces
+      |  FROM seg),
+      |pj AS (SELECT w, mask, t.piece AS piece
+      |  FROM sp, unnest(sp.pieces) AS t(piece)),
+      |ps AS (SELECT w, mask, CAST(COUNT(*) AS BIGINT) AS nj,
+      |    SUM(v.lp) AS score, CAST(COUNT(v.lp) AS BIGINT) AS nmatch
+      |  FROM pj LEFT JOIN v ON pj.piece = v.piece GROUP BY 1, 2),
+      |best AS (SELECT w, np, pieces FROM (
+      |    SELECT sp.w, sp.np, sp.pieces, sp.starts, ps.score,
+      |      ROW_NUMBER() OVER (PARTITION BY sp.w
+      |        ORDER BY ps.score DESC, sp.np ASC, list_reverse(sp.starts) ASC)
+      |        AS rk
+      |    FROM sp JOIN ps ON sp.w = ps.w AND sp.mask = ps.mask
+      |    WHERE ps.nmatch = ps.nj) WHERE rk = 1),
+      |r1 AS (SELECT t.piece AS piece, CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM best JOIN wf USING (w), unnest(best.pieces) AS t(piece)
+      |  GROUP BY 1),
+      |v2e AS (
+      |  SELECT c.piece, COALESCE(r1.cnt, 1) AS cnt
+      |  FROM (SELECT piece FROM sel WHERE is_char) c
+      |  LEFT JOIN r1 ON c.piece = r1.piece
+      |  UNION ALL
+      |  SELECT piece, cnt FROM r1 WHERE len(piece) > 1),
+      |tot2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total2 FROM v2e),
+      |v2 AS (SELECT piece,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total2 AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS lp
+      |  FROM v2e CROSS JOIN tot2),
+      |ps2 AS (SELECT w, mask, CAST(COUNT(*) AS BIGINT) AS nj,
+      |    SUM(v2.lp) AS score, CAST(COUNT(v2.lp) AS BIGINT) AS nmatch
+      |  FROM pj LEFT JOIN v2 ON pj.piece = v2.piece GROUP BY 1, 2),
+      |best2 AS (SELECT w, np, pieces, score FROM (
+      |    SELECT sp.w, sp.np, sp.pieces, sp.starts, ps2.score,
+      |      ROW_NUMBER() OVER (PARTITION BY sp.w
+      |        ORDER BY ps2.score DESC, sp.np ASC,
+      |          list_reverse(sp.starts) ASC) AS rk
+      |    FROM sp JOIN ps2 ON sp.w = ps2.w AND sp.mask = ps2.mask
+      |    WHERE ps2.nmatch = ps2.nj) WHERE rk = 1),
+      |dl AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+      |      AS ws
+      |  FROM documents),
+      |du AS (SELECT doc_id, unnest(ws) AS w,
+      |    unnest(range(1, len(ws) + 1)) AS p
+      |  FROM dl),
+      |agg AS (SELECT doc_id,
+      |    CAST(SUM(np) AS BIGINT) AS n_pieces,
+      |    md5(array_to_string(flatten(list(pieces ORDER BY p)), ' '))
+      |      AS pieces_md5,
+      |    CAST(SUM(score) AS BIGINT) AS nll_micro
+      |  FROM du JOIN best2 USING (w) GROUP BY 1)
+      |SELECT dl.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |  COALESCE(n_pieces, 0) AS n_pieces,
+      |  COALESCE(pieces_md5, md5('')) AS pieces_md5,
+      |  COALESCE(nll_micro, 0) AS nll_micro
+      |FROM dl LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -7361,5 +7590,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193)
 }

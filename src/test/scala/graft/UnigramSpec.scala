@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.UnigramLm
+import graft.operators.UnigramLm.Piece
+
+/** Gates for the unigram-LM tokenizer (q191/q192 check seed + apply
+  * against DuckDB; these pin what SQL can't reach — the DP against an
+  * independent exhaustive search, the hard-EM refinement against its
+  * monotonicity guarantee, and the round-trip contract).
+  */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "aaa abab banana aaa"),
+    (1L, "ban ana nab aaa abab"),
+    (2L, "banana banana ban aaa"),
+    (3L, "")
+  ).toDF("doc_id", "text")
+
+  private def exhaustiveBest(word: String, lp: Map[String, Long])
+      : (Seq[String], Long) = {
+    // every segmentation via boundary masks; the q192 oracle's total
+    // order: score desc, fewer pieces, lexicographically smallest
+    // REVERSED start list
+    val n = word.length
+    val segs = (0 until (1 << math.max(n - 1, 0))).flatMap { mask =>
+      val starts = 0 +: (1 until n).filter(p => ((mask >> (p - 1)) & 1) == 1)
+      val pieces = starts.zip(starts.drop(1) :+ n)
+        .map { case (a, b) => word.substring(a, b) }
+      if (pieces.forall(lp.contains))
+        Some((pieces, pieces.map(lp).sum, starts.reverse.toList))
+      else None
+    }
+    val best = segs.minBy { case (p, s, rs) =>
+      (-s, p.length, rs.map(x => f"$x%05d").mkString(","))
+    }
+    (best._1, best._2)
+  }
+
+  test("Viterbi DP equals exhaustive enumeration, including tie cases") {
+    // scores crafted so "aaa" ties: [a][aa] and [aa][a] have equal score
+    // and equal piece count → the reversed-starts rule must pick [a][aa]
+    val lp = Map("a" -> -100L, "aa" -> -150L, "b" -> -200L, "ab" -> -250L,
+      "ba" -> -260L, "ban" -> -300L, "ana" -> -310L, "n" -> -220L)
+    val words = Seq("aaa", "abab", "banana", "ban", "ana", "nab", "a", "b")
+    words.foreach { w =>
+      val dp = UnigramLm.viterbiWord(w, lp, maxPieceLen = 4)
+      val ex = exhaustiveBest(w, lp)
+      assert(dp == ex, s"'$w': DP $dp != exhaustive $ex")
+    }
+    // the tie case explicitly: score([a,aa]) == score([aa,a]) == -250,
+    // np 2 both → reversed starts [1,0] < [2,0] → [a][aa]
+    assert(UnigramLm.viterbiWord("aaa", lp, 4)._1 == Seq("a", "aa"))
+  }
+
+  test("corpus words always round-trip: concat(pieces) == word") {
+    val vocab = UnigramLm.collectVocab(
+      UnigramLm.seedVocab(docs, "text", maxPieceLen = 4, vocabSize = 20))
+    val words = UnigramLm.wordFreqs(docs, "text")
+    val seg = UnigramLm.segmentWords(words, vocab, 4)
+      .select(col("w"), col("pieces")).as[(String, Seq[String])].collect()
+    assert(seg.nonEmpty)
+    seg.foreach { case (w, pieces) =>
+      assert(pieces.mkString("") == w, s"'$w' -> $pieces does not round-trip")
+    }
+  }
+
+  test("hard-EM: corpus likelihood is non-decreasing; unused multis pruned") {
+    val words = UnigramLm.wordFreqs(docs, "text").localCheckpoint()
+    def corpusScore(vocab: Seq[Piece]): Long =
+      UnigramLm.segmentWords(words, vocab, 4)
+        .join(words, "w")
+        .select(sum(col("score_micro") * col("f")))
+        .collect().head.getLong(0)
+    var vocab = UnigramLm.collectVocab(
+      UnigramLm.seedVocab(docs, "text", 4, 20))
+    var prev = corpusScore(vocab)
+    (1 to 3).foreach { r =>
+      vocab = UnigramLm.emRound(words, vocab, 4)
+      val cur = corpusScore(vocab)
+      info(s"EM round $r: corpus score $prev -> $cur (micros)")
+      // Viterbi-EM guarantee: re-scoring concentrates mass on the pieces
+      // the best segmentations actually use — the corpus-best score under
+      // the refined model can only improve or hold
+      assert(cur >= prev, s"EM round $r regressed corpus likelihood")
+      prev = cur
+    }
+    // every single char survives; every multi-char piece that survived is
+    // genuinely used by some best segmentation
+    val chars = vocab.filter(_.piece.length == 1).map(_.piece).toSet
+    val corpusChars = docs.select(explode(graft.operators.TextOps.tokens(col("text")))
+      .as("w")).as[String].collect().flatMap(_.toSeq).map(_.toString).toSet
+    assert(corpusChars.subsetOf(chars))
+    val usedPieces = UnigramLm.segmentWords(words, vocab, 4)
+      .select(explode(col("pieces"))).as[String].collect().toSet
+    vocab.filter(_.piece.length > 1).foreach { p =>
+      assert(usedPieces(p.piece), s"unused multi '${p.piece}' not pruned")
+    }
+  }
+
+  test("train composes seed + EM; apply matches a hand-checked empty doc") {
+    val vocab = UnigramLm.train(docs, "text", maxPieceLen = 4,
+      vocabSize = 20, emRounds = 2)
+    val out = UnigramLm.apply(docs, "doc_id", "text", vocab, 4)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    val empty = out(3)
+    assert(empty.getAs[Long]("n_words") == 0L &&
+      empty.getAs[Long]("n_pieces") == 0L &&
+      empty.getAs[Long]("nll_micro") == 0L)
+    def md5of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(empty.getAs[String]("pieces_md5") == md5of(""))
+    // non-empty docs: piece streams concatenate back to their word streams
+    val toks = docs.select(col("doc_id"),
+      graft.operators.TextOps.tokens(col("text")).as("ws"))
+      .as[(Long, Seq[String])].collect().toMap
+    out.take(3).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_words") == toks(id).length.toLong)
+      assert(r.getAs[Long]("n_pieces") >= r.getAs[Long]("n_words"))
+    }
+  }
+}
