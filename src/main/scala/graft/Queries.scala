@@ -7572,6 +7572,85 @@ object Queries {
       |FROM dl LEFT JOIN agg USING (doc_id) ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Checksum-validated credit-card scrub (round 12 — the PII stage a
+    * bare regex can't do honestly: 13–16-digit runs that FAIL the Luhn
+    * mod-10 check are order ids and timestamps, not cards, and
+    * redacting them destroys good text). Plants per doc: a VALID card
+    * (15 deterministic digits + the computed Luhn check digit), an
+    * INVALID twin (check digit +5 — must survive unredacted), and a
+    * 12-digit run (too short — not even a candidate). Both engines
+    * compute the check digit and the validation sum with the same
+    * digit-doubling fold, so every count and the scrubbed-text hash
+    * replay exactly. Entirely map-side (see
+    * [[graft.operators.TextOps.luhnScrub]]).
+    */
+  val q194: Q = Q(
+    "q194_luhn_scrub",
+    (s, dir) => {
+      val p15 = concat(lit("4"),
+        lpad((col("doc_id") * 7 % lit(100000000000000L)).cast("string"),
+          14, "0"))
+      val chk = TextOps.luhnCheckDigit(p15)
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 1,
+            concat(lit(" card "), p15, chk.cast("string"), lit(" ok")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 2,
+            concat(lit(" ref "), p15,
+              pmod(chk + 5, lit(10)).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 3,
+            concat(lit(" num "),
+              lpad((col("doc_id") % lit(1000000000000L)).cast("string"),
+                12, "0")))
+            .otherwise(lit(""))).as("text"))
+      TextOps.luhnScrub(docs, "doc_id", "text").orderBy(col("doc_id"))
+    },
+    Some("""
+      |WITH p AS (SELECT doc_id, text,
+      |    '4' || lpad(CAST(doc_id * 7 % 100000000000000 AS VARCHAR), 14, '0')
+      |      AS p15
+      |  FROM documents),
+      |pc AS (SELECT doc_id, text, p15,
+      |    (10 - list_sum(list_transform(range(1, 16), i ->
+      |      CASE WHEN i % 2 = 1 THEN
+      |        CASE WHEN 2 * CAST(substr(reverse(p15), CAST(i AS INT), 1) AS INT) > 9
+      |          THEN 2 * CAST(substr(reverse(p15), CAST(i AS INT), 1) AS INT) - 9
+      |          ELSE 2 * CAST(substr(reverse(p15), CAST(i AS INT), 1) AS INT) END
+      |      ELSE CAST(substr(reverse(p15), CAST(i AS INT), 1) AS INT) END))
+      |      % 10) % 10 AS chk
+      |  FROM p),
+      |d AS (SELECT doc_id, text
+      |    || CASE WHEN doc_id % 5 = 1
+      |         THEN ' card ' || p15 || CAST(chk AS VARCHAR) || ' ok'
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 2
+      |         THEN ' ref ' || p15 || CAST((chk + 5) % 10 AS VARCHAR)
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 3
+      |         THEN ' num ' || lpad(CAST(doc_id % 1000000000000 AS VARCHAR), 12, '0')
+      |         ELSE '' END AS text
+      |  FROM pc),
+      |c AS (SELECT doc_id, text,
+      |    regexp_extract_all(text, '[0-9]{13,16}') AS cands
+      |  FROM d),
+      |v AS (SELECT doc_id, text, cands,
+      |    list_filter(cands, x -> list_sum(list_transform(range(1, len(x) + 1),
+      |      i -> CASE WHEN i % 2 = 0 THEN
+      |        CASE WHEN 2 * CAST(substr(reverse(x), CAST(i AS INT), 1) AS INT) > 9
+      |          THEN 2 * CAST(substr(reverse(x), CAST(i AS INT), 1) AS INT) - 9
+      |          ELSE 2 * CAST(substr(reverse(x), CAST(i AS INT), 1) AS INT) END
+      |      ELSE CAST(substr(reverse(x), CAST(i AS INT), 1) AS INT) END))
+      |      % 10 = 0) AS valid
+      |  FROM c)
+      |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+      |  CAST(len(valid) AS BIGINT) AS n_valid,
+      |  md5(list_reduce(list_prepend(text, valid),
+      |    (acc, x) -> replace(acc, x, '<CARD>'))) AS scrubbed_fp
+      |FROM v ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -7590,5 +7669,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194)
 }

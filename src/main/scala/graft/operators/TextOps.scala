@@ -293,6 +293,56 @@ object TextOps {
         expr(s"(__total * $perMille + 999) DIV 1000")))
   }
 
+  /** Luhn checksum validity of a digit-string column (ISO/IEC 7812 —
+    * the mod-10 check every real payment-card number carries): from
+    * the RIGHT, double every second digit (subtracting 9 past 9), sum,
+    * valid iff ≡ 0 (mod 10). Pure higher-order fold — codegen'd, no
+    * UDF.
+    */
+  def luhnValid(num: Column): Column = {
+    val r = reverse(num)
+    val s = aggregate(sequence(lit(1), length(r)), lit(0), (acc, i) => {
+      val d = r.substr(i, lit(1)).cast("int")
+      acc + when(pmod(i, lit(2)) === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    pmod(s, lit(10)) === 0
+  }
+
+  /** Check digit that makes `p` (the number WITHOUT its final digit)
+    * Luhn-valid once appended: the digits of `p` sit one position
+    * further from the right in the full number, so the parity flips —
+    * double the ODD reversed positions of `p`. */
+  def luhnCheckDigit(p: Column): Column = {
+    val r = reverse(p)
+    val s = aggregate(sequence(lit(1), length(r)), lit(0), (acc, i) => {
+      val d = r.substr(i, lit(1)).cast("int")
+      acc + when(pmod(i, lit(2)) === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    pmod(lit(10) - pmod(s, lit(10)), lit(10))
+  }
+
+  /** Checksum-validated credit-card scrub (round 12 — the PII stage
+    * q58's regexes can't do honestly: a bare 13–16-digit regex redacts
+    * order ids, timestamps and checksums that merely LOOK like cards;
+    * production scrubbers validate the Luhn digit first, as every
+    * issuer network's numbers carry it). Per document: extract the
+    * digit-run candidates, keep the Luhn-valid ones, replace exactly
+    * those occurrences. Output: candidate count, valid count, md5 of
+    * the scrubbed text. Entirely map-side column work — the text
+    * column never shuffles.
+    */
+  def luhnScrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol).as("__t"),
+        expr(s"regexp_extract_all($textCol, '[0-9]{13,16}', 0)").as("__c"))
+      .withColumn("__v", filter(col("__c"), c => luhnValid(c)))
+      .select(col(idCol),
+        size(col("__c")).cast("long").as("n_candidates"),
+        size(col("__v")).cast("long").as("n_valid"),
+        md5(aggregate(col("__v"), col("__t"),
+          (acc, c) => replace(acc, c, lit("<CARD>")))).as("scrubbed_fp"))
+
   /** Shared scrub core: gram doc-frequencies vs a threshold that may
     * depend on the corpus doc count (exposed to `mkThreshold` as the
     * broadcast scalar column `__total`). */

@@ -455,6 +455,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("luhnScrub: validates the checksum before redacting") {
+    // 4539148803436467 / 5555555555554444 / 4111111111111111 are
+    // Luhn-valid (hand-checked); 4539148803436468 and 1234567890123456
+    // fail the mod-10 sum and must SURVIVE; 123456789012 is too short
+    // to even be a candidate
+    val docs = Seq(
+      (0L, "pay 4539148803436467 today"),
+      (1L, "ref 4539148803436468 is an order id"),
+      (2L, "cards 5555555555554444 and 4111111111111111 both"),
+      (3L, "short 123456789012 run"),
+      (4L, "just words")
+    ).toDF("doc_id", "text")
+    val out = TextOps.luhnScrub(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def md5of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 1)
+    assert(out(0).getString(3) == md5of("pay <CARD> today"))
+    assert(out(1).getLong(1) == 1 && out(1).getLong(2) == 0)
+    assert(out(1).getString(3) == md5of("ref 4539148803436468 is an order id"))
+    assert(out(2).getLong(1) == 2 && out(2).getLong(2) == 2)
+    assert(out(2).getString(3) == md5of("cards <CARD> and <CARD> both"))
+    assert(out(3).getLong(1) == 0 && out(3).getLong(2) == 0)
+    assert(out(4).getLong(1) == 0 &&
+      out(4).getString(3) == md5of("just words"))
+  }
+
   test("repetitionStats: hand-computed Gopher repetition signals") {
     val docs = Seq(
       // doc 0: 3 lines, one repeated ("dup dup"); tokens carry a
