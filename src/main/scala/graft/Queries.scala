@@ -7651,6 +7651,46 @@ object Queries {
       |FROM v ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Blocked inverted-index export (round 12): the offline serving
+    * artifact behind BM25 (q117) and hybrid retrieval (q185) — per
+    * (term, 64-doc block): doc frequency, collection frequency, first
+    * doc id, and md5s of the delta-encoded gap stream and the
+    * doc-ordered tf stream (the Lucene-shape block layout). Blocked by
+    * doc-id range so a stopword's posting list spreads across blocks
+    * instead of pinning one reducer — per-group state ≤ blockSize by
+    * construction. The oracle rebuilds every block, every gap, and
+    * every tf in SQL.
+    */
+  val q195: Q = Q(
+    "q195_inverted_index",
+    (s, dir) => TextOps.invertedIndexBlocks(t(s, dir, "documents"),
+        "doc_id", "text", blockSize = 64)
+      .orderBy(col("term"), col("block")),
+    Some("""
+      |WITH tk AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS term
+      |  FROM documents),
+      |pt AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM tk GROUP BY 1, 2),
+      |pb AS (SELECT term, doc_id // 64 AS block, doc_id, tf FROM pt),
+      |ag AS (SELECT term, CAST(block AS BIGINT) AS block,
+      |    CAST(COUNT(*) AS BIGINT) AS df_block,
+      |    CAST(SUM(tf) AS BIGINT) AS cf_block,
+      |    CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+      |    list(doc_id ORDER BY doc_id) AS ds,
+      |    list(tf ORDER BY doc_id) AS tfs
+      |  FROM pb GROUP BY 1, 2)
+      |SELECT term, block, df_block, cf_block, first_doc,
+      |  md5(CAST(first_doc AS VARCHAR) || ',' || COALESCE(array_to_string(
+      |    list_transform(range(2, len(ds) + 1), k ->
+      |      ds[CAST(k AS INT)] - ds[CAST(k AS INT) - 1]), ','), ''))
+      |    AS gaps_md5,
+      |  md5(array_to_string(tfs, ',')) AS tfs_md5
+      |FROM ag ORDER BY term, block
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -7669,5 +7709,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195)
 }

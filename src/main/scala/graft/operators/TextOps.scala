@@ -343,6 +343,47 @@ object TextOps {
         md5(aggregate(col("__v"), col("__t"),
           (acc, c) => replace(acc, c, lit("<CARD>")))).as("scrubbed_fp"))
 
+  /** Blocked inverted-index export (round 12 — the IR-serving artifact
+    * a retrieval pipeline materializes from a corpus; BM25 q117 and
+    * RRF q185 SCORE queries online, this is the offline index they'd
+    * read). Posting lists are built per (term, doc-id block of
+    * `blockSize`), NOT per term: a stopword's corpus-sized posting
+    * list is the classic hot-key reducer at 100 TB, and real indexes
+    * are block-compressed anyway (delta-encoded doc gaps per block —
+    * the layout every Lucene-shape engine serializes). Per block:
+    * doc frequency, collection frequency, first doc id, and md5s of
+    * the delta-encoded gap stream and the doc-ordered tf stream — the
+    * hashes pin every posting and its order while keeping the export
+    * row bounded. State per group ≤ `blockSize` postings by
+    * construction.
+    */
+  def invertedIndexBlocks(docs: DataFrame, idCol: String, textCol: String,
+      blockSize: Int): DataFrame = {
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    val postings = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("block", expr(s"doc_id DIV $blockSize"))
+    postings.groupBy(col("term"), col("block"))
+      .agg(count(lit(1)).cast("long").as("df_block"),
+        sum(col("tf")).cast("long").as("cf_block"),
+        min(col("doc_id")).as("first_doc"),
+        sort_array(collect_list(col("doc_id"))).as("__ds"),
+        expr("transform(array_sort(collect_list(struct(doc_id, tf))), x -> x.tf)")
+          .as("__tfs"))
+      .select(col("term"), col("block"), col("df_block"), col("cf_block"),
+        col("first_doc"),
+        md5(concat(col("first_doc").cast("string"), lit(","),
+          array_join(when(size(col("__ds")) <= 1,
+              array().cast("array<long>"))
+            .otherwise(transform(sequence(lit(2), size(col("__ds"))), k =>
+              element_at(col("__ds"), k) - element_at(col("__ds"), k - 1))),
+            ","))).as("gaps_md5"),
+        md5(array_join(col("__tfs"), ",")).as("tfs_md5"))
+  }
+
   /** Shared scrub core: gram doc-frequencies vs a threshold that may
     * depend on the corpus doc count (exposed to `mkThreshold` as the
     * broadcast scalar column `__total`). */

@@ -483,6 +483,29 @@ class TextOpsSpec extends SparkSpec {
       out(4).getString(3) == md5of("just words"))
   }
 
+  test("invertedIndexBlocks: blocks, delta gaps and tf streams (hand-computed)") {
+    // term "x": docs 1 (tf 2), 5, 63 in block 0; doc 64 in block 1 —
+    // the block boundary splits the posting list; term "y": doc 5 only
+    val docs = Seq(
+      (1L, "x x y2"), (5L, "x y"), (63L, "x"), (64L, "x")
+    ).toDF("doc_id", "text")
+    val out = TextOps.invertedIndexBlocks(docs, "doc_id", "text", 64)
+      .orderBy("term", "block")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    def md5of(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val x0 = out(("x", 0L))
+    assert(x0.getLong(2) == 3 && x0.getLong(3) == 4) // df 3, cf 4 (tf 2 in doc 1)
+    assert(x0.getLong(4) == 1L)
+    assert(x0.getString(5) == md5of("1,4,58")) // docs 1,5,63 → gaps 4,58
+    assert(x0.getString(6) == md5of("2,1,1")) // tf stream in doc order
+    val x1 = out(("x", 1L))
+    assert(x1.getLong(2) == 1 && x1.getLong(4) == 64L)
+    assert(x1.getString(5) == md5of("64,")) // single posting → empty gaps
+    assert(out(("y", 0L)).getLong(2) == 1)
+  }
+
   test("repetitionStats: hand-computed Gopher repetition signals") {
     val docs = Seq(
       // doc 0: 3 lines, one repeated ("dup dup"); tokens carry a
