@@ -7691,6 +7691,124 @@ object Queries {
       |FROM ag ORDER BY term, block
       |""".stripMargin.trim))
 
+  /** Per-dim exact cosine ranking CTE for the q196 oracle: rank every
+    * corpus vector against each query (vec_id < 5) by cosine over the
+    * `src` view's (possibly truncated) integer vectors — the q26
+    * formula and tie order. */
+  private def mrlRankSql(cte: String, src: String): String = s"""
+    |$cte AS (
+    |  SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+    |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+    |  FROM (
+    |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    |      CASE WHEN list_sum(list_transform(a.v, x -> x*x)) = 0
+    |             OR list_sum(list_transform(b.v, x -> x*x)) = 0 THEN 0.0
+    |        ELSE list_sum(list_transform(range(1, len(a.v) + 1),
+    |            i -> a.v[i] * b.v[i]))
+    |          / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+    |             * sqrt(list_sum(list_transform(b.v, x -> x*x)))) END AS cs
+    |    FROM $src a JOIN $src b ON a.vec_id <> b.vec_id
+    |    WHERE a.vec_id < 5))""".stripMargin.trim
+
+  /** Matryoshka truncation quality sweep (round 12 — the MRL-embedding
+    * storage question: how much top-k agreement survives keeping only
+    * the first d dimensions?): for d ∈ {8, 16, 32}, rank by cosine
+    * over the truncated vectors and report per query the overlap@10
+    * against the full 64-dim ranking. Truncation commutes with the
+    * integer quantization, so both rankings are exact and the sweep is
+    * a MEASUREMENT the oracle replays ranking-for-ranking — not a
+    * sampled estimate. See [[graft.operators.VectorOps
+    * .matryoshkaRecall]].
+    */
+  val q196: Q = Q(
+    "q196_matryoshka_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorOps.matryoshkaRecall(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", dims = Seq(8, 16, 32), k = 10)
+    },
+    Some(s"""
+      |WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings),
+      |e8 AS (SELECT vec_id, list_slice(v, 1, 8) AS v FROM e),
+      |e16 AS (SELECT vec_id, list_slice(v, 1, 16) AS v FROM e),
+      |e32 AS (SELECT vec_id, list_slice(v, 1, 32) AS v FROM e),
+      |${mrlRankSql("rf", "e")},
+      |${mrlRankSql("r8", "e8")},
+      |${mrlRankSql("r16", "e16")},
+      |${mrlRankSql("r32", "e32")}
+      |SELECT dim, query_id, n_overlap, k FROM (
+      |  SELECT CAST(8 AS BIGINT) AS dim, f.query_id,
+      |      CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+      |      CAST(10 AS BIGINT) AS k
+      |    FROM (SELECT * FROM rf WHERE rk <= 10) f
+      |    LEFT JOIN (SELECT * FROM r8 WHERE rk <= 10) t
+      |      USING (query_id, neighbor_id)
+      |    GROUP BY f.query_id
+      |  UNION ALL
+      |  SELECT CAST(16 AS BIGINT), f.query_id,
+      |      CAST(COUNT(t.neighbor_id) AS BIGINT), CAST(10 AS BIGINT)
+      |    FROM (SELECT * FROM rf WHERE rk <= 10) f
+      |    LEFT JOIN (SELECT * FROM r16 WHERE rk <= 10) t
+      |      USING (query_id, neighbor_id)
+      |    GROUP BY f.query_id
+      |  UNION ALL
+      |  SELECT CAST(32 AS BIGINT), f.query_id,
+      |      CAST(COUNT(t.neighbor_id) AS BIGINT), CAST(10 AS BIGINT)
+      |    FROM (SELECT * FROM rf WHERE rk <= 10) f
+      |    LEFT JOIN (SELECT * FROM r32 WHERE rk <= 10) t
+      |      USING (query_id, neighbor_id)
+      |    GROUP BY f.query_id)
+      |ORDER BY dim, query_id
+      |""".stripMargin.trim))
+
+  /** Exact per-slice ROC-AUC (round 12 — the evaluation half of the
+    * model-gate family: q164/q134/q186 emit scores, this measures how
+    * well a score separates a binary label per source slice, the
+    * number a data card reports next to the gate threshold).
+    * Mann–Whitney with exact midrank tie handling, all integer until
+    * one IEEE divide — the oracle replays U2 and the divide
+    * digit-for-digit. Here: does token count predict "document
+    * mentions 'hash'", per source. See
+    * [[graft.operators.TrainPrep.groupAuc]].
+    */
+  val q197: Q = Q(
+    "q197_group_auc",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("score"),
+        array_contains(TextOps.tokens(col("text")), "hash").as("label"))
+      TrainPrep.groupAuc(docs, "source", "score", "label")
+        .orderBy(col("grp"))
+    },
+    Some("""
+      |WITH d AS (SELECT source AS grp,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS BIGINT) AS s,
+      |    list_contains(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> ''), 'hash') AS y
+      |  FROM documents),
+      |ps AS (SELECT grp, s,
+      |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      |  FROM d GROUP BY 1, 2),
+      |cu AS (SELECT grp, s, np, nn,
+      |    COALESCE(SUM(nn) OVER (PARTITION BY grp ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_nn_lt
+      |  FROM ps),
+      |ag AS (SELECT grp, CAST(SUM(np) AS BIGINT) AS n_pos,
+      |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+      |    CAST(SUM(np * (2 * cum_nn_lt + nn)) AS BIGINT) AS u2
+      |  FROM cu GROUP BY 1)
+      |SELECT grp, n_pos, n_neg, u2,
+      |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+      |    ELSE CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) END
+      |    AS auc
+      |FROM ag ORDER BY grp
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -7709,5 +7827,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
 }

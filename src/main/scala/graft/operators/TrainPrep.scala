@@ -678,6 +678,45 @@ object TrainPrep {
     * back (the temperatureMix pattern) — control-plane sized. The
     * corpus itself never reshuffles.
     */
+  /** Exact per-group ROC-AUC (round 12 — the evaluation half every
+    * model-based gate needs next to its scores: q164's classifier and
+    * q134/q186's LM filters emit scores, this measures how well any
+    * score separates a binary label, per slice). Mann–Whitney
+    * formulation with EXACT tie handling: for each distinct score s in
+    * a group, with np(s)/nn(s) the positive/negative counts at s and
+    * cumNnLt(s) the negatives strictly below,
+    *   U2 = Σ_s np(s) · (2·cumNnLt(s) + nn(s)) = 2·U (ties at ½),
+    *   AUC = U2 / (2·P·N)
+    * — all integers until ONE final IEEE divide, so the DuckDB oracle
+    * replays it digit-for-digit. NULL AUC when a group lacks a class.
+    *
+    * Scale shape: one partial-aggregating groupBy to per-(group, score)
+    * counts, then a group-PARTITIONED ordered window over those
+    * aggregated rows — state per window partition is the group's
+    * distinct-score count, never its row count; no partitionless sort
+    * anywhere (the global-AUC caller passes a constant group).
+    */
+  def groupAuc(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val perScore = df.select(col(groupCol).as("grp"),
+        col(scoreCol).cast("long").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy(col("grp"), col("s"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("nn"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cum_nn_lt", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .groupBy(col("grp"))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (col("cum_nn_lt") * 2 + col("nn"))).as("u2"))
+      .select(col("grp"), col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise(col("u2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2).cast("double")).as("auc"))
+  }
+
   def tokenDrift(df: DataFrame, textCol: String, sliceA: Column,
       dim: Int): DataFrame = {
     require(dim >= 1 && dim <= (1 << 20), s"tokenDrift: bad dim $dim")

@@ -75,6 +75,39 @@ object VectorOps {
       .select("query_id", "neighbor_id", "cosine_sim")
   }
 
+  /** Matryoshka truncation quality sweep (round 12 — the MRL-embedding
+    * question every vector-store owner asks before cutting storage 4–8×:
+    * how much top-k agreement survives keeping only the first d
+    * dimensions?). For each candidate prefix length, rank by cosine
+    * over the TRUNCATED vectors and report per query the overlap@k
+    * against the full-dimension ranking. Truncation commutes with the
+    * integer quantization (elementwise), so both rankings stay
+    * exact-integer-dot deterministic and the whole sweep is
+    * DuckDB-replayable — an EXACT measurement, not a sampled estimate.
+    * Scale shape: one broadcast-NL scan per dim over the same corpus
+    * (the q26 plan); at production scale each dim's ranking swaps in
+    * the IVF/PQ path unchanged.
+    */
+  def matryoshkaRecall(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"bad dims $dims")
+    val full = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val overlaps = dims.map { d =>
+      val tq = queries.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val tc = corpus.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      val trunc = bruteForceTopK(tq, tc, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      full.join(trunc, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("__hit")).cast("long").as("n_overlap"))
+        .withColumn("dim", lit(d.toLong))
+    }.reduce(_ unionByName _)
+    overlaps.select(col("dim"), col("query_id").cast("long").as("query_id"),
+        col("n_overlap"), lit(k.toLong).as("k"))
+      .orderBy(col("dim"), col("query_id"))
+  }
+
   /** Sign-bit LSH bucket key over the first `nBits` dimensions: candidates
     * must share the key, replacing the corpus scan with a hash-shuffle
     * co-partitioned join — the 100-TB path. Recall is approximate by

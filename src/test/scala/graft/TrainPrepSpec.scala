@@ -1,3 +1,4 @@
+// (groupAuc tests appended round 12)
 package graft
 
 import org.apache.spark.sql.functions._
@@ -325,5 +326,34 @@ class TrainPrepSpec extends SparkSpec {
       one.select(col("doc_id"), col("text")), "doc_id", "text", nShards = 8)
       .orderBy("shard_id").collect()
     assert(tampered.toSeq != pure.toSeq)
+  }
+
+  test("groupAuc: exact Mann-Whitney with midrank ties (hand-computed)") {
+    import graft.operators.TrainPrep
+    val rows = Seq(
+      // group "perfect": every positive outranks every negative → AUC 1
+      ("perfect", 10L, true), ("perfect", 9L, true),
+      ("perfect", 2L, false), ("perfect", 1L, false),
+      // group "reversed": every negative outranks every positive → AUC 0
+      ("reversed", 1L, true), ("reversed", 9L, false),
+      // group "tied": all scores equal → AUC exactly 1/2 by midranks
+      ("tied", 5L, true), ("tied", 5L, true),
+      ("tied", 5L, false), ("tied", 5L, false),
+      // group "mixed": pos {3, 1}, neg {2, 1}: pairs won = (3>2)+(3>1)=2,
+      // ties = (1,1) → U = 2.5 of 4 → AUC = 0.625
+      ("mixed", 3L, true), ("mixed", 1L, true),
+      ("mixed", 2L, false), ("mixed", 1L, false),
+      // single-class groups → AUC null
+      ("onlypos", 7L, true), ("onlyneg", 7L, false)
+    ).toDF("g", "score", "y")
+    val out = TrainPrep.groupAuc(rows, "g", "score", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out("perfect") == ((2L, 2L, 8L, Some(1.0))))
+    assert(out("reversed") == ((1L, 1L, 0L, Some(0.0))))
+    assert(out("tied") == ((2L, 2L, 4L, Some(0.5))))
+    assert(out("mixed") == ((2L, 2L, 5L, Some(0.625))))
+    assert(out("onlypos")._4.isEmpty && out("onlyneg")._4.isEmpty)
   }
 }

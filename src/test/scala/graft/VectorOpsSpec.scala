@@ -258,6 +258,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(for30.map(_._4).distinct.toSeq == Seq(800000L))
   }
 
+  test("matryoshkaRecall: full-length prefix is identity; truncation loses rank") {
+    // 4-dim vectors where the FIRST 2 dims mislead: query (1,0,0,0);
+    // n1 matches on the tail only, n2 on the head only — at dim 2 the
+    // ranking flips vs full
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 1f, 1f)),
+      (1L, Seq(0f, 0.1f, 1f, 1f)),   // full cos high (tail agrees)
+      (2L, Seq(1f, 0f, -1f, -1f)),   // head agrees, tail opposes
+      (3L, Seq(0.9f, 0f, -1f, -1f))) // head-perfect, tail-opposed: enters
+      .toDF("vec_id", "embedding")    // the dim-2 top-2, not the full one
+    val q = vecs.filter(col("vec_id") === 0)
+    val out = VectorOps.matryoshkaRecall(q, vecs, "vec_id", "embedding",
+        dims = Seq(2, 4), k = 2)
+      .select("dim", "query_id", "n_overlap", "k")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // dim 4 = the full vector: overlap must be exactly k (identity)
+    assert(out.contains((4L, 0L, 2L, 2L)))
+    // dim 2: full top-2 = {1, 2}; truncated ranks 2 first and CANNOT see
+    // 1's tail (cos(head(1)) = 0 ties with 3... ) — overlap strictly < k
+    val d2 = out.find(_._1 == 2L).get
+    assert(d2._3 < 2L, s"truncation should lose rank agreement, got $d2")
+  }
+
   test("sign-bucket LSH finds same-orthant neighbors") {
     val vecs = Seq(
       (0L, Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
