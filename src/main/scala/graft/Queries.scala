@@ -7809,6 +7809,86 @@ object Queries {
       |FROM ag ORDER BY grp
       |""".stripMargin.trim))
 
+  /** Score calibration bins (round 12 — q197 measures RANKING quality,
+    * this measures whether score LEVELS mean what they claim): token
+    * count vs the 'hash'-mention label in 8 fixed-width integer bins
+    * over the observed range. Min/max is a 1-row broadcast (never a
+    * global sort); bin arithmetic is integer DIV, exact in both
+    * engines. See [[graft.operators.TrainPrep.calibrationBins]].
+    */
+  val q198: Q = Q(
+    "q198_calibration_bins",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        TextOps.tokenCount(col("text")).cast("long").as("score"),
+        array_contains(TextOps.tokens(col("text")), "hash").as("label"))
+      TrainPrep.calibrationBins(docs, "score", "label", nBins = 8)
+        .orderBy(col("bin"))
+    },
+    Some("""
+      |WITH d AS (SELECT
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> '')) AS BIGINT) AS s,
+      |    list_contains(list_filter(string_split_regex(lower(text), '\s+'),
+      |      t -> t <> ''), 'hash') AS y
+      |  FROM documents),
+      |mm AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM d),
+      |b AS (SELECT ((s - mn) * 8) // (mx - mn + 1) AS bin, s, y
+      |  FROM d CROSS JOIN mm)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  CAST(MIN(s) AS BIGINT) AS s_min, CAST(MAX(s) AS BIGINT) AS s_max,
+      |  CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS pos_rate
+      |FROM b GROUP BY bin ORDER BY bin
+      |""".stripMargin.trim))
+
+  /** Gate-agreement (Cohen's kappa) between a heuristic and a second
+    * gate (round 12 — the number that says how much two admission
+    * gates agree beyond chance before one replaces the other): gate A
+    * = token count ≥ 50, gate B = type-token ratio ≥ 1/2 (distinct
+    * tokens ≥ half the tokens). κ's numerator/denominator are exact
+    * int64 columns; the double is one IEEE divide. See
+    * [[graft.operators.TrainPrep.gateAgreement]].
+    */
+  val q199: Q = Q(
+    "q199_gate_agreement",
+    (s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val docs = t(s, dir, "documents").select(
+        (TextOps.tokenCount(col("text")) >= 50).as("ga"),
+        (size(array_distinct(toks)) * 2 >= size(toks)).as("gb"))
+      TrainPrep.gateAgreement(docs, col("ga"), col("gb"))
+    },
+    Some("""
+      |WITH d AS (SELECT
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')
+      |      AS w
+      |  FROM documents),
+      |g AS (SELECT len(w) >= 50 AS a,
+      |    len(list_distinct(w)) * 2 >= len(w) AS b
+      |  FROM d),
+      |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n00
+      |  FROM g)
+      |SELECT n, n11, n10, n01, n00,
+      |  n * (n11 + n00) - (n11 + n10) * (n11 + n01)
+      |    - (n01 + n00) * (n10 + n00) AS kappa_num,
+      |  n * n - (n11 + n10) * (n11 + n01)
+      |    - (n01 + n00) * (n10 + n00) AS kappa_den,
+      |  CASE WHEN n * n - (n11 + n10) * (n11 + n01)
+      |      - (n01 + n00) * (n10 + n00) = 0 THEN NULL
+      |    ELSE CAST(n * (n11 + n00) - (n11 + n10) * (n11 + n01)
+      |        - (n01 + n00) * (n10 + n00) AS DOUBLE)
+      |      / CAST(n * n - (n11 + n10) * (n11 + n01)
+      |        - (n01 + n00) * (n10 + n00) AS DOUBLE) END AS kappa
+      |FROM c
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -7827,5 +7907,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)
 }

@@ -717,6 +717,65 @@ object TrainPrep {
             (col("n_pos") * col("n_neg") * 2).cast("double")).as("auc"))
   }
 
+  /** Calibration (reliability-diagram) bins for a score vs a binary
+    * label (round 12 — [[groupAuc]] measures RANKING quality; this
+    * measures whether the score's LEVELS mean what they claim, the
+    * other number a data card reports about a gate). Fixed-width
+    * integer bins over the observed [min, max] — bin = (s − min)·B
+    * DIV (max − min + 1), exact in both engines; per bin: count,
+    * positives, observed positive rate (one IEEE divide). The min/max
+    * pass is a 1-row aggregate broadcast back (the temperatureMix
+    * pattern) — no global sort, no quantile sketch; bins are
+    * partial-aggregable.
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1024, s"calibrationBins: bad nBins $nBins")
+    val base = df.select(col(scoreCol).cast("long").as("s"),
+      col(labelCol).cast("boolean").as("y"))
+    val mm = base.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    base.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        expr(s"((s - mn) * $nBins) DIV (mx - mn + 1)").cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        min(col("s")).as("s_min"), max(col("s")).as("s_max"))
+      .select(col("bin"), col("n"), col("n_pos"), col("s_min"), col("s_max"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+  }
+
+  /** Cohen's kappa agreement between two boolean gates (round 12 —
+    * when a pipeline swaps a heuristic gate for a model gate, THIS is
+    * the number that says how much they actually agree beyond chance).
+    * Exact rational: with contingency counts n11/n10/n01/n00, totals
+    * a1/a0 (gate A) and b1/b0 (gate B),
+    *   κ = (n·(n11+n00) − a1·b1 − a0·b0) / (n² − a1·b1 − a0·b0)
+    * — numerator and denominator are exact int64 products published as
+    * columns; the double is ONE IEEE divide. Single partial-aggregable
+    * pass; 1-row output.
+    */
+  def gateAgreement(df: DataFrame, gateA: Column, gateB: Column): DataFrame =
+    df.select(gateA.cast("boolean").as("a"), gateB.cast("boolean").as("b"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        (col("n") * (col("n11") + col("n00"))
+          - (col("n11") + col("n10")) * (col("n11") + col("n01"))
+          - (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .as("kappa_num"),
+        (col("n") * col("n")
+          - (col("n11") + col("n10")) * (col("n11") + col("n01"))
+          - (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .as("kappa_den"))
+      .withColumn("kappa",
+        when(col("kappa_den") === 0, lit(null))
+          .otherwise(col("kappa_num").cast("double")
+            / col("kappa_den").cast("double")))
+
   def tokenDrift(df: DataFrame, textCol: String, sliceA: Column,
       dim: Int): DataFrame = {
     require(dim >= 1 && dim <= (1 << 20), s"tokenDrift: bad dim $dim")

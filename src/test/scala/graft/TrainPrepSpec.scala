@@ -356,4 +356,43 @@ class TrainPrepSpec extends SparkSpec {
     assert(out("mixed") == ((2L, 2L, 5L, Some(0.625))))
     assert(out("onlypos")._4.isEmpty && out("onlyneg")._4.isEmpty)
   }
+
+  test("calibrationBins: fixed-width integer bins, exact rates") {
+    import graft.operators.TrainPrep
+    // scores 0..15, label = score >= 8; 4 bins of width 4 over [0, 15]
+    val rows = (0L until 16L).map(s => (s, s >= 8L)).toDF("score", "y")
+    val out = TrainPrep.calibrationBins(rows, "score", "y", nBins = 4)
+      .orderBy("bin")
+      .select("bin", "n", "n_pos", "s_min", "s_max", "pos_rate")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 4L, 0L, 0L, 3L, 0.0), (1L, 4L, 0L, 4L, 7L, 0.0),
+      (2L, 4L, 4L, 8L, 11L, 1.0), (3L, 4L, 4L, 12L, 15L, 1.0)))
+  }
+
+  test("gateAgreement: Cohen's kappa — perfect, chance-level, hand table") {
+    import graft.operators.TrainPrep
+    def kappa(rows: Seq[(Boolean, Boolean)]): (Long, Long, Option[Double]) = {
+      val r = TrainPrep.gateAgreement(rows.toDF("a", "b"), col("a"), col("b"))
+        .collect().head
+      (r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)))
+    }
+    // perfect agreement → kappa 1
+    val p = kappa(Seq((true, true), (true, true), (false, false)))
+    assert(p._3.contains(1.0))
+    // statistical independence (balanced 2x2) → kappa exactly 0
+    val i = kappa(Seq((true, true), (true, false), (false, true),
+      (false, false)))
+    assert(i._1 == 0L && i._3.contains(0.0))
+    // hand-computed: n11=20 n10=5 n01=10 n00=15, n=50:
+    // num = 50*35 - 25*30 - 25*20 = 1750 - 750 - 500 = 500
+    // den = 2500 - 750 - 500 = 1250 → kappa = 0.4
+    val h = kappa(
+      Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false)))
+    assert(h == ((500L, 1250L, Some(0.4))))
+    // degenerate: every row in one cell → den 0 → NULL kappa
+    assert(kappa(Seq.fill(3)((true, true)))._3.isEmpty)
+  }
 }
