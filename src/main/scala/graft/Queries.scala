@@ -7889,6 +7889,37 @@ object Queries {
       |FROM c
       |""".stripMargin.trim))
 
+  /** Join-key skew report (round 12 — the pre-flight diagnostic run
+    * BEFORE keying a 100 TB join: top-10 heaviest l_suppkey values
+    * with exact-micro corpus shares, global row/key counts and the
+    * key-distribution entropy; saltedSum/AQE/banding are the
+    * mitigations this number tells you to reach for). Every figure is
+    * integer or per-term micro-quantized, so the oracle replays the
+    * whole report. See [[graft.operators.Analytics.skewReport]].
+    */
+  val q200: Q = Q(
+    "q200_skew_report",
+    (s, dir) => Analytics.skewReport(t(s, dir, "lineitem"), "l_suppkey",
+      k = 10),
+    Some("""
+      |WITH c AS (SELECT CAST(l_suppkey AS BIGINT) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+      |e AS (SELECT CAST(SUM(CAST(round(ln(CAST(n_rows AS DOUBLE)
+      |      / CAST(cnt AS DOUBLE))
+      |    * (CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE))
+      |    * 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_micro
+      |  FROM c CROSS JOIN t)
+      |SELECT key, cnt,
+      |  CAST(round(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE)
+      |    * 1000000.0) AS BIGINT) AS share_micro,
+      |  n_rows, n_keys, entropy_micro
+      |FROM c CROSS JOIN t CROSS JOIN e
+      |ORDER BY cnt DESC, key LIMIT 10
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -7907,5 +7938,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
 }

@@ -502,6 +502,45 @@ object Analytics {
     * partial aggregation handles mild skew already — this is for the
     * pathological tail, alongside AQE's skew-join splitting.
     */
+  /** Join-key skew report (round 12 — the pre-flight diagnostic for a
+    * 100 TB shuffle: BEFORE keying a join or window on a column, ask
+    * how concentrated it is; `saltedSum`, AQE skew-split and the
+    * banding operators are the mitigations this report tells you to
+    * reach for). For the top `k` heaviest keys: count, corpus share in
+    * exact micros, plus the global row/key counts and the key-
+    * distribution Shannon entropy — each key's entropy term is
+    * micro-quantized independently (the q134 one-ln-per-term contract)
+    * and integer-summed, so the report is engine-exact. Shape: one
+    * partial-aggregating groupBy, a 1-row broadcast for the totals, a
+    * bounded top-k sort — the corpus never reshuffles.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"skewReport: k must be >= 1, got $k")
+    graft.CacheScope.scoped { cs =>
+      val counts = cs.cache(
+        df.select(col(keyCol).cast("long").as("key"))
+          .groupBy(col("key")).agg(count(lit(1)).as("cnt")))
+      val termMicro = round(
+        log(col("n_rows").cast("double") / col("cnt").cast("double"))
+          * (col("cnt").cast("double") / col("n_rows").cast("double"))
+          * lit(1000000.0)).cast("long")
+      val totals = counts.agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      val enriched = counts.crossJoin(broadcast(totals))
+      val entropy = enriched
+        .agg(sum(termMicro).as("entropy_micro"))
+      enriched.crossJoin(broadcast(entropy))
+        .orderBy(col("cnt").desc, col("key"))
+        .limit(k)
+        .select(col("key"), col("cnt"),
+          round(col("cnt").cast("double") / col("n_rows").cast("double")
+            * lit(1000000.0)).cast("long").as("share_micro"),
+          col("n_rows"), col("n_keys").cast("long").as("n_keys"),
+          col("entropy_micro"))
+        .orderBy(col("cnt").desc, col("key"))
+    }
+  }
+
   def saltedSum(df: DataFrame, keys: Seq[String], value: Column, as: String,
       saltFrom: Column, saltBuckets: Int = 16): DataFrame = {
     val partial = df

@@ -119,4 +119,20 @@ class AnalyticsSpec extends SparkSpec {
       .agg(max("run").as("mx"), sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("tot"))
     assert(perKey.filter(col("mx") =!= col("tot")).count() == 0)
   }
+
+  test("skewReport: hand-computed shares, entropy and top-k order") {
+    import spark.implicits._
+    // key 1 × 6, key 2 × 2, keys 3/4 × 1 → n=10, 4 keys
+    val rows = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L)).toDF("k")
+    val out = Analytics.skewReport(rows, "k", k = 3)
+      .select("key", "cnt", "share_micro", "n_rows", "n_keys", "entropy_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    def term(c: Long): Long =
+      math.round(math.log(10.0 / c) * (c / 10.0) * 1e6)
+    val entropy = term(6) + term(2) + term(1) + term(1)
+    assert(out == Seq(
+      (1L, 6L, 600000L, 10L, 4L, entropy),
+      (2L, 2L, 200000L, 10L, 4L, entropy),
+      (3L, 1L, 100000L, 10L, 4L, entropy)))
+  }
 }
