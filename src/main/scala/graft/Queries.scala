@@ -7920,6 +7920,46 @@ object Queries {
       |ORDER BY cnt DESC, key LIMIT 10
       |""".stripMargin.trim))
 
+  /** Typo-level token dedup via deletion-neighborhood blocking (round
+    * 12 — the FastSS recipe: edit-distance-1 pairs the n-gram/MinHash
+    * families can't see). Plants per doc-class a substitution typo
+    * ("batcx" ~ "batch"), a deletion ("ro" ~ "row") and an insertion
+    * ("sparkk" ~ "spark") next to an unpaired control token; the
+    * blocked equi-join on depth-1 deletion neighborhoods must return
+    * EXACTLY the quadratic scan the oracle runs (the lemma's recall
+    * proof), with `levenshtein` verifying in both engines. Operates on
+    * the distinct-token vocabulary, never the corpus mass.
+    */
+  val q201: Q = Q(
+    "q201_edit_distance_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 1, lit(" batcx"))
+            .when(col("doc_id") % 6 === 2, lit(" ro"))
+            .when(col("doc_id") % 6 === 3, lit(" sparkk"))
+            .when(col("doc_id") % 6 === 4, lit(" zzzz"))
+            .otherwise(lit(""))).as("text"))
+      TextOps.editDistance1Pairs(docs, "doc_id", "text")
+        .orderBy(col("t1"), col("t2"))
+    },
+    Some("""
+      |WITH d AS (SELECT doc_id, text
+      |    || CASE doc_id % 6 WHEN 1 THEN ' batcx' WHEN 2 THEN ' ro'
+      |         WHEN 3 THEN ' sparkk' WHEN 4 THEN ' zzzz' ELSE '' END
+      |      AS text
+      |  FROM documents),
+      |v AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> '')) AS t
+      |    FROM d) GROUP BY 1)
+      |SELECT a.t AS t1, b.t AS t2, a.cnt AS cnt1, b.cnt AS cnt2,
+      |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+      |FROM v a JOIN v b ON a.t < b.t
+      |WHERE levenshtein(a.t, b.t) <= 1
+      |ORDER BY t1, t2
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -7938,5 +7978,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201)
 }

@@ -384,6 +384,43 @@ object TextOps {
         md5(array_join(col("__tfs"), ",")).as("tfs_md5"))
   }
 
+  /** Edit-distance-1 token pairs via deletion-neighborhood blocking
+    * (round 12 — the FastSS recipe, the typo-level dedup the n-gram
+    * and MinHash families can't do: "recieve"/"receive" share few
+    * shingles but are one edit apart). Candidate generation is EXACT
+    * by the deletion-neighborhood lemma: if lev(u, v) ≤ 1 then the
+    * depth-1 deletion neighborhoods N(u) = {u} ∪ {u minus one char}
+    * and N(v) intersect — so an equi-join on neighborhood keys finds
+    * every qualifying pair and `levenshtein` (native in BOTH engines,
+    * same classic DP) verifies exactly. Never an all-pairs product:
+    * each token emits length+1 keys, and key groups are
+    * same-neighborhood-sized. Operates on DISTINCT tokens (vocabulary
+    * mass, not corpus mass); output: token pairs with their distance
+    * and corpus frequencies.
+    */
+  def editDistance1Pairs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = graft.CacheScope.scoped { cs =>
+    val vocab = cs.cache(
+      docs.select(explode(tokens(col(textCol))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("cnt")))
+    // depth-1 deletion neighborhood: the token itself + every
+    // one-char-deleted variant, tagged so the self-key (d=0) and
+    // deletion keys (d=1) exist for the lemma's three match shapes
+    val keyed = vocab.select(col("t"), col("cnt"), explode(concat(
+        array(col("t")),
+        transform(sequence(lit(1), length(col("t"))), i =>
+          concat(col("t").substr(lit(1), i - 1),
+            col("t").substr(i + 1, length(col("t")))))))
+      .as("k"))
+    val a = keyed.as("a"); val b = keyed.as("b")
+    a.join(b, col("a.k") === col("b.k") && col("a.t") < col("b.t"))
+      .select(col("a.t").as("t1"), col("b.t").as("t2"),
+        col("a.cnt").as("cnt1"), col("b.cnt").as("cnt2"),
+        levenshtein(col("a.t"), col("b.t")).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= 1)
+  }
+
   /** Shared scrub core: gram doc-frequencies vs a threshold that may
     * depend on the corpus doc count (exposed to `mkThreshold` as the
     * broadcast scalar column `__total`). */

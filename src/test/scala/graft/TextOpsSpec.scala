@@ -506,6 +506,37 @@ class TextOpsSpec extends SparkSpec {
     assert(out(("y", 0L)).getLong(2) == 1)
   }
 
+  test("editDistance1Pairs: deletion-neighborhood blocking equals quadratic") {
+    val docs = Seq(
+      (0L, "cat cut cat"),      // substitution pair, cnt(cat)=2
+      (1L, "cats scat at"),     // insertion (cat/cats), deletion (cat/at)
+      (2L, "dog dgo"),          // transposition = distance 2: EXCLUDED
+      (3L, "lonely")            // no partner
+    ).toDF("doc_id", "text")
+    val out = TextOps.editDistance1Pairs(docs, "doc_id", "text")
+      .select("t1", "t2", "cnt1", "cnt2", "dist")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    // quadratic reference over the same vocabulary
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = Seq("cat" -> 2L, "cut" -> 1L, "cats" -> 1L, "scat" -> 1L,
+      "at" -> 1L, "dog" -> 1L, "dgo" -> 1L, "lonely" -> 1L)
+    val brute = (for {
+      (a, ca) <- vocab; (b, cb) <- vocab if a < b
+      d = lev(a, b) if d <= 1
+    } yield (a, b, ca, cb, d.toLong)).toSet
+    assert(out == brute, s"banded $out != quadratic $brute")
+    // the three edit shapes are found, the distance-2 transposition is not
+    assert(out.map(p => (p._1, p._2)) ==
+      Set(("cat", "cats"), ("cat", "cut"), ("at", "cat"), ("cat", "scat")))
+  }
+
   test("repetitionStats: hand-computed Gopher repetition signals") {
     val docs = Seq(
       // doc 0: 3 lines, one repeated ("dup dup"); tokens carry a
