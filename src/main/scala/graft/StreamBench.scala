@@ -187,6 +187,35 @@ object StreamBench {
     val nDrifted = mon.where(col("drifted")).count()
     println(f"""{"op":"drift_gate_psi","rows":$nDocs,"secs":$gsecs%.2f,"rows_per_sec":${(nDocs / gsecs).toLong},"micro_batches":$gbatches,"state_rows":$gStateRows,"monitor_rows":$nMon,"drifted":$nDrifted}""")
 
+    // round-12: KMV distinct-token monitor — state must stay ONE row per
+    // source whose payload is <= k longs, at ANY corpus scale (the
+    // bounded-sketch contract; compare state_rows at 1x vs 10x)
+    val kmvReplay = s"$replay/docs_kmv"
+    val docsSrc = Ingest.table(spark, sfDir, "documents")
+      .select(col("source"), col("text"))
+    docsSrc.repartition(16).write.parquet(s"$kmvReplay/in")
+    val kSchema = spark.read.parquet(s"$kmvReplay/in").schema
+    val ksrc = spark.readStream.schema(kSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$kmvReplay/in")
+    val k0 = System.nanoTime()
+    val kq = StreamingOps.distinctMonitorStream(ksrc, "source", "text", k = 64)
+      .toDF().writeStream.format("noop")
+      .outputMode("update")
+      .option("checkpointLocation", s"$kmvReplay/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    kq.awaitTermination()
+    val ksecs = (System.nanoTime() - k0) / 1e9
+    val klast = Option(kq.lastProgress)
+    val kbatches = klast.map(_.batchId + 1).getOrElse(0L)
+    val kStateRows = klast
+      .flatMap(p => Option(p.stateOperators)).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+    val kStateBytes = klast
+      .flatMap(p => Option(p.stateOperators)).map(_.map(_.memoryUsedBytes).sum).getOrElse(0L)
+    kq.stop()
+    println(f"""{"op":"kmv_distinct_monitor","rows":$nDocs,"secs":$ksecs%.2f,"rows_per_sec":${(nDocs / ksecs).toLong},"micro_batches":$kbatches,"state_rows":$kStateRows,"state_bytes":$kStateBytes}""")
+
     spark.stop()
   }
 }

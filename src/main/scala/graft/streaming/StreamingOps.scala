@@ -644,4 +644,75 @@ object StreamingOps {
       ()
     }
   }
+
+  /** Per-key streaming distinct estimate after each micro-batch. */
+  case class DistinctEstimate(key: String, n_rows: Long, n_mins: Long,
+      est_distinct: Double)
+
+  /** Streaming per-source distinct-token monitor with KMV-sketch state
+    * (round 12 — the vocabulary-growth / cardinality dashboard a crawl
+    * firehose runs; "did source X suddenly start emitting random
+    * strings?"). State per key is the k smallest md5-affine token
+    * hashes — BOUNDED at k longs by construction, the property the
+    * exact distinct groupBy lacks when the vocabulary doesn't fit
+    * state (same rationale as the batch `graft_kmv`, q60, whose hash
+    * family and estimator this reuses EXACTLY, so the stream's final
+    * answer equals the batch sketch over the union of all batches —
+    * the StreamingSpec batch-equivalence contract). Emits one
+    * [[DistinctEstimate]] per key per micro-batch (Update mode):
+    * cumulative rows seen, live sketch size, current estimate. No
+    * timeout: the sketch is the compaction.
+    */
+  def distinctMonitorStream(docs: DataFrame, keyCol: String,
+      textCol: String, k: Int): Dataset[DistinctEstimate] = {
+    require(k >= 2 && k <= 4096, s"distinctMonitorStream: bad k $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(keyCol).cast("string").as("key"),
+        col(textCol).cast("string").as("text"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[Long], Long), DistinctEstimate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, String)],
+            state: GroupState[(Array[Long], Long)]) =>
+          val (mins0, n0) = state.getOption.getOrElse((Array.empty[Long], 0L))
+          val set = scala.collection.mutable.TreeSet.empty[Long] ++ mins0
+          var n = n0
+          rows.foreach { case (_, text) =>
+            n += 1
+            if (text != null) {
+              text.toLowerCase.split("\\s+").foreach { tok =>
+                if (tok.nonEmpty) {
+                  val h = kmvTokenHash(tok)
+                  if (set.size < k) set += h
+                  else if (h < set.max) { set += h; if (set.size > k) set -= set.max }
+                }
+              }
+            }
+          }
+          val arr = set.toArray // TreeSet iterates ascending
+          state.update((arr, n))
+          val est =
+            if (arr.length < k) arr.length.toDouble
+            else (k - 1) * graft.functions.KmvDistinctSketch.HashRange / arr(k - 1)
+          Iterator.single(DistinctEstimate(key, n, arr.length.toLong, est))
+      }
+  }
+
+  /** The q60/graft_kmv hash, JVM form: decimal value of the first 15
+    * hex digits of md5(token) — digit-for-digit the column expression
+    * `conv(substring(md5(token), 1, 15), 16, 10)`. */
+  def kmvTokenHash(token: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 15) {
+      val b = dig(i / 2) & 0xff
+      v = (v << 4) | (if (i % 2 == 0) b >>> 4 else b & 0x0f)
+      i += 1
+    }
+    v
+  }
 }

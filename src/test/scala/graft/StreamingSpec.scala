@@ -641,4 +641,47 @@ class StreamingSpec extends SparkSpec {
       assert(mon(1).getAs[Long]("psi_scaled") == batchPsi)
     } finally q.stop()
   }
+
+  test("distinctMonitorStream: bounded KMV state, batch-equivalent estimates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val est = StreamingOps.distinctMonitorStream(
+      mem.toDF().toDF("src", "text"), "src", "text", k = 4)
+    val q = est.toDF().writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(("a", "x1 x2 x3"), ("b", "y1"))
+      q.processAllAvailable()
+      mem.addData(("a", "x2 x4 x5 x6 x7"), ("b", "y1 y1 y2"))
+      q.processAllAvailable()
+      val out = spark.table("kmv_out")
+        .select("key", "n_rows", "n_mins", "est_distinct")
+        .as[(String, Long, Long, Double)].collect()
+      // per-batch emission: one row per key per batch it appeared in
+      val aRows = out.filter(_._1 == "a").sortBy(_._2)
+      assert(aRows.map(_._2).toSeq == Seq(1L, 2L))
+      // batch 1: 3 distinct < k -> exact
+      assert(aRows(0)._3 == 3L && aRows(0)._4 == 3.0)
+      // final estimates equal the batch KMV over the UNION of batches,
+      // computed independently with the same hash family
+      def batchKmv(tokens: Seq[String], k: Int): (Long, Double) = {
+        val hs = tokens.distinct.map(StreamingOps.kmvTokenHash).sorted.take(k)
+        val est =
+          if (hs.length < k) hs.length.toDouble
+          else (k - 1) * graft.functions.KmvDistinctSketch.HashRange / hs(k - 1)
+        (hs.length.toLong, est)
+      }
+      val aFinal = aRows.last
+      val aExp = batchKmv(Seq("x1", "x2", "x3", "x4", "x5", "x6", "x7"), 4)
+      assert((aFinal._3, aFinal._4) == aExp,
+        s"stream final $aFinal != batch sketch $aExp")
+      // state is bounded: sketch size never exceeds k even at 7 distinct
+      assert(aFinal._3 == 4L)
+      val bFinal = out.filter(_._1 == "b").maxBy(_._2)
+      val bExp = batchKmv(Seq("y1", "y2"), 4)
+      assert(bFinal._2 == 2L && (bFinal._3, bFinal._4) == bExp)
+      // under k distinct -> the estimate is EXACT
+      assert(bFinal._4 == 2.0)
+    } finally q.stop()
+  }
 }
