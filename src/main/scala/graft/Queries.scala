@@ -7960,6 +7960,75 @@ object Queries {
       |ORDER BY t1, t2
       |""".stripMargin.trim))
 
+  /** Incremental dedup-cluster update (round 12 — the batch-update half
+    * of the cluster lifecycle next to q161's admission loop): docs
+    * < 350 are "yesterday" (their pairwise near-dup edges already
+    * reduced to a cluster ASSIGNMENT), docs ≥ 350 land today with the
+    * edges that touch them; [[graft.operators.Analytics
+    * .incrementalComponents]] updates the assignment from the star
+    * edges + the delta only. The ORACLE is q61's FULL recompute over
+    * every pair — so the incremental-equals-recompute theorem (star
+    * edges preserve connectivity classes; merged components take the
+    * global min id) is hash-checked on real blocked-Jaccard edges, not
+    * asserted. Cost scales with |assignment| + |batch|, never the
+    * lifetime edge count.
+    */
+  private def q202StateDir(dir: String): String =
+    s"/tmp/graft_q202_${Integer.toHexString(dir.hashCode)}"
+
+  val q202: Q = Q(
+    "q202_incremental_components",
+    (s, dir) => {
+      // TIMED: the production steady state — yesterday's persisted
+      // assignment + today's delta edges in, updated assignment out.
+      val st = q202StateDir(dir)
+      val assignment = s.read.parquet(s"$st/assignment")
+      val newEdges = s.read.parquet(s"$st/delta")
+      val updated = Analytics.incrementalComponents(assignment, "doc_id",
+          "component", newEdges, "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+      t(s, dir, "documents").select(col("doc_id"))
+        .join(updated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep",
+          when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    },
+    prepare = Some((s, dir) => {
+      // UNTIMED setup: "yesterday's" pipeline — pair generation over the
+      // old corpus reduced to a persisted assignment, plus today's delta
+      // edges (the work a production pipeline already paid on prior days;
+      // its own price is benched by q61/q36)
+      val cutoff = 350L
+      val st = q202StateDir(dir)
+      val pairs = ngramJaccardPairs(s, dir, theta = 0.7)
+        .select(col("id1").cast("long").as("id1"),
+          col("id2").cast("long").as("id2"))
+      val oldDocs = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < cutoff)
+      oldDocs
+        .join(Analytics.connectedComponents(
+            pairs.filter(col("id2") < cutoff), "id1", "id2")
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .write.mode("overwrite").parquet(s"$st/assignment")
+      pairs.filter(col("id2") >= cutoff)
+        .write.mode("overwrite").parquet(s"$st/delta")
+    }),
+    oracle = Some((ngramPairsSql(0.7) + """,
+      |e AS (SELECT id1 AS a, id2 AS b FROM pr
+      |      UNION ALL SELECT id2, id1 FROM pr),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS l FROM documents
+      |  UNION
+      |  SELECT e.a, reach.l FROM e JOIN reach ON e.b = reach.id)
+      |SELECT id AS doc_id, min(l) AS cluster_id,
+      |  CAST(CASE WHEN id = min(l) THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id
+      |""").stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -7978,5 +8047,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
 }

@@ -289,6 +289,29 @@ object Analytics {
       .withColumn(valCol, last(col(valCol), ignoreNulls = true).over(w))
   }
 
+  /** Incremental connected components (round 12 — the batch-update half
+    * of the dedup-cluster lifecycle: q161 admits documents against a
+    * persisted LSH ledger, THIS updates the cluster assignment when the
+    * day's near-dup edges land, without re-touching the historical edge
+    * set). A previous (id, component) assignment is connectivity-
+    * equivalent to its STAR EDGES (id → component), so running CC over
+    * (star edges ∪ new edges) returns exactly the assignment a full
+    * recompute over (all old edges ∪ new edges) would — merged
+    * components take the global min-id label, untouched components keep
+    * theirs, and the cost scales with |assignment| + |batch| instead of
+    * the lifetime edge count. The q202 oracle IS the full recompute, so
+    * the equivalence is hash-checked, not asserted.
+    */
+  def incrementalComponents(assignment: DataFrame, idCol: String,
+      compCol: String, newEdges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val star = assignment.select(col(idCol).cast("long").as("u"),
+      col(compCol).cast("long").as("v"))
+    val delta = newEdges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    connectedComponentsStar(star.unionByName(delta), "u", "v")
+  }
+
   /** Connected components via alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SOCC'14) — the deep-graph fallback behind the same

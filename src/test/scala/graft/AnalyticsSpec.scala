@@ -120,6 +120,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(perKey.filter(col("mx") =!= col("tot")).count() == 0)
   }
 
+  test("incrementalComponents: update == full recompute; merges take global min") {
+    import spark.implicits._
+    // yesterday: components {1,2,3} (label 1), {5,6} (label 5), singleton 9
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val assignment = Analytics.connectedComponents(oldEdges, "a", "b")
+      .withColumnRenamed("id", "node")
+      .unionByName(Seq((9L, 9L)).toDF("node", "component")) // old singleton
+    // today: edge 3-5 MERGES the two components; 10-11 is a brand-new
+    // pair; 9 stays untouched
+    val newEdges = Seq((3L, 5L), (10L, 11L)).toDF("a", "b")
+    val inc = Analytics.incrementalComponents(assignment, "node",
+        "component", newEdges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    // full recompute over ALL edges for comparison
+    val full = Analytics.connectedComponents(
+        oldEdges.unionByName(newEdges), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc.filterKeys(_ != 9L).toMap == full,
+      s"incremental $inc != recompute $full") // 9 has no edges in full
+    // merged component takes the GLOBAL min id
+    assert(Seq(1L, 2L, 3L, 5L, 6L).forall(inc(_) == 1L))
+    assert(inc(10L) == 10L && inc(11L) == 10L)
+    assert(inc(9L) == 9L) // untouched singleton survives via its star edge
+  }
+
   test("skewReport: hand-computed shares, entropy and top-k order") {
     import spark.implicits._
     // key 1 × 6, key 2 × 2, keys 3/4 × 1 → n=10, 4 keys
