@@ -645,6 +645,47 @@ object StreamingOps {
     }
   }
 
+  /** Streaming incremental dedup-cluster maintenance (round 12 — the
+    * online face of [[graft.operators.Analytics.incrementalComponents]]
+    * / q202): each micro-batch of near-dup EDGES updates a persisted
+    * (id, component) assignment ledger — CC runs over the previous
+    * assignment's star edges plus the batch delta only, never the
+    * lifetime edge set, and the merged result overwrites the ledger.
+    * Restart-safe by construction: like [[mediaHealthStream]] and
+    * [[driftGateStream]], ALL state lives in the parquet ledger, none
+    * in the state store — a recovered query re-reads the last committed
+    * assignment. The ledger is materialized (lineage-truncated) before
+    * the overwrite because the update plan READ the same path; a
+    * production deployment swaps a table-format version instead of an
+    * in-place parquet overwrite, same shape. StreamingSpec pins the
+    * invariant that after any number of batches the ledger equals the
+    * batch CC over the union of every edge ever streamed.
+    */
+  def incrementalComponentsStream(edges: DataFrame, srcCol: String,
+      dstCol: String, assignmentPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.Analytics
+    edges.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val delta = batch.select(col(srcCol).cast("long").as("id1"),
+        col(dstCol).cast("long").as("id2"))
+      val exists = {
+        val p = new org.apache.hadoop.fs.Path(assignmentPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      val updated =
+        if (exists)
+          Analytics.incrementalComponents(
+            spark.read.parquet(assignmentPath), "id", "component",
+            delta, "id1", "id2")
+        else Analytics.connectedComponentsStar(delta, "id1", "id2")
+      updated.select(col("id"), col("component"))
+        .localCheckpoint() // pin before overwriting the path we read
+        .write.mode("overwrite").parquet(assignmentPath)
+      ()
+    }
+  }
+
   /** Per-key streaming distinct estimate after each micro-batch. */
   case class DistinctEstimate(key: String, n_rows: Long, n_mins: Long,
       est_distinct: Double)

@@ -642,6 +642,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incrementalComponentsStream: ledger equals batch CC over all streamed edges") {
+    implicit val sqlCtx = spark.sqlContext
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft-inc-cc").toString + "/assignment"
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.incrementalComponentsStream(
+        mem.toDF().toDF("src", "dst"), "src", "dst", ledger)
+      .option("checkpointLocation", ledger + "-ckpt")
+      .start()
+    try {
+      // batch 1: components {1,2} and {5,6}
+      mem.addData((1L, 2L), (5L, 6L))
+      q.processAllAvailable()
+      val a1 = spark.read.parquet(ledger)
+        .as[(Long, Long)].collect().toMap
+      assert(a1 == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+      // batch 2: 2-3 extends, 3-5 MERGES the two, 10-11 is new
+      mem.addData((2L, 3L), (3L, 5L), (10L, 11L))
+      q.processAllAvailable()
+      val a2 = spark.read.parquet(ledger)
+        .as[(Long, Long)].collect().toMap
+      val full = graft.operators.Analytics.connectedComponentsStar(
+          Seq((1L, 2L), (5L, 6L), (2L, 3L), (3L, 5L), (10L, 11L))
+            .toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(a2 == full, s"ledger $a2 != full recompute $full")
+      assert(Seq(1L, 2L, 3L, 5L, 6L).forall(a2(_) == 1L)) // global min
+    } finally q.stop()
+  }
+
   test("distinctMonitorStream: bounded KMV state, batch-equivalent estimates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
