@@ -7902,7 +7902,7 @@ object Queries {
     (s, dir) => Analytics.skewReport(t(s, dir, "lineitem"), "l_suppkey",
       k = 10),
     Some("""
-      |WITH c AS (SELECT CAST(l_suppkey AS BIGINT) AS key,
+      |WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
       |    CAST(COUNT(*) AS BIGINT) AS cnt
       |  FROM lineitem GROUP BY 1),
       |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,

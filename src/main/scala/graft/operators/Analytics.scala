@@ -540,8 +540,10 @@ object Analytics {
   def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, s"skewReport: k must be >= 1, got $k")
     graft.CacheScope.scoped { cs =>
+      // string key: the report works for ANY key type (domains are the
+      // most common 100 TB skew culprit, and they are strings)
       val counts = cs.cache(
-        df.select(col(keyCol).cast("long").as("key"))
+        df.select(col(keyCol).cast("string").as("key"))
           .groupBy(col("key")).agg(count(lit(1)).as("cnt")))
       val termMicro = round(
         log(col("n_rows").cast("double") / col("cnt").cast("double"))

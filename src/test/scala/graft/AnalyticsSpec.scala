@@ -151,13 +151,14 @@ class AnalyticsSpec extends SparkSpec {
     val rows = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L)).toDF("k")
     val out = Analytics.skewReport(rows, "k", k = 3)
       .select("key", "cnt", "share_micro", "n_rows", "n_keys", "entropy_micro")
-      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
     def term(c: Long): Long =
       math.round(math.log(10.0 / c) * (c / 10.0) * 1e6)
     val entropy = term(6) + term(2) + term(1) + term(1)
+    // keys report as strings: the 100 TB skew culprit is usually a domain
     assert(out == Seq(
-      (1L, 6L, 600000L, 10L, 4L, entropy),
-      (2L, 2L, 200000L, 10L, 4L, entropy),
-      (3L, 1L, 100000L, 10L, 4L, entropy)))
+      ("1", 6L, 600000L, 10L, 4L, entropy),
+      ("2", 2L, 200000L, 10L, 4L, entropy),
+      ("3", 1L, 100000L, 10L, 4L, entropy)))
   }
 }
