@@ -7577,12 +7577,15 @@ object Queries {
     * mod-10 check are order ids and timestamps, not cards, and
     * redacting them destroys good text). Plants per doc: a VALID card
     * (15 deterministic digits + the computed Luhn check digit), an
-    * INVALID twin (check digit +5 — must survive unredacted), and a
-    * 12-digit run (too short — not even a candidate). Both engines
+    * INVALID twin (check digit +5 — must survive unredacted), a
+    * 12-digit run (too short — not even a candidate), and an 18-digit
+    * run whose 16-digit PREFIX is the valid card (round 13 — maximal-
+    * run candidate extraction must refuse it; the old bounded-quantifier
+    * regex would have redacted the prefix mid-number). Both engines
     * compute the check digit and the validation sum with the same
-    * digit-doubling fold, so every count and the scrubbed-text hash
-    * replay exactly. Entirely map-side (see
-    * [[graft.operators.TextOps.luhnScrub]]).
+    * digit-doubling fold over the same maximal-run partition, so every
+    * count and the scrubbed-text hash replay exactly. Entirely map-side
+    * (see [[graft.operators.TextOps.luhnScrub]]).
     */
   val q194: Q = Q(
     "q194_luhn_scrub",
@@ -7604,6 +7607,9 @@ object Queries {
             concat(lit(" num "),
               lpad((col("doc_id") % lit(1000000000000L)).cast("string"),
                 12, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 4,
+            concat(lit(" long "), p15, chk.cast("string"), lit("77")))
             .otherwise(lit(""))).as("text"))
       TextOps.luhnScrub(docs, "doc_id", "text").orderBy(col("doc_id"))
     },
@@ -7630,24 +7636,32 @@ object Queries {
       |         ELSE '' END
       |    || CASE WHEN doc_id % 5 = 3
       |         THEN ' num ' || lpad(CAST(doc_id % 1000000000000 AS VARCHAR), 12, '0')
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 4
+      |         THEN ' long ' || p15 || CAST(chk AS VARCHAR) || '77'
       |         ELSE '' END AS text
       |  FROM pc),
-      |c AS (SELECT doc_id, text,
-      |    regexp_extract_all(text, '[0-9]{13,16}') AS cands
+      |c AS (SELECT doc_id,
+      |    regexp_extract_all(text, '[0-9]+|[^0-9]+') AS parts
       |  FROM d),
-      |v AS (SELECT doc_id, text, cands,
-      |    list_filter(cands, x -> list_sum(list_transform(range(1, len(x) + 1),
+      |v AS (SELECT doc_id, parts,
+      |    list_filter(parts, x -> substr(x, 1, 1) BETWEEN '0' AND '9'
+      |      AND len(x) BETWEEN 13 AND 16) AS cands,
+      |    list_filter(parts, x -> substr(x, 1, 1) BETWEEN '0' AND '9'
+      |      AND len(x) BETWEEN 13 AND 16
+      |      AND list_sum(list_transform(range(1, len(x) + 1),
       |      i -> CASE WHEN i % 2 = 0 THEN
-      |        CASE WHEN 2 * CAST(substr(reverse(x), CAST(i AS INT), 1) AS INT) > 9
-      |          THEN 2 * CAST(substr(reverse(x), CAST(i AS INT), 1) AS INT) - 9
-      |          ELSE 2 * CAST(substr(reverse(x), CAST(i AS INT), 1) AS INT) END
-      |      ELSE CAST(substr(reverse(x), CAST(i AS INT), 1) AS INT) END))
+      |        CASE WHEN 2 * TRY_CAST(substr(reverse(x), CAST(i AS INT), 1) AS INT) > 9
+      |          THEN 2 * TRY_CAST(substr(reverse(x), CAST(i AS INT), 1) AS INT) - 9
+      |          ELSE 2 * TRY_CAST(substr(reverse(x), CAST(i AS INT), 1) AS INT) END
+      |      ELSE TRY_CAST(substr(reverse(x), CAST(i AS INT), 1) AS INT) END))
       |      % 10 = 0) AS valid
       |  FROM c)
       |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
       |  CAST(len(valid) AS BIGINT) AS n_valid,
-      |  md5(list_reduce(list_prepend(text, valid),
-      |    (acc, x) -> replace(acc, x, '<CARD>'))) AS scrubbed_fp
+      |  md5(COALESCE(array_to_string(list_transform(parts, x ->
+      |    CASE WHEN list_contains(valid, x) THEN '<CARD>' ELSE x END), ''),
+      |    '')) AS scrubbed_fp
       |FROM v ORDER BY doc_id
       |""".stripMargin.trim))
 

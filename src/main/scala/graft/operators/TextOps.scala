@@ -323,25 +323,38 @@ object TextOps {
     pmod(lit(10) - pmod(s, lit(10)), lit(10))
   }
 
-  /** Checksum-validated credit-card scrub (round 12 — the PII stage
-    * q58's regexes can't do honestly: a bare 13–16-digit regex redacts
-    * order ids, timestamps and checksums that merely LOOK like cards;
-    * production scrubbers validate the Luhn digit first, as every
-    * issuer network's numbers carry it). Per document: extract the
-    * digit-run candidates, keep the Luhn-valid ones, replace exactly
-    * those occurrences. Output: candidate count, valid count, md5 of
-    * the scrubbed text. Entirely map-side column work — the text
-    * column never shuffles.
+  /** Checksum-validated credit-card scrub (round 12, boundary-exact
+    * since round 13 — the PII stage q58's regexes can't do honestly: a
+    * bare 13–16-digit regex redacts order ids, timestamps and checksums
+    * that merely LOOK like cards; production scrubbers validate the
+    * Luhn digit first, as every issuer network's numbers carry it).
+    * The text is partitioned into MAXIMAL digit / non-digit runs, so a
+    * 17+-digit run (timestamp, order id) can never contribute its
+    * 16-digit prefix as a candidate, and redaction rewrites exactly the
+    * validated runs in place — never a candidate's digits appearing as
+    * a substring of some longer run elsewhere (both bugs of the old
+    * `[0-9]{13,16}` + string-replace shape). Maximal-run partitioning
+    * is plain alternation (`[0-9]+|[^0-9]+`), deliberately avoiding
+    * lookarounds so the DuckDB (RE2) oracle replays it verbatim.
+    * Per document: candidate count (13–16-digit maximal runs), valid
+    * count (Luhn-pass), md5 of the reassembled scrubbed text. Entirely
+    * map-side column work — the text column never shuffles.
     */
-  def luhnScrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), col(textCol).as("__t"),
-        expr(s"regexp_extract_all($textCol, '[0-9]{13,16}', 0)").as("__c"))
-      .withColumn("__v", filter(col("__c"), c => luhnValid(c)))
+  def luhnScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def isCand(p: Column): Column =
+      p.substr(lit(1), lit(1)).between("0", "9") &&
+        length(p).between(13, 16)
+    df.select(col(idCol),
+        expr(s"regexp_extract_all($textCol, '[0-9]+|[^0-9]+', 0)").as("__p"))
       .select(col(idCol),
-        size(col("__c")).cast("long").as("n_candidates"),
-        size(col("__v")).cast("long").as("n_valid"),
-        md5(aggregate(col("__v"), col("__t"),
-          (acc, c) => replace(acc, c, lit("<CARD>")))).as("scrubbed_fp"))
+        size(filter(col("__p"), p => isCand(p)))
+          .cast("long").as("n_candidates"),
+        size(filter(col("__p"), p => isCand(p) && luhnValid(p)))
+          .cast("long").as("n_valid"),
+        md5(array_join(transform(col("__p"), p =>
+          when(isCand(p) && luhnValid(p), lit("<CARD>")).otherwise(p)),
+          "")).as("scrubbed_fp"))
+  }
 
   /** Blocked inverted-index export (round 12 — the IR-serving artifact
     * a retrieval pipeline materializes from a corpus; BM25 q117 and

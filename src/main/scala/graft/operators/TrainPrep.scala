@@ -696,8 +696,28 @@ object TrainPrep {
     * distinct-score count, never its row count; no partitionless sort
     * anywhere (the global-AUC caller passes a constant group).
     */
+  /** The integer-score contract, enforced: both eval operators cast the
+    * score to long, so a fractional classifier score in [0, 1] would
+    * silently truncate to 0 and collapse every row into one tie
+    * (AUC 0.5 with no error). Callers with fractional scores must
+    * quantize first (e.g. `round(score * 1e6)` — the micro contract).
+    */
+  private def requireIntegralScore(df: DataFrame, scoreCol: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val dt = df.select(col(scoreCol)).schema.head.dataType
+    val ok = dt == ByteType || dt == ShortType || dt == IntegerType ||
+      dt == LongType
+    require(ok,
+      s"$op: score column '$scoreCol' must be an integral type " +
+        s"(byte/short/int/long), got $dt — quantize fractional scores " +
+        "explicitly (e.g. round(score * 1e6)) instead of relying on a " +
+        "silent truncating cast")
+  }
+
   def groupAuc(df: DataFrame, groupCol: String, scoreCol: String,
       labelCol: String): DataFrame = {
+    requireIntegralScore(df, scoreCol, "groupAuc")
     val perScore = df.select(col(groupCol).as("grp"),
         col(scoreCol).cast("long").as("s"),
         col(labelCol).cast("boolean").as("y"))
@@ -731,6 +751,7 @@ object TrainPrep {
   def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
       nBins: Int): DataFrame = {
     require(nBins >= 2 && nBins <= 1024, s"calibrationBins: bad nBins $nBins")
+    requireIntegralScore(df, scoreCol, "calibrationBins")
     val base = df.select(col(scoreCol).cast("long").as("s"),
       col(labelCol).cast("boolean").as("y"))
     val mm = base.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))

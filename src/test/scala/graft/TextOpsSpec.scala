@@ -465,7 +465,15 @@ class TextOpsSpec extends SparkSpec {
       (1L, "ref 4539148803436468 is an order id"),
       (2L, "cards 5555555555554444 and 4111111111111111 both"),
       (3L, "short 123456789012 run"),
-      (4L, "just words")
+      (4L, "just words"),
+      // 18-digit run whose 16-digit PREFIX is Luhn-valid: maximal-run
+      // extraction must not even see a candidate (the old {13,16}
+      // quantifier redacted the prefix mid-number)
+      (5L, "big 453914880343646777 run"),
+      // a valid card AND a 17-digit run CONTAINING its digits: only the
+      // standalone run is redacted (the old string-replace rewrote the
+      // card's digits inside the longer run too)
+      (6L, "pay 4539148803436467 and ref 45391488034364677 twice")
     ).toDF("doc_id", "text")
     val out = TextOps.luhnScrub(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
@@ -481,6 +489,11 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3).getLong(1) == 0 && out(3).getLong(2) == 0)
     assert(out(4).getLong(1) == 0 &&
       out(4).getString(3) == md5of("just words"))
+    assert(out(5).getLong(1) == 0 && out(5).getLong(2) == 0)
+    assert(out(5).getString(3) == md5of("big 453914880343646777 run"))
+    assert(out(6).getLong(1) == 1 && out(6).getLong(2) == 1)
+    assert(out(6).getString(3) ==
+      md5of("pay <CARD> and ref 45391488034364677 twice"))
   }
 
   test("invertedIndexBlocks: blocks, delta gaps and tf streams (hand-computed)") {

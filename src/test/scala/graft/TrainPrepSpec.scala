@@ -370,6 +370,21 @@ class TrainPrepSpec extends SparkSpec {
       (2L, 4L, 4L, 8L, 11L, 1.0), (3L, 4L, 4L, 12L, 15L, 1.0)))
   }
 
+  test("groupAuc/calibrationBins: fractional score columns are rejected") {
+    import graft.operators.TrainPrep
+    // a silent cast("long") would truncate every score in [0, 1] to 0
+    // and report AUC 0.5 with no error — the guard makes it loud
+    val rows = Seq(("a", 0.7, true), ("a", 0.3, false)).toDF("g", "score", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      TrainPrep.groupAuc(rows, "g", "score", "y")
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      TrainPrep.calibrationBins(rows, "score", "y", nBins = 4)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("gateAgreement: Cohen's kappa — perfect, chance-level, hand table") {
     import graft.operators.TrainPrep
     def kappa(rows: Seq[(Boolean, Boolean)]): (Long, Long, Option[Double]) = {
