@@ -559,9 +559,9 @@ object StreamingOps {
     * item): at 100 TB a corrupt-payload regression surfaces as a
     * per-format rate moving on this ledger within one trigger, instead
     * of silently skewing width/height distributions downstream. State
-    * lives in the parquet ledger (one row per format), not the state
-    * store — restart-safe by construction, and `complete`-free so any
-    * sink works.
+    * lives in a [[VersionedLedger]] (one row per format), not the state
+    * store — restart-safe AND crash-atomic by construction (snapshot +
+    * pointer swap, round 13), and `complete`-free so any sink works.
     */
   def mediaHealthStream(media: DataFrame, idCol: String, binCol: String,
       ledgerPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -572,30 +572,29 @@ object StreamingOps {
         .agg(count(lit(1)).as("n_seen"),
           sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_ok"))
       val spark = batch.sparkSession
-      // resolve existence through the Hadoop FileSystem, not java.io.File:
-      // the ledger is read/written as a Spark path, so on hdfs:// or s3a://
-      // a local-file check would always be false and silently reset the
-      // cumulative ledger to the current batch every trigger
-      val ledgerExists = {
-        val p = new org.apache.hadoop.fs.Path(ledgerPath)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      // ledger state lives behind VersionedLedger (round 13): commits are
+      // write-new-snapshot + atomic pointer swap, so a crash mid-commit
+      // can never lose the cumulative ledger — and existence resolves
+      // through the pointer, never a local-file check
+      val merged = VersionedLedger.read(spark, ledgerPath) match {
+        case Some(prev) =>
+          prev.select(col("format"), col("n_seen"), col("n_ok"))
+            .unionByName(delta)
+            .groupBy(col("format"))
+            .agg(sum(col("n_seen")).as("n_seen"), sum(col("n_ok")).as("n_ok"))
+        case None => delta
       }
-      val merged = if (ledgerExists) {
-        val prev = spark.read.parquet(ledgerPath)
-          .select(col("format"), col("n_seen"), col("n_ok"))
-        prev.unionByName(delta)
-          .groupBy(col("format"))
-          .agg(sum(col("n_seen")).as("n_seen"), sum(col("n_ok")).as("n_ok"))
-      } else delta
       val rows = merged
         .withColumn("fail_rate",
           (col("n_seen") - col("n_ok")).cast("double") / col("n_seen").cast("double"))
         .collect() // O(formats): bounded by the codec registry size
       import spark.implicits._
-      rows.map(r => (r.getAs[String]("format"), r.getAs[Long]("n_seen"),
-          r.getAs[Long]("n_ok"), r.getAs[Double]("fail_rate")))
-        .toSeq.toDF("format", "n_seen", "n_ok", "fail_rate")
-        .coalesce(1).write.mode("overwrite").parquet(ledgerPath)
+      VersionedLedger.commit(
+        rows.map(r => (r.getAs[String]("format"), r.getAs[Long]("n_seen"),
+            r.getAs[Long]("n_ok"), r.getAs[Double]("fail_rate")))
+          .toSeq.toDF("format", "n_seen", "n_ok", "fail_rate")
+          .coalesce(1),
+        ledgerPath)
       ()
     }
   }
@@ -623,7 +622,14 @@ object StreamingOps {
     import graft.operators.TrainPrep
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val ref = spark.read.parquet(referencePath)
+      // the reference may be a plain one-shot histogram dump or a
+      // VersionedLedger (round 13): resolving through readOrPlain means a
+      // refit via commitDriftReference swaps in atomically under a live
+      // stream — the gate sees the old reference or the new one, never a
+      // half-deleted dir
+      val ref = VersionedLedger.readOrPlain(spark, referencePath)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"driftGateStream: no reference histogram at $referencePath"))
         .select(col("bucket"), col("n").as("n_a"))
       val cur = TrainPrep.tokenHistogram(batch, textCol, dim)
         .select(col("bucket"), col("n").as("n_b"))
@@ -654,12 +660,18 @@ object StreamingOps {
     * Restart-safe by construction: like [[mediaHealthStream]] and
     * [[driftGateStream]], ALL state lives in the parquet ledger, none
     * in the state store — a recovered query re-reads the last committed
-    * assignment. The ledger is materialized (lineage-truncated) before
-    * the overwrite because the update plan READ the same path; a
-    * production deployment swaps a table-format version instead of an
-    * in-place parquet overwrite, same shape. StreamingSpec pins the
-    * invariant that after any number of batches the ledger equals the
-    * batch CC over the union of every edge ever streamed.
+    * assignment. The ledger is a [[VersionedLedger]] (round 13): each
+    * trigger writes a NEW snapshot dir and atomically swaps the pointer,
+    * so a writer killed mid-commit leaves the previous assignment fully
+    * readable — the crash window the old in-place parquet overwrite had
+    * (and which its scaladoc deferred to "a table-format version swap")
+    * is closed by shipping that version swap. No lineage pin is needed
+    * any more: the update plan reads snapshot v{N} and writes v{N+1},
+    * never the path it read (and [[graft.operators.Analytics
+    * .connectedComponentsStar]] already truncates per-round lineage
+    * internally). StreamingSpec pins the invariant that after any number
+    * of batches the ledger equals the batch CC over the union of every
+    * edge ever streamed, plus the mid-commit-kill recovery case.
     */
   def incrementalComponentsStream(edges: DataFrame, srcCol: String,
       dstCol: String, assignmentPath: String)
@@ -669,21 +681,26 @@ object StreamingOps {
       val spark = batch.sparkSession
       val delta = batch.select(col(srcCol).cast("long").as("id1"),
         col(dstCol).cast("long").as("id2"))
-      val exists = {
-        val p = new org.apache.hadoop.fs.Path(assignmentPath)
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      val updated = VersionedLedger.read(spark, assignmentPath) match {
+        case Some(prev) => Analytics.incrementalComponents(
+          prev, "id", "component", delta, "id1", "id2")
+        case None => Analytics.connectedComponentsStar(delta, "id1", "id2")
       }
-      val updated =
-        if (exists)
-          Analytics.incrementalComponents(
-            spark.read.parquet(assignmentPath), "id", "component",
-            delta, "id1", "id2")
-        else Analytics.connectedComponentsStar(delta, "id1", "id2")
-      updated.select(col("id"), col("component"))
-        .localCheckpoint() // pin before overwriting the path we read
-        .write.mode("overwrite").parquet(assignmentPath)
+      VersionedLedger.commit(
+        updated.select(col("id"), col("component")), assignmentPath)
       ()
     }
+  }
+
+  /** Atomically (re)fit the [[driftGateStream]] reference histogram:
+    * commit via [[VersionedLedger]] so a refit under a live gate swaps
+    * in whole-or-not-at-all.
+    */
+  def commitDriftReference(docs: DataFrame, textCol: String, dim: Int,
+      referencePath: String): Long = {
+    import graft.operators.TrainPrep
+    VersionedLedger.commit(
+      TrainPrep.tokenHistogram(docs, textCol, dim), referencePath)
   }
 
   /** Per-key streaming distinct estimate after each micro-batch. */
@@ -723,7 +740,10 @@ object StreamingOps {
           rows.foreach { case (_, text) =>
             n += 1
             if (text != null) {
-              text.toLowerCase.split("\\s+").foreach { tok =>
+              // Locale.ROOT: Spark's lower() is locale-independent; the JVM
+              // default-locale toLowerCase would break the q60 batch-
+              // equivalence contract under e.g. a Turkish default locale
+              text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { tok =>
                 if (tok.nonEmpty) {
                   val h = kmvTokenHash(tok)
                   if (set.size < k) set += h

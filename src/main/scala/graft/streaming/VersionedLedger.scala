@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-atomic versioned parquet ledger (round 13 — closes the one
+  * spot where the repo's documented production contract and shipped
+  * mechanism differed: the streaming state ops persisted their ledgers
+  * as in-place parquet `overwrite`, whose delete-then-write window can
+  * lose the ledger to a mid-commit crash; the scaladocs said
+  * "production swaps a table-format version"). This IS that version
+  * swap, on nothing but the Hadoop FileSystem API, so it works on
+  * local, HDFS and object stores with atomic metadata rename alike:
+  *
+  * {{{
+  *   <path>/v0/ <path>/v1/ ... <path>/vN/   // immutable snapshot dirs
+  *   <path>/CURRENT                          // one-line pointer: "N"
+  * }}}
+  *
+  * A commit (1) writes the full snapshot to the NEXT version dir —
+  * nothing reads it yet, so a crash here is invisible; then (2) writes
+  * the pointer to a temp file and swaps it over `CURRENT` with
+  * `FileContext.rename(..., Rename.OVERWRITE)` — the same atomic-rename
+  * primitive Spark's own streaming metadata log relies on. Readers
+  * resolve `CURRENT` first, so they see either the old snapshot or the
+  * new one, never a partial delete. A writer killed between (1) and (2)
+  * leaves an orphan `v{N+1}` dir that the recovered writer simply
+  * rewrites (mode `overwrite` on a dir no pointer references) — the
+  * StreamingSpec crash-simulation case pins exactly this.
+  *
+  * GC keeps the current AND previous snapshot (a reader that resolved
+  * the pointer just before a swap may still be scanning N-1; production
+  * table formats keep snapshots for the same reason) and best-effort
+  * deletes anything older. Single-writer by contract — `foreachBatch`
+  * serializes triggers, which is the only writer these ledgers have.
+  */
+object VersionedLedger {
+
+  private val Pointer = "CURRENT"
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The committed version, if any commit ever completed. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+    val ptr = new Path(path, Pointer)
+    val f = fs(spark, ptr)
+    if (!f.exists(ptr)) None
+    else {
+      val in = f.open(ptr)
+      try {
+        val s = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)).readLine()
+        Some(s.trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Last committed snapshot, or None before the first commit. */
+  def read(spark: SparkSession, path: String): Option[DataFrame] =
+    currentVersion(spark, path).map(v => spark.read.parquet(s"$path/v$v"))
+
+  /** Like [[read]] but falls back to reading `path` as a plain parquet
+    * dir when no pointer exists — accepts both a versioned ledger and a
+    * one-shot plain dump (the drift reference was historically the
+    * latter; refits should move to [[commit]] for atomicity).
+    */
+  def readOrPlain(spark: SparkSession, path: String): Option[DataFrame] =
+    currentVersion(spark, path) match {
+      case Some(v) => Some(spark.read.parquet(s"$path/v$v"))
+      case None =>
+        val p = new Path(path)
+        if (fs(spark, p).exists(p)) Some(spark.read.parquet(path)) else None
+    }
+
+  /** Commit half 1 — write the snapshot dir. Exposed (with
+    * [[swapPointer]]) so the crash-simulation spec can kill the writer
+    * between the two halves; callers use [[commit]].
+    */
+  def writeVersion(df: DataFrame, path: String, version: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$path/v$version")
+
+  /** Commit half 2 — atomically swap the pointer to `version` via
+    * temp-file + `FileContext.rename(OVERWRITE)`.
+    */
+  def swapPointer(spark: SparkSession, path: String, version: Long): Unit = {
+    val dir = new Path(path)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val tmp = new Path(dir, s".$Pointer.tmp-${version}")
+    val out = f.create(tmp, true)
+    try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = FileContext.getFileContext(dir.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, new Path(dir, Pointer), Options.Rename.OVERWRITE)
+  }
+
+  /** Atomic full-snapshot commit; returns the committed version. */
+  def commit(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val next = currentVersion(spark, path).map(_ + 1L).getOrElse(0L)
+    writeVersion(df, path, next)
+    swapPointer(spark, path, next)
+    // best-effort GC: keep current + previous (an in-flight reader may
+    // still be scanning N-1), drop older snapshots and orphan tmp files
+    try {
+      val dir = new Path(path)
+      val f = fs(spark, dir)
+      f.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toLong < next - 1L)
+          f.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () }
+    next
+  }
+}

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.StreamingOps
+import graft.streaming.{StreamingOps, VersionedLedger}
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
@@ -579,7 +579,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingOps.mediaHealthStream(
       mem.toDF().toDF("doc_id", "bin"), "doc_id", "bin", dir).start()
     def ledger(): Map[String, (Long, Long, Double)] =
-      spark.read.parquet(dir).collect().map(r =>
+      VersionedLedger.read(spark, dir).get.collect().map(r =>
         r.getAs[String]("format") -> ((r.getAs[Long]("n_seen"),
           r.getAs[Long]("n_ok"), r.getAs[Double]("fail_rate")))).toMap
     try {
@@ -655,13 +655,13 @@ class StreamingSpec extends SparkSpec {
       // batch 1: components {1,2} and {5,6}
       mem.addData((1L, 2L), (5L, 6L))
       q.processAllAvailable()
-      val a1 = spark.read.parquet(ledger)
+      val a1 = VersionedLedger.read(spark, ledger).get
         .as[(Long, Long)].collect().toMap
       assert(a1 == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
       // batch 2: 2-3 extends, 3-5 MERGES the two, 10-11 is new
       mem.addData((2L, 3L), (3L, 5L), (10L, 11L))
       q.processAllAvailable()
-      val a2 = spark.read.parquet(ledger)
+      val a2 = VersionedLedger.read(spark, ledger).get
         .as[(Long, Long)].collect().toMap
       val full = graft.operators.Analytics.connectedComponentsStar(
           Seq((1L, 2L), (5L, 6L), (2L, 3L), (3L, 5L), (10L, 11L))
@@ -669,6 +669,94 @@ class StreamingSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(a2 == full, s"ledger $a2 != full recompute $full")
       assert(Seq(1L, 2L, 3L, 5L, 6L).forall(a2(_) == 1L)) // global min
+    } finally q.stop()
+  }
+
+  test("VersionedLedger: a writer killed between snapshot write and pointer swap loses nothing") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-vled").toString + "/assignment"
+    // commit 1 completes normally
+    val v0 = VersionedLedger.commit(
+      Seq((1L, 1L), (2L, 1L)).toDF("id", "component"), path)
+    assert(v0 == 0L)
+    // a second writer is KILLED between the two commit halves: the next
+    // snapshot dir exists in full, but the pointer was never swapped
+    VersionedLedger.writeVersion(
+      Seq((1L, 99L)).toDF("id", "component"), path, v0 + 1)
+    assert(VersionedLedger.currentVersion(spark, path).contains(0L))
+    val recovered = VersionedLedger.read(spark, path).get
+      .as[(Long, Long)].collect().toMap
+    assert(recovered == Map(1L -> 1L, 2L -> 1L),
+      "prior assignment must survive a mid-commit crash")
+    // the recovered writer re-commits: the orphan v1 dir is simply
+    // rewritten and the pointer lands on it atomically
+    val v1 = VersionedLedger.commit(
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component"), path)
+    assert(v1 == 1L)
+    assert(VersionedLedger.read(spark, path).get.count() == 3L)
+    // GC after one more commit keeps current + previous only
+    val v2 = VersionedLedger.commit(
+      Seq((1L, 1L)).toDF("id", "component"), path)
+    assert(v2 == 2L)
+    val dirs = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(dirs.contains("v2") && dirs.contains("v1") && !dirs.contains("v0"))
+    assert(dirs.contains("CURRENT"))
+  }
+
+  test("incrementalComponentsStream: ledger survives an orphan snapshot from a killed writer") {
+    implicit val sqlCtx = spark.sqlContext
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft-inc-cc-crash").toString + "/assignment"
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingOps.incrementalComponentsStream(
+        mem.toDF().toDF("src", "dst"), "src", "dst", ledger)
+      .option("checkpointLocation", ledger + "-ckpt")
+      .start()
+    try {
+      mem.addData((1L, 2L))
+      q.processAllAvailable()
+      // simulate a previous incarnation killed mid-commit: a full orphan
+      // snapshot at the next version, pointer untouched
+      VersionedLedger.writeVersion(
+        Seq((42L, 42L)).toDF("id", "component"), ledger,
+        VersionedLedger.currentVersion(spark, ledger).get + 1)
+      // next trigger must build on the last COMMITTED assignment (1-2),
+      // not the orphan, and its own commit replaces the orphan dir
+      mem.addData((2L, 3L))
+      q.processAllAvailable()
+      val a = VersionedLedger.read(spark, ledger).get
+        .as[(Long, Long)].collect().toMap
+      assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally q.stop()
+  }
+
+  test("driftGateStream: atomically refit reference swaps in under a live gate") {
+    import graft.operators.TrainPrep
+    val base = java.nio.file.Files.createTempDirectory("graft-drift-v").toString
+    val refPath = s"$base/ref"
+    val monPath = s"$base/mon"
+    // fit the reference through the crash-atomic path this time
+    StreamingOps.commitDriftReference(
+      Seq.fill(20)("alpha beta gamma delta").toDF("text"), "text", 32, refPath)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamingOps.driftGateStream(mem.toDF().toDF("text"), "text",
+      refPath, dim = 32, psiThresholdScaled = 200_000_000_000_000L, monPath).start()
+    try {
+      mem.addData("zz yy xx ww vv uu") // disjoint vocab vs reference
+      q.processAllAvailable()
+      // REFIT the reference to the new vocabulary — atomic under the gate
+      StreamingOps.commitDriftReference(
+        Seq.fill(20)("zz yy xx ww vv uu").toDF("text"), "text", 32, refPath)
+      // identical distribution AT identical token mass → PSI exactly 0
+      // (add-1 smoothing makes proportions mass-sensitive otherwise)
+      mem.addData(Seq.fill(20)("zz yy xx ww vv uu"): _*)
+      q.processAllAvailable()
+      val mon = spark.read.parquet(monPath).orderBy("batch_id").collect()
+      assert(mon.length == 2)
+      assert(mon(0).getAs[Boolean]("drifted"))  // vs old reference
+      assert(!mon(1).getAs[Boolean]("drifted")) // vs refitted reference
+      assert(mon(1).getAs[Long]("psi_scaled") == 0L)
     } finally q.stop()
   }
 
