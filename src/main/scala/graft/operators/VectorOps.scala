@@ -428,15 +428,39 @@ object VectorOps {
     * join and one anchor-partitioned bounded window — shuffles on keys,
     * never vectors; recall follows the sign-bucket blocking (widen via
     * nBits, or swap step 2 for [[ivfTopK]] candidates at extreme scale).
+    *
+    * The positive side (step 1) is all-pairs WITHIN each label — the
+    * contract is class-sized labels, and since round 13 it is ENFORCED,
+    * not just documented: a pre-flight groupBy-count (one cheap pass on
+    * the label column, the same shape as `seedVocab`'s vocab check)
+    * rejects any label larger than `maxLabelSize` before the quadratic
+    * join can be scheduled. A caller that genuinely wants corpus-sized
+    * labels must opt out explicitly (`maxLabelSize <= 0`) — at which
+    * point the quadratic cost is a choice, not an accident.
     */
   def mineSemiHardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int, margin: Double = 0.5,
-      nBits: Int = 8): DataFrame = {
+      nBits: Int = 8, maxLabelSize: Int = 100000): DataFrame = {
     require(k >= 1, s"mineSemiHardNegatives: k must be >= 1, got $k")
     require(margin > 0, s"mineSemiHardNegatives: margin must be > 0, got $margin")
     GraftFunctions.register(corpus.sparkSession)
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(labelCol).cast("long").as("label"), quantize(col(vecCol)).as("v"))
+    if (maxLabelSize > 0) {
+      val biggest = base.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx"), max_by(col("label"), col("n")).as("lbl"))
+        .collect()(0)
+      if (!biggest.isNullAt(0)) {
+        val (mx, lbl) = (biggest.getLong(0), biggest.getLong(1))
+        require(mx <= maxLabelSize,
+          s"mineSemiHardNegatives: label $lbl has $mx members > " +
+            s"maxLabelSize $maxLabelSize — the positive side is all-pairs " +
+            "within each label, so a corpus-sized label would schedule a " +
+            "quadratic join; subsample the label or raise/disable the " +
+            "bound explicitly (maxLabelSize <= 0)")
+      }
+    }
     val pa = base.select(col("label"), col("id").as("anchor_id"), col("v").as("av"))
     val pb = base.select(col("label"), col("id").as("pos_id"), col("v").as("pv"))
     val pos = pa.join(pb, Seq("label"))

@@ -258,6 +258,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(for30.map(_._4).distinct.toSeq == Seq(800000L))
   }
 
+  test("mineSemiHardNegatives: class-size contract is enforced, not just documented") {
+    // the positive side is all-pairs within each label — a corpus-sized
+    // label must be rejected BEFORE the quadratic join can be scheduled
+    val vecs = (0L until 10L).map(i => (i, Seq(1f, i.toFloat), i % 2))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.mineSemiHardNegatives(vecs, "vec_id", "embedding", "label",
+        k = 2, nBits = 2, maxLabelSize = 3)
+    }
+    assert(e.getMessage.contains("all-pairs"))
+    // at the bound it runs; explicit opt-out (<= 0) also runs
+    VectorOps.mineSemiHardNegatives(vecs, "vec_id", "embedding", "label",
+      k = 2, nBits = 2, maxLabelSize = 5).count()
+    VectorOps.mineSemiHardNegatives(vecs, "vec_id", "embedding", "label",
+      k = 2, nBits = 2, maxLabelSize = 0).count()
+  }
+
   test("matryoshkaRecall: full-length prefix is identity; truncation loses rank") {
     // 4-dim vectors where the FIRST 2 dims mislead: query (1,0,0,0);
     // n1 matches on the tail only, n2 on the head only — at dim 2 the
