@@ -7343,19 +7343,19 @@ object Queries {
       |FROM f WHERE rk <= 3 ORDER BY anchor_id, neg_rank
       |""".stripMargin.trim))
 
-  /** Shared q191/q192 oracle CTEs: full SQL replay of the unigram-LM
-    * SEED training — word frequencies, overlapping substring counts
-    * (len ≤ 4), unconditional single-char retention + top multi-char
-    * pieces by (count desc, piece asc) up to vocabSize 48, and the
-    * integer-micro ln(cnt/total) scores. Ends in `sel(piece, cnt,
-    * is_char)` + `tot(total)`.
+  /** Shared q191/q192/q203/q204 oracle CTEs: full SQL replay of the
+    * unigram-LM SEED training — word frequencies, overlapping substring
+    * counts (len ≤ 4), unconditional single-char retention + top
+    * multi-char pieces by (count desc, piece asc) up to `vocabSize`,
+    * and the integer-micro ln(cnt/total) scores. Ends in `sel(piece,
+    * cnt, is_char)` + `tot(total)`.
     */
-  private def unigramSeedCtes: String = """
+  private def unigramSeedCtes(vocabSize: Int = 48): String = s"""
     |toks AS (
-    |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+    |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
     |    t -> t <> '')) AS w
     |  FROM documents),
-    |wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w),
+    |wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w),
     |occ AS (SELECT f,
     |    unnest(flatten(list_transform(range(1, len(w) + 1), i ->
     |      list_transform(range(1, least(4, len(w) - i + 1) + 1), l ->
@@ -7369,7 +7369,7 @@ object Queries {
     |    SELECT piece, cnt, is_char,
     |      ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
     |    FROM cnts WHERE NOT is_char) CROSS JOIN nch
-    |  WHERE rk <= 48 - nchars),
+    |  WHERE rk <= $vocabSize - nchars),
     |sel AS (SELECT piece, cnt, is_char FROM cnts WHERE is_char
     |  UNION ALL SELECT piece, cnt, is_char FROM multis),
     |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM sel)
@@ -7391,7 +7391,7 @@ object Queries {
         t(s, dir, "documents"), "text", maxPieceLen = 4, vocabSize = 48)
       .orderBy(col("piece")),
     Some(s"""
-      |WITH $unigramSeedCtes
+      |WITH ${unigramSeedCtes()}
       |SELECT piece, cnt, is_char,
       |  CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
       |    * 1000000.0) AS BIGINT) AS lp_micro
@@ -7420,7 +7420,7 @@ object Queries {
         .orderBy(col("doc_id"))
     },
     Some(s"""
-      |WITH $unigramSeedCtes,
+      |WITH ${unigramSeedCtes()},
       |v AS (SELECT piece,
       |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
       |      * 1000000.0) AS BIGINT) AS lp
@@ -7495,7 +7495,7 @@ object Queries {
         .orderBy(col("doc_id"))
     },
     Some(s"""
-      |WITH $unigramSeedCtes,
+      |WITH ${unigramSeedCtes()},
       |v AS (SELECT piece,
       |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
       |      * 1000000.0) AS BIGINT) AS lp
@@ -8043,6 +8043,239 @@ object Queries {
       |FROM reach GROUP BY id ORDER BY doc_id
       |""").stripMargin.trim))
 
+  /** Shared q203/q204 oracle CTEs: the q192 exhaustive-enumeration
+    * lattice under the SEED scores, then ONE soft-EM round replayed
+    * closed-form — per-segmentation weights quantized once
+    * (round(exp((score−max)/1e6)·1e6)), per-word expected counts as
+    * HUGEINT rationals rounded half-up to micros, chars floored at 1
+    * micro, zero-mass multis dropped, and the re-scored model. Ends in
+    * `v2(piece, ec_micro, lp)` (+ the lattice CTEs `sp/pj/wf` for
+    * downstream reuse). Mirrors [[graft.operators.UnigramLm
+    * .softEmRound]] exactly — same single quantization point, same
+    * integer arithmetic.
+    */
+  private def unigramSoftCtes(vocabSize: Int): String =
+    s"""${unigramSeedCtes(vocabSize)},
+      |v AS (SELECT piece,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS lp
+      |  FROM sel CROSS JOIN tot),
+      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks WHERE len(w) <= 16),
+      |em AS (SELECT w, n,
+      |    unnest(range(0, CAST(1 AS BIGINT) << CAST(n - 1 AS INT))) AS mask
+      |  FROM wm),
+      |seg AS (SELECT w, n, mask,
+      |    [CAST(1 AS BIGINT)] || list_transform(
+      |      list_filter(range(1, n), p -> ((mask >> CAST(p - 1 AS INT)) & 1) = 1),
+      |      p -> p + 1) AS starts
+      |  FROM em),
+      |sp AS MATERIALIZED (SELECT w, mask, starts, CAST(len(starts) AS BIGINT) AS np,
+      |    list_transform(range(1, len(starts) + 1), k ->
+      |      substr(w, CAST(starts[CAST(k AS INT)] AS INT),
+      |        CAST(COALESCE(starts[CAST(k AS INT) + 1],
+      |          CAST(n + 1 AS BIGINT)) - starts[CAST(k AS INT)] AS INT)))
+      |      AS pieces
+      |  FROM seg),
+      |pj AS MATERIALIZED (SELECT w, mask, tt.piece AS piece
+      |  FROM sp, unnest(sp.pieces) AS tt(piece)),
+      |ps AS (SELECT w, mask, CAST(COUNT(*) AS BIGINT) AS nj,
+      |    SUM(v.lp) AS score, CAST(COUNT(v.lp) AS BIGINT) AS nmatch
+      |  FROM pj LEFT JOIN v ON pj.piece = v.piece GROUP BY 1, 2),
+      |val1 AS (SELECT w, mask, score FROM ps WHERE nmatch = nj),
+      |mx1 AS (SELECT w, MAX(score) AS m FROM val1 GROUP BY w),
+      |wt1 AS (SELECT val1.w, val1.mask,
+      |    CAST(round(exp(CAST(val1.score - mx1.m AS DOUBLE) / 1000000.0)
+      |      * 1000000.0) AS BIGINT) AS wgt
+      |  FROM val1 JOIN mx1 ON val1.w = mx1.w),
+      |d1 AS (SELECT w, CAST(SUM(wgt) AS BIGINT) AS d FROM wt1 GROUP BY w),
+      |us1 AS MATERIALIZED (SELECT w, mask, piece, CAST(COUNT(*) AS BIGINT) AS u
+      |  FROM pj GROUP BY 1, 2, 3),
+      |up1 AS (SELECT us1.w, us1.piece,
+      |    CAST(SUM(us1.u * wt1.wgt) AS BIGINT) AS unum
+      |  FROM us1 JOIN wt1 ON us1.w = wt1.w AND us1.mask = wt1.mask
+      |  GROUP BY 1, 2),
+      |ecw1 AS (SELECT up1.piece,
+      |    CAST((2 * CAST(wf.f AS HUGEINT) * CAST(up1.unum AS HUGEINT)
+      |        * 1000000 + CAST(d1.d AS HUGEINT))
+      |      // (2 * CAST(d1.d AS HUGEINT)) AS BIGINT) AS ec
+      |  FROM up1 JOIN wf ON up1.w = wf.w JOIN d1 ON up1.w = d1.w),
+      |ecp1 AS (SELECT piece, CAST(SUM(ec) AS BIGINT) AS ecs
+      |  FROM ecw1 GROUP BY 1),
+      |ec2 AS (SELECT c.piece, GREATEST(COALESCE(ecp1.ecs, 0), 1) AS ec_micro
+      |    FROM (SELECT piece FROM sel WHERE is_char) c
+      |    LEFT JOIN ecp1 ON c.piece = ecp1.piece
+      |  UNION ALL
+      |  SELECT piece, ecs FROM ecp1 WHERE len(piece) > 1 AND ecs > 0),
+      |tot2 AS (SELECT CAST(SUM(ec_micro) AS BIGINT) AS t2 FROM ec2),
+      |v2 AS MATERIALIZED (SELECT piece, ec_micro,
+      |    CAST(round(ln(CAST(ec_micro AS DOUBLE) / CAST(t2 AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS lp
+      |  FROM ec2 CROSS JOIN tot2)""".stripMargin.trim
+
+  /** Unigram-LM SOFT-EM round (round 13 — the published SentencePiece
+    * re-estimation, completing the hard-EM q193: piece mass from
+    * EXPECTED counts over ALL segmentations, not just the Viterbi one).
+    * The expectation is the exact lattice sum, computed by the q192
+    * exhaustive enumeration so both engines quantize ONCE per
+    * segmentation — weight = round(exp((score−max)/1e6)·1e6) — after
+    * which normalizers, per-word credits (big-integer rationals rounded
+    * half-up to micros) and re-scores are exact integer arithmetic.
+    * Forward–backward is the O(n·L) factorization of this same sum; the
+    * enumeration form is what makes the expectation SQL-replayable, and
+    * per DISTINCT word (Heaps-sublinear, ≤ 2^15 masks at the 16-char
+    * training cap) it is bounded work. Output: the full re-estimated
+    * vocab — expected counts AND scores hash-checked.
+    */
+  val q203: Q = Q(
+    "q203_unigram_soft_em",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val U = graft.operators.UnigramLm
+      val words = U.wordFreqs(docs, "text")
+      val seed = U.collectVocab(U.seedVocab(docs, "text", 4, 64))
+      U.softEmRound(words, seed, 4).orderBy(col("piece"))
+    },
+    Some(s"""
+      |WITH ${unigramSoftCtes(64)}
+      |SELECT piece, ec_micro, lp AS lp_micro FROM v2 ORDER BY piece
+      |""".stripMargin.trim))
+
+  /** Unigram-LM loss-based vocabulary PRUNING, oracle-checked END TO END
+    * (round 13 — the other half of the published trainer: seed
+    * OVERSIZED at 64, one soft-EM re-estimate, drop the multi-char
+    * pieces whose removal costs the corpus likelihood least down to 12,
+    * re-estimate, then tokenize the corpus under the pruned model). The
+    * pruning criterion is the EXACT leave-one-out loss
+    * Σ f_w·(Z_w − Z_w^{−p}) with Z^{−p} recomputed over the reduced
+    * lattice under the identical quantized contract (UnigramSpec pins
+    * loss(p) ≡ corpusLogZ(vocab) − corpusLogZ(vocab−p)); the published
+    * recipe's cheaper approximation is replaced by the real thing,
+    * which the enumeration makes affordable. The oracle replays seed →
+    * soft round → per-piece reduced-lattice losses → the (loss desc,
+    * piece) keep rank → final soft round → Viterbi application, all in
+    * SQL — the schedule itself is hash-checked, not just spec-gated.
+    */
+  val q204: Q = Q(
+    "q204_unigram_prune",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val U = graft.operators.UnigramLm
+      val words = U.wordFreqs(docs, "text").localCheckpoint()
+      val seed = U.collectVocab(U.seedVocab(docs, "text", 4, 64))
+      val r1 = U.collectSoftRound(words, seed, 4)
+      val pruned = U.pruneVocab(words, r1, 4, targetMultis = 12)
+      val fin = U.collectSoftRound(words, pruned, 4)
+      U.apply(docs, "doc_id", "text", fin, 4).orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH ${unigramSoftCtes(64)},
+      |ps2 AS (SELECT pj.w, pj.mask, CAST(COUNT(*) AS BIGINT) AS nj,
+      |    SUM(v2.lp) AS score, CAST(COUNT(v2.lp) AS BIGINT) AS nmatch
+      |  FROM pj LEFT JOIN v2 ON pj.piece = v2.piece GROUP BY 1, 2),
+      |val2 AS MATERIALIZED (SELECT w, mask, score FROM ps2 WHERE nmatch = nj),
+      |mx2 AS (SELECT w, MAX(score) AS m FROM val2 GROUP BY w),
+      |wt2 AS (SELECT val2.w, val2.mask,
+      |    CAST(round(exp(CAST(val2.score - mx2.m AS DOUBLE) / 1000000.0)
+      |      * 1000000.0) AS BIGINT) AS wgt
+      |  FROM val2 JOIN mx2 ON val2.w = mx2.w),
+      |d2 AS (SELECT w, CAST(SUM(wgt) AS BIGINT) AS d FROM wt2 GROUP BY w),
+      |z2 AS (SELECT d2.w,
+      |    mx2.m + CAST(round(ln(CAST(d2.d AS DOUBLE) / 1000000.0)
+      |      * 1000000.0) AS BIGINT) AS z
+      |  FROM d2 JOIN mx2 ON d2.w = mx2.w),
+      |pm AS MATERIALIZED (SELECT DISTINCT pj.w, pj.mask, pj.piece
+      |  FROM pj JOIN val2 ON pj.w = val2.w AND pj.mask = val2.mask
+      |  WHERE len(pj.piece) > 1),
+      |cand AS MATERIALIZED (SELECT DISTINCT w, piece FROM pm),
+      |redv AS (SELECT val2.w, cand.piece, val2.mask, val2.score
+      |  FROM val2 JOIN cand ON val2.w = cand.w
+      |  LEFT JOIN pm ON pm.w = val2.w AND pm.mask = val2.mask
+      |    AND pm.piece = cand.piece
+      |  WHERE pm.piece IS NULL),
+      |rmx AS (SELECT w, piece, MAX(score) AS m FROM redv GROUP BY 1, 2),
+      |rwt AS (SELECT redv.w, redv.piece,
+      |    CAST(round(exp(CAST(redv.score - rmx.m AS DOUBLE) / 1000000.0)
+      |      * 1000000.0) AS BIGINT) AS wgt
+      |  FROM redv JOIN rmx ON redv.w = rmx.w AND redv.piece = rmx.piece),
+      |rd AS (SELECT w, piece, CAST(SUM(wgt) AS BIGINT) AS d
+      |  FROM rwt GROUP BY 1, 2),
+      |rz AS (SELECT rd.w, rd.piece,
+      |    rmx.m + CAST(round(ln(CAST(rd.d AS DOUBLE) / 1000000.0)
+      |      * 1000000.0) AS BIGINT) AS z
+      |  FROM rd JOIN rmx ON rd.w = rmx.w AND rd.piece = rmx.piece),
+      |loss AS (SELECT v2m.piece,
+      |    CAST(COALESCE(SUM(wf.f * (z2.z - rz.z)), 0) AS BIGINT) AS loss_micro
+      |  FROM (SELECT piece FROM v2 WHERE len(piece) > 1) v2m
+      |  LEFT JOIN rz ON rz.piece = v2m.piece
+      |  LEFT JOIN z2 ON z2.w = rz.w
+      |  LEFT JOIN wf ON wf.w = rz.w
+      |  GROUP BY 1),
+      |keepm AS (SELECT piece FROM (
+      |    SELECT piece, ROW_NUMBER() OVER (ORDER BY loss_micro DESC, piece)
+      |      AS rk FROM loss) WHERE rk <= 12),
+      |v3s AS (SELECT v2.piece, v2.lp FROM v2
+      |  WHERE len(v2.piece) = 1 OR v2.piece IN (SELECT piece FROM keepm)),
+      |ps3 AS (SELECT pj.w, pj.mask, CAST(COUNT(*) AS BIGINT) AS nj,
+      |    SUM(v3s.lp) AS score, CAST(COUNT(v3s.lp) AS BIGINT) AS nmatch
+      |  FROM pj LEFT JOIN v3s ON pj.piece = v3s.piece GROUP BY 1, 2),
+      |val3 AS (SELECT w, mask, score FROM ps3 WHERE nmatch = nj),
+      |mx3 AS (SELECT w, MAX(score) AS m FROM val3 GROUP BY w),
+      |wt3 AS (SELECT val3.w, val3.mask,
+      |    CAST(round(exp(CAST(val3.score - mx3.m AS DOUBLE) / 1000000.0)
+      |      * 1000000.0) AS BIGINT) AS wgt
+      |  FROM val3 JOIN mx3 ON val3.w = mx3.w),
+      |d3 AS (SELECT w, CAST(SUM(wgt) AS BIGINT) AS d FROM wt3 GROUP BY w),
+      |up3 AS (SELECT us1.w, us1.piece,
+      |    CAST(SUM(us1.u * wt3.wgt) AS BIGINT) AS unum
+      |  FROM us1 JOIN wt3 ON us1.w = wt3.w AND us1.mask = wt3.mask
+      |  GROUP BY 1, 2),
+      |ecw3 AS (SELECT up3.piece,
+      |    CAST((2 * CAST(wf.f AS HUGEINT) * CAST(up3.unum AS HUGEINT)
+      |        * 1000000 + CAST(d3.d AS HUGEINT))
+      |      // (2 * CAST(d3.d AS HUGEINT)) AS BIGINT) AS ec
+      |  FROM up3 JOIN wf ON up3.w = wf.w JOIN d3 ON up3.w = d3.w),
+      |ecp3 AS (SELECT piece, CAST(SUM(ec) AS BIGINT) AS ecs
+      |  FROM ecw3 GROUP BY 1),
+      |ec4 AS (SELECT c.piece, GREATEST(COALESCE(ecp3.ecs, 0), 1) AS ec_micro
+      |    FROM (SELECT piece FROM sel WHERE is_char) c
+      |    LEFT JOIN ecp3 ON c.piece = ecp3.piece
+      |  UNION ALL
+      |  SELECT piece, ecs FROM ecp3 WHERE len(piece) > 1 AND ecs > 0),
+      |tot4 AS (SELECT CAST(SUM(ec_micro) AS BIGINT) AS t4 FROM ec4),
+      |v4 AS (SELECT piece,
+      |    CAST(round(ln(CAST(ec_micro AS DOUBLE) / CAST(t4 AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS lp
+      |  FROM ec4 CROSS JOIN tot4),
+      |ps4 AS (SELECT pj.w, pj.mask, CAST(COUNT(*) AS BIGINT) AS nj,
+      |    SUM(v4.lp) AS score, CAST(COUNT(v4.lp) AS BIGINT) AS nmatch
+      |  FROM pj LEFT JOIN v4 ON pj.piece = v4.piece GROUP BY 1, 2),
+      |best4 AS (SELECT w, np, pieces, score FROM (
+      |    SELECT sp.w, sp.np, sp.pieces, sp.starts, ps4.score,
+      |      ROW_NUMBER() OVER (PARTITION BY sp.w
+      |        ORDER BY ps4.score DESC, sp.np ASC,
+      |          list_reverse(sp.starts) ASC) AS rk
+      |    FROM sp JOIN ps4 ON sp.w = ps4.w AND sp.mask = ps4.mask
+      |    WHERE ps4.nmatch = ps4.nj) WHERE rk = 1),
+      |dl AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk <> '')
+      |      AS ws
+      |  FROM documents),
+      |du AS (SELECT doc_id, unnest(ws) AS w,
+      |    unnest(range(1, len(ws) + 1)) AS p
+      |  FROM dl),
+      |agg AS (SELECT doc_id,
+      |    CAST(SUM(np) AS BIGINT) AS n_pieces,
+      |    md5(array_to_string(flatten(list(pieces ORDER BY p)), ' '))
+      |      AS pieces_md5,
+      |    CAST(SUM(score) AS BIGINT) AS nll_micro
+      |  FROM du JOIN best4 USING (w) GROUP BY 1)
+      |SELECT dl.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |  COALESCE(n_pieces, 0) AS n_pieces,
+      |  COALESCE(pieces_md5, md5('')) AS pieces_md5,
+      |  COALESCE(nll_micro, 0) AS nll_micro
+      |FROM dl LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -8061,5 +8294,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
 }

@@ -238,4 +238,280 @@ object UnigramLm {
     * so [[apply]] reads declaratively. */
   private def orderedPieces: Column =
     expr("transform(array_sort(collect_list(struct(__p, pieces))), x -> x.pieces)")
+
+  // ==========================================================================
+  // Soft-EM training with loss-based vocabulary pruning (round 13) — the
+  // published SentencePiece schedule: seed OVERSIZED, re-estimate piece
+  // mass from EXPECTED counts over ALL segmentations (not just the Viterbi
+  // one), prune the pieces whose removal costs the corpus likelihood
+  // least, repeat to a target size.
+  //
+  // Exactness contract. The expectation is computed as the EXACT lattice
+  // sum by enumerating every segmentation of each DISTINCT word (the q192
+  // oracle pattern): forward–backward is the O(n·maxPieceLen)
+  // factorization of this very sum, but its per-step log-sum-exp would
+  // have to quantize at every DP cell, and a per-cell transcendental
+  // round-trip is not replayable across engines. Enumerating instead lets
+  // both engines quantize ONCE per segmentation — weight(seg) =
+  // round(exp((score−max)/1e6)·1e6), an integer — after which every
+  // derived number (normalizers, expected counts, losses) is exact
+  // integer arithmetic: per-word expected counts are rationals
+  // f·U/D rounded half-up to micros with big-integer intermediates, the
+  // same formula DuckDB replays in HUGEINT. The 1-ulp libm risk is
+  // confined to exp/ln calls whose *rounded-micro* output moves only if
+  // the true value sits within ~1e-10 of a rounding boundary.
+  //
+  // Scale shape. Enumeration is bounded per DISTINCT word: words longer
+  // than `maxWordLen` (default 16 → ≤ 2^15 segmentations) are excluded
+  // from the training statistics, the same pragmatic length filter the
+  // published trainer applies to its seed/sentence inputs; distinct words
+  // grow Heaps-sublinearly (measured 0.41 on this corpus), and each
+  // word's lattice is independent — one mapPartitions pass per round,
+  // partial-aggregating groupBy on the piece. The vocab stays a bounded
+  // driver artifact, broadcast to the pass.
+  // ==========================================================================
+
+  /** All valid segmentations of `word` under vocabulary scores `lp`:
+    * (pieces, scoreMicro, weightMicro) with weight =
+    * round(exp((score − maxScore)/1e6) · 1e6) — the single quantization
+    * point of the soft-EM expectation. Enumeration order is mask-
+    * ascending (the q192 oracle's order); weights are order-free.
+    */
+  private[graft] def enumerateSegs(word: String, lp: Map[String, Long])
+      : Seq[(Seq[String], Long)] = {
+    val n = word.length
+    val out = Seq.newBuilder[(Seq[String], Long)]
+    var mask = 0L
+    val lim = 1L << (n - 1)
+    while (mask < lim) {
+      // bit p−1 set ⇔ a piece boundary before position p (1-based)
+      val pieces = Seq.newBuilder[String]
+      var ok = true
+      var score = 0L
+      var start = 0
+      var p = 1
+      while (p <= n && ok) {
+        val boundary = p == n || ((mask >> (p - 1)) & 1L) == 1L
+        if (boundary) {
+          val piece = word.substring(start, p)
+          lp.get(piece) match {
+            case Some(v) => score += v; pieces += piece; start = p
+            case None => ok = false
+          }
+        }
+        p += 1
+      }
+      if (ok) out += ((pieces.result(), score))
+      mask += 1L
+    }
+    out.result()
+  }
+
+  private def segWeights(segs: Seq[(Seq[String], Long)])
+      : (Seq[(Seq[String], Long)], Long) = {
+    val m = segs.iterator.map(_._2).max
+    val ws = segs.map { case (ps, s) =>
+      (ps, math.round(math.exp((s - m).toDouble / 1e6) * 1e6))
+    }
+    (ws, m)
+  }
+
+  /** One soft-EM round: expected piece counts over ALL segmentations of
+    * the weighted word table, in integer micros. Per distinct word w
+    * (freq f): enumerate valid segmentations, weight each
+    * `round(exp((score−max)/1e6)·1e6)`, and credit each piece
+    * `round_half_up(f · U_p · 1e6 / D)` micros, where U_p sums the
+    * weights of segmentations by their uses of p and D sums all weights
+    * (big-integer intermediates — exact). Single-char pieces are floored
+    * at 1 micro (ln must stay finite; chars guarantee segmentability);
+    * multi-char pieces whose expected mass quantizes to zero drop, the
+    * soft analogue of hard-EM's drop-unused. Returns (piece, ec_micro,
+    * lp_micro) with lp = round(ln(ec/Σec)·1e6).
+    */
+  def softEmRound(words: DataFrame, vocab: Seq[Piece], maxPieceLen: Int,
+      maxWordLen: Int = 16): DataFrame = {
+    require(maxWordLen >= 2 && maxWordLen <= 20,
+      s"softEmRound: maxWordLen must be in [2, 20], got $maxWordLen")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val lpB = spark.sparkContext.broadcast(
+      vocab.map(p => p.piece -> p.lp_micro).toMap)
+    val contrib = words.select(col("w").cast("string"), col("f").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val lp = lpB.value
+        it.flatMap { case (w, f) =>
+          if (w.isEmpty || w.length > maxWordLen) Iterator.empty
+          else {
+            val (ws, _) = segWeights(enumerateSegs(w, lp))
+            val d = ws.iterator.map(_._2).sum
+            if (d <= 0L) Iterator.empty
+            else {
+              val u = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+              ws.foreach { case (ps, wt) =>
+                if (wt > 0L) ps.foreach(p => u.update(p, u.getOrElse(p, 0L) + wt))
+              }
+              u.iterator.map { case (p, num) =>
+                val ec = ((BigInt(f) * BigInt(num) * BigInt(2000000) + BigInt(d)) /
+                  (BigInt(d) * BigInt(2))).toLong
+                (p, ec)
+              }
+            }
+          }
+        }
+      }
+      .toDF("piece", "ec")
+      .groupBy(col("piece")).agg(sum(col("ec")).as("ec_raw"))
+    val chars = vocab.filter(_.piece.length == 1).map(_.piece).toDF("piece")
+    val ec = chars.join(contrib, Seq("piece"), "left")
+      .select(col("piece"),
+        greatest(coalesce(col("ec_raw"), lit(0L)), lit(1L)).as("ec_micro"))
+      .unionByName(contrib.join(chars, Seq("piece"), "left_anti")
+        .filter(col("ec_raw") > 0L)
+        .select(col("piece"), col("ec_raw").as("ec_micro")))
+    val total = ec.agg(sum(col("ec_micro")).as("__t"))
+    ec.crossJoin(broadcast(total))
+      .select(col("piece"), col("ec_micro"),
+        round(log(col("ec_micro").cast("double") / col("__t").cast("double"))
+          * lit(1000000.0)).cast("long").as("lp_micro"))
+  }
+
+  /** Collect a soft-EM round to the bounded driver artifact (cnt carries
+    * the micro expected count). */
+  def collectSoftRound(words: DataFrame, vocab: Seq[Piece], maxPieceLen: Int,
+      maxWordLen: Int = 16): Seq[Piece] =
+    collectVocab(softEmRound(words, vocab, maxPieceLen, maxWordLen)
+      .select(col("piece"), col("ec_micro").as("cnt"), col("lp_micro")))
+
+  /** Likelihood loss of removing each multi-char piece, the pruning
+    * criterion: loss(p) = Σ_w f_w · (Z_w − Z_w^{−p}) in micros, where
+    * Z_w = max + round(ln(D_w/1e6)·1e6) is the word's quantized
+    * log-partition and Z_w^{−p} the SAME quantized contract applied to
+    * the lattice without p — max and weights recomputed over the
+    * surviving segmentations (never empty: single chars are never
+    * pruned, so the char-only path always survives, and the surviving
+    * max always carries weight exactly 1e6). This makes loss(p)
+    * IDENTICALLY corpusLogZ(vocab) − corpusLogZ(vocab − p) — the exact
+    * leave-one-out loss with the rest of the model fixed, which the
+    * published recipe approximates and the enumeration makes affordable
+    * (UnigramSpec pins the identity). Returns (piece, loss_micro) for
+    * every multi-char vocab piece (0 where the piece never carries
+    * quantized mass).
+    */
+  def pruneLosses(words: DataFrame, vocab: Seq[Piece], maxPieceLen: Int,
+      maxWordLen: Int = 16): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val lpB = spark.sparkContext.broadcast(
+      vocab.map(p => p.piece -> p.lp_micro).toMap)
+    val contrib = words.select(col("w").cast("string"), col("f").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val lp = lpB.value
+        it.flatMap { case (w, f) =>
+          if (w.isEmpty || w.length > maxWordLen) Iterator.empty
+          else {
+            val segs = enumerateSegs(w, lp)
+            val (ws, m) = segWeights(segs)
+            val d = ws.iterator.map(_._2).sum
+            if (d <= 0L) Iterator.empty
+            else {
+              val zw = m + math.round(math.log(d.toDouble / 1e6) * 1e6)
+              val multis = segs.iterator
+                .flatMap(_._1.iterator.filter(_.length > 1)).toSet
+              multis.iterator.map { p =>
+                // Z without p: recompute max AND weights over the reduced
+                // lattice — the same quantized contract as corpusLogZ, so
+                // loss(p) == Z(vocab) − Z(vocab − p) identically
+                val reduced = segs.filter(!_._1.contains(p))
+                val (rws, rm) = segWeights(reduced)
+                val rd = rws.iterator.map(_._2).sum
+                val zwp = rm + math.round(math.log(rd.toDouble / 1e6) * 1e6)
+                (p, f * (zw - zwp))
+              }
+            }
+          }
+        }
+      }
+      .toDF("piece", "loss")
+      .groupBy(col("piece")).agg(sum(col("loss")).as("loss_micro"))
+    vocab.filter(_.piece.length > 1).map(_.piece).toDF("piece")
+      .join(contrib, Seq("piece"), "left")
+      .select(col("piece"),
+        coalesce(col("loss_micro"), lit(0L)).as("loss_micro"))
+  }
+
+  /** Keep the `targetMultis` highest-loss multi-char pieces (ties piece
+    * asc) plus every single char; scores are NOT refreshed — the caller
+    * re-estimates with [[softEmRound]], as the published schedule does.
+    */
+  def pruneVocab(words: DataFrame, vocab: Seq[Piece], maxPieceLen: Int,
+      targetMultis: Int, maxWordLen: Int = 16): Seq[Piece] = {
+    require(targetMultis >= 0, s"pruneVocab: bad targetMultis $targetMultis")
+    val losses = pruneLosses(words, vocab, maxPieceLen, maxWordLen)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keep = vocab.filter(_.piece.length > 1)
+      .sortBy(p => (-losses.getOrElse(p.piece, 0L), p.piece))
+      .take(targetMultis).map(_.piece).toSet
+    vocab.filter(p => p.piece.length == 1 || keep(p.piece))
+  }
+
+  /** Corpus marginal log-likelihood Σ_w f_w · Z_w in micros under the
+    * quantized-lattice contract — the quantity the pruning loss is
+    * defined against (UnigramSpec's monotonicity gates read it). Words
+    * longer than `maxWordLen` are excluded, consistently with training.
+    */
+  def corpusLogZ(words: DataFrame, vocab: Seq[Piece], maxPieceLen: Int,
+      maxWordLen: Int = 16): Long = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val lpB = spark.sparkContext.broadcast(
+      vocab.map(p => p.piece -> p.lp_micro).toMap)
+    words.select(col("w").cast("string"), col("f").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val lp = lpB.value
+        it.map { case (w, f) =>
+          if (w.isEmpty || w.length > maxWordLen) 0L
+          else {
+            val segs = enumerateSegs(w, lp)
+            val (ws, m) = segWeights(segs)
+            val d = ws.iterator.map(_._2).sum
+            if (d <= 0L) 0L
+            else f * (m + math.round(math.log(d.toDouble / 1e6) * 1e6))
+          }
+        }
+      }
+      .reduce(_ + _)
+  }
+
+  /** Full soft-EM trainer with the published pruning schedule: seed at
+    * `seedSize` (oversized), then per round — one soft-EM re-estimate,
+    * then prune the lowest-loss multi-char pieces down to
+    * max(target, ⌈keep·current⌉) — until the vocab reaches
+    * `vocabSize`, finishing with one final re-estimate so scores match
+    * the surviving vocabulary. `keepFrac` 0.75 mirrors the published
+    * shrinking factor.
+    */
+  def trainSoft(docs: DataFrame, textCol: String, maxPieceLen: Int,
+      seedSize: Int, vocabSize: Int, keepFrac: Double = 0.75,
+      maxWordLen: Int = 16): Seq[Piece] = {
+    require(seedSize >= vocabSize,
+      s"trainSoft: seedSize $seedSize must be >= vocabSize $vocabSize")
+    require(keepFrac > 0 && keepFrac < 1, s"trainSoft: bad keepFrac $keepFrac")
+    val words = wordFreqs(docs, textCol).localCheckpoint()
+    var vocab = collectVocab(seedVocab(docs, textCol, maxPieceLen, seedSize))
+    val nChars = vocab.count(_.piece.length == 1)
+    val targetMultis = math.max(vocabSize - nChars, 0)
+    var guard = 0
+    while (vocab.count(_.piece.length > 1) > targetMultis && guard < 64) {
+      vocab = collectSoftRound(words, vocab, maxPieceLen, maxWordLen)
+      val multis = vocab.count(_.piece.length > 1)
+      val next = math.max(targetMultis, math.ceil(multis * keepFrac).toInt)
+      if (next < multis)
+        vocab = pruneVocab(words, vocab, maxPieceLen, next, maxWordLen)
+      guard += 1
+    }
+    collectSoftRound(words, vocab, maxPieceLen, maxWordLen)
+  }
 }

@@ -124,4 +124,86 @@ class UnigramSpec extends SparkSpec {
       assert(r.getAs[Long]("n_pieces") >= r.getAs[Long]("n_words"))
     }
   }
+
+  test("soft-EM expected counts: hand-computed micro rationals on a 2-seg lattice") {
+    // word "aa" (freq 3), vocab {a:-100, aa:-150} micros.
+    // segs: [a,a] score -200, [aa] score -150 (max). weights:
+    //   [aa] -> round(exp(0)*1e6) = 1000000
+    //   [a,a] -> round(exp(-50/1e6)*1e6) = round(999950.00125) = 999950
+    // D = 1999950; U(a) = 2*999950 = 1999900; U(aa) = 1000000
+    // ec(a)  = round_half_up(3 * 1999900 * 1e6 / 1999950) = 2999925
+    // ec(aa) = round_half_up(3 * 1000000 * 1e6 / 1999950) = 1500038
+    val words = Seq(("aa", 3L)).toDF("w", "f")
+    val vocab = Seq(Piece("a", 1, -100L), Piece("aa", 1, -150L))
+    val out = UnigramLm.softEmRound(words, vocab, maxPieceLen = 4)
+      .select(col("piece"), col("ec_micro"))
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 2999925L, "aa" -> 1500038L), s"got $out")
+    // lp re-score: ln(ec/total) micro — verify one against first principles
+    val lp = UnigramLm.softEmRound(words, vocab, maxPieceLen = 4)
+      .select(col("piece"), col("lp_micro")).as[(String, Long)].collect().toMap
+    val tot = 2999925.0 + 1500038.0
+    assert(lp("a") == math.round(math.log(2999925.0 / tot) * 1e6))
+  }
+
+  test("soft-EM: chars floored, zero-mass multis dropped, overlong words excluded") {
+    // "zq" never segments with piece 'zzzz' → zzzz carries no mass → drops;
+    // chars keep >= 1 micro. A 17-char word is excluded from the stats.
+    val words = Seq(("zq", 5L), ("a" * 17, 100L)).toDF("w", "f")
+    val vocab = Seq(Piece("z", 1, -100L), Piece("q", 1, -100L),
+      Piece("a", 1, -50L), Piece("zzzz", 1, -300L))
+    val out = UnigramLm.softEmRound(words, vocab, maxPieceLen = 4)
+      .select(col("piece"), col("ec_micro")).as[(String, Long)].collect().toMap
+    assert(!out.contains("zzzz"), "zero-mass multi must drop")
+    assert(out("z") == 5000000L && out("q") == 5000000L) // whole mass, one seg
+    assert(out("a") == 1L, "char absent from in-cap words floors at 1 micro")
+  }
+
+  test("loss-based pruning: exact leave-one-out losses, ordering, monotonicity") {
+    val words = UnigramLm.wordFreqs(docs, "text").localCheckpoint()
+    val seed = UnigramLm.collectVocab(UnigramLm.seedVocab(docs, "text", 4, 30))
+    val vocab = UnigramLm.collectSoftRound(words, seed, 4)
+    val losses = UnigramLm.pruneLosses(words, vocab, 4)
+      .as[(String, Long)].collect().toMap
+    // independent check: loss(p) must equal corpusLogZ(vocab) minus
+    // corpusLogZ over the lattice with p unavailable (scores fixed) —
+    // remove p from the map and re-sum
+    val full = UnigramLm.corpusLogZ(words, vocab, 4)
+    losses.take(4).foreach { case (p, loss) =>
+      val without = UnigramLm.corpusLogZ(words, vocab.filter(_.piece != p), 4)
+      assert(full - without == loss,
+        s"loss('$p') $loss != Z-difference ${full - without}")
+    }
+    // prune to 3 multis: kept losses >= every dropped loss; chars survive
+    val pruned = UnigramLm.pruneVocab(words, vocab, 4, targetMultis = 3)
+    val keptM = pruned.filter(_.piece.length > 1).map(_.piece).toSet
+    assert(keptM.size == 3)
+    assert(pruned.count(_.piece.length == 1) == vocab.count(_.piece.length == 1))
+    val keptMin = keptM.map(losses).min
+    val droppedMax = (losses.keySet -- keptM).map(losses)
+      .foldLeft(Long.MinValue)(math.max)
+    assert(keptMin >= droppedMax,
+      s"kept min loss $keptMin < dropped max $droppedMax")
+    // monotonicity gates: removing pieces can only shrink every word's
+    // lattice sum (exact, quantized-ln is monotone); one soft-EM round on
+    // the pruned vocab re-concentrates mass and must not regress
+    val zPruned = UnigramLm.corpusLogZ(words, pruned, 4)
+    assert(zPruned <= full, "pruning cannot increase the lattice sum")
+    val reest = UnigramLm.collectSoftRound(words, pruned, 4)
+    val zReest = UnigramLm.corpusLogZ(words, reest, 4)
+    info(s"corpus logZ full=$full pruned=$zPruned re-estimated=$zReest (micros)")
+    assert(zReest >= zPruned, "soft-EM round after pruning regressed logZ")
+  }
+
+  test("trainSoft: published schedule reaches the target size; words round-trip") {
+    val vocab = UnigramLm.trainSoft(docs, "text", maxPieceLen = 4,
+      seedSize = 30, vocabSize = 14)
+    assert(vocab.length == 14, s"got ${vocab.length} pieces")
+    val words = UnigramLm.wordFreqs(docs, "text")
+    val seg = UnigramLm.segmentWords(words, vocab, 4)
+      .select(col("w"), col("pieces")).as[(String, Seq[String])].collect()
+    seg.foreach { case (w, pieces) =>
+      assert(pieces.mkString("") == w, s"'$w' -> $pieces does not round-trip")
+    }
+  }
 }
