@@ -8368,6 +8368,169 @@ object Queries {
     })
 
 
+  // ==========================================================================
+  // Byte-level BPE (round 13) — q206 pins the pre-tokenizer + byte map,
+  // q207 the apply under a fixed merge list; training is gated by
+  // BpeSpec against a byte-level textbook reference (the q152/q159
+  // pattern extended to the byte model).
+  // ==========================================================================
+
+  /** ASCII-safe SQL string expression for a (possibly non-ASCII)
+    * literal: printable-ASCII runs stay quoted, everything else becomes
+    * chr(codepoint) — keeps oracle SQL pure ASCII end to end. */
+  private def sqlStrLit(s: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    def flush(): Unit =
+      if (sb.nonEmpty) { parts += "'" + sb.toString.replace("'", "''") + "'"; sb.clear() }
+    // iterate CODE POINTS — chars would split astral-plane symbols
+    // (emoji) into surrogate halves, which are not valid chr() inputs
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      if (cp >= ' '.toInt && cp < 127) sb.append(cp.toChar)
+      else { flush(); parts += s"chr($cp)" }
+      ci += Character.charCount(cp)
+    }
+    flush()
+    if (parts.isEmpty) "''" else parts.mkString(" || ")
+  }
+
+  /** Planted byte-BPE exercise text per doc (Spark side in
+    * [[bytePlantedDocs]], SQL side here): contractions, case, a 2-byte
+    * é, a 3-byte €, a 4-byte emoji, doubled/trailing whitespace. */
+  private val bytePlants: Seq[String] = Seq(
+    "", " don't STOP", " naïve café 🙂 €9",
+    "  double  spaced  ")
+
+  private def bytePlantedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        bytePlants.zipWithIndex.foldLeft(lit("")) { case (acc, (p, i)) =>
+          when(col("doc_id") % 4 === i, lit(p)).otherwise(acc)
+        }).as("text"))
+
+  private def sqlBytePlantCtes: String = s"""
+    |d AS (SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
+    |    ${bytePlants.zipWithIndex.map { case (p, i) =>
+             s"WHEN $i THEN ${sqlStrLit(p)}" }.mkString(" ")}
+    |    ELSE '' END AS t
+    |  FROM documents),
+    |raw AS (SELECT doc_id,
+    |    regexp_extract_all(t, ${sqlStrLit(graft.operators.TrainPrep.gpt2PretokenPattern)}) AS r
+    |  FROM d),
+    |adj AS (SELECT doc_id, list_filter(list_transform(range(1, len(r) + 1),
+    |    i -> CASE
+    |      WHEN regexp_matches(r[i], '^\\s+$$') AND i < len(r)
+    |          AND NOT regexp_matches(r[i + 1], '^\\s+$$')
+    |        THEN substr(r[i], 1, len(r[i]) - 1)
+    |      WHEN NOT regexp_matches(r[i], '^\\s+$$') AND i > 1
+    |          AND regexp_matches(r[i - 1], '^\\s+$$')
+    |        THEN substr(r[i - 1], len(r[i - 1]), 1) || r[i]
+    |      ELSE r[i] END), x -> x <> '') AS pt
+    |  FROM raw)""".stripMargin.trim
+
+  /** DuckDB byte-char mapping of one pre-token expression `p`: hex the
+    * UTF-8 bytes, fold digit pairs, apply the closed-form GPT-2
+    * bytes-to-unicode CASE, join with `sep`. */
+  private def sqlByteMapChr(p: String, sep: String): String = {
+    val hx = s"hex(encode($p))"
+    val b = s"((strpos('0123456789ABCDEF', substr($hx, 2 * bi - 1, 1)) - 1) * 16" +
+      s" + (strpos('0123456789ABCDEF', substr($hx, 2 * bi, 1)) - 1))"
+    s"""array_to_string(list_transform(range(1, len($hx) // 2 + 1),
+       |      bi -> chr(CAST(CASE
+       |        WHEN $b BETWEEN 33 AND 126 OR $b BETWEEN 161 AND 172
+       |          OR $b BETWEEN 174 AND 255 THEN $b
+       |        WHEN $b <= 32 THEN 256 + $b
+       |        WHEN $b = 173 THEN 323
+       |        ELSE $b + 162 END AS INT))), $sep)""".stripMargin
+  }
+
+  /** GPT-2-style byte-level pre-tokenization + bytes-to-unicode mapping
+    * (round 13 — the front half of the byte-level BPE the most-used
+    * public tokenizers ship: no lowercasing, whitespace is data, any
+    * byte sequence representable). Both engines run the SAME
+    * lookahead-free pre-tokenizer pattern plus the whitespace post-pass
+    * that exactly reproduces the original pattern's lookahead behavior
+    * (BpeSpec pins hand cases), then remap each pre-token's UTF-8 bytes
+    * through the published 256-entry table — Spark via one array
+    * literal, the oracle via the equivalent closed-form CASE. Planted
+    * per-doc suffixes force contractions, case, 2/3/4-byte code points
+    * and doubled/trailing whitespace through the hash. Entirely
+    * map-side.
+    */
+  val q206: Q = Q(
+    "q206_bytebpe_pretokenize",
+    (s, dir) => {
+      import graft.operators.TrainPrep
+      bytePlantedDocs(s, dir)
+        .select(col("doc_id"), TrainPrep.gpt2PreTokens(col("text")).as("pt"))
+        .select(col("doc_id"),
+          size(col("pt")).cast("long").as("n_pretokens"),
+          size(flatten(transform(col("pt"),
+            p => TrainPrep.byteChars(p)))).cast("long").as("n_bytes"),
+          md5(array_join(transform(col("pt"),
+            p => array_join(TrainPrep.byteChars(p), "")), " ")).as("pretok_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH $sqlBytePlantCtes
+      |SELECT doc_id, CAST(len(pt) AS BIGINT) AS n_pretokens,
+      |  CAST(list_sum(list_transform(pt, p -> octet_length(encode(p))))
+      |    AS BIGINT) AS n_bytes,
+      |  md5(COALESCE(array_to_string(list_transform(pt, p ->
+      |    ${sqlByteMapChr("p", "''")}), ' '), '')) AS pretok_md5
+      |FROM adj ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** Fixture merge list for the byte-BPE APPLY query (q207) — FIXED
+    * byte-char literals (Ġ = the space byte 0x20), ordered so later
+    * merges consume earlier outputs; training itself is BpeSpec-gated
+    * (the q159 pattern). */
+  private val byteBpeMerges: Seq[(String, String)] = {
+    val G = "Ġ"
+    Seq("t" -> "h", "th" -> "e", G -> "t", (G + "t") -> "h",
+      (G + "th") -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+      G -> "a", (G + "a") -> "nd", "e" -> "r", "o" -> "n")
+  }
+
+  /** DuckDB replay of `TrainPrep.byteBpeTokenize` over a pre-token
+    * expression: space-delimited byte-char encoding, the identical
+    * literal replace chain, split + filter. */
+  private def sqlByteBpeChain(p: String): String = {
+    val enc = s"' ' || ${sqlByteMapChr(p, "'  '")} || ' '"
+    byteBpeMerges.foldLeft(enc) { case (s, (a, b)) =>
+      s"replace($s, ' ' || ${sqlStrLit(a)} || '  ' || ${sqlStrLit(b)} || ' '," +
+        s" ' ' || ${sqlStrLit(a + b)} || ' ')"
+    }
+  }
+
+  /** Byte-level BPE APPLY (round 13): tokenize the planted corpus under
+    * the fixed byte-char merge list — the q159 delimited-replace chain
+    * over byte-chars (an ASCII space can never be a symbol: byte 0x20
+    * maps to Ġ), no end-of-word marker, whitespace pre-tokens tokenized
+    * like any other. The md5 digest is sensitive to every token
+    * boundary in every doc, non-ASCII included. Entirely map-side.
+    */
+  val q207: Q = Q(
+    "q207_bytebpe_apply",
+    (s, dir) => graft.operators.TrainPrep.byteBpeApply(
+        bytePlantedDocs(s, dir), "doc_id", "text", byteBpeMerges)
+      .drop("toks")
+      .orderBy(col("doc_id")),
+    Some(s"""
+      |WITH $sqlBytePlantCtes,
+      |tok AS (SELECT doc_id, CAST(len(pt) AS BIGINT) AS n_pretokens,
+      |    flatten(list_transform(pt, p ->
+      |      list_filter(string_split(${sqlByteBpeChain("p")}, ' '),
+      |        x -> x <> ''))) AS toks
+      |  FROM adj)
+      |SELECT doc_id, n_pretokens,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  md5(COALESCE(array_to_string(toks, ' '), '')) AS tokens_md5
+      |FROM tok ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -8386,5 +8549,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
 }

@@ -571,6 +571,167 @@ object TrainPrep {
         md5(array_join(col("toks"), " ")).as("tokens_md5"),
         col("toks"))
 
+  // ==========================================================================
+  // Byte-level BPE with regex pre-tokenization (round 13) — the variant
+  // the most-used public tokenizers actually ship: no lowercasing, no
+  // end-of-word marker; text splits on a GPT-2-style pre-tokenizer
+  // regex, each pre-token becomes its UTF-8 BYTES remapped to printable
+  // code points (the published bytes-to-unicode table), and merges run
+  // over those byte-chars WITHIN pre-token boundaries. Any text —
+  // any language, emoji, binary-ish junk — round-trips exactly,
+  // which the lowercase-whitespace word model above cannot do.
+  //
+  // Pre-tokenizer fidelity note: the exact GPT-2 pattern ends in
+  // `\s+(?!\S)|\s+`, and RE2 (the oracle's engine) has no lookarounds.
+  // Both engines therefore run the SAME lookahead-free pattern with a
+  // deterministic post-pass that re-attaches a whitespace run's LAST
+  // space to the following token — exactly the behavior the lookahead
+  // encodes (the lookahead only ever fires on whitespace runs followed
+  // by non-space, where greedy backtracking stops one short; every
+  // single space before a token is consumed by a ` ?X` branch first in
+  // both patterns). The post-passed output therefore EQUALS the true
+  // GPT-2 pre-tokenization; BpeSpec pins the hand cases.
+  // ==========================================================================
+
+  /** The shared lookahead-free pre-tokenizer pattern (Java ≡ RE2). */
+  val gpt2PretokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** GPT-2 bytes-to-unicode table: printable bytes map to themselves,
+    * the rest shift to 256+, in byte order — index by the byte value.
+    */
+  val gpt2ByteToUnicode: IndexedSeq[String] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 to 255).map { b =>
+      if (keep(b)) new String(Character.toChars(b))
+      else { val cp = 256 + n; n += 1; new String(Character.toChars(cp)) }
+    }
+  }
+
+  /** Inverse of [[gpt2ByteToUnicode]] (spec round-trips through it). */
+  val gpt2UnicodeToByte: Map[String, Int] =
+    gpt2ByteToUnicode.zipWithIndex.toMap
+
+  /** Pre-tokenize into the GPT-2-style stream: regexp_extract_all with
+    * the shared pattern, then the whitespace post-pass (a run followed
+    * by a non-whitespace token donates its last space; single-space
+    * runs disappear into the neighbor). All higher-order column ops —
+    * codegen'd, no UDF.
+    */
+  def gpt2PreTokens(text: Column): Column = {
+    val raw = regexp_extract_all(text, lit(gpt2PretokenPattern), lit(0))
+    // bind the match array ONCE via a single-element outer transform —
+    // referencing `raw` inside the per-token lambda would re-evaluate
+    // the regex extraction for every token
+    element_at(transform(array(raw), arr => {
+      val adj = transform(arr, (t, i) => {
+        val nxt = try_element_at(arr, i + lit(2))
+        val prv = when(i > lit(0), try_element_at(arr, i))
+        val isWs = t.rlike("^\\s+$")
+        when(isWs && nxt.isNotNull && !nxt.rlike("^\\s+$"),
+            t.substr(lit(1), length(t) - 1))
+          .when(!isWs && prv.isNotNull && prv.rlike("^\\s+$"),
+            concat(prv.substr(length(prv), lit(1)), t))
+          .otherwise(t)
+      })
+      filter(adj, t => length(t) > 0)
+    }), 1)
+  }
+
+  /** A pre-token's UTF-8 bytes as mapped byte-chars: hex-decode the
+    * encoded string two digits at a time, look each byte up in the
+    * literal 256-entry table (broadcast as an array literal — exactly
+    * the closed-form CASE the oracle computes).
+    */
+  def byteChars(tok: Column): Column = {
+    val tbl = typedLit(gpt2ByteToUnicode)
+    val hx = hex(encode(tok, "UTF-8"))
+    when(length(hx) === 0, typedLit(Seq.empty[String]))
+      .otherwise(transform(
+        sequence(lit(1), (length(hx) / 2).cast("int")),
+        i => element_at(tbl,
+          conv(hx.substr(i * 2 - 1, lit(2)), 16, 10).cast("int") + 1)))
+  }
+
+  /** Byte-level BPE trainer: pre-token frequency table (no lowercasing,
+    * whitespace runs are pre-tokens too), byte-char initial symbols
+    * (no end-of-word marker), then the identical greedy merge loop as
+    * [[bpeTrain]] — top pair by (count desc, a, b), leftmost-first
+    * fold, checkpointed per round. Returns (rank, a, b, cnt) over
+    * byte-char symbols.
+    */
+  def byteBpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 10000, s"byteBpeTrain: bad nMerges $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ptoks = docs
+      .select(explode(gpt2PreTokens(col(textCol))).as("pt"))
+      .groupBy(col("pt")).agg(count(lit(1)).as("f"))
+    var symbols = ptoks.select(col("f"), byteChars(col("pt")).as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    while (rank < nMerges) {
+      val top = symbols
+        .select(col("f"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .select(col("p.l").as("a"), col("p.r").as("b"), col("f"))
+        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) rank = nMerges
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, cnt))
+        val merged = expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+             |  if(size(acc) > 0 and element_at(acc, -1) = ${sqlLit(a)}
+             |       and x = ${sqlLit(b)},
+             |     concat(slice(acc, 1, size(acc) - 1),
+             |            array(${sqlLit(a + b)})),
+             |     concat(acc, array(x))))""".stripMargin)
+        symbols = symbols.select(col("f"), merged.as("syms")).localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result()
+      .toDF("rank", "a", "b", "cnt")
+      .select(col("rank").cast("long").as("rank"), col("a"), col("b"), col("cnt"))
+  }
+
+  /** Tokenize ONE pre-token under a byte-level merge list — the
+    * [[bpeTokenizeWord]] delimited-replace chain over byte-chars (an
+    * ASCII space can never be a symbol: byte 0x20 maps to Ġ, so the
+    * space-delimited encoding is unambiguous), with no end-of-word
+    * marker.
+    */
+  def byteBpeTokenize(tok: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (a, b) => !a.contains(" ") && !b.contains(" ") },
+      "byteBpeTokenize: merge symbols must not contain spaces")
+    val enc = concat(lit(" "), array_join(byteChars(tok), "  "), lit(" "))
+    val merged = merges.foldLeft(enc) { case (s, (a, b)) =>
+      replace(s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    filter(split(merged, " "), t => length(t) > 0)
+  }
+
+  /** Corpus tokenization under a byte-level merge list. Per doc:
+    * pre-token count, token count, md5 of the space-joined token stream
+    * (injective — tokens never contain ASCII spaces). Entirely
+    * map-side, like [[bpeApply]].
+    */
+  def byteBpeApply(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol), gpt2PreTokens(col(textCol)).as("__pt"))
+      .select(col(idCol), size(col("__pt")).cast("long").as("n_pretokens"),
+        flatten(transform(col("__pt"), p => byteBpeTokenize(p, merges))).as("toks"))
+      .select(col(idCol), col("n_pretokens"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(array_join(col("toks"), " ")).as("tokens_md5"),
+        col("toks"))
+
   def encodingAdvisor(df: DataFrame, fileCol: Column, orderCols: Seq[Column],
       valueCol: Column): DataFrame = {
     df.select(fileCol.cast("long").as("file_id"),

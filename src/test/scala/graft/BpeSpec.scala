@@ -134,4 +134,140 @@ class BpeSpec extends SparkSpec {
     val ref = referenceBpe(Seq("aa aa aa", "it's it's"), 50)
     assert(merges.map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq == ref)
   }
+
+  // ======================= byte-level BPE (round 13) =======================
+
+  /** Reference pre-tokenizer: the SAME lookahead-free pattern (Java
+    * regex, the engine Spark itself uses) + the whitespace post-pass. */
+  private def refPreTokens(text: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(TrainPrep.gpt2PretokenPattern)
+      .matcher(text)
+    val raw = collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) raw += m.group()
+    raw.indices.map { i =>
+      val t = raw(i)
+      val isWs = t.matches("\\s+")
+      if (isWs && i + 1 < raw.length && !raw(i + 1).matches("\\s+"))
+        t.dropRight(1)
+      else if (!isWs && i > 0 && raw(i - 1).matches("\\s+"))
+        raw(i - 1).takeRight(1) + t
+      else t
+    }.filter(_.nonEmpty)
+  }
+
+  private def refByteChars(tok: String): Seq[String] =
+    tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => TrainPrep.gpt2ByteToUnicode(b & 0xFF)).toSeq
+
+  /** Textbook byte-level reference trainer: pre-token frequencies,
+    * byte-char symbols, no end-of-word marker, same tie rules. */
+  private def referenceByteBpe(corpus: Seq[String], nMerges: Int)
+      : Seq[(String, String, Long)] = {
+    val ptFreq = corpus.flatMap(refPreTokens)
+      .groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+    var syms: Map[Vector[String], Long] =
+      ptFreq.map { case (p, f) => refByteChars(p).toVector -> f }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.values.sum }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val counts = collection.mutable.Map[(String, String), Long]()
+      for ((s, f) <- syms; j <- 0 until s.length - 1)
+        counts((s(j), s(j + 1))) = counts.getOrElse((s(j), s(j + 1)), 0L) + f
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((a, b, c))
+        def merge(s: Vector[String]): Vector[String] = {
+          val buf = Vector.newBuilder[String]
+          var k = 0
+          while (k < s.length) {
+            if (k < s.length - 1 && s(k) == a && s(k + 1) == b) {
+              buf += a + b; k += 2
+            } else { buf += s(k); k += 1 }
+          }
+          buf.result()
+        }
+        syms = syms.toSeq.map { case (s, f) => merge(s) -> f }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  test("gpt2PreTokens: hand cases — spacing, contractions, multi-byte, variant corner") {
+    val cases = Seq(
+      "Hello world", "a  bb", "don't stop", "x  ", " 'tis", "",
+      "tab\there new\nline", "naïve café 🙂 €9", "UPPER lower 42x")
+    val got = cases.toDF("text")
+      .select(TrainPrep.gpt2PreTokens(col("text")))
+      .as[Seq[String]].collect()
+    cases.zip(got).foreach { case (txt, g) =>
+      assert(g == refPreTokens(txt), s"'$txt': $g != ${refPreTokens(txt)}")
+      assert(g.mkString("") == txt, s"'$txt' does not reassemble") // lossless
+    }
+    // pinned expectations, not just reference agreement
+    assert(refPreTokens("Hello world") == Seq("Hello", " world"))
+    assert(refPreTokens("a  bb") == Seq("a", " ", " bb"))      // run donates last space
+    assert(refPreTokens("don't stop") == Seq("don", "'t", " stop"))
+    assert(refPreTokens("x  ") == Seq("x", "  "))              // trailing ws kept whole
+    assert(refPreTokens(" 'tis") == Seq(" '", "tis"))          // punct branch beats ws; == true GPT-2
+    assert(refPreTokens("UPPER lower 42x") ==
+      Seq("UPPER", " lower", " 42", "x"))                      // no lowercasing; N/L split
+  }
+
+  test("byteChars: identity bytes, shifted bytes, multi-byte code points") {
+    val got = Seq("A", " ", "é", "🙂").toDF("t")
+      .select(TrainPrep.byteChars(col("t"))).as[Seq[String]].collect()
+    assert(got(0) == Seq("A"))
+    assert(got(1) == Seq("Ġ")) // space byte 0x20 → Ġ (256+32)
+    assert(got(2) == refByteChars("é") && got(2).length == 2)
+    assert(got(3) == refByteChars("🙂") && got(3).length == 4)
+    // table is a bijection over 256 byte values
+    assert(TrainPrep.gpt2ByteToUnicode.distinct.length == 256)
+  }
+
+  test("byteBpeTrain matches the byte-level textbook reference, non-ASCII included") {
+    val corpus = Seq(
+      "the cat the hat", "naïve naïve café", "don't don't stop",
+      "low lower 🙂 🙂 🙂")
+    val merges = TrainPrep.byteBpeTrain(corpus.toDF("text"), "text", 12)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(merges == referenceByteBpe(corpus, 12),
+      s"trained $merges\nref ${referenceByteBpe(corpus, 12)}")
+  }
+
+  test("byteBpeApply round-trips ANY text exactly — the property the word model lacks") {
+    val texts = Seq(
+      "Mixed CASE with  double  spaces",
+      "unicode: naïve café über żółć 🙂🙃 €99",
+      "punct…—brackets[]{}’quotes“”",
+      "\ttabs\nand\nnewlines  ")
+    val merges = TrainPrep.byteBpeTrain(texts.toDF("text"), "text", 8)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = TrainPrep.byteBpeApply(texts.toDF("doc_id").withColumn("text", col("doc_id")),
+      "doc_id", "text", merges) // doc_id IS the text here
+      .select(col("doc_id"), col("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    texts.foreach { txt =>
+      val toks = out(txt)
+      val bytes = toks.flatMap(_.map(ch =>
+        TrainPrep.gpt2UnicodeToByte(ch.toString).toByte))
+      val back = new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+      assert(back == txt, s"round-trip failed for '$txt' -> '$back'")
+    }
+    // and the old word model provably CANNOT represent these: it
+    // lowercases and drops whitespace runs
+    val wordToks = TrainPrep.bpeApply(texts.toDF("text")
+        .withColumn("doc_id", col("text")), "doc_id", "text", bpeFixtureMerges)
+      .select(col("doc_id"), col("toks")).as[(String, Seq[String])].collect().toMap
+    val lossy = wordToks("Mixed CASE with  double  spaces").mkString("")
+    assert(lossy != "Mixed CASE with  double  spaces")
+  }
+
+  private val bpeFixtureMerges = Seq("t" -> "h", "th" -> "e")
 }
