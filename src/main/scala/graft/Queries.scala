@@ -8531,6 +8531,138 @@ object Queries {
       |FROM tok ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Composed dedup-cluster LIFECYCLE (round 13 — q183's admission and
+    * q202's incremental update finally run as ONE pipeline, the full
+    * production loop): docs < 350 are yesterday's corpus with a
+    * persisted (doc, cluster) assignment; today's batch (≥ 350) runs
+    * the quality gates (q142 rule battery + q164 model — near-dups are
+    * NOT rejected at the door: clustering is what dedup does with
+    * them), the blocked near-dup edges touching ADMITTED batch docs
+    * become the delta, and [[graft.operators.Analytics
+    * .incrementalComponents]] updates the assignment from star edges +
+    * delta only. One row per document: admitted?, cluster, keep.
+    *
+    * The ORACLE is the full recompute — gates replayed in SQL, pair
+    * generation restricted to (corpus ∪ admitted batch), transitive
+    * closure from scratch — so the composition itself (gate →
+    * eligibility → delta → incremental update ≡ recompute) is
+    * hash-checked, not assembled from individually-correct parts.
+    * Scale shape: gates are map-side, edges come from the audited
+    * blocked-Jaccard join, the update touches |assignment| + |delta|,
+    * never the lifetime edge set.
+    */
+  private def q208StateDir(dir: String): String =
+    s"/tmp/graft_q208_${Integer.toHexString(dir.hashCode)}"
+
+  val q208: Q = Q(
+    "q208_lifecycle_admit_cluster",
+    (s, dir) => {
+      val cutoff = 350L
+      val st = q208StateDir(dir)
+      val assignment = s.read.parquet(s"$st/assignment")
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") >= cutoff)
+      // quality gates, map-side (the q183 battery minus the dup gates —
+      // dups are admitted INTO clusters, that's the lifecycle's point)
+      val admitted = TextOps.gopherFilter(batch, "doc_id", "text")
+        .select(col("doc_id"), (col("fail_mask") === 0L).as("__rules_ok"))
+        .join(TextOps.linearQualityClassifier(batch, "doc_id", "text",
+            q164Weights, biasMicro = 100L)
+          .select(col("doc_id").cast("long").as("doc_id"), col("keep")),
+          "doc_id")
+        .filter(col("__rules_ok") && col("keep"))
+        .select(col("doc_id"))
+      val elig = docs.select(col("doc_id")).filter(col("doc_id") < cutoff)
+        .unionByName(admitted)
+      // delta = blocked near-dup edges touching today's ADMITTED docs,
+      // both endpoints eligible (id1 < id2, so id2 >= cutoff ⇔ batch)
+      val delta = ngramJaccardPairs(s, dir, theta = 0.7)
+        .select(col("id1").cast("long").as("id1"),
+          col("id2").cast("long").as("id2"))
+        .filter(col("id2") >= cutoff)
+        .join(elig.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
+        .join(elig.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
+      val updated = Analytics.incrementalComponents(assignment, "doc_id",
+          "component", delta, "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"))
+        .join(admitted.withColumn("__adm", lit(true)), Seq("doc_id"), "left")
+        .withColumn("admitted",
+          col("doc_id") < cutoff || coalesce(col("__adm"), lit(false)))
+        .join(updated, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("admitted"),
+          when(col("admitted"), coalesce(col("component"), col("doc_id")))
+            .otherwise(lit(-1L)).as("cluster_id"))
+        .withColumn("keep",
+          when(col("admitted") && col("doc_id") === col("cluster_id"), 1L)
+            .otherwise(0L))
+        .orderBy(col("doc_id"))
+    },
+    prepare = Some((s, dir) => {
+      // UNTIMED: yesterday's pipeline — corpus CC over pairs both < 350
+      // persisted as the assignment (the work prior days already paid)
+      val cutoff = 350L
+      val st = q208StateDir(dir)
+      val pairs = ngramJaccardPairs(s, dir, theta = 0.7)
+        .select(col("id1").cast("long").as("id1"),
+          col("id2").cast("long").as("id2"))
+      t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < cutoff)
+        .join(Analytics.connectedComponents(
+            pairs.filter(col("id2") < cutoff), "id1", "id2")
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .write.mode("overwrite").parquet(s"$st/assignment")
+    }),
+    oracle = Some((ngramPairsSql(0.7) + "," + sqlQualityScoredCtes("") + s""",
+      |rb AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w,
+      |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+      |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_symbol
+      |  FROM documents WHERE doc_id >= 350),
+      |rm AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN len(w) < 10 OR len(w) > 100000 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN (CASE WHEN len(w) = 0 THEN 0.0
+      |         ELSE CAST(n_alpha AS DOUBLE) / CAST(len(w) AS DOUBLE) END) < 3.0
+      |         OR (CASE WHEN len(w) = 0 THEN 0.0
+      |         ELSE CAST(n_alpha AS DOUBLE) / CAST(len(w) AS DOUBLE) END) > 10.0
+      |       THEN 2 ELSE 0 END)
+      |    + (CASE WHEN len(list_intersect(list_distinct(w),
+      |        ['the','a','of','and','to','in','is','for','on','with'])) < 2
+      |       THEN 4 ELSE 0 END)
+      |    + (CASE WHEN (CASE WHEN len(w) = 0 THEN 1.0
+      |         ELSE CAST(n_symbol AS DOUBLE) / CAST(len(w) AS DOUBLE) END) > 0.1
+      |       THEN 8 ELSE 0 END) AS rules_mask
+      |  FROM rb),
+      |adm AS (SELECT rm.doc_id FROM rm JOIN scored s USING (doc_id)
+      |  WHERE rm.rules_mask = 0 AND s.logit_micro > 0),
+      |elig AS (SELECT doc_id FROM documents WHERE doc_id < 350
+      |  UNION ALL SELECT doc_id FROM adm),
+      |pe AS (SELECT id1, id2 FROM pr
+      |  WHERE id1 IN (SELECT doc_id FROM elig)
+      |    AND id2 IN (SELECT doc_id FROM elig)),
+      |e AS (SELECT id1 AS a, id2 AS b FROM pe
+      |      UNION ALL SELECT id2, id1 FROM pe),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS l FROM elig
+      |  UNION
+      |  SELECT e.a, reach.l FROM e JOIN reach ON e.b = reach.id),
+      |cl AS (SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id)
+      |SELECT d.doc_id,
+      |  (d.doc_id < 350 OR adm.doc_id IS NOT NULL) AS admitted,
+      |  CASE WHEN d.doc_id < 350 OR adm.doc_id IS NOT NULL
+      |    THEN cl.cluster_id ELSE -1 END AS cluster_id,
+      |  CAST(CASE WHEN (d.doc_id < 350 OR adm.doc_id IS NOT NULL)
+      |    AND d.doc_id = cl.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM documents d
+      |LEFT JOIN adm ON d.doc_id = adm.doc_id
+      |LEFT JOIN cl ON d.doc_id = cl.doc_id
+      |ORDER BY d.doc_id
+      |""").stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -8549,5 +8681,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
 }
