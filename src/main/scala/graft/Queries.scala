@@ -903,8 +903,18 @@ object Queries {
       theta: Double): DataFrame =
     ngramJaccardPairsImpl(s, dir, theta, cache = false)
 
+  /** Delta face (q208): only pairs whose LARGER id is ≥ `minId2` — the
+    * probe side shrinks to today's batch BEFORE the block join, the way
+    * a production daily delta blocks new docs against the corpus
+    * instead of regenerating every pair (ids below the cutoff only ever
+    * appear as id1, so the filter loses nothing).
+    */
+  private def ngramJaccardPairsDelta(s: SparkSession, dir: String,
+      theta: Double, minId2: Long): DataFrame =
+    ngramJaccardPairsImpl(s, dir, theta, cache = true, minId2 = Some(minId2))
+
   private def ngramJaccardPairsImpl(s: SparkSession, dir: String, theta: Double,
-      cache: Boolean): DataFrame = {
+      cache: Boolean, minId2: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     def body(pin: DataFrame => DataFrame): DataFrame = {
       // both join sides derive from g: the pin tokenizes+hashes once
@@ -914,8 +924,11 @@ object Queries {
           TextOps.charNgrams(col("text"), 3)))).as("hv")))
       val a = g.select(col("lang"), col("lb"), col("doc_id").as("id1"),
         col("hv").as("hv1"), size(col("hv")).as("n1"))
-      val b = g.select(col("lang"), col("lb"), col("doc_id").as("id2"),
-        col("hv").as("hv2"), size(col("hv")).as("n2"))
+      val b = minId2.foldLeft(
+          g.select(col("lang"), col("lb"), col("doc_id").as("id2"),
+            col("hv").as("hv2"), size(col("hv")).as("n2"))) {
+        case (df, m) => df.filter(col("id2") >= m)
+      }
       // Size-ratio bound prunes before the per-pair intersection:
       // J ≥ θ forces min(|A|,|B|) / max(|A|,|B|) ≥ θ.
       a.join(broadcast(b), Seq("lang", "lb"))
@@ -8333,16 +8346,13 @@ object Queries {
     * per node — ids only, never vectors; candidates are bounded at
     * (2k)² per node per round; everything shuffles on ids.
     */
-  val q205: Q = Q(
-    "q205_nn_descent_graph",
-    (s, dir) => VectorOps.nnDescentGraph(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 20, iters = 3, nBits = 4, seedMod = 64)
-      .orderBy(col("vec_id"), col("nn_rank")),
-    Some {
-      val bucketExpr = (1 to 4).map(bi =>
-        s"CASE WHEN v[$bi] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-      s"""
-      |WITH e AS MATERIALIZED (
+  /** The full NN-descent construction as a reusable SQL CTE chain
+    * (k = 20, 3 rounds) ending in `fing(id, nb, c, rk)` — shared by the
+    * q205 graph dump and the q209 graph-dedup composition. */
+  private def nnDescentGraphCtes: String = {
+    val bucketExpr = (1 to 4).map(bi =>
+      s"CASE WHEN v[$bi] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    s"""e AS MATERIALIZED (
       |  SELECT vec_id, list_transform(embedding,
       |    x -> round(CAST(x AS DOUBLE) * 1000)) AS v
       |  FROM embeddings),
@@ -8361,11 +8371,69 @@ object Queries {
       |${nnDescentRoundSql("g0", "r1", 20)},
       |${nnDescentRoundSql("r1g", "r2", 20)},
       |${nnDescentRoundSql("r2g", "r3", 20)},
-      |${nnScoreRankSql("r3g", "fin", 20)}
+      |${nnScoreRankSql("r3g", "fin", 20)}""".stripMargin.trim
+  }
+
+  val q205: Q = Q(
+    "q205_nn_descent_graph",
+    (s, dir) => VectorOps.nnDescentGraph(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 20, iters = 3, nBits = 4, seedMod = 64)
+      .orderBy(col("vec_id"), col("nn_rank")),
+    Some(s"""
+      |WITH $nnDescentGraphCtes
       |SELECT id AS vec_id, nb AS neighbor_id, rk AS nn_rank, c AS cosine_sim
       |FROM fing ORDER BY vec_id, nn_rank
-      |""".stripMargin.trim
-    })
+      |""".stripMargin.trim))
+
+  /** Graph-based semantic dedup (round 13 — the composition the k-NN
+    * graph exists FOR: NN-descent graph → τ-thresholded similarity
+    * edges → connected components → cluster representatives, the
+    * corpus-scale alternative to q113/q168's centroid-cell SemDeDup
+    * that needs no clustering step at all). Semantics are the standard
+    * graph-dedup contract: components of the k-NN graph's ≥ τ edges —
+    * a node with more than k neighbors above τ contributes its top-k
+    * (what bounds state at corpus scale); τ = 0.4 sits at the fixture
+    * graph's 95th cosine percentile, so clusters are genuine near-dup
+    * groups rather than one transitive-chained giant component (τ=0.3
+    * collapsed 481/500 nodes into 19 chains — measured, and exactly
+    * why production graph dedup tunes τ against the similarity
+    * distribution). The ORACLE replays the ENTIRE composition —
+    * the full NN-descent construction, the threshold, and the
+    * transitive closure — so the pipeline is hash-checked end to end.
+    * Scale shape: graph edges are k/node ids, CC is the audited
+    * star-contraction loop, reps fall out as min-id — no new shuffle
+    * shapes beyond the audited parts.
+    */
+  val q209: Q = Q(
+    "q209_semantic_dedup_graph",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val g = VectorOps.nnDescentGraph(emb, "vec_id", "embedding",
+        k = 20, iters = 3, nBits = 4, seedMod = 64)
+      val edges = g.filter(col("cosine_sim") >= 0.4)
+        .select(col("vec_id").as("id1"), col("neighbor_id").as("id2"))
+      val cc = Analytics.connectedComponentsStar(edges, "id1", "id2")
+        .withColumnRenamed("id", "vec_id")
+      emb.select(col("vec_id").cast("long").as("vec_id"))
+        .join(cc, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("cluster_id"))
+        .withColumn("keep",
+          when(col("vec_id") === col("cluster_id"), 1L).otherwise(0L))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      |WITH RECURSIVE $nnDescentGraphCtes,
+      |ted AS (SELECT id AS a, nb AS b FROM fing WHERE c >= 0.4
+      |        UNION ALL SELECT nb, id FROM fing WHERE c >= 0.4),
+      |reach AS (
+      |  SELECT vec_id AS id, vec_id AS l FROM embeddings
+      |  UNION
+      |  SELECT ted.a, reach.l FROM ted JOIN reach ON ted.b = reach.id)
+      |SELECT id AS vec_id, min(l) AS cluster_id,
+      |  CAST(CASE WHEN id = min(l) THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM reach GROUP BY id ORDER BY vec_id
+      |""".stripMargin.trim))
 
 
   // ==========================================================================
@@ -8404,7 +8472,7 @@ object Queries {
     "  double  spaced  ")
 
   private def bytePlantedDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
+    t(s, dir, "documents").select(col("doc_id"), col("source"),
       concat(col("text"),
         bytePlants.zipWithIndex.foldLeft(lit("")) { case (acc, (p, i)) =>
           when(col("doc_id") % 4 === i, lit(p)).otherwise(acc)
@@ -8430,21 +8498,25 @@ object Queries {
     |      ELSE r[i] END), x -> x <> '') AS pt
     |  FROM raw)""".stripMargin.trim
 
-  /** DuckDB byte-char mapping of one pre-token expression `p`: hex the
+  /** DuckDB byte-char LIST of one pre-token expression `p`: hex the
     * UTF-8 bytes, fold digit pairs, apply the closed-form GPT-2
-    * bytes-to-unicode CASE, join with `sep`. */
-  private def sqlByteMapChr(p: String, sep: String): String = {
+    * bytes-to-unicode CASE. */
+  private def sqlByteMapList(p: String): String = {
     val hx = s"hex(encode($p))"
     val b = s"((strpos('0123456789ABCDEF', substr($hx, 2 * bi - 1, 1)) - 1) * 16" +
       s" + (strpos('0123456789ABCDEF', substr($hx, 2 * bi, 1)) - 1))"
-    s"""array_to_string(list_transform(range(1, len($hx) // 2 + 1),
+    s"""list_transform(range(1, len($hx) // 2 + 1),
        |      bi -> chr(CAST(CASE
        |        WHEN $b BETWEEN 33 AND 126 OR $b BETWEEN 161 AND 172
        |          OR $b BETWEEN 174 AND 255 THEN $b
        |        WHEN $b <= 32 THEN 256 + $b
        |        WHEN $b = 173 THEN 323
-       |        ELSE $b + 162 END AS INT))), $sep)""".stripMargin
+       |        ELSE $b + 162 END AS INT)))""".stripMargin
   }
+
+  /** Same, joined into one string with `sep`. */
+  private def sqlByteMapChr(p: String, sep: String): String =
+    s"array_to_string(${sqlByteMapList(p)}, $sep)"
 
   /** GPT-2-style byte-level pre-tokenization + bytes-to-unicode mapping
     * (round 13 — the front half of the byte-level BPE the most-used
@@ -8531,6 +8603,66 @@ object Queries {
       |FROM tok ORDER BY doc_id
       |""".stripMargin.trim))
 
+  /** Byte-BPE pair statistics (round 13 — the trainer's inner building
+    * block, the q152 pattern on the byte model): pre-token frequency
+    * table, byte-char symbols, adjacent-pair counts weighted by
+    * frequency. byteBpeTrain's first merge is the argmax of exactly
+    * this table, so the trainer's selection criterion is oracle-checked
+    * cross-engine, not just BpeSpec-gated. Planted suffixes put
+    * multi-byte (é/€/emoji) pairs through the hash.
+    */
+  val q210: Q = Q(
+    "q210_bytebpe_pairs",
+    (s, dir) => graft.operators.TrainPrep.byteBpePairCounts(
+        bytePlantedDocs(s, dir), "text")
+      .select(col("a"), col("b"), col("cnt").cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("a"), col("b")),
+    Some(s"""
+      |WITH $sqlBytePlantCtes,
+      |ptf AS (SELECT pt2 AS pt, CAST(COUNT(*) AS BIGINT) AS f FROM (
+      |    SELECT unnest(pt) AS pt2 FROM adj) GROUP BY 1),
+      |sym AS (SELECT f, ${sqlByteMapList("pt")} AS syms FROM ptf),
+      |pairs AS (SELECT syms[CAST(ii AS INT)] AS a,
+      |    syms[CAST(ii AS INT) + 1] AS b, f
+      |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS ii
+      |        FROM sym WHERE len(syms) >= 2))
+      |SELECT a, b, CAST(SUM(f) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY a, b ORDER BY cnt DESC, a, b
+      |""".stripMargin.trim))
+
+  /** Sequence packing on REAL byte-BPE token counts (round 13 — q160's
+    * shard-writer budget step with the byte tokenizer: context lengths
+    * are measured in the tokens the model actually trains on, and the
+    * byte model counts whitespace/case/unicode the word proxy loses).
+    * Same one-shuffle window shape as q63/q160.
+    */
+  val q211: Q = Q(
+    "q211_bytebpe_packing",
+    (s, dir) => {
+      import graft.operators.TrainPrep
+      val withTok = bytePlantedDocs(s, dir)
+        .select(col("doc_id"), col("source"),
+          TrainPrep.byteBpeTokenCount(col("text"), byteBpeMerges).as("n_tok"))
+      TrainPrep.packSequences(withTok, "doc_id", "source", "n_tok",
+          budget = 2048L)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH $sqlBytePlantCtes,
+      |tk AS (SELECT doc_id, CAST(len(flatten(list_transform(pt, p ->
+      |    list_filter(string_split(${sqlByteBpeChain("p")}, ' '),
+      |      x -> x <> '')))) AS BIGINT) AS n_tok
+      |  FROM adj),
+      |dt AS (SELECT tk.doc_id, documents.source, tk.n_tok
+      |  FROM tk JOIN documents USING (doc_id)),
+      |cum AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM dt)
+      |SELECT doc_id, source, n_tok,
+      |  CAST((c - n_tok) // 2048 AS BIGINT) AS pack_id,
+      |  CAST((c - n_tok) % 2048 AS BIGINT) AS pack_offset
+      |FROM cum ORDER BY doc_id
+      |""".stripMargin.trim))
+
   /** Composed dedup-cluster LIFECYCLE (round 13 — q183's admission and
     * q202's incremental update finally run as ONE pipeline, the full
     * production loop): docs < 350 are yesterday's corpus with a
@@ -8556,30 +8688,34 @@ object Queries {
 
   val q208: Q = Q(
     "q208_lifecycle_admit_cluster",
-    (s, dir) => {
+    (s, dir) => graft.CacheScope.scoped { cs =>
       val cutoff = 350L
       val st = q208StateDir(dir)
       val assignment = s.read.parquet(s"$st/assignment")
       val docs = t(s, dir, "documents")
       val batch = docs.filter(col("doc_id") >= cutoff)
       // quality gates, map-side (the q183 battery minus the dup gates —
-      // dups are admitted INTO clusters, that's the lifecycle's point)
-      val admitted = TextOps.gopherFilter(batch, "doc_id", "text")
+      // dups are admitted INTO clusters, that's the lifecycle's point).
+      // Pinned: the gate subtree (interpreted HOF battery + classifier)
+      // feeds THREE consumers (both delta-eligibility semi-joins and the
+      // output flag) — without the pin each would re-run the gates.
+      val admitted = cs.cache(TextOps.gopherFilter(batch, "doc_id", "text")
         .select(col("doc_id"), (col("fail_mask") === 0L).as("__rules_ok"))
         .join(TextOps.linearQualityClassifier(batch, "doc_id", "text",
             q164Weights, biasMicro = 100L)
           .select(col("doc_id").cast("long").as("doc_id"), col("keep")),
           "doc_id")
         .filter(col("__rules_ok") && col("keep"))
-        .select(col("doc_id"))
+        .select(col("doc_id")))
       val elig = docs.select(col("doc_id")).filter(col("doc_id") < cutoff)
         .unionByName(admitted)
       // delta = blocked near-dup edges touching today's ADMITTED docs,
-      // both endpoints eligible (id1 < id2, so id2 >= cutoff ⇔ batch)
-      val delta = ngramJaccardPairs(s, dir, theta = 0.7)
+      // both endpoints eligible (id1 < id2, so id2 >= cutoff ⇔ batch) —
+      // generated by the DELTA pair face: the probe side is today's
+      // batch only, never a full-corpus pair regeneration
+      val delta = ngramJaccardPairsDelta(s, dir, theta = 0.7, minId2 = cutoff)
         .select(col("id1").cast("long").as("id1"),
           col("id2").cast("long").as("id2"))
-        .filter(col("id2") >= cutoff)
         .join(elig.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
         .join(elig.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_semi")
       val updated = Analytics.incrementalComponents(assignment, "doc_id",
@@ -8681,5 +8817,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
 }

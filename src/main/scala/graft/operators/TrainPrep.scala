@@ -717,6 +717,33 @@ object TrainPrep {
     filter(split(merged, " "), t => length(t) > 0)
   }
 
+  /** Byte-level BPE pair statistics — the inner building block of
+    * [[byteBpeTrain]]'s merge loop, exposed the way [[bpePairCounts]]
+    * exposes the word trainer's (q152): pre-token frequency table,
+    * byte-char symbol sequences, adjacent-pair counts weighted by
+    * pre-token frequency. The trainer's first merge is argmax of this
+    * table — so oracle-checking it pins the trainer's selection
+    * criterion cross-engine, not just spec-side.
+    */
+  def byteBpePairCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(gpt2PreTokens(col(textCol))).as("pt"))
+      .groupBy(col("pt")).agg(count(lit(1)).as("f"))
+      .select(col("f"), byteChars(col("pt")).as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("f"), explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+        slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+      .select(col("p.l").as("a"), col("p.r").as("b"), col("f"))
+      .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
+
+  /** Real per-document byte-BPE token count under a trained merge
+    * list — the byte-model twin of [[bpeTokenCount]] for packing
+    * budgets (context lengths are measured in REAL tokenizer tokens).
+    */
+  def byteBpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(flatten(transform(gpt2PreTokens(text),
+      p => byteBpeTokenize(p, merges)))).cast("long")
+
   /** Corpus tokenization under a byte-level merge list. Per doc:
     * pre-token count, token count, md5 of the space-joined token stream
     * (injective — tokens never contain ASCII spaces). Entirely

@@ -240,6 +240,21 @@ class BpeSpec extends SparkSpec {
       s"trained $merges\nref ${referenceByteBpe(corpus, 12)}")
   }
 
+  test("byteBpePairCounts: the argmax IS the trainer's first merge (q210 contract)") {
+    val corpus = Seq("the cat the hat", "naïve naïve café", "low low lower")
+    val top = TrainPrep.byteBpePairCounts(corpus.toDF("text"), "text")
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()(0)
+    val ref = referenceByteBpe(corpus, 1).head
+    assert((top.getString(0), top.getString(1), top.getLong(2)) == ref)
+    // and byteBpeTokenCount with NO merges counts exactly the UTF-8 bytes
+    val n = corpus.toDF("text")
+      .select(TrainPrep.byteBpeTokenCount(col("text"), Seq.empty))
+      .as[Long].collect()
+    corpus.zip(n).foreach { case (txt, c) =>
+      assert(c == txt.getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+    }
+  }
+
   test("byteBpeApply round-trips ANY text exactly — the property the word model lacks") {
     val texts = Seq(
       "Mixed CASE with  double  spaces",
