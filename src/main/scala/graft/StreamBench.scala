@@ -216,6 +216,43 @@ object StreamBench {
     kq.stop()
     println(f"""{"op":"kmv_distinct_monitor","rows":$nDocs,"secs":$ksecs%.2f,"rows_per_sec":${(nDocs / ksecs).toLong},"micro_batches":$kbatches,"state_rows":$kStateRows,"state_bytes":$kStateBytes}""")
 
+    // round-13: incremental-CC assignment ledger over the crash-atomic
+    // VersionedLedger (snapshot dir + pointer swap per trigger). Edge
+    // stream: chain edges (doc_id -> doc_id DIV 10) — 10-node clusters
+    // whose merges arrive across micro-batches. state_rows must be 0
+    // (ALL state lives in the versioned parquet ledger); the ledger's
+    // final row count is the node set; versions advance once per batch
+    // with current+previous retained by GC.
+    val ccReplay = s"$replay/cc"
+    val edges = Ingest.table(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("src"),
+        expr("CAST(doc_id DIV 10 AS LONG)").as("dst"))
+    val nEdges = edges.count()
+    edges.repartition(16).write.parquet(s"$ccReplay/in")
+    val cSchema = spark.read.parquet(s"$ccReplay/in").schema
+    val csrc = spark.readStream.schema(cSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(s"$ccReplay/in")
+    val c0 = System.nanoTime()
+    val cq = StreamingOps.incrementalComponentsStream(csrc, "src", "dst",
+        s"$ccReplay/ledger")
+      .option("checkpointLocation", s"$ccReplay/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    cq.awaitTermination()
+    val csecs = (System.nanoTime() - c0) / 1e9
+    val clast = Option(cq.lastProgress)
+    val cbatches = clast.map(_.batchId + 1).getOrElse(0L)
+    val cStateRows = clast
+      .flatMap(p => Option(p.stateOperators)).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+    cq.stop()
+    import graft.streaming.VersionedLedger
+    val version = VersionedLedger.currentVersion(spark, s"$ccReplay/ledger").getOrElse(-1L)
+    val ledgerRows = VersionedLedger.read(spark, s"$ccReplay/ledger").map(_.count()).getOrElse(0L)
+    val snapshots = new java.io.File(s"$ccReplay/ledger").listFiles()
+      .count(f => f.getName.startsWith("v") && f.getName.drop(1).forall(_.isDigit))
+    println(f"""{"op":"incremental_cc_ledger","rows":$nEdges,"secs":$csecs%.2f,"rows_per_sec":${(nEdges / csecs).toLong},"micro_batches":$cbatches,"state_rows":$cStateRows,"ledger_version":$version,"ledger_rows":$ledgerRows,"snapshot_dirs":$snapshots}""")
+
     spark.stop()
   }
 }
