@@ -485,6 +485,89 @@ object UnigramLm {
       .reduce(_ + _)
   }
 
+  /** The O(n·maxPieceLen) forward–backward soft-EM expectation — the
+    * 100-TB SCALE PATH next to [[softEmRound]]'s SQL-replayable
+    * enumeration: identical semantics (expected piece counts over the
+    * full segmentation lattice), computed in unquantized double
+    * log-space with log-sum-exp, so there is NO word-length cap — the
+    * lattice never materializes. Not cross-engine-replayable (per-cell
+    * transcendentals don't round-trip), hence no oracle face; instead
+    * UnigramSpec pins agreement with the enumeration path on in-cap
+    * words (the two compute the same sum, differing only by the
+    * enumeration's single micro-quantization per segmentation) and
+    * coverage of words BEYOND the enumeration cap. Returns
+    * (piece, ec) with ec in expected-count units (doubles).
+    */
+  def softEmRoundFB(words: DataFrame, vocab: Seq[Piece],
+      maxPieceLen: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val lpB = spark.sparkContext.broadcast(
+      vocab.map(p => p.piece -> p.lp_micro).toMap)
+    words.select(col("w").cast("string"), col("f").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val lp = lpB.value
+        it.flatMap { case (w, f) =>
+          val n = w.length
+          if (n == 0) Iterator.empty
+          else {
+            def lse(a: Double, b: Double): Double =
+              if (a == Double.NegativeInfinity) b
+              else if (b == Double.NegativeInfinity) a
+              else { val m = math.max(a, b); m + math.log1p(math.exp(math.min(a, b) - m)) }
+            val fa = Array.fill(n + 1)(Double.NegativeInfinity)
+            val fb = Array.fill(n + 1)(Double.NegativeInfinity)
+            fa(0) = 0.0; fb(n) = 0.0
+            var j = 1
+            while (j <= n) {
+              var i = math.max(0, j - maxPieceLen)
+              while (i < j) {
+                lp.get(w.substring(i, j)).foreach { v =>
+                  fa(j) = lse(fa(j), fa(i) + v / 1e6)
+                }
+                i += 1
+              }
+              j += 1
+            }
+            var i2 = n - 1
+            while (i2 >= 0) {
+              var j2 = math.min(n, i2 + maxPieceLen)
+              while (j2 > i2) {
+                lp.get(w.substring(i2, j2)).foreach { v =>
+                  fb(i2) = lse(fb(i2), v / 1e6 + fb(j2))
+                }
+                j2 -= 1
+              }
+              i2 -= 1
+            }
+            val z = fa(n)
+            if (z == Double.NegativeInfinity) Iterator.empty
+            else {
+              val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+              var a = 0
+              while (a < n) {
+                var b = a + 1
+                val bMax = math.min(n, a + maxPieceLen)
+                while (b <= bMax) {
+                  val piece = w.substring(a, b)
+                  lp.get(piece).foreach { v =>
+                    val post = math.exp(fa(a) + v / 1e6 + fb(b) - z)
+                    if (post > 0.0) acc.update(piece, acc.getOrElse(piece, 0.0) + post)
+                  }
+                  b += 1
+                }
+                a += 1
+              }
+              acc.iterator.map { case (p, e) => (p, f * e) }
+            }
+          }
+        }
+      }
+      .toDF("piece", "e")
+      .groupBy(col("piece")).agg(sum(col("e")).as("ec"))
+  }
+
   /** Full soft-EM trainer with the published pruning schedule: seed at
     * `seedSize` (oversized), then per round — one soft-EM re-estimate,
     * then prune the lowest-loss multi-char pieces down to

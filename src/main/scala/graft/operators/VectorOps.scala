@@ -606,6 +606,48 @@ object VectorOps {
         col("__rn").cast("long").as("nn_rank"), col("__c").as("cosine_sim"))
   }
 
+  /** NN-descent with the paper's CONVERGENCE criterion instead of a
+    * fixed round count: stop when a round changes fewer than
+    * `minUpdateFrac · k · n` edges (Dong et al.'s δ termination — the
+    * update count is the natural progress measure because every change
+    * is a strict cosine improvement, see the supersets-only-improve
+    * invariant in VectorOpsSpec). One exact edge-diff count per round
+    * (an anti-join on (id, nb) — the same convergence-probe shape as
+    * the CC loop's symmetric-difference check). Returns the scored
+    * graph plus the number of rounds executed. `maxIters` bounds the
+    * loop; data-dependent iteration count means no SQL oracle — the
+    * fixed-iteration q205 face is the oracle, this is the production
+    * driver loop (spec-gated: converges on the fixture, and converged
+    * recall ≥ the fixed-3-round recall).
+    */
+  def nnDescentGraphConverged(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, maxIters: Int = 12,
+      minUpdateFrac: Double = 0.001, nBits: Int = 4,
+      seedMod: Int = 64): (DataFrame, Int) = {
+    require(minUpdateFrac > 0 && minUpdateFrac < 1,
+      s"nnDescentGraphConverged: bad minUpdateFrac $minUpdateFrac")
+    require(maxIters >= 1 && maxIters <= 64,
+      s"nnDescentGraphConverged: bad maxIters $maxIters")
+    val base = nnBase(corpus, idCol, vecCol)
+    var g = nnDescentInit(corpus, idCol, vecCol, k, nBits, seedMod)
+      .localCheckpoint()
+    val n = base.count()
+    val threshold = math.max(1L, (minUpdateFrac * k * n).toLong)
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIters && !converged) {
+      val next = nnDescentRound(corpus, idCol, vecCol, g, k).localCheckpoint()
+      val changed = next.join(g, Seq("id", "nb"), "left_anti").count()
+      g = next
+      rounds += 1
+      if (changed < threshold) converged = true
+    }
+    val scored = nnRankTopK(base, g, k)
+      .select(col("id").as("vec_id"), col("nb").as("neighbor_id"),
+        col("__rn").cast("long").as("nn_rank"), col("__c").as("cosine_sim"))
+    (scored, rounds)
+  }
+
   /** SemDeDup (round 10 — the published semantic-dedup recipe: cluster
     * the embedding space, then deduplicate WITHIN clusters by pairwise
     * cosine, keeping the representative closest to the centroid).

@@ -195,6 +195,40 @@ class UnigramSpec extends SparkSpec {
     assert(zReest >= zPruned, "soft-EM round after pruning regressed logZ")
   }
 
+  test("softEmRoundFB: forward-backward agrees with the enumeration lattice sum; no word-length cap") {
+    val words = UnigramLm.wordFreqs(docs, "text").localCheckpoint()
+    val vocab = UnigramLm.collectVocab(UnigramLm.seedVocab(docs, "text", 4, 24))
+    // enumeration path (micro ints) vs FB path (unquantized doubles):
+    // the same lattice sum, differing only by the enumeration's single
+    // per-segmentation micro-quantization → sub-0.1% agreement
+    val enumEc = UnigramLm.softEmRound(words, vocab, 4)
+      .select(col("piece"), col("ec_micro")).as[(String, Long)]
+      .collect().toMap.view.mapValues(_ / 1e6).toMap
+    val fbEc = UnigramLm.softEmRoundFB(words, vocab, 4)
+      .as[(String, Double)].collect().toMap
+    val multis = vocab.filter(_.piece.length > 1).map(_.piece)
+    assert(multis.nonEmpty)
+    (multis ++ vocab.filter(_.piece.length == 1).map(_.piece)).foreach { p =>
+      val e = enumEc.getOrElse(p, 0.0)
+      val fb = fbEc.getOrElse(p, 0.0)
+      // chars are floored at 1 micro on the enum side; skip pure-floor rows
+      if (e > 1e-5 || fb > 1e-5) {
+        val rel = math.abs(e - fb) / math.max(math.max(e, fb), 1e-9)
+        assert(rel <= 1e-3, f"piece '$p': enum $e%.6f vs FB $fb%.6f (rel $rel%.2e)")
+      }
+    }
+    // the FB path has NO length cap: a 20-char word (excluded from the
+    // enumeration path's stats) still contributes expectation mass
+    val long = Seq(("a" * 20, 7L)).toDF("w", "f")
+    val lv = Seq(UnigramLm.Piece("a", 1, -100L), UnigramLm.Piece("aa", 1, -150L))
+    assert(UnigramLm.softEmRound(long, lv, 4).count() ==
+      lv.count(_.piece.length == 1).toLong) // chars only, floored
+    val fbLong = UnigramLm.softEmRoundFB(long, lv, 4)
+      .as[(String, Double)].collect().toMap
+    assert(fbLong("a") > 0 && fbLong("aa") > 0,
+      "FB must cover words beyond the enumeration cap")
+  }
+
   test("trainSoft: published schedule reaches the target size; words round-trip") {
     val vocab = UnigramLm.trainSoft(docs, "text", maxPieceLen = 4,
       seedSize = 30, vocabSize = 14)

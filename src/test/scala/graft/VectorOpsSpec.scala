@@ -313,6 +313,24 @@ class VectorOpsSpec extends SparkSpec {
     info(f"init-only recall@10: ${initRecall.sum / initRecall.size}%.3f")
   }
 
+  test("nnDescentGraphConverged: delta termination converges and matches fixed-round recall") {
+    val emb = graft.sources.Ingest.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val (g, rounds) = VectorOps.nnDescentGraphConverged(emb, "vec_id", "embedding",
+      k = 20, maxIters = 12, minUpdateFrac = 0.001)
+    info(s"NN-descent converged after $rounds rounds")
+    assert(rounds < 12, "delta termination should fire before maxIters")
+    assert(rounds >= 3, "random 64-dim data needs several rounds")
+    // converged graph must be at least as good as the registered
+    // 3-round q205 graph: per-node top-10 sum of cosines can only grow
+    // with more rounds (supersets-only-improve), so compare totals
+    def top10Sum(df: org.apache.spark.sql.DataFrame): Double =
+      df.filter(col("nn_rank") <= 10).agg(sum(col("cosine_sim")))
+        .collect()(0).getDouble(0)
+    val fixed = VectorOps.nnDescentGraph(emb, "vec_id", "embedding",
+      k = 20, iters = 3, nBits = 4, seedMod = 64)
+    assert(top10Sum(g) >= top10Sum(fixed) - 1e-9)
+  }
+
   test("mineSemiHardNegatives: class-size contract is enforced, not just documented") {
     // the positive side is all-pairs within each label — a corpus-sized
     // label must be rejected BEFORE the quadratic join can be scheduled
