@@ -8466,10 +8466,17 @@ object Queries {
 
   /** Planted byte-BPE exercise text per doc (Spark side in
     * [[bytePlantedDocs]], SQL side here): contractions, case, a 2-byte
-    * é, a 3-byte €, a 4-byte emoji, doubled/trailing whitespace. */
+    * é, a 3-byte €, a 4-byte emoji, doubled/trailing whitespace — and
+    * (round 14, with the post-pass fidelity fix) the previously
+    * unexercised classes: a space RUN before a contraction (donation +
+    * " '"+letters resolution), a contraction fusing a following bare
+    * letter run ("  'styx" → " ", " '", "styx"), tab runs before a
+    * letter (split, NO donation), and a \x0B vertical tab (the Java-\s
+    * vs RE2-\s divergence byte, now pinned by the shared explicit
+    * class). */
   private val bytePlants: Seq[String] = Seq(
-    "", " don't STOP", " naïve café 🙂 €9",
-    "  double  spaced  ")
+    "", " don't STOP  's ok", " naïve café 🙂 €9\u000B?!",
+    "  double  spaced \t\tx  'styx\ty ")
 
   private def bytePlantedDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), col("source"),
@@ -8478,25 +8485,52 @@ object Queries {
           when(col("doc_id") % 4 === i, lit(p)).otherwise(acc)
         }).as("text"))
 
-  private def sqlBytePlantCtes: String = s"""
+  /** SQL replay of the round-14 whitespace post-pass (one definition
+    * with the Spark side: see `TrainPrep.gpt2PreTokens`): per raw match,
+    * emit a LIST of tokens — a whitespace run before a token splits off
+    * its last char (re-attached only when it is a literal space; a
+    * donated-space contraction resolves to " '" + letters, fusing a
+    * directly following bare letter run) — then flatten + drop empties.
+    * The regex literals are the SHARED Scala constants (explicit
+    * whitespace class — RE2's \s lacks \x0B, Java's has it). */
+  private def sqlBytePlantCtes: String = {
+    import graft.operators.TrainPrep
+    val ws = sqlStrLit(TrainPrep.gpt2WsRun)
+    val contr = sqlStrLit(TrainPrep.gpt2ContrRun)
+    val let = sqlStrLit(TrainPrep.gpt2LettersRun)
+    s"""
     |d AS (SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT)
     |    ${bytePlants.zipWithIndex.map { case (p, i) =>
              s"WHEN $i THEN ${sqlStrLit(p)}" }.mkString(" ")}
     |    ELSE '' END AS t
     |  FROM documents),
     |raw AS (SELECT doc_id,
-    |    regexp_extract_all(t, ${sqlStrLit(graft.operators.TrainPrep.gpt2PretokenPattern)}) AS r
+    |    regexp_extract_all(t, ${sqlStrLit(TrainPrep.gpt2PretokenPattern)}) AS r
     |  FROM d),
-    |adj AS (SELECT doc_id, list_filter(list_transform(range(1, len(r) + 1),
-    |    i -> CASE
-    |      WHEN regexp_matches(r[i], '^\\s+$$') AND i < len(r)
-    |          AND NOT regexp_matches(r[i + 1], '^\\s+$$')
-    |        THEN substr(r[i], 1, len(r[i]) - 1)
-    |      WHEN NOT regexp_matches(r[i], '^\\s+$$') AND i > 1
-    |          AND regexp_matches(r[i - 1], '^\\s+$$')
-    |        THEN substr(r[i - 1], len(r[i - 1]), 1) || r[i]
-    |      ELSE r[i] END), x -> x <> '') AS pt
+    |adj AS (SELECT doc_id, list_filter(flatten(list_transform(range(1, len(r) + 1),
+    |    ti -> CASE
+    |      WHEN regexp_matches(r[ti], $ws) AND ti < len(r)
+    |          AND NOT regexp_matches(r[ti + 1], $ws)
+    |        THEN CASE WHEN substr(r[ti], len(r[ti]), 1) = ' '
+    |          THEN [substr(r[ti], 1, len(r[ti]) - 1)]
+    |          ELSE [substr(r[ti], 1, len(r[ti]) - 1),
+    |                substr(r[ti], len(r[ti]), 1)] END
+    |      WHEN NOT regexp_matches(r[ti], $ws) AND ti > 1
+    |          AND regexp_matches(r[ti - 1], $ws)
+    |          AND substr(r[ti - 1], len(r[ti - 1]), 1) = ' '
+    |        THEN CASE WHEN regexp_matches(r[ti], $contr)
+    |          THEN [${sqlStrLit(" '")}, substr(r[ti], 2) ||
+    |            CASE WHEN ti < len(r) AND regexp_matches(r[ti + 1], $let)
+    |              THEN r[ti + 1] ELSE '' END]
+    |          ELSE [' ' || r[ti]] END
+    |      WHEN regexp_matches(r[ti], $let) AND ti > 2
+    |          AND regexp_matches(r[ti - 1], $contr)
+    |          AND regexp_matches(r[ti - 2], $ws)
+    |          AND substr(r[ti - 2], len(r[ti - 2]), 1) = ' '
+    |        THEN CAST([] AS VARCHAR[])
+    |      ELSE [r[ti]] END)), x -> x <> '') AS pt
     |  FROM raw)""".stripMargin.trim
+  }
 
   /** DuckDB byte-char LIST of one pre-token expression `p`: hex the
     * UTF-8 bytes, fold digit pairs, apply the closed-form GPT-2

@@ -584,18 +584,47 @@ object TrainPrep {
   // Pre-tokenizer fidelity note: the exact GPT-2 pattern ends in
   // `\s+(?!\S)|\s+`, and RE2 (the oracle's engine) has no lookarounds.
   // Both engines therefore run the SAME lookahead-free pattern with a
-  // deterministic post-pass that re-attaches a whitespace run's LAST
-  // space to the following token — exactly the behavior the lookahead
-  // encodes (the lookahead only ever fires on whitespace runs followed
-  // by non-space, where greedy backtracking stops one short; every
-  // single space before a token is consumed by a ` ?X` branch first in
-  // both patterns). The post-passed output therefore EQUALS the true
-  // GPT-2 pre-tokenization; BpeSpec pins the hand cases.
+  // deterministic post-pass reproducing the lookahead's behavior on a
+  // maximal whitespace run W followed by a non-whitespace token T
+  // (round 14 — the round-13 "donate the last char" pass diverged from
+  // true GPT-2 exactly where the donated char was not a literal space
+  // or T was a contraction; the advisor reproduced "a  's"):
+  //   - W ends in ' ': the space is donated forward. T a letter/number/
+  //     punct run gains a leading space (the ` ?X` branch true GPT-2
+  //     takes); T a CONTRACTION becomes " '" + letters — with a space
+  //     available the punct branch ` ?[^\s\pL\pN]+` outranks the
+  //     contraction alternates, and the letters fuse with a directly
+  //     following bare letter run (" 's"+"tyx" → " '", "styx").
+  //   - W ends in any other whitespace char (tab, newline, \x0B, \f,
+  //     \r): NO donation — the ` ?` prefixes are literal spaces, so
+  //     true GPT-2 backtracks one char and emits it as its own
+  //     single-char whitespace token; T stands unchanged.
+  // BpeSpec checks the composed output against the TRUE lookahead
+  // pattern run by Java regex on every hand case.
+  //
+  // Whitespace class note: Java's \s is [ \t\n\x0B\f\r] but RE2's
+  // excludes \x0B, so both the pattern and every post-pass check spell
+  // the class out explicitly — one definition, both engines.
   // ==========================================================================
+
+  /** The explicit whitespace class (Java's ASCII \s, spelled out so the
+    * RE2 oracle matches it byte-for-byte — RE2's \s lacks \x0B). */
+  val gpt2WsClass: String = "[ \t\n\u000B\f\r]"
+
+  /** Anchored whitespace-run test, shared by both engines' post-pass. */
+  val gpt2WsRun: String = s"^$gpt2WsClass+$$"
 
   /** The shared lookahead-free pre-tokenizer pattern (Java ≡ RE2). */
   val gpt2PretokenPattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \t\n\u000B\f\r\\p{L}\\p{N}]+|" + gpt2WsClass + "+"
+
+  /** The TRUE GPT-2 pattern (with the `(?!` lookahead) — Java-only;
+    * BpeSpec runs it as the reference the post-pass must reproduce. */
+  val gpt2TruePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \t\n\u000B\f\r\\p{L}\\p{N}]+" +
+      "|" + gpt2WsClass + "+(?![^ \t\n\u000B\f\r])|" + gpt2WsClass + "+"
 
   /** GPT-2 bytes-to-unicode table: printable bytes map to themselves,
     * the rest shift to 256+, in byte order — index by the byte value.
@@ -613,14 +642,25 @@ object TrainPrep {
   val gpt2UnicodeToByte: Map[String, Int] =
     gpt2ByteToUnicode.zipWithIndex.toMap
 
+  /** Contraction-token test (exactly the alternates the pattern's first
+    * branches emit), shared by both engines' post-pass. */
+  val gpt2ContrRun: String = "^'(s|t|re|ve|m|ll|d)$"
+
+  /** Bare-letter-run test (a `\p{L}+` match with no leading space). */
+  val gpt2LettersRun: String = "^\\p{L}+$"
+
   /** Pre-tokenize into the GPT-2-style stream: regexp_extract_all with
-    * the shared pattern, then the whitespace post-pass (a run followed
-    * by a non-whitespace token donates its last space; single-space
-    * runs disappear into the neighbor). All higher-order column ops —
-    * codegen'd, no UDF.
+    * the shared lookahead-free pattern, then the whitespace post-pass
+    * (see the fidelity note above): a maximal whitespace run followed
+    * by a non-whitespace token splits off its LAST char — donated
+    * forward when it is a literal space (fusing " '"+letters when the
+    * recipient is a contraction), emitted as its own token otherwise.
+    * All higher-order column ops — codegen'd, no UDF.
     */
   def gpt2PreTokens(text: Column): Column = {
     val raw = regexp_extract_all(text, lit(gpt2PretokenPattern), lit(0))
+    def isWs(c: Column) = c.rlike(gpt2WsRun)
+    def endsSpace(c: Column) = c.substr(length(c), lit(1)) === " "
     // bind the match array ONCE via a single-element outer transform —
     // referencing `raw` inside the per-token lambda would re-evaluate
     // the regex extraction for every token
@@ -628,14 +668,34 @@ object TrainPrep {
       val adj = transform(arr, (t, i) => {
         val nxt = try_element_at(arr, i + lit(2))
         val prv = when(i > lit(0), try_element_at(arr, i))
-        val isWs = t.rlike("^\\s+$")
-        when(isWs && nxt.isNotNull && !nxt.rlike("^\\s+$"),
-            t.substr(lit(1), length(t) - 1))
-          .when(!isWs && prv.isNotNull && prv.rlike("^\\s+$"),
-            concat(prv.substr(length(prv), lit(1)), t))
-          .otherwise(t)
+        val pr2 = when(i > lit(1), try_element_at(arr, i - lit(1)))
+        val tWs = isWs(t)
+        when(tWs && nxt.isNotNull && !isWs(nxt),
+            // run before a token: split off the last char; a space is
+            // re-attached by the recipient's branch, anything else
+            // stands alone (true GPT-2 backtracks exactly one char)
+            when(endsSpace(t), array(t.substr(lit(1), length(t) - 1)))
+              .otherwise(array(t.substr(lit(1), length(t) - 1),
+                t.substr(length(t), lit(1)))))
+          .when(!tWs && prv.isNotNull && isWs(prv) && endsSpace(prv),
+            // recipient of a donated space: contractions resolve as
+            // " '" + letters (the punct branch outranks the contraction
+            // alternates when a space precedes), fusing a directly
+            // following bare letter run; everything else just gains
+            // the leading space
+            when(t.rlike(gpt2ContrRun),
+              array(lit(" '"), concat(t.substr(lit(2), length(t)),
+                when(nxt.isNotNull && nxt.rlike(gpt2LettersRun), nxt)
+                  .otherwise(lit("")))))
+              .otherwise(array(concat(lit(" "), t))))
+          .when(!tWs && t.rlike(gpt2LettersRun) && prv.isNotNull &&
+              prv.rlike(gpt2ContrRun) && pr2.isNotNull && isWs(pr2) &&
+              endsSpace(pr2),
+            // letter run already fused into the previous contraction
+            array().cast("array<string>"))
+          .otherwise(array(t))
       })
-      filter(adj, t => length(t) > 0)
+      filter(flatten(adj), t => length(t) > 0)
     }), 1)
   }
 

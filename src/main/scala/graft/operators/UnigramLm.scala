@@ -309,6 +309,10 @@ object UnigramLm {
 
   private def segWeights(segs: Seq[(Seq[String], Long)])
       : (Seq[(Seq[String], Long)], Long) = {
+    // a word containing a char absent from the vocab has NO valid
+    // segmentation — surface as weight-sum 0 so every caller's d <= 0
+    // guard skips the word instead of .max throwing in an executor
+    if (segs.isEmpty) return (Seq.empty, 0L)
     val m = segs.iterator.map(_._2).max
     val ws = segs.map { case (ps, s) =>
       (ps, math.round(math.exp((s - m).toDouble / 1e6) * 1e6))
@@ -448,13 +452,21 @@ object UnigramLm {
   def pruneVocab(words: DataFrame, vocab: Seq[Piece], maxPieceLen: Int,
       targetMultis: Int, maxWordLen: Int = 16): Seq[Piece] = {
     require(targetMultis >= 0, s"pruneVocab: bad targetMultis $targetMultis")
-    val losses = pruneLosses(words, vocab, maxPieceLen, maxWordLen)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val keep = vocab.filter(_.piece.length > 1)
-      .sortBy(p => (-losses.getOrElse(p.piece, 0L), p.piece))
-      .take(targetMultis).map(_.piece).toSet
+    // keep-rank stays DISTRIBUTED (round 14): orderBy+limit plans as a
+    // TakeOrderedAndProject top-k, so the driver reads only the
+    // `targetMultis` keep rows — never the full loss table
+    val keep = keepSet(pruneLosses(words, vocab, maxPieceLen, maxWordLen),
+      targetMultis)
     vocab.filter(p => p.piece.length == 1 || keep(p.piece))
   }
+
+  /** Distributed keep-rank over a (piece, loss_micro) loss table: the
+    * `targetMultis` highest-loss pieces (ties piece asc) via a top-k
+    * plan; only the keep rows reach the driver. */
+  private def keepSet(losses: DataFrame, targetMultis: Int): Set[String] =
+    losses.orderBy(col("loss_micro").desc, col("piece"))
+      .limit(targetMultis)
+      .select(col("piece")).collect().map(_.getString(0)).toSet
 
   /** Corpus marginal log-likelihood Σ_w f_w · Z_w in micros under the
     * quantized-lattice contract — the quantity the pruning loss is
@@ -568,6 +580,121 @@ object UnigramLm {
       .groupBy(col("piece")).agg(sum(col("e")).as("ec"))
   }
 
+  /** Cap-free leave-one-out pruning loss via forward DPs in double
+    * log-space (round 14 — the 100-TB face of [[pruneLosses]], which
+    * still enumerates under the `maxWordLen` cap): per distinct word,
+    * one O(n·maxPieceLen) forward pass gives logZ_w; for each
+    * multi-char vocab piece whose occurrence is on a live lattice path
+    * (forward(a) and backward(b) both finite around an occurrence),
+    * one more forward pass over the lattice with that piece BANNED
+    * gives logZ_w^{−p} — banning kills every occurrence at once, the
+    * exact leave-one-out semantics. loss(p) = Σ_w f_w·(logZ_w −
+    * logZ_w^{−p}), the same quantity [[pruneLosses]] computes exactly,
+    * here unquantized (per-cell log-sum-exp does not replay
+    * cross-engine — hence no oracle face; UnigramSpec gates keep-set
+    * agreement with the enumeration loss on in-cap fixtures and
+    * coverage of words beyond the cap). Per-word cost is
+    * O(n²·maxPieceLen²) — polynomial, NO length cap, so the pruning
+    * schedule no longer drops long words from its statistics. Output:
+    * (piece, loss_micro DOUBLE) for every multi-char vocab piece.
+    */
+  def pruneLossesFB(words: DataFrame, vocab: Seq[Piece],
+      maxPieceLen: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val lpB = spark.sparkContext.broadcast(
+      vocab.map(p => p.piece -> p.lp_micro).toMap)
+    val contrib = words.select(col("w").cast("string"), col("f").cast("long"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val lp = lpB.value
+        def lse(a: Double, b: Double): Double =
+          if (a == Double.NegativeInfinity) b
+          else if (b == Double.NegativeInfinity) a
+          else { val m = math.max(a, b); m + math.log1p(math.exp(math.min(a, b) - m)) }
+        def forward(w: String, banned: String): Array[Double] = {
+          val n = w.length
+          val fa = Array.fill(n + 1)(Double.NegativeInfinity)
+          fa(0) = 0.0
+          var j = 1
+          while (j <= n) {
+            var i = math.max(0, j - maxPieceLen)
+            while (i < j) {
+              if (fa(i) != Double.NegativeInfinity) {
+                val piece = w.substring(i, j)
+                if (piece != banned)
+                  lp.get(piece).foreach(v => fa(j) = lse(fa(j), fa(i) + v / 1e6))
+              }
+              i += 1
+            }
+            j += 1
+          }
+          fa
+        }
+        it.flatMap { case (w, f) =>
+          val n = w.length
+          if (n == 0) Iterator.empty
+          else {
+            val fa = forward(w, null)
+            val z = fa(n)
+            if (z == Double.NegativeInfinity) Iterator.empty
+            else {
+              // backward reachability for candidate pruning (values are
+              // the suffix log-partitions; only finiteness is used)
+              val fb = Array.fill(n + 1)(Double.NegativeInfinity)
+              fb(n) = 0.0
+              var i2 = n - 1
+              while (i2 >= 0) {
+                var j2 = math.min(n, i2 + maxPieceLen)
+                while (j2 > i2) {
+                  if (fb(j2) != Double.NegativeInfinity)
+                    lp.get(w.substring(i2, j2)).foreach(v =>
+                      fb(i2) = lse(fb(i2), v / 1e6 + fb(j2)))
+                  j2 -= 1
+                }
+                i2 -= 1
+              }
+              val cands = scala.collection.mutable.LinkedHashSet.empty[String]
+              var a = 0
+              while (a < n) {
+                if (fa(a) != Double.NegativeInfinity) {
+                  var b = math.min(n, a + maxPieceLen)
+                  while (b > a + 1) { // multi-char only
+                    if (fb(b) != Double.NegativeInfinity) {
+                      val piece = w.substring(a, b)
+                      if (lp.contains(piece)) cands += piece
+                    }
+                    b -= 1
+                  }
+                }
+                a += 1
+              }
+              cands.iterator.map { p =>
+                val zm = forward(w, p)(n)
+                // the char-only path survives every ban, so zm is finite
+                (p, f.toDouble * (z - zm) * 1e6)
+              }
+            }
+          }
+        }
+      }
+      .toDF("piece", "loss")
+      .groupBy(col("piece")).agg(sum(col("loss")).as("loss_micro"))
+    vocab.filter(_.piece.length > 1).map(_.piece).toDF("piece")
+      .join(contrib, Seq("piece"), "left")
+      .select(col("piece"),
+        coalesce(col("loss_micro"), lit(0.0)).as("loss_micro"))
+  }
+
+  /** [[pruneVocab]] on the cap-free FB loss — keep-rank distributed the
+    * same way (top-k; only the keep rows reach the driver). */
+  def pruneVocabFB(words: DataFrame, vocab: Seq[Piece], maxPieceLen: Int,
+      targetMultis: Int): Seq[Piece] = {
+    require(targetMultis >= 0, s"pruneVocabFB: bad targetMultis $targetMultis")
+    val keep = keepSet(pruneLossesFB(words, vocab, maxPieceLen), targetMultis)
+    vocab.filter(p => p.piece.length == 1 || keep(p.piece))
+  }
+
   /** Full soft-EM trainer with the published pruning schedule: seed at
     * `seedSize` (oversized), then per round — one soft-EM re-estimate,
     * then prune the lowest-loss multi-char pieces down to
@@ -590,7 +717,11 @@ object UnigramLm {
     while (vocab.count(_.piece.length > 1) > targetMultis && guard < 64) {
       vocab = collectSoftRound(words, vocab, maxPieceLen, maxWordLen)
       val multis = vocab.count(_.piece.length > 1)
-      val next = math.max(targetMultis, math.ceil(multis * keepFrac).toInt)
+      // clamp to guarantee progress: ceil(multis·keepFrac) == multis for
+      // tiny multis (1..3 at 0.75), which would spin the loop without
+      // ever pruning — always step down at least one piece
+      val next = math.max(targetMultis,
+        math.min(multis - 1, math.ceil(multis * keepFrac).toInt))
       if (next < multis)
         vocab = pruneVocab(words, vocab, maxPieceLen, next, maxWordLen)
       guard += 1

@@ -566,35 +566,45 @@ object StreamingOps {
   def mediaHealthStream(media: DataFrame, idCol: String, binCol: String,
       ledgerPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.Multimodal
-    media.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val decoded = Multimodal.decodeMedia(batch, idCol, binCol).toDF()
-      val delta = decoded.groupBy(col("format"))
-        .agg(count(lit(1)).as("n_seen"),
-          sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_ok"))
+    media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      // ledger state lives behind VersionedLedger (round 13): commits are
-      // write-new-snapshot + atomic pointer swap, so a crash mid-commit
-      // can never lose the cumulative ledger — and existence resolves
-      // through the pointer, never a local-file check
-      val merged = VersionedLedger.read(spark, ledgerPath) match {
-        case Some(prev) =>
-          prev.select(col("format"), col("n_seen"), col("n_ok"))
-            .unionByName(delta)
-            .groupBy(col("format"))
-            .agg(sum(col("n_seen")).as("n_seen"), sum(col("n_ok")).as("n_ok"))
-        case None => delta
+      // replay fence (round 14): foreachBatch is at-least-once — a crash
+      // AFTER the ledger commit but BEFORE Spark's own checkpoint commit
+      // re-runs this batch, and the cumulative merge below is not
+      // idempotent (n_seen/n_ok would double-count). The last applied
+      // batch id rides in the pointer file, atomically with the snapshot
+      // it produced, so a re-delivered batch is a no-op.
+      val alreadyApplied = VersionedLedger.lastAppliedBatch(spark, ledgerPath)
+        .exists(_ >= batchId)
+      if (!alreadyApplied) {
+        val decoded = Multimodal.decodeMedia(batch, idCol, binCol).toDF()
+        val delta = decoded.groupBy(col("format"))
+          .agg(count(lit(1)).as("n_seen"),
+            sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_ok"))
+        // ledger state lives behind VersionedLedger (round 13): commits are
+        // write-new-snapshot + atomic pointer swap, so a crash mid-commit
+        // can never lose the cumulative ledger — and existence resolves
+        // through the pointer, never a local-file check
+        val merged = VersionedLedger.read(spark, ledgerPath) match {
+          case Some(prev) =>
+            prev.select(col("format"), col("n_seen"), col("n_ok"))
+              .unionByName(delta)
+              .groupBy(col("format"))
+              .agg(sum(col("n_seen")).as("n_seen"), sum(col("n_ok")).as("n_ok"))
+          case None => delta
+        }
+        val rows = merged
+          .withColumn("fail_rate",
+            (col("n_seen") - col("n_ok")).cast("double") / col("n_seen").cast("double"))
+          .collect() // O(formats): bounded by the codec registry size
+        import spark.implicits._
+        VersionedLedger.commit(
+          rows.map(r => (r.getAs[String]("format"), r.getAs[Long]("n_seen"),
+              r.getAs[Long]("n_ok"), r.getAs[Double]("fail_rate")))
+            .toSeq.toDF("format", "n_seen", "n_ok", "fail_rate")
+            .coalesce(1),
+          ledgerPath, batchId = Some(batchId))
       }
-      val rows = merged
-        .withColumn("fail_rate",
-          (col("n_seen") - col("n_ok")).cast("double") / col("n_seen").cast("double"))
-        .collect() // O(formats): bounded by the codec registry size
-      import spark.implicits._
-      VersionedLedger.commit(
-        rows.map(r => (r.getAs[String]("format"), r.getAs[Long]("n_seen"),
-            r.getAs[Long]("n_ok"), r.getAs[Double]("fail_rate")))
-          .toSeq.toDF("format", "n_seen", "n_ok", "fail_rate")
-          .coalesce(1),
-        ledgerPath)
       ()
     }
   }

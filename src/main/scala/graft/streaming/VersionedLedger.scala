@@ -41,20 +41,34 @@ object VersionedLedger {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The committed version, if any commit ever completed. */
-  def currentVersion(spark: SparkSession, path: String): Option[Long] = {
+  private def pointerLines(spark: SparkSession, path: String): Seq[String] = {
     val ptr = new Path(path, Pointer)
     val f = fs(spark, ptr)
-    if (!f.exists(ptr)) None
+    if (!f.exists(ptr)) Seq.empty
     else {
       val in = f.open(ptr)
       try {
-        val s = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)).readLine()
-        Some(s.trim.toLong)
+        val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+          in, java.nio.charset.StandardCharsets.UTF_8))
+        Iterator.continually(br.readLine()).takeWhile(_ != null).toSeq
       } finally in.close()
     }
   }
+
+  /** The committed version, if any commit ever completed. */
+  def currentVersion(spark: SparkSession, path: String): Option[Long] =
+    pointerLines(spark, path).headOption.map(_.trim.toLong)
+
+  /** The streaming batch id recorded with the last commit, if the
+    * committer supplied one — the replay fence for at-least-once
+    * `foreachBatch` sinks (round 14): a non-idempotent merge (e.g. the
+    * media-health cumulative counters) must no-op when Spark re-runs a
+    * batch whose effect the ledger already holds. The id rides in the
+    * SAME pointer file the version does, so it swaps in atomically
+    * with the snapshot it describes.
+    */
+  def lastAppliedBatch(spark: SparkSession, path: String): Option[Long] =
+    pointerLines(spark, path).drop(1).headOption.map(_.trim.toLong)
 
   /** Last committed snapshot, or None before the first commit. */
   def read(spark: SparkSession, path: String): Option[DataFrame] =
@@ -81,15 +95,19 @@ object VersionedLedger {
     df.write.mode("overwrite").parquet(s"$path/v$version")
 
   /** Commit half 2 — atomically swap the pointer to `version` via
-    * temp-file + `FileContext.rename(OVERWRITE)`.
+    * temp-file + `FileContext.rename(OVERWRITE)`. `batchId`, when
+    * present, is recorded as a second pointer line (see
+    * [[lastAppliedBatch]]).
     */
-  def swapPointer(spark: SparkSession, path: String, version: Long): Unit = {
+  def swapPointer(spark: SparkSession, path: String, version: Long,
+      batchId: Option[Long] = None): Unit = {
     val dir = new Path(path)
     val f = fs(spark, dir)
     if (!f.exists(dir)) f.mkdirs(dir)
     val tmp = new Path(dir, s".$Pointer.tmp-${version}")
     val out = f.create(tmp, true)
-    try out.write(version.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val body = version.toString + batchId.map(b => s"\n$b").getOrElse("")
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = FileContext.getFileContext(dir.toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -97,11 +115,11 @@ object VersionedLedger {
   }
 
   /** Atomic full-snapshot commit; returns the committed version. */
-  def commit(df: DataFrame, path: String): Long = {
+  def commit(df: DataFrame, path: String, batchId: Option[Long] = None): Long = {
     val spark = df.sparkSession
     val next = currentVersion(spark, path).map(_ + 1L).getOrElse(0L)
     writeVersion(df, path, next)
-    swapPointer(spark, path, next)
+    swapPointer(spark, path, next, batchId)
     // best-effort GC: keep current + previous (an in-flight reader may
     // still be scanning N-1), drop older snapshots and orphan tmp files
     try {

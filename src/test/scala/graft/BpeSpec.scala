@@ -137,22 +137,16 @@ class BpeSpec extends SparkSpec {
 
   // ======================= byte-level BPE (round 13) =======================
 
-  /** Reference pre-tokenizer: the SAME lookahead-free pattern (Java
-    * regex, the engine Spark itself uses) + the whitespace post-pass. */
+  /** Reference pre-tokenizer: the TRUE GPT-2 pattern — WITH the
+    * `(?!\S)` lookahead, which Java regex supports (round 14: the spec
+    * now checks the lookahead-free pattern + post-pass against the
+    * real thing, not against a re-implementation of the post-pass). */
   private def refPreTokens(text: String): Seq[String] = {
-    val m = java.util.regex.Pattern.compile(TrainPrep.gpt2PretokenPattern)
+    val m = java.util.regex.Pattern.compile(TrainPrep.gpt2TruePattern)
       .matcher(text)
     val raw = collection.mutable.ArrayBuffer.empty[String]
     while (m.find()) raw += m.group()
-    raw.indices.map { i =>
-      val t = raw(i)
-      val isWs = t.matches("\\s+")
-      if (isWs && i + 1 < raw.length && !raw(i + 1).matches("\\s+"))
-        t.dropRight(1)
-      else if (!isWs && i > 0 && raw(i - 1).matches("\\s+"))
-        raw(i - 1).takeRight(1) + t
-      else t
-    }.filter(_.nonEmpty)
+    raw.toSeq
   }
 
   private def refByteChars(tok: String): Seq[String] =
@@ -200,7 +194,15 @@ class BpeSpec extends SparkSpec {
   test("gpt2PreTokens: hand cases — spacing, contractions, multi-byte, variant corner") {
     val cases = Seq(
       "Hello world", "a  bb", "don't stop", "x  ", " 'tis", "",
-      "tab\there new\nline", "naïve café 🙂 €9", "UPPER lower 42x")
+      "tab\there new\nline", "naïve café 🙂 €9", "UPPER lower 42x",
+      // round 14 — the classes the advisor flagged + the fidelity fix:
+      "a  's",        // space run before a contraction (reproduced deviation)
+      "x  'styx",     // donated-space contraction fusing a bare letter run
+      "a\t\tb",       // non-space run: split, NO donation
+      "a\tb",         // single non-space ws char stands alone
+      "w \t's",       // run ending in tab before a contraction
+      "a  'd's ok",   // contraction chain after a donated space
+      "vtx   y") // \x0B — the Java-\s vs RE2-\s byte
     val got = cases.toDF("text")
       .select(TrainPrep.gpt2PreTokens(col("text")))
       .as[Seq[String]].collect()
@@ -208,7 +210,8 @@ class BpeSpec extends SparkSpec {
       assert(g == refPreTokens(txt), s"'$txt': $g != ${refPreTokens(txt)}")
       assert(g.mkString("") == txt, s"'$txt' does not reassemble") // lossless
     }
-    // pinned expectations, not just reference agreement
+    // pinned expectations, not just reference agreement (refPreTokens IS
+    // the true lookahead pattern, so these pin true GPT-2 behavior)
     assert(refPreTokens("Hello world") == Seq("Hello", " world"))
     assert(refPreTokens("a  bb") == Seq("a", " ", " bb"))      // run donates last space
     assert(refPreTokens("don't stop") == Seq("don", "'t", " stop"))
@@ -216,6 +219,10 @@ class BpeSpec extends SparkSpec {
     assert(refPreTokens(" 'tis") == Seq(" '", "tis"))          // punct branch beats ws; == true GPT-2
     assert(refPreTokens("UPPER lower 42x") ==
       Seq("UPPER", " lower", " 42", "x"))                      // no lowercasing; N/L split
+    assert(refPreTokens("a  's") == Seq("a", " ", " '", "s"))  // NOT ("a", " ", " 's")
+    assert(refPreTokens("x  'styx") == Seq("x", " ", " '", "styx")) // letters fuse
+    assert(refPreTokens("a\t\tb") == Seq("a", "\t", "\t", "b")) // tab is never donated
+    assert(refPreTokens("w \t's") == Seq("w", " ", "\t", "'s")) // contraction survives after tab
   }
 
   test("byteChars: identity bytes, shifted bytes, multi-byte code points") {

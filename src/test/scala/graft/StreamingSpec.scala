@@ -601,6 +601,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mediaHealth ledger replay fence: a re-delivered batch id is a no-op (at-least-once safety)") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("health-replay").toString + "/ledger"
+    def ledger(): Map[String, (Long, Long)] =
+      VersionedLedger.read(spark, dir).get.collect().map(r =>
+        r.getAs[String]("format") -> ((r.getAs[Long]("n_seen"),
+          r.getAs[Long]("n_ok")))).toMap
+    val mem1 = MemoryStream[(Long, Array[Byte])]
+    val q1 = StreamingOps.mediaHealthStream(
+      mem1.toDF().toDF("doc_id", "bin"), "doc_id", "bin", dir).start()
+    try {
+      mem1.addData((0L, Multimodal.synthWav(0L)))
+      q1.processAllAvailable()
+      assert(ledger()("wav") == ((1L, 1L)))
+      assert(VersionedLedger.lastAppliedBatch(spark, dir).contains(0L))
+    } finally q1.stop()
+    // a foreachBatch sink is at-least-once: a crash after the ledger
+    // commit but before Spark's checkpoint commit re-delivers the SAME
+    // batch id. Simulate with a fresh stream (fresh checkpoint) whose
+    // first batch is again id 0 — the fence must make it a no-op
+    // instead of double-merging n_seen/n_ok.
+    val mem2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = StreamingOps.mediaHealthStream(
+      mem2.toDF().toDF("doc_id", "bin"), "doc_id", "bin", dir).start()
+    try {
+      mem2.addData((0L, Multimodal.synthWav(0L)))
+      q2.processAllAvailable()
+      assert(ledger()("wav") == ((1L, 1L)), "replayed batch 0 double-counted")
+      assert(VersionedLedger.lastAppliedBatch(spark, dir).contains(0L))
+      // the NEXT batch id is new work and must still apply
+      mem2.addData((1L, Multimodal.synthWav(1L)))
+      q2.processAllAvailable()
+      assert(ledger()("wav") == ((2L, 2L)))
+      assert(VersionedLedger.lastAppliedBatch(spark, dir).contains(1L))
+    } finally q2.stop()
+  }
+
   test("driftGateStream: per-batch PSI vs a fixed reference, batch-equivalent, gate fires on drift") {
     import graft.operators.TrainPrep
     val base = java.nio.file.Files.createTempDirectory("graft-drift").toString

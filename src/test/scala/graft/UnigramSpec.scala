@@ -240,4 +240,73 @@ class UnigramSpec extends SparkSpec {
       assert(pieces.mkString("") == w, s"'$w' -> $pieces does not round-trip")
     }
   }
+
+  test("trainSoft shrink schedule cannot stall on tiny targets (round-14 advice)") {
+    // ceil(multis * 0.75) == multis for multis in {1,2,3}: without the
+    // clamp the loop would spin 64 full soft-EM passes and exit
+    // oversized. vocabSize barely above the char count forces the
+    // schedule through that regime; the clamp steps down one piece per
+    // round and must land exactly on target.
+    val tiny = Seq((0L, "abab abab ab")).toDF("doc_id", "text")
+    val nChars = 2 // 'a', 'b'
+    val vocab = UnigramLm.trainSoft(tiny, "text", maxPieceLen = 3,
+      seedSize = 8, vocabSize = nChars + 1)
+    assert(vocab.count(_.piece.length > 1) == 1,
+      s"expected exactly 1 multi piece, got ${vocab.filter(_.piece.length > 1)}")
+    assert(vocab.length == nChars + 1)
+  }
+
+  test("out-of-vocab characters skip, never crash, in every soft-EM consumer (round-14 advice)") {
+    // 'z' has no piece in this vocab → zero valid segmentations; the
+    // public APIs must skip the word (the d <= 0 path), not throw from
+    // segWeights' .max inside an executor task
+    val words = Seq(("az", 3L), ("aa", 2L)).toDF("w", "f")
+    val vocab = Seq(Piece("a", 4, -200000L), Piece("aa", 2, -400000L))
+    val ec = UnigramLm.softEmRound(words, vocab, 3)
+      .select(col("piece"), col("ec_micro")).as[(String, Long)].collect().toMap
+    assert(ec.contains("a") && ec("aa") > 0L) // 'aa' still trains
+    val losses = UnigramLm.pruneLosses(words, vocab, 3)
+      .as[(String, Long)].collect().toMap
+    assert(losses.keySet == Set("aa"))
+    val z = UnigramLm.corpusLogZ(words, vocab, 3)
+    val zOnlyAa = UnigramLm.corpusLogZ(
+      Seq(("aa", 2L)).toDF("w", "f"), vocab, 3)
+    assert(z == zOnlyAa, "the oov word must contribute exactly nothing")
+  }
+
+  test("pruneLossesFB: cap-free loss agrees with the exact enumeration on keep-sets") {
+    val words = UnigramLm.wordFreqs(docs, "text").localCheckpoint()
+    val seed = UnigramLm.collectVocab(UnigramLm.seedVocab(docs, "text", 4, 30))
+    val vocab = UnigramLm.collectSoftRound(words, seed, 4)
+    val exact = UnigramLm.pruneLosses(words, vocab, 4)
+      .as[(String, Long)].collect().toMap
+    val fb = UnigramLm.pruneLossesFB(words, vocab, 4)
+      .as[(String, Double)].collect().toMap
+    assert(fb.keySet == exact.keySet, "FB must cover every multi-char piece")
+    // value agreement: same quantity, FB unquantized — tight relative gate
+    exact.foreach { case (p, lm) =>
+      val e = lm.toDouble
+      val f = fb(p)
+      val rel = math.abs(e - f) / math.max(math.max(math.abs(e), math.abs(f)), 1.0)
+      assert(rel <= 1e-3, f"piece '$p': exact $e%.1f vs FB $f%.1f (rel $rel%.2e)")
+    }
+    // the decision that matters: keep-set equality at several targets
+    Seq(2, 3, 5).foreach { t =>
+      val kExact = UnigramLm.pruneVocab(words, vocab, 4, t)
+        .filter(_.piece.length > 1).map(_.piece).toSet
+      val kFb = UnigramLm.pruneVocabFB(words, vocab, 4, t)
+        .filter(_.piece.length > 1).map(_.piece).toSet
+      assert(kExact == kFb, s"keep-set diverged at target $t: $kExact vs $kFb")
+    }
+    // and the cap-free property: a 24-char word is invisible to the
+    // enumeration path but carries loss mass on the FB path
+    val long = Seq(("ab" * 12, 5L)).toDF("w", "f")
+    val lv = Seq(Piece("a", 1, -100000L), Piece("b", 1, -100000L),
+      Piece("ab", 1, -150000L))
+    assert(UnigramLm.pruneLosses(long, lv, 4)
+      .as[(String, Long)].collect().toMap.apply("ab") == 0L)
+    val fbLong = UnigramLm.pruneLossesFB(long, lv, 4)
+      .as[(String, Double)].collect().toMap
+    assert(fbLong("ab") > 0.0, "FB loss must cover words beyond the cap")
+  }
 }
