@@ -8833,6 +8833,165 @@ object Queries {
       |ORDER BY d.doc_id
       |""").stripMargin.trim))
 
+  // ==========================================================================
+  // WordPiece (round 14) — the third published tokenizer family,
+  // completing BPE/unigram/WordPiece: q212 replays the ENTIRE trainer
+  // in SQL (pair + unit counts, the HUGEINT-floor normalized score,
+  // argmax, delimited-replace merge — round by round, the q191 replay
+  // standard applied to a merge loop), q213 the greedy
+  // longest-match-first apply under a fixed vocab via a recursive CTE.
+  // ==========================================================================
+
+  /** One unrolled round of the WordPiece trainer in SQL: state `s{r-1}`
+    * (f, delimited symbol string) → `top{r}` (the argmax row) and
+    * `s{r}` (state after applying the merge). The score is
+    * floor(cab·1e12 / (ca·cb)) in HUGEINT — the identical integer
+    * Spark computes via DECIMAL `div`. COALESCE sentinels keep an
+    * exhausted round harmless (chr(1) never occurs in a symbol).
+    */
+  private def wordPieceRoundSql(r: Int): String = {
+    val prev = s"s${r - 1}"
+    s"""sym$r AS (SELECT f, list_filter(string_split(s, ' '), x -> x <> '') AS syms
+      |  FROM $prev),
+      |pc$r AS MATERIALIZED (SELECT syms[CAST(pi AS INT)] AS a,
+      |    syms[CAST(pi AS INT) + 1] AS b, CAST(SUM(f) AS BIGINT) AS cab
+      |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS pi
+      |        FROM sym$r WHERE len(syms) >= 2)
+      |  GROUP BY 1, 2),
+      |uc$r AS MATERIALIZED (SELECT u AS sym, CAST(SUM(f) AS BIGINT) AS cu
+      |  FROM (SELECT f, unnest(syms) AS u FROM sym$r) GROUP BY 1),
+      |top$r AS MATERIALIZED (SELECT a, b,
+      |    a || CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END AS merged,
+      |    cab, ua.cu AS ca, ub.cu AS cb,
+      |    CAST((CAST(cab AS HUGEINT) * 1000000000000)
+      |      // (CAST(ua.cu AS HUGEINT) * ub.cu) AS BIGINT) AS score_q
+      |  FROM pc$r JOIN uc$r ua ON pc$r.a = ua.sym
+      |    JOIN uc$r ub ON pc$r.b = ub.sym
+      |  ORDER BY score_q DESC, a, b LIMIT 1),
+      |s$r AS MATERIALIZED (SELECT f, replace(s,
+      |    ' ' || COALESCE((SELECT a FROM top$r), chr(1)) || '  ' ||
+      |      COALESCE((SELECT b FROM top$r), chr(1)) || ' ',
+      |    ' ' || COALESCE((SELECT merged FROM top$r), chr(1)) || ' ') AS s
+      |  FROM $prev)""".stripMargin.trim
+  }
+
+  /** WordPiece TRAINING replayed end to end (round 14): `nMerges`
+    * rounds of the published count(ab)/(count(a)·count(b)) merge
+    * criterion over ##-marked symbol sequences. The corpus is touched
+    * once (word table); each round is vocab-sized. The oracle unrolls
+    * every round — the trainer's full selection AND application
+    * semantics are hash-checked cross-engine, not just its first
+    * argmax (the q152/q210 pattern's stronger sibling; WordPieceSpec
+    * additionally pins the trainer against an independent in-memory
+    * reference).
+    */
+  val q212: Q = {
+    val nM = 6
+    Q(
+      "q212_wordpiece_train",
+      (s, dir) => TrainPrep.wordPieceTrain(t(s, dir, "documents"), "text", nM)
+        .orderBy(col("rank")),
+      Some(s"""
+        |WITH wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+        |      tk -> tk <> '')) AS w
+        |    FROM documents) GROUP BY w),
+        |s0 AS MATERIALIZED (SELECT f,
+        |    ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+        |      ci -> CASE WHEN ci = 1 THEN substr(w, 1, 1)
+        |            ELSE '##' || substr(w, CAST(ci AS INT), 1) END), '  ')
+        |    || ' ' AS s
+        |  FROM wf),
+        |${(1 to nM).map(wordPieceRoundSql).mkString(",\n")}
+        |SELECT * FROM (
+        |  ${(1 to nM).map(r =>
+             s"SELECT CAST(${r - 1} AS BIGINT) AS rank, a, b, merged, cab, ca, cb, score_q FROM top$r")
+             .mkString(" UNION ALL\n  ")})
+        |ORDER BY rank
+        |""".stripMargin.trim))
+  }
+
+  /** Fixture WordPiece vocab for the APPLY query (q213) — FIXED, the
+    * q159/q207 pattern (training is q212 + WordPieceSpec): single
+    * chars bare and ##-form for the corpus alphabet MINUS 'v' (so
+    * "value"/"vector" exercise the [UNK] collapse), plus multi-char
+    * pieces that force longest-match decisions on the corpus words. */
+  private val wordPieceVocab: Seq[String] = {
+    val chars = "abcdefghijklmnopqrstuwy".map(_.toString)
+    chars ++ chars.map("##" + _) ++ Seq(
+      "th", "##he", "ta", "##ble", "sc", "##an", "fa", "##st",
+      "wind", "##ow", "qu", "##ery", "sl", "##ow", "##der", "or")
+  }
+
+  /** WordPiece APPLY (round 14): greedy longest-match-first
+    * tokenization with ## continuations under the fixed vocab,
+    * [UNK] on dead ends and overlong words (max_input_chars_per_word
+    * = 16 here; published default 100). Spark segments DISTINCT words
+    * (one greedy scan each) and joins back; the oracle replays the
+    * greedy scan as a recursive CTE whose step takes the LONGEST
+    * matching vocab piece at the cursor (anti-join against any longer
+    * match), then reassembles per-doc streams in word order. The md5
+    * digest is sensitive to every piece boundary in every doc.
+    */
+  val q213: Q = {
+    val maxChars = 16
+    Q(
+      "q213_wordpiece_apply",
+      (s, dir) => TrainPrep.wordPieceApply(t(s, dir, "documents"),
+          "doc_id", "text", wordPieceVocab, maxInputChars = maxChars)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        |WITH RECURSIVE
+        |voc(piece) AS (VALUES ${wordPieceVocab.map(p => s"(${sqlStrLit(p)})").mkString(", ")}),
+        |vm AS MATERIALIZED (SELECT piece,
+        |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS body,
+        |    piece LIKE '##%' AS cont,
+        |    CAST(len(CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+        |      ELSE piece END) AS INT) AS blen
+        |  FROM voc),
+        |toks AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk <> '') AS ws
+        |  FROM documents),
+        |dw AS MATERIALIZED (SELECT DISTINCT unnest(ws) AS w FROM toks),
+        |rec AS (
+        |  SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS tk
+        |  FROM dw WHERE len(w) BETWEEN 1 AND $maxChars
+        |  UNION ALL
+        |  SELECT r.w, r.pos + m.blen, r.tk || [m.piece]
+        |  FROM rec r
+        |  JOIN vm m ON m.cont = (r.pos > 1)
+        |    AND substr(r.w, r.pos, m.blen) = m.body
+        |  LEFT JOIN vm m2 ON m2.cont = (r.pos > 1)
+        |    AND substr(r.w, r.pos, m2.blen) = m2.body AND m2.blen > m.blen
+        |  WHERE r.pos <= len(r.w) AND m2.piece IS NULL),
+        |fin AS (SELECT w, tk, pos,
+        |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos DESC) AS rk
+        |  FROM rec),
+        |seg AS (SELECT w,
+        |    CASE WHEN pos = len(w) + 1 THEN tk ELSE ['[UNK]'] END AS tk,
+        |    CASE WHEN pos = len(w) + 1 THEN CAST(len(tk) AS BIGINT)
+        |      ELSE 1 END AS np,
+        |    pos <> len(w) + 1 AS unk
+        |  FROM fin WHERE rk = 1
+        |  UNION ALL
+        |  SELECT w, ['[UNK]'], 1, true FROM dw WHERE len(w) > $maxChars),
+        |pw AS (SELECT doc_id, wi, ws[CAST(wi AS INT)] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS wi
+        |        FROM toks)),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(np) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+        |    md5(array_to_string(flatten(list(tk ORDER BY wi)), ' ')) AS tokens_md5
+        |  FROM pw JOIN seg USING (w) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_words,
+        |  COALESCE(a.n_tokens, 0) AS n_tokens,
+        |  COALESCE(a.n_unk, 0) AS n_unk,
+        |  COALESCE(a.tokens_md5, md5('')) AS tokens_md5
+        |FROM toks t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id
+        |""".stripMargin.trim))
+  }
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -8851,5 +9010,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
 }

@@ -819,6 +819,215 @@ object TrainPrep {
         md5(array_join(col("toks"), " ")).as("tokens_md5"),
         col("toks"))
 
+  // ==========================================================================
+  // WordPiece (round 14) — the third and last published tokenizer
+  // family next to BPE (word q152/q159, byte q206/q207) and unigram
+  // (q191-q193, q203/q204): the BERT-lineage scheme. Same word model
+  // as the word BPE (lowercase whitespace words; WordPiece sits behind
+  // a whitespace+punct pre-tokenizer in its published form); initial
+  // symbols are the first character bare and every later character
+  // `##`-prefixed (the continuation marker), training greedily merges
+  // the adjacent pair maximizing score = count(ab) / (count(a)·count(b))
+  // — pair frequency NORMALIZED by unit frequencies, the published
+  // criterion that distinguishes WordPiece training from BPE's raw
+  // pair count — and application is greedy longest-match-first with
+  // `##` continuations, unknown or overlong words collapsing to [UNK]
+  // (the published max_input_chars_per_word behavior).
+  //
+  // Determinism contract: the score is a rational; both engines select
+  // by the INTEGER floor(count(ab)·1e12 / (count(a)·count(b))) — one
+  // exact integer (DECIMAL `div` here, HUGEINT `//` in the oracle; the
+  // nested-floor identity floor(floor(x/a)/b)=floor(x/(ab)) is NOT
+  // needed since both engines divide by the product directly) — ties
+  // broken (a asc, b asc). Selection equals the true-rational argmax
+  // unless two scores agree to 12 digits, where the lex tie-break is
+  // the published-implementation-shaped determinism choice.
+  // ==========================================================================
+
+  /** Initial WordPiece symbol sequence of a word: first char bare,
+    * subsequent chars ##-prefixed. (`sequence(2, 1)` would DESCEND —
+    * the single-char guard is load-bearing.) */
+  private def wordPieceInitSyms(w: Column): Column =
+    when(length(w) === 1, array(substring(w, 1, 1)))
+      .otherwise(concat(array(substring(w, 1, 1)),
+        transform(sequence(lit(2), length(w)),
+          ci => concat(lit("##"), w.substr(ci, lit(1))))))
+
+  /** The exact quantized merge score both engines rank by. */
+  private def wordPieceScore: Column =
+    expr("CAST((CAST(cab AS DECIMAL(38,0)) * 1000000000000) div " +
+      "(CAST(ca AS DECIMAL(18,0)) * CAST(cb AS DECIMAL(18,0))) AS BIGINT)")
+
+  /** WordPiece pair statistics — the building block the trainer's
+    * argmax reads (the q152/q210 pattern): adjacent-pair counts AND
+    * both unit counts over the ##-marked symbol sequences, with the
+    * quantized score. One corpus scan for the word table; everything
+    * after is vocab-sized.
+    */
+  def wordPiecePairStats(docs: DataFrame, textCol: String): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    wordPiecePairStatsFromSyms(
+      words.select(col("f"), wordPieceInitSyms(col("w")).as("syms")))
+  }
+
+  private def wordPiecePairStatsFromSyms(symbols: DataFrame): DataFrame = {
+    val pairs = symbols
+      .filter(size(col("syms")) >= 2)
+      .select(col("f"), explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+        slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+      .select(col("p.l").as("a"), col("p.r").as("b"), col("f"))
+      .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cab"))
+    val units = symbols
+      .select(col("f"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("f")).as("cu"))
+    pairs
+      .join(units.select(col("sym").as("a"), col("cu").as("ca")), "a")
+      .join(units.select(col("sym").as("b"), col("cu").as("cb")), "b")
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+        wordPieceScore.as("score_q"))
+  }
+
+  /** The merged symbol of a WordPiece pair: `a` keeps its own marker,
+    * `b` drops its continuation `##`. */
+  def wordPieceMerged(a: String, b: String): String =
+    a + (if (b.startsWith("##")) b.substring(2) else b)
+
+  /** WordPiece vocabulary training: `nMerges` rounds of (pair stats →
+    * quantized-score argmax → greedy leftmost fold merge), the
+    * [[bpeTrain]] loop with the normalized selection criterion. The
+    * per-round driver read is ONE row (the argmax); the corpus is
+    * touched once for the word table, every round runs over the
+    * vocab-sized symbol table, checkpointed per round. Returns
+    * (rank, a, b, merged, cab, ca, cb, score_q); the oracle (q212)
+    * replays the ENTIRE loop in SQL — pair table, unit tables, HUGEINT
+    * floor score, argmax, delimited-replace merge — round by round.
+    */
+  def wordPieceTrain(docs: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 10000,
+      s"wordPieceTrain: bad nMerges $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    var symbols = words
+      .select(col("f"), wordPieceInitSyms(col("w")).as("syms"))
+      .localCheckpoint()
+    val merges =
+      Seq.newBuilder[(Int, String, String, String, Long, Long, Long, Long)]
+    var rank = 0
+    while (rank < nMerges) {
+      val top = wordPiecePairStatsFromSyms(symbols)
+        .orderBy(col("score_q").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) rank = nMerges
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        val m = wordPieceMerged(a, b)
+        merges += ((rank, a, b, m, top(0).getLong(2), top(0).getLong(3),
+          top(0).getLong(4), top(0).getLong(5)))
+        val merged = expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, x) ->
+             |  if(size(acc) > 0 and element_at(acc, -1) = ${sqlLit(a)}
+             |       and x = ${sqlLit(b)},
+             |     concat(slice(acc, 1, size(acc) - 1),
+             |            array(${sqlLit(m)})),
+             |     concat(acc, array(x))))""".stripMargin)
+        symbols = symbols.select(col("f"), merged.as("syms")).localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result()
+      .toDF("rank", "a", "b", "merged", "cab", "ca", "cb", "score_q")
+      .select(col("rank").cast("long").as("rank"), col("a"), col("b"),
+        col("merged"), col("cab"), col("ca"), col("cb"), col("score_q"))
+  }
+
+  /** Greedy longest-match-first WordPiece segmentation of ONE word —
+    * the published apply: longest vocab piece matching at the cursor
+    * (##-form beyond position 0), [UNK] when nothing matches or the
+    * word exceeds `maxInputChars` (the published
+    * max_input_chars_per_word collapse). Driver/executor-side scalar;
+    * [[wordPieceSegmentWords]] distributes it over DISTINCT words.
+    */
+  private[graft] def wordPieceWord(w: String, vocab: Set[String],
+      maxInputChars: Int, unk: String): Seq[String] = {
+    if (w.isEmpty) return Seq.empty
+    if (w.length > maxInputChars) return Seq(unk)
+    val out = Seq.newBuilder[String]
+    var start = 0
+    while (start < w.length) {
+      var end = w.length
+      var found: String = null
+      while (end > start && found == null) {
+        val sub0 = w.substring(start, end)
+        val sub = if (start > 0) "##" + sub0 else sub0
+        if (vocab.contains(sub)) found = sub else end -= 1
+      }
+      if (found == null) return Seq(unk)
+      out += found
+      start = end
+    }
+    out.result()
+  }
+
+  /** Segment DISTINCT words under a broadcast WordPiece vocab:
+    * (w, pieces, n_pieces, is_unk). One greedy scan per distinct word;
+    * the join back to documents is the caller's (equi-join on the
+    * word — the `UnigramLm.segmentWords` scale shape).
+    */
+  def wordPieceSegmentWords(words: DataFrame, vocab: Seq[String],
+      maxInputChars: Int = 100, unk: String = "[UNK]"): DataFrame = {
+    require(maxInputChars >= 1, s"bad maxInputChars $maxInputChars")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val vB = spark.sparkContext.broadcast(vocab.toSet)
+    words.select(col("w").cast("string")).as[String]
+      .mapPartitions { it =>
+        val v = vB.value
+        it.map { w =>
+          val pieces = wordPieceWord(w, v, maxInputChars, unk)
+          (w, pieces, pieces.length.toLong,
+            pieces.lengthCompare(1) == 0 && pieces.headOption.contains(unk))
+        }
+      }
+      .toDF("w", "pieces", "n_pieces", "is_unk")
+  }
+
+  /** Corpus tokenization under a WordPiece vocab (the q213 surface):
+    * per document — word count, piece count, [UNK]-word count, and an
+    * order-sensitive md5 of the piece stream (pieces contain no
+    * spaces). Distinct words segment once, join back on the word.
+    */
+  def wordPieceApply(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], maxInputChars: Int = 100): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w")).distinct()
+    val seg = wordPieceSegmentWords(words, vocab, maxInputChars)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__w"))
+    val stats = base.select(col("doc_id"),
+      size(col("__w")).cast("long").as("n_words"))
+    val perWord = base
+      .select(col("doc_id"), posexplode(col("__w")).as(Seq("__p", "w")))
+      .join(seg, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pieces")).cast("long").as("n_tokens"),
+        sum(when(col("is_unk"), 1L).otherwise(0L)).as("n_unk"),
+        md5(concat_ws(" ", flatten(expr(
+          "transform(array_sort(collect_list(struct(__p, pieces))), x -> x.pieces)"
+        )))).as("tokens_md5"))
+    stats.join(perWord, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        coalesce(col("tokens_md5"), md5(lit(""))).as("tokens_md5"))
+  }
+
   def encodingAdvisor(df: DataFrame, fileCol: Column, orderCols: Seq[Column],
       valueCol: Column): DataFrame = {
     df.select(fileCol.cast("long").as("file_id"),
