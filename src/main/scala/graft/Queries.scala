@@ -8992,6 +8992,36 @@ object Queries {
         |""".stripMargin.trim))
   }
 
+  /** Seeded epoch shuffle / shard assignment (round 14): the
+    * reproducible pseudo-shuffle a training pipeline runs before shard
+    * writing — shard = md5-bucket(seed:epoch:id), within-shard order =
+    * full md5 key rank (ties by id), epoch-global order = (shard, pos).
+    * Pure hash arithmetic, so the oracle replays it exactly; the
+    * per-(epoch, shard) window is the PlanAudit-safe shape (no global
+    * row_number — each shard sorts independently at 100 TB).
+    * TrainPrepSpec pins the permutation properties (bijective per
+    * epoch, decorrelated across epochs and seeds).
+    */
+  val q214: Q = Q(
+    "q214_epoch_shuffle",
+    (s, dir) => TrainPrep.epochShards(t(s, dir, "documents"), "doc_id",
+        seed = "graft14", epochs = 2, nShards = 8)
+      .orderBy(col("doc_id"), col("epoch")),
+    Some(s"""
+      |WITH e AS (SELECT doc_id, unnest(range(0, 2)) AS epoch FROM documents),
+      |k AS (SELECT doc_id, epoch,
+      |    'graft14:' || CAST(epoch AS VARCHAR) || ':' ||
+      |      CAST(doc_id AS VARCHAR) AS inp
+      |  FROM e),
+      |s AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, md5(inp) AS kk,
+      |    ${sqlMd5Bucket("inp", 8)} AS shard
+      |  FROM k)
+      |SELECT doc_id, epoch, shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+      |    ORDER BY kk, doc_id) AS BIGINT) AS pos
+      |FROM s ORDER BY doc_id, epoch
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -9010,5 +9040,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214)
 }

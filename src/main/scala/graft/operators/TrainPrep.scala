@@ -761,6 +761,112 @@ object TrainPrep {
       .select(col("rank").cast("long").as("rank"), col("a"), col("b"), col("cnt"))
   }
 
+  /** Batched-disjoint-merge byte-BPE trainer (round 14 — the SCALE
+    * PATH next to [[byteBpeTrain]]'s one-merge-per-round loop): each
+    * driver round computes the pair table ONCE, reads a bounded slice
+    * of its head, and greedily selects up to `batchSize` top pairs in
+    * rank order, STOPPING the round at the first pair that touches a
+    * symbol an earlier selection already touched (operand or merged
+    * output). All selected merges apply in one plan (nested folds, one
+    * checkpoint per ROUND), so an m-merge vocabulary costs ~m/batch
+    * Spark jobs instead of m sequential ones on Zipf-shaped pair
+    * tables whose head is mostly disjoint.
+    *
+    * Why STOP rather than skip-and-continue (derived, then spec-pinned):
+    * a selected pair's symbols are untouched by the round's earlier
+    * merges, so its count and greedy-leftmost application are exactly
+    * sequential's. The threats to list-equality are (1) a skipped
+    * conflicting pair that still outranks a later selection after the
+    * recount, and (2) a pair involving a just-created merged symbol -
+    * but every new pair (x,ab)/(ab,y) is bounded by an OLD conflicting
+    * pair's count (x must have preceded a; y must have followed b).
+    * Under skip semantics both threats are live even with strictly
+    * distinct counts ((a,b):100 (b,c):90 (d,e):80 - skip takes (d,e),
+    * sequential recounts (b,c) to e.g. 85 and takes it first). Under
+    * the stop rule every selection ranks ABOVE every conflicting pair,
+    * so with strictly distinct counts both threats are dominated and
+    * the merge list (counts included) PROVABLY equals
+    * [[byteBpeTrain]]'s; tied counts can still reorder via the lex
+    * tie-break (a repeated long word's internal chain is all ties -
+    * the stop rule auto-serializes the chain instead of splitting it).
+    * BpeSpec pins list-equality on a distinct-count fixture with real
+    * conflicts and batchSize-1 degeneration on a tie-heavy one; the
+    * sequential trainer remains the oracle-facing twin (q210's pair
+    * table is the shared selection criterion). Output adds the driver
+    * `round` each merge landed in: (rank, round, a, b, cnt).
+    */
+  def byteBpeTrainBatched(docs: DataFrame, textCol: String, nMerges: Int,
+      batchSize: Int = 16): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 50000,
+      s"byteBpeTrainBatched: bad nMerges $nMerges")
+    require(batchSize >= 1 && batchSize <= 256,
+      s"byteBpeTrainBatched: bad batchSize $batchSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ptoks = docs
+      .select(explode(gpt2PreTokens(col(textCol))).as("pt"))
+      .groupBy(col("pt")).agg(count(lit(1)).as("f"))
+    var symbols = ptoks.select(col("f"), byteChars(col("pt")).as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
+    var rank = 0
+    var round = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      // bounded driver read: enough head rows that batchSize disjoint
+      // pairs are almost always found; the table itself never collects
+      val top = symbols
+        .select(col("f"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))).as("p"))
+        .select(col("p.l").as("a"), col("p.r").as("b"), col("f"))
+        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(batchSize * 4).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val touched = scala.collection.mutable.Set.empty[String]
+        val selected = Seq.newBuilder[(String, String, Long)]
+        var n = 0
+        var conflicted = false
+        val want = math.min(batchSize, nMerges - rank)
+        top.iterator.takeWhile(_ => n < want && !conflicted).foreach { r =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          if (touched(a) || touched(b) || touched(a + b)) conflicted = true
+          else {
+            selected += ((a, b, r.getLong(2)))
+            touched += a; touched += b; touched += (a + b)
+            n += 1
+          }
+        }
+        val sel = selected.result()
+        // one plan per ROUND: nested greedy-leftmost folds in rank
+        // order (disjointness makes the order immaterial to the result,
+        // but rank order keeps it deterministic); unique lambda names —
+        // nested HOFs must not shadow each other's variables
+        val exprStr = sel.zipWithIndex.foldLeft("syms") {
+          case (inner, ((a, b, _), k)) =>
+            s"""aggregate($inner, cast(array() as array<string>), (ac$k, x$k) ->
+               |  if(size(ac$k) > 0 and element_at(ac$k, -1) = ${sqlLit(a)}
+               |       and x$k = ${sqlLit(b)},
+               |     concat(slice(ac$k, 1, size(ac$k) - 1),
+               |            array(${sqlLit(a + b)})),
+               |     concat(ac$k, array(x$k))))""".stripMargin
+        }
+        symbols = symbols.select(col("f"), expr(exprStr).as("syms"))
+          .localCheckpoint()
+        sel.foreach { case (a, b, cnt) =>
+          merges += ((rank, round, a, b, cnt)); rank += 1
+        }
+        round += 1
+      }
+    }
+    merges.result()
+      .toDF("rank", "round", "a", "b", "cnt")
+      .select(col("rank").cast("long").as("rank"),
+        col("round").cast("long").as("round"), col("a"), col("b"), col("cnt"))
+  }
+
   /** Tokenize ONE pre-token under a byte-level merge list — the
     * [[bpeTokenizeWord]] delimited-replace chain over byte-chars (an
     * ASCII space can never be a symbol: byte 0x20 maps to Ġ, so the
@@ -1026,6 +1132,42 @@ object TrainPrep {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_unk"), lit(0L)).as("n_unk"),
         coalesce(col("tokens_md5"), md5(lit(""))).as("tokens_md5"))
+  }
+
+  /** Deterministic seeded epoch shuffle + shard assignment (round 14 —
+    * the training-order-reproducibility staple next to packing (q160/
+    * q211) and mixing (q184)): for every (document, epoch) the
+    * assignment is a pure function of `md5(seed:epoch:id)` — shard by
+    * the established md5-bucket (fold of the first 15 hex digits mod
+    * `nShards`), order WITHIN the shard by the full hex key (ties by
+    * id). The epoch-global training order is the lexicographic
+    * (shard, pos) pair: a hash-partitioned pseudo-shuffle every
+    * trainer worker can reproduce independently — re-running epoch e
+    * under the same seed yields byte-identical shard files, different
+    * epochs/seeds decorrelate, and nothing ever needs a GLOBAL
+    * row_number (the per-(epoch, shard) window is the PlanAudit-safe
+    * shape; at 100 TB each shard sorts independently). Output:
+    * (idCol, epoch, shard, pos) — one row per document per epoch, a
+    * bijection onto (shard, pos) pairs per epoch by construction
+    * (TrainPrepSpec pins it).
+    */
+  def epochShards(docs: DataFrame, idCol: String, seed: String,
+      epochs: Int, nShards: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 1024, s"epochShards: bad epochs $epochs")
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"epochShards: bad nShards $nShards")
+    val key = md5(concat_ws(":", lit(seed), col("epoch"), col(idCol)))
+    docs.select(col(idCol))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("__k", key)
+      .withColumn("shard", pmod(
+        conv(substring(col("__k"), 1, 15), 16, 10).cast("long"),
+        lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("__k"), col(idCol))).cast("long"))
+      .select(col(idCol), col("epoch").cast("long").as("epoch"),
+        col("shard"), col("pos"))
   }
 
   def encodingAdvisor(df: DataFrame, fileCol: Column, orderCols: Seq[Column],

@@ -410,4 +410,34 @@ class TrainPrepSpec extends SparkSpec {
     // degenerate: every row in one cell → den 0 → NULL kappa
     assert(kappa(Seq.fill(3)((true, true)))._3.isEmpty)
   }
+
+  test("epochShards: bijective per epoch, shard-consistent, decorrelated across epochs and seeds") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 200L).toDF("doc_id")
+    val a = TrainPrep.epochShards(docs, "doc_id", "s1", epochs = 3, nShards = 4)
+    val rows = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 600) // one row per (doc, epoch)
+    // bijection per epoch: (shard, pos) pairs are distinct, pos is 1..|shard|
+    (0L until 3L).foreach { e =>
+      val ep = rows.filter(_._2 == e)
+      assert(ep.map(r => (r._3, r._4)).distinct.length == 200)
+      ep.groupBy(_._3).foreach { case (_, g) =>
+        assert(g.map(_._4).sorted.toSeq == (1L to g.length).toSeq, "pos must be dense per shard")
+      }
+      // rough balance: every shard sees a fair share of 200/4 = 50
+      assert(ep.groupBy(_._3).values.map(_.length).min > 20)
+    }
+    // epochs decorrelate: the epoch-global (shard, pos) order differs
+    def order(e: Long): Seq[Long] =
+      rows.filter(_._2 == e).sortBy(r => (r._3, r._4)).map(_._1).toSeq
+    assert(order(0) != order(1) && order(1) != order(2))
+    // seeds decorrelate; the SAME seed reproduces exactly
+    val b = TrainPrep.epochShards(docs, "doc_id", "s2", epochs = 1, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val a0 = rows.filter(_._2 == 0L).map(r => (r._1, r._3, r._4)).sortBy(_._1).toSeq
+    assert(b.map(r => (r._1, r._3, r._4)).sortBy(_._1).toSeq != a0)
+    val a2 = TrainPrep.epochShards(docs, "doc_id", "s1", epochs = 3, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a2.sorted.toSeq == rows.sorted.toSeq, "same seed must reproduce byte-identically")
+  }
 }
