@@ -9022,6 +9022,97 @@ object Queries {
       |FROM s ORDER BY doc_id, epoch
       |""".stripMargin.trim))
 
+  /** The q165/q166 dHash CTE chain with its CTE names prefixed so it
+    * can share a WITH clause with the n-gram pair CTEs (both use `d`
+    * and `g`). Longest-name-first word-boundary rename — the chain's
+    * identifiers are disjoint from its column names. */
+  private def dhashSqlCtesPrefixed: String = {
+    val names = Seq("dims", "bits", "oo", "cn", "pv", "dh", "m", "o", "c", "d", "g")
+    names.foldLeft(dhashSqlCtes) { (s, n) =>
+      s.replaceAll(s"\\b$n\\b", "ih" + n)
+    }
+  }
+
+  /** CROSS-MODAL dedup composition (round 14 — the q208 lifecycle
+    * pattern applied across modalities): one document-level dedup
+    * verdict from the UNION of the perceptual image near-dup edges
+    * (q166's banded dHash pairs over the real decoded PNGs) and the
+    * text near-dup edges (q61's blocked n-gram Jaccard pairs) — a
+    * scraped page whose text was paraphrased but whose image is the
+    * same (or vice versa) still lands in one cluster, which neither
+    * modality alone can decide. Components run over the DISTINCT union
+    * via the audited star-contraction CC; per-doc modality flags say
+    * WHICH signal linked it. The ORACLE is the full recompute — both
+    * pair generators and the transitive closure replayed in one SQL —
+    * so the composition is hash-checked end to end, not assembled from
+    * individually-correct parts. Scale shape: both edge faces are the
+    * already-audited blocked joins (fingerprints shuffle, pixels never
+    * do; banding bounds candidates), the union is edge-count-sized,
+    * and CC is the k-bounded star loop — no new shuffle shapes.
+    */
+  val q215: Q = Q(
+    "q215_crossmodal_dedup",
+    (s, dir) => graft.CacheScope.scoped { cs =>
+      val docs = t(s, dir, "documents")
+      val img = Perceptual.imageDhashPairs(docs, "doc_id", maxDist = 3)
+        .select(col("id1").cast("long").as("id1"),
+          col("id2").cast("long").as("id2"))
+      val txt = ngramJaccardPairs(s, dir, theta = 0.7)
+        .select(col("id1").cast("long").as("id1"),
+          col("id2").cast("long").as("id2"))
+      // pinned: the edge union feeds CC AND both modality-flag reads
+      val edges = cs.cache(img.withColumn("__m", lit("img"))
+        .unionByName(txt.withColumn("__m", lit("txt"))))
+      val cc = Analytics.connectedComponentsStar(
+        edges.select(col("id1"), col("id2")).distinct(), "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+      val flags = edges
+        .select(explode(array(col("id1"), col("id2"))).as("doc_id"), col("__m"))
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("__m") === "img", 1L).otherwise(0L)).as("__i"),
+          max(when(col("__m") === "txt", 1L).otherwise(0L)).as("__t"))
+      docs.select(col("doc_id"))
+        .join(cc, Seq("doc_id"), "left")
+        .join(flags, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("__i"), lit(0L)) === 1L).as("img_dup"),
+          (coalesce(col("__t"), lit(0L)) === 1L).as("txt_dup"))
+        .withColumn("keep",
+          when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    },
+    Some((ngramPairsSql(0.7) + ",\n" + dhashSqlCtesPrefixed + s""",
+      |ip AS MATERIALIZED (SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM ihdh a JOIN ihdh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3),
+      |tp AS MATERIALIZED (SELECT id1, id2 FROM pr),
+      |ae AS (SELECT id1, id2 FROM ip UNION SELECT id1, id2 FROM tp),
+      |ed AS (SELECT id1 AS ea, id2 AS eb FROM ae
+      |       UNION ALL SELECT id2, id1 FROM ae),
+      |reach AS (
+      |  SELECT doc_id AS rid, doc_id AS l FROM documents
+      |  UNION
+      |  SELECT ed.ea, reach.l FROM ed JOIN reach ON ed.eb = reach.rid),
+      |cl AS (SELECT rid AS doc_id, min(l) AS cluster_id
+      |  FROM reach GROUP BY rid),
+      |fl AS (SELECT u AS doc_id,
+      |    MAX(CASE WHEN src = 'i' THEN 1 ELSE 0 END) = 1 AS img_dup,
+      |    MAX(CASE WHEN src = 't' THEN 1 ELSE 0 END) = 1 AS txt_dup
+      |  FROM (SELECT unnest([id1, id2]) AS u, 'i' AS src FROM ip
+      |        UNION ALL SELECT unnest([id1, id2]) AS u, 't' AS src FROM tp)
+      |  GROUP BY u)
+      |SELECT dd.doc_id, cl.cluster_id,
+      |  COALESCE(fl.img_dup, false) AS img_dup,
+      |  COALESCE(fl.txt_dup, false) AS txt_dup,
+      |  CAST(CASE WHEN dd.doc_id = cl.cluster_id THEN 1 ELSE 0 END
+      |    AS BIGINT) AS keep
+      |FROM documents dd
+      |JOIN cl ON dd.doc_id = cl.doc_id
+      |LEFT JOIN fl ON dd.doc_id = fl.doc_id
+      |ORDER BY dd.doc_id
+      |""").stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -9040,5 +9131,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215)
 }
