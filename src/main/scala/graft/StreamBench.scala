@@ -253,6 +253,51 @@ object StreamBench {
       .count(f => f.getName.startsWith("v") && f.getName.drop(1).forall(_.isDigit))
     println(f"""{"op":"incremental_cc_ledger","rows":$nEdges,"secs":$csecs%.2f,"rows_per_sec":${(nEdges / csecs).toLong},"micro_batches":$cbatches,"state_rows":$cStateRows,"ledger_version":$version,"ledger_rows":$ledgerRows,"snapshot_dirs":$snapshots}""")
 
+    // round-14: media-health ledger with the at-least-once replay
+    // fence. Phase 1 streams synthesized media payloads (the q123
+    // dispatch family) through mediaHealthStream; phase 2 re-runs the
+    // SAME files through a FRESH checkpoint against the SAME ledger —
+    // batch ids restart at 0, the exact redelivery shape the fence
+    // exists for — and every cumulative counter must stay EXACTLY
+    // unchanged (replayed_delta = 0).
+    val mhReplay = s"$replay/media"
+    import spark.implicits._
+    val media = Ingest.table(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, graft.operators.Multimodal.synthMedia(id))))
+      .toDF("doc_id", "bin")
+    val nMedia = media.count()
+    media.repartition(16).write.parquet(s"$mhReplay/in")
+    val mSchema = spark.read.parquet(s"$mhReplay/in").schema
+    def mediaPass(ckpt: String): Double = {
+      val msrc = spark.readStream.schema(mSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$mhReplay/in")
+      val t = System.nanoTime()
+      val mq = StreamingOps.mediaHealthStream(msrc, "doc_id", "bin",
+          s"$mhReplay/ledger")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      mq.awaitTermination()
+      mq.stop()
+      (System.nanoTime() - t) / 1e9
+    }
+    val mSecs = mediaPass(s"$mhReplay/ckpt1")
+    import graft.streaming.VersionedLedger
+    def ledgerTotals(): (Long, Long) = {
+      val l = VersionedLedger.read(spark, s"$mhReplay/ledger").get
+        .agg(sum(col("n_seen")), sum(col("n_ok"))).collect()(0)
+      (l.getLong(0), l.getLong(1))
+    }
+    val (seen1, ok1) = ledgerTotals()
+    val lastBatch1 = VersionedLedger.lastAppliedBatch(spark, s"$mhReplay/ledger")
+    // redelivery: fresh checkpoint, same ledger — the fence must no-op
+    // every re-delivered batch id
+    val mSecs2 = mediaPass(s"$mhReplay/ckpt2")
+    val (seen2, ok2) = ledgerTotals()
+    println(f"""{"op":"media_health_ledger_fenced","rows":$nMedia,"secs":$mSecs%.2f,"rows_per_sec":${(nMedia / mSecs).toLong},"ledger_seen":$seen1,"ledger_ok":$ok1,"last_batch":${lastBatch1.getOrElse(-1L)},"replay_secs":$mSecs2%.2f,"replayed_delta":${(seen2 - seen1) + (ok2 - ok1)}}""")
+
     spark.stop()
   }
 }
