@@ -8940,57 +8940,66 @@ object Queries {
       (s, dir) => TrainPrep.wordPieceApply(t(s, dir, "documents"),
           "doc_id", "text", wordPieceVocab, maxInputChars = maxChars)
         .orderBy(col("doc_id")),
-      Some(s"""
+      Some((s"""
         |WITH RECURSIVE
         |voc(piece) AS (VALUES ${wordPieceVocab.map(p => s"(${sqlStrLit(p)})").mkString(", ")}),
-        |vm AS MATERIALIZED (SELECT piece,
-        |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS body,
-        |    piece LIKE '##%' AS cont,
-        |    CAST(len(CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
-        |      ELSE piece END) AS INT) AS blen
-        |  FROM voc),
-        |toks AS MATERIALIZED (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk <> '') AS ws
-        |  FROM documents),
-        |dw AS MATERIALIZED (SELECT DISTINCT unnest(ws) AS w FROM toks),
-        |rec AS (
-        |  SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS tk
-        |  FROM dw WHERE len(w) BETWEEN 1 AND $maxChars
-        |  UNION ALL
-        |  SELECT r.w, r.pos + m.blen, r.tk || [m.piece]
-        |  FROM rec r
-        |  JOIN vm m ON m.cont = (r.pos > 1)
-        |    AND substr(r.w, r.pos, m.blen) = m.body
-        |  LEFT JOIN vm m2 ON m2.cont = (r.pos > 1)
-        |    AND substr(r.w, r.pos, m2.blen) = m2.body AND m2.blen > m.blen
-        |  WHERE r.pos <= len(r.w) AND m2.piece IS NULL),
-        |fin AS (SELECT w, tk, pos,
-        |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos DESC) AS rk
-        |  FROM rec),
-        |seg AS (SELECT w,
-        |    CASE WHEN pos = len(w) + 1 THEN tk ELSE ['[UNK]'] END AS tk,
-        |    CASE WHEN pos = len(w) + 1 THEN CAST(len(tk) AS BIGINT)
-        |      ELSE 1 END AS np,
-        |    pos <> len(w) + 1 AS unk
-        |  FROM fin WHERE rk = 1
-        |  UNION ALL
-        |  SELECT w, ['[UNK]'], 1, true FROM dw WHERE len(w) > $maxChars),
-        |pw AS (SELECT doc_id, wi, ws[CAST(wi AS INT)] AS w
-        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS wi
-        |        FROM toks)),
-        |agg AS (SELECT doc_id,
-        |    CAST(SUM(np) AS BIGINT) AS n_tokens,
-        |    CAST(SUM(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
-        |    md5(array_to_string(flatten(list(tk ORDER BY wi)), ' ')) AS tokens_md5
-        |  FROM pw JOIN seg USING (w) GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_words,
-        |  COALESCE(a.n_tokens, 0) AS n_tokens,
-        |  COALESCE(a.n_unk, 0) AS n_unk,
-        |  COALESCE(a.tokens_md5, md5('')) AS tokens_md5
-        |FROM toks t LEFT JOIN agg a USING (doc_id)
-        |ORDER BY t.doc_id
-        |""".stripMargin.trim))
+        |""" + wordPieceApplySql(maxChars)).stripMargin.trim))
   }
+
+  /** Shared SQL replay of the greedy longest-match WordPiece apply —
+    * everything downstream of a `voc(piece)` CTE: the vm match table,
+    * the recursive cursor advance taking the LONGEST matching piece
+    * (anti-join against any longer match), per-word [UNK] resolution,
+    * and the per-doc reassembly + digest. q213 feeds it a fixture
+    * vocab, q217 the vocab its own unrolled training rounds produce.
+    */
+  private def wordPieceApplySql(maxChars: Int): String = s"""
+    |vm AS MATERIALIZED (SELECT piece,
+    |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS body,
+    |    piece LIKE '##%' AS cont,
+    |    CAST(len(CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+    |      ELSE piece END) AS INT) AS blen
+    |  FROM voc),
+    |toks AS MATERIALIZED (SELECT doc_id,
+    |    list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk <> '') AS ws
+    |  FROM documents),
+    |dw AS MATERIALIZED (SELECT DISTINCT unnest(ws) AS w FROM toks),
+    |rec AS (
+    |  SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS tk
+    |  FROM dw WHERE len(w) BETWEEN 1 AND $maxChars
+    |  UNION ALL
+    |  SELECT r.w, r.pos + m.blen, r.tk || [m.piece]
+    |  FROM rec r
+    |  JOIN vm m ON m.cont = (r.pos > 1)
+    |    AND substr(r.w, r.pos, m.blen) = m.body
+    |  LEFT JOIN vm m2 ON m2.cont = (r.pos > 1)
+    |    AND substr(r.w, r.pos, m2.blen) = m2.body AND m2.blen > m.blen
+    |  WHERE r.pos <= len(r.w) AND m2.piece IS NULL),
+    |fin AS (SELECT w, tk, pos,
+    |    ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos DESC) AS rk
+    |  FROM rec),
+    |seg AS (SELECT w,
+    |    CASE WHEN pos = len(w) + 1 THEN tk ELSE ['[UNK]'] END AS tk,
+    |    CASE WHEN pos = len(w) + 1 THEN CAST(len(tk) AS BIGINT)
+    |      ELSE 1 END AS np,
+    |    pos <> len(w) + 1 AS unk
+    |  FROM fin WHERE rk = 1
+    |  UNION ALL
+    |  SELECT w, ['[UNK]'], 1, true FROM dw WHERE len(w) > $maxChars),
+    |pw AS (SELECT doc_id, wi, ws[CAST(wi AS INT)] AS w
+    |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS wi
+    |        FROM toks)),
+    |agg AS (SELECT doc_id,
+    |    CAST(SUM(np) AS BIGINT) AS n_tokens,
+    |    CAST(SUM(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+    |    md5(array_to_string(flatten(list(tk ORDER BY wi)), ' ')) AS tokens_md5
+    |  FROM pw JOIN seg USING (w) GROUP BY doc_id)
+    |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_words,
+    |  COALESCE(a.n_tokens, 0) AS n_tokens,
+    |  COALESCE(a.n_unk, 0) AS n_unk,
+    |  COALESCE(a.tokens_md5, md5('')) AS tokens_md5
+    |FROM toks t LEFT JOIN agg a USING (doc_id)
+    |ORDER BY t.doc_id""".stripMargin.trim
 
   /** Seeded epoch shuffle / shard assignment (round 14): the
     * reproducible pseudo-shuffle a training pipeline runs before shard
@@ -9113,6 +9122,93 @@ object Queries {
       |ORDER BY dd.doc_id
       |""").stripMargin.trim))
 
+  /** Epoch-aware shard packing (round 14 — q214's seeded order
+    * composed with the q63/q160 budget fill): documents pack greedily
+    * in their seeded within-shard position into 512-token packs, per
+    * (epoch, shard). One window pass on the partition the shuffle
+    * already produced; the oracle replays hash, rank and cumulative
+    * sum exactly — re-running an epoch regenerates byte-identical
+    * pack boundaries (the mid-epoch-resume property).
+    */
+  val q216: Q = Q(
+    "q216_epoch_packing",
+    (s, dir) => {
+      val withTok = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text"))
+          .cast("long").as("n_tok"))
+      TrainPrep.packEpochShards(withTok, "doc_id", "n_tok",
+          seed = "graft14", epochs = 2, nShards = 8, budget = 512L)
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+    Some(s"""
+      |WITH tk AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+      |      w -> w <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |e AS (SELECT doc_id, unnest(range(0, 2)) AS epoch FROM documents),
+      |k AS (SELECT doc_id, epoch,
+      |    'graft14:' || CAST(epoch AS VARCHAR) || ':' ||
+      |      CAST(doc_id AS VARCHAR) AS inp
+      |  FROM e),
+      |sh AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, md5(inp) AS kk,
+      |    ${sqlMd5Bucket("inp", 8)} AS shard
+      |  FROM k),
+      |pos AS (SELECT doc_id, epoch, shard,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+      |      ORDER BY kk, doc_id) AS BIGINT) AS pos
+      |  FROM sh),
+      |cum AS (SELECT p.doc_id, p.epoch, p.shard, p.pos, tk.n_tok,
+      |    SUM(tk.n_tok) OVER (PARTITION BY p.epoch, p.shard ORDER BY p.pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM pos p JOIN tk ON p.doc_id = tk.doc_id)
+      |SELECT doc_id, epoch, shard, pos, n_tok,
+      |  CAST((c - n_tok) // 512 AS BIGINT) AS pack_id,
+      |  CAST((c - n_tok) % 512 AS BIGINT) AS pack_offset
+      |FROM cum ORDER BY doc_id, epoch
+      |""".stripMargin.trim))
+
+  /** WordPiece END-TO-END (round 14 — train + derive vocab + apply as
+    * ONE pipeline, the composition q212 and q213 exercise piecewise):
+    * six merges train at query time on the corpus itself, the vocab is
+    * the initial alphabet ∪ the merge outputs, and the corpus
+    * tokenizes under that vocab. The ORACLE replays the WHOLE thing —
+    * the unrolled training rounds (q212's CTE generator), the
+    * alphabet/vocab derivation, and the recursive longest-match apply
+    * (q213's chain) — so training, vocab derivation AND application
+    * are hash-checked as one composition. Tokenization boundaries
+    * depend on every trained merge: a wrong argmax in ANY round moves
+    * some document's digest.
+    */
+  val q217: Q = {
+    val nM = 6
+    val maxChars = 16
+    Q(
+      "q217_wordpiece_e2e",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val vocab = TrainPrep.wordPieceVocabFromTrain(docs, "text", nM)
+        TrainPrep.wordPieceApply(docs, "doc_id", "text", vocab,
+            maxInputChars = maxChars)
+          .orderBy(col("doc_id"))
+      },
+      Some((s"""
+        |WITH RECURSIVE wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+        |      tk -> tk <> '')) AS w
+        |    FROM documents) GROUP BY w),
+        |s0 AS MATERIALIZED (SELECT f,
+        |    ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+        |      ci -> CASE WHEN ci = 1 THEN substr(w, 1, 1)
+        |            ELSE '##' || substr(w, CAST(ci AS INT), 1) END), '  ')
+        |    || ' ' AS s
+        |  FROM wf),
+        |${(1 to nM).map(wordPieceRoundSql).mkString(",\n")},
+        |voc AS (SELECT DISTINCT u AS piece FROM (
+        |    SELECT unnest(syms) AS u FROM sym1)
+        |  ${(1 to nM).map(r => s"UNION SELECT merged FROM top$r").mkString(" ")}),
+        |""" + wordPieceApplySql(maxChars)).stripMargin.trim))
+  }
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -9131,5 +9227,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217)
 }

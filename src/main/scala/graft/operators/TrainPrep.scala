@@ -1010,6 +1010,19 @@ object TrainPrep {
     * (rank, a, b, merged, cab, ca, cb, score_q); the oracle (q212)
     * replays the ENTIRE loop in SQL — pair table, unit tables, HUGEINT
     * floor score, argmax, delimited-replace merge — round by round.
+    *
+    * Why there is NO batched variant (unlike [[byteBpeTrainBatched]]):
+    * BPE's criterion is the raw pair count, which for a pair
+    * conflicting with an applied merge can only FALL — that monotone
+    * domination is what makes the stop-at-first-conflict batch provably
+    * sequential-equal. WordPiece's normalized score
+    * cab/(cu(a)·cu(b)) has no such monotonicity: applying a merge that
+    * consumes occurrences of `a` SHRINKS cu(a), so a conflicting
+    * pair's score can RISE above later batch selections (e.g. (x,a)
+    * with cab 10, cu(a) 100 → 0.005·S; after a merge eats 80 a's,
+    * 10/(cu(x)·20) — five times higher). Batching WordPiece merges
+    * would silently reorder the published training; it stays one
+    * merge per round here.
     */
   def wordPieceTrain(docs: DataFrame, textCol: String,
       nMerges: Int): DataFrame = {
@@ -1051,6 +1064,24 @@ object TrainPrep {
       .toDF("rank", "a", "b", "merged", "cab", "ca", "cb", "score_q")
       .select(col("rank").cast("long").as("rank"), col("a"), col("b"),
         col("merged"), col("cab"), col("ca"), col("cb"), col("score_q"))
+  }
+
+  /** WordPiece vocabulary from a training run: the corpus's initial
+    * alphabet (bare first chars + ##-continuations — a bounded driver
+    * read, 2 × charset) plus the merge outputs in rank order. The
+    * end-to-end surface q217 exercises: train, derive the vocab,
+    * tokenize with it.
+    */
+  def wordPieceVocabFromTrain(docs: DataFrame, textCol: String,
+      nMerges: Int): Seq[String] = {
+    val alphabet = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w")).distinct()
+      .select(explode(wordPieceInitSyms(col("w"))).as("sym")).distinct()
+      .orderBy(col("sym"))
+      .collect().map(_.getString(0)).toSeq
+    val merged = wordPieceTrain(docs, textCol, nMerges)
+      .orderBy(col("rank")).collect().map(_.getString(3)).toSeq
+    (alphabet ++ merged).distinct
   }
 
   /** Greedy longest-match-first WordPiece segmentation of ONE word —
@@ -1168,6 +1199,37 @@ object TrainPrep {
           .orderBy(col("__k"), col(idCol))).cast("long"))
       .select(col(idCol), col("epoch").cast("long").as("epoch"),
         col("shard"), col("pos"))
+  }
+
+  /** Epoch-aware shard packing (round 14 — [[epochShards]] composed
+    * with the [[packSequences]] budget fill, the step that turns a
+    * reproducible epoch ORDER into reproducible shard FILES): within
+    * each (epoch, shard), documents pack greedily in their seeded
+    * position order into `budget`-token packs. The cumulative-sum
+    * window rides the SAME (epoch, shard) partition the shuffle
+    * already produced — composing the two ops costs ONE window pass
+    * over the assignment, no extra shuffle beyond the join to the
+    * token counts. Every number is pure hash + integer arithmetic:
+    * re-running epoch e regenerates byte-identical pack boundaries,
+    * which is what makes a 100-TB training run resumable mid-epoch.
+    * Input `docsWithTok` carries (idCol, tokCol); output adds (epoch,
+    * shard, pos, pack_id, pack_offset).
+    */
+  def packEpochShards(docsWithTok: DataFrame, idCol: String, tokCol: String,
+      seed: String, epochs: Int, nShards: Int, budget: Long): DataFrame = {
+    require(budget > 0, s"packEpochShards: budget must be positive, got $budget")
+    val sh = epochShards(docsWithTok.select(col(idCol)), idCol, seed,
+      epochs, nShards)
+    val w = Window.partitionBy(col("epoch"), col("shard")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sh.join(docsWithTok.select(col(idCol), col(tokCol).cast("long").as("__tok")),
+        idCol)
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .withColumn("__start", col("__cum") - col("__tok"))
+      .select(col(idCol), col("epoch"), col("shard"), col("pos"),
+        col("__tok").as("n_tok"),
+        expr(s"__start DIV ${budget}L").as("pack_id"),
+        pmod(col("__start"), lit(budget)).as("pack_offset"))
   }
 
   def encodingAdvisor(df: DataFrame, fileCol: Column, orderCols: Seq[Column],

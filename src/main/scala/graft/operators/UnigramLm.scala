@@ -695,6 +695,63 @@ object UnigramLm {
     vocab.filter(p => p.piece.length == 1 || keep(p.piece))
   }
 
+  /** Collect a forward–backward re-estimate to the driver vocab
+    * artifact: chars floored at a tiny positive mass (ln must stay
+    * finite; chars guarantee segmentability), multi-char pieces with
+    * no expectation mass dropped, lp = round(ln(ec/Σec)·1e6). The
+    * `cnt` field carries round(ec·1e6) for interop with [[Piece]].
+    */
+  def collectSoftRoundFB(words: DataFrame, vocab: Seq[Piece],
+      maxPieceLen: Int): Seq[Piece] = {
+    val ec = softEmRoundFB(words, vocab, maxPieceLen)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val floorMass = 1e-6
+    val entries = vocab.flatMap { p =>
+      if (p.piece.length == 1)
+        Some(p.piece -> math.max(ec.getOrElse(p.piece, 0.0), floorMass))
+      else ec.get(p.piece).filter(_ > 0.0).map(p.piece -> _)
+    }.sortBy(_._1)
+    val total = entries.map(_._2).sum
+    entries.map { case (piece, e) =>
+      Piece(piece, math.round(e * 1e6),
+        math.round(math.log(e / total) * 1e6))
+    }
+  }
+
+  /** The CAP-FREE composed trainer (round 14 — the 100-TB face of
+    * [[trainSoft]], closing the scale story [[softEmRoundFB]] and
+    * [[pruneLossesFB]] opened piecewise): the identical published
+    * schedule — seed oversized, re-estimate, prune the lowest-loss
+    * multis by keepFrac, repeat, final re-estimate — with every
+    * lattice pass forward–backward in double log-space, so NO word
+    * ever drops out of the statistics for being long. Not
+    * cross-engine-replayable (per-cell transcendentals), hence no
+    * oracle face; UnigramSpec gates vocabulary agreement with
+    * [[trainSoft]] on an in-cap fixture and end-to-end training on a
+    * corpus whose words exceed the enumeration cap.
+    */
+  def trainSoftFB(docs: DataFrame, textCol: String, maxPieceLen: Int,
+      seedSize: Int, vocabSize: Int, keepFrac: Double = 0.75): Seq[Piece] = {
+    require(seedSize >= vocabSize,
+      s"trainSoftFB: seedSize $seedSize must be >= vocabSize $vocabSize")
+    require(keepFrac > 0 && keepFrac < 1, s"trainSoftFB: bad keepFrac $keepFrac")
+    val words = wordFreqs(docs, textCol).localCheckpoint()
+    var vocab = collectVocab(seedVocab(docs, textCol, maxPieceLen, seedSize))
+    val nChars = vocab.count(_.piece.length == 1)
+    val targetMultis = math.max(vocabSize - nChars, 0)
+    var guard = 0
+    while (vocab.count(_.piece.length > 1) > targetMultis && guard < 64) {
+      vocab = collectSoftRoundFB(words, vocab, maxPieceLen)
+      val multis = vocab.count(_.piece.length > 1)
+      val next = math.max(targetMultis,
+        math.min(multis - 1, math.ceil(multis * keepFrac).toInt))
+      if (next < multis)
+        vocab = pruneVocabFB(words, vocab, maxPieceLen, next)
+      guard += 1
+    }
+    collectSoftRoundFB(words, vocab, maxPieceLen)
+  }
+
   /** Full soft-EM trainer with the published pruning schedule: seed at
     * `seedSize` (oversized), then per round — one soft-EM re-estimate,
     * then prune the lowest-loss multi-char pieces down to

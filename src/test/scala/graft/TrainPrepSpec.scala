@@ -440,4 +440,29 @@ class TrainPrepSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(a2.sorted.toSeq == rows.sorted.toSeq, "same seed must reproduce byte-identically")
   }
+
+  test("packEpochShards: greedy budget fill in seeded order, reproducible, one window pass") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 120L).map(i => (i, 1L + i % 7)).toDF("doc_id", "n_tok")
+    val out = TrainPrep.packEpochShards(docs, "doc_id", "n_tok",
+      seed = "sx", epochs = 2, nShards = 4, budget = 16L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == 240)
+    // recompute the greedy fill per (epoch, shard) independently
+    rows.groupBy(r => (r._2, r._3)).foreach { case (_, g) =>
+      var cum = 0L
+      g.sortBy(_._4).foreach { case (_, _, _, _, tok, packId, off) =>
+        assert(packId == cum / 16L && off == cum % 16L,
+          s"pack math diverged at cum=$cum tok=$tok")
+        cum += tok
+      }
+    }
+    // reproducibility: the same seed regenerates identical boundaries
+    val again = TrainPrep.packEpochShards(docs, "doc_id", "n_tok",
+      seed = "sx", epochs = 2, nShards = 4, budget = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(again.sorted.toSeq == rows.sorted.toSeq)
+  }
 }

@@ -309,4 +309,30 @@ class UnigramSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap
     assert(fbLong("ab") > 0.0, "FB loss must cover words beyond the cap")
   }
+
+  test("trainSoftFB: cap-free composed trainer agrees with trainSoft in-cap; trains past the cap") {
+    // in-cap fixture: the quantized and double paths must elect the
+    // same vocabulary (pruneLossesFB's keep-set gate, composed)
+    val q = UnigramLm.trainSoft(docs, "text", maxPieceLen = 4,
+      seedSize = 30, vocabSize = 14)
+    val fb = UnigramLm.trainSoftFB(docs, "text", maxPieceLen = 4,
+      seedSize = 30, vocabSize = 14)
+    assert(fb.length == 14)
+    assert(fb.map(_.piece).toSet == q.map(_.piece).toSet,
+      s"vocabularies diverged:\n${q.map(_.piece).sorted}\n${fb.map(_.piece).sorted}")
+    // beyond the cap: a corpus whose dominant word is 24 chars trains
+    // end-to-end (trainSoft would exclude it from every statistic) and
+    // the trained vocab must actually model it — the repeated bigram
+    // earns a multi-char piece, and the word round-trips
+    val longDocs = Seq((0L, ("ab" * 12) + " " + ("ab" * 12) + " ab ba"))
+      .toDF("doc_id", "text")
+    val v = UnigramLm.trainSoftFB(longDocs, "text", maxPieceLen = 3,
+      seedSize = 8, vocabSize = 4)
+    assert(v.exists(p => p.piece.length > 1),
+      s"expected a multi-char piece, got ${v.map(_.piece)}")
+    val seg = UnigramLm.segmentWords(
+      Seq(("ab" * 12, 1L)).toDF("w", "f"), v, 3)
+      .select(col("pieces")).as[Seq[String]].collect()(0)
+    assert(seg.mkString("") == "ab" * 12)
+  }
 }

@@ -126,4 +126,24 @@ class WordPieceSpec extends SparkSpec {
     assert(got(2).getLong(1) == 0L && got(2).getLong(2) == 0L &&
       got(2).getString(4) == md5of(""))
   }
+
+  test("wordPieceVocabFromTrain: alphabet + merge outputs; the trained vocab tokenizes losslessly") {
+    val corpus = Seq("the cat sat on the mat", "that hat is the hat")
+    val vocab = TrainPrep.wordPieceVocabFromTrain(corpus.toDF("text"), "text", 5)
+    val merges = refTrain(corpus, 5).map(_._3)
+    merges.foreach(m => assert(vocab.contains(m), s"missing merge output $m"))
+    // alphabet coverage: every first char bare, every later char ##-form
+    val words = corpus.flatMap(_.toLowerCase.split("\\s+")).distinct
+    words.foreach { w =>
+      assert(vocab.contains(w.substring(0, 1)))
+      w.drop(1).foreach(c => assert(vocab.contains("##" + c)))
+    }
+    // with full alphabet coverage tokenization is total and lossless
+    val vset = vocab.toSet
+    words.foreach { w =>
+      val toks = TrainPrep.wordPieceWord(w, vset, 100, "[UNK]")
+      assert(toks != Seq("[UNK]"))
+      assert(toks.map(_.stripPrefix("##")).mkString("") == w)
+    }
+  }
 }
