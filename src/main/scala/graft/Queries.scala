@@ -9209,6 +9209,103 @@ object Queries {
         |""" + wordPieceApplySql(maxChars)).stripMargin.trim))
   }
 
+  /** Subword-regularization sampling (round 14 — Kudo's published
+    * unigram training-time feature, the one thing the Viterbi apply
+    * face deliberately lacks): per word OCCURRENCE, sample a
+    * segmentation ∝ P(seg)^α from the full lattice, deterministically
+    * — the draw is md5(seed:doc:pos) mod 1e6 and the weights carry
+    * the soft-EM single-quantization contract with α = 0.5 folded in,
+    * so the ORACLE replays lattice, weights, CDF, draws and picks
+    * exactly (the q192 enumeration machinery + one window). The
+    * n_resampled column measures how often regularization actually
+    * bites (sample ≠ Viterbi choice).
+    */
+  val q218: Q = Q(
+    "q218_subword_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.UnigramLm.collectVocab(
+        graft.operators.UnigramLm.seedVocab(docs, "text", 4, 48))
+      graft.operators.UnigramLm.sampleSegments(docs, "doc_id", "text",
+          vocab, maxPieceLen = 4, seed = "g218", alpha = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH ${unigramSeedCtes()},
+      |v AS (SELECT piece,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS lp
+      |  FROM sel CROSS JOIN tot),
+      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks),
+      |em AS (SELECT w, n,
+      |    unnest(range(0, CAST(1 AS BIGINT) << CAST(n - 1 AS INT))) AS mask
+      |  FROM wm),
+      |seg AS (SELECT w, n, mask,
+      |    [CAST(1 AS BIGINT)] || list_transform(
+      |      list_filter(range(1, n), p -> ((mask >> CAST(p - 1 AS INT)) & 1) = 1),
+      |      p -> p + 1) AS starts
+      |  FROM em),
+      |sp AS (SELECT w, mask, starts, CAST(len(starts) AS BIGINT) AS np,
+      |    list_transform(range(1, len(starts) + 1), k ->
+      |      substr(w, CAST(starts[CAST(k AS INT)] AS INT),
+      |        CAST(COALESCE(starts[CAST(k AS INT) + 1],
+      |          CAST(n + 1 AS BIGINT)) - starts[CAST(k AS INT)] AS INT)))
+      |      AS pieces
+      |  FROM seg),
+      |pj AS (SELECT w, mask, t.piece AS piece
+      |  FROM sp, unnest(sp.pieces) AS t(piece)),
+      |ps AS (SELECT w, mask, CAST(COUNT(*) AS BIGINT) AS nj,
+      |    SUM(v.lp) AS score, CAST(COUNT(v.lp) AS BIGINT) AS nmatch
+      |  FROM pj LEFT JOIN v ON pj.piece = v.piece GROUP BY 1, 2),
+      |valid AS MATERIALIZED (SELECT sp.w, sp.mask, sp.np, sp.pieces,
+      |    sp.starts, ps.score
+      |  FROM sp JOIN ps ON sp.w = ps.w AND sp.mask = ps.mask
+      |  WHERE ps.nmatch = ps.nj),
+      |mx AS (SELECT w, MAX(score) AS m FROM valid GROUP BY w),
+      |wt AS MATERIALIZED (SELECT valid.w, mask, np, pieces, starts, score,
+      |    CAST(round(exp((0.5 * CAST(score - m AS DOUBLE)) / 1000000.0)
+      |      * 1000000.0) AS BIGINT) AS wgt
+      |  FROM valid JOIN mx USING (w)),
+      |cw AS MATERIALIZED (SELECT w, mask, pieces,
+      |    SUM(wgt) OVER (PARTITION BY w ORDER BY mask
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(wgt) OVER (PARTITION BY w) AS d
+      |  FROM wt),
+      |bst AS (SELECT w, mask AS best_mask FROM (
+      |    SELECT w, mask, ROW_NUMBER() OVER (PARTITION BY w
+      |      ORDER BY score DESC, np ASC, list_reverse(starts) ASC) AS rk
+      |    FROM wt) WHERE rk = 1),
+      |dl AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk <> '')
+      |      AS ws
+      |  FROM documents),
+      |du AS (SELECT doc_id, unnest(ws) AS w,
+      |    unnest(range(1, len(ws) + 1)) AS p
+      |  FROM dl),
+      |dr AS (SELECT doc_id, w, p,
+      |    ${sqlMd5Bucket("'g218:' || CAST(doc_id AS VARCHAR) || ':' || CAST(p AS VARCHAR)", 1000000)} AS u
+      |  FROM du),
+      |pick AS (SELECT dr.doc_id, dr.p, dr.w, MIN(cw.mask) AS mask
+      |  FROM dr JOIN cw ON dr.w = cw.w AND cw.cum * 1000000 > dr.u * cw.d
+      |  GROUP BY 1, 2, 3),
+      |chosen AS (SELECT pick.doc_id, pick.p, cw.pieces,
+      |    pick.mask <> bst.best_mask AS resampled
+      |  FROM pick JOIN cw ON pick.w = cw.w AND pick.mask = cw.mask
+      |  JOIN bst ON pick.w = bst.w),
+      |agg AS (SELECT doc_id,
+      |    CAST(SUM(len(pieces)) AS BIGINT) AS n_pieces,
+      |    md5(array_to_string(flatten(list(pieces ORDER BY p)), ' '))
+      |      AS pieces_md5,
+      |    CAST(SUM(CASE WHEN resampled THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_resampled
+      |  FROM chosen GROUP BY 1)
+      |SELECT dl.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |  COALESCE(n_pieces, 0) AS n_pieces,
+      |  COALESCE(pieces_md5, md5('')) AS pieces_md5,
+      |  COALESCE(n_resampled, 0) AS n_resampled
+      |FROM dl LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -9227,5 +9324,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
 }

@@ -752,6 +752,132 @@ object UnigramLm {
     collectSoftRoundFB(words, vocab, maxPieceLen)
   }
 
+  /** Subword-regularization SAMPLING (round 14 — the published
+    * unigram-LM training-time feature the Viterbi [[apply]] face
+    * deliberately lacks: instead of always emitting the best
+    * segmentation, sample one per word OCCURRENCE with probability ∝
+    * P(seg)^α, so the model sees segmentation diversity). Deterministic
+    * and cross-engine-replayable by construction:
+    *
+    *  - per DISTINCT word, every valid segmentation enumerates in mask
+    *    order with weight round(exp(α·(score−max)/1e6)·1e6) — the
+    *    soft-EM single-quantization contract with α folded in (α = 0.5
+    *    default scales the double exactly);
+    *  - per occurrence, the draw is u = md5(seed:doc:pos) mod 1e6 —
+    *    reproducible across runs, engines and retries (no RNG state,
+    *    the stratifiedSample philosophy applied to segmentation);
+    *  - the pick is the smallest mask whose cumulative weight clears
+    *    the draw: min mask with cum·1e6 > u·D — exact integers.
+    *
+    * Scale shape: lattices enumerate once per DISTINCT word (bounded
+    * by `maxWordLen`, the training-statistics cap); occurrences join
+    * the CDF table on the word — an AQE-splittable equi-join; the
+    * per-occurrence work is one hash and one bounded min. Words with
+    * no valid segmentation (a char outside the vocab) are excluded —
+    * the corpus faces keep full char coverage by construction. Output
+    * per doc: n_words, n_pieces, pieces_md5 (the SAMPLED stream),
+    * n_resampled (occurrences whose sample differs from the Viterbi
+    * choice — how often regularization actually bites).
+    */
+  def sampleSegments(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[Piece], maxPieceLen: Int, seed: String,
+      alpha: Double = 0.5, maxWordLen: Int = 16): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"sampleSegments: bad alpha $alpha")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lpB = spark.sparkContext.broadcast(
+      vocab.map(p => p.piece -> p.lp_micro).toMap)
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w")).distinct()
+    // CDF table: one row per (word, valid segmentation), mask order
+    val cdf = words.select(col("w").cast("string")).as[String]
+      .mapPartitions { it =>
+        val lp = lpB.value
+        it.flatMap { w =>
+          val n = w.length
+          if (n == 0 || n > maxWordLen) Iterator.empty
+          else {
+            // enumerate in mask order, keeping starts for the Viterbi
+            // total order (score desc, fewer pieces, smallest reversed
+            // start list — the q192 contract)
+            val segs = Seq.newBuilder[(Long, Seq[String], Long, Seq[Int])]
+            var mask = 0L
+            val lim = 1L << (n - 1)
+            while (mask < lim) {
+              val pieces = Seq.newBuilder[String]
+              val starts = Seq.newBuilder[Int]
+              var ok = true
+              var score = 0L
+              var start = 0
+              var p = 1
+              while (p <= n && ok) {
+                val boundary = p == n || ((mask >> (p - 1)) & 1L) == 1L
+                if (boundary) {
+                  lp.get(w.substring(start, p)) match {
+                    case Some(v) =>
+                      score += v; pieces += w.substring(start, p)
+                      starts += start + 1; start = p
+                    case None => ok = false
+                  }
+                }
+                p += 1
+              }
+              if (ok) segs += ((mask, pieces.result(), score, starts.result()))
+              mask += 1L
+            }
+            val all = segs.result()
+            if (all.isEmpty) Iterator.empty
+            else {
+              val m = all.iterator.map(_._3).max
+              val weighted = all.map { case (mk, ps, s, st) =>
+                (mk, ps, s, st,
+                  math.round(math.exp(alpha * (s - m) / 1e6) * 1e6))
+              }
+              val d = weighted.iterator.map(_._5).sum
+              val bestMask = weighted.minBy { case (mk, ps, s, st, _) =>
+                (-s, ps.length, st.reverse.map(x => f"$x%05d").mkString(","))
+              }._1
+              var cum = 0L
+              weighted.iterator.map { case (mk, ps, _, _, wt) =>
+                cum += wt
+                (w, mk, ps, cum, d, mk == bestMask)
+              }
+            }
+          }
+        }
+      }
+      .toDF("w", "mask", "pieces", "cum", "d", "is_best")
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__w"))
+    val stats = base.select(col("doc_id"),
+      size(col("__w")).cast("long").as("n_words"))
+    val occ = base
+      .select(col("doc_id"), posexplode(col("__w")).as(Seq("__p0", "w")))
+      .select(col("doc_id"), (col("__p0") + 1).as("p"), col("w"))
+      .withColumn("u", pmod(
+        conv(substring(md5(concat_ws(":", lit(seed), col("doc_id"),
+          col("p"))), 1, 15), 16, 10).cast("long"),
+        lit(1000000L)))
+    val picked = occ.join(cdf, "w")
+      .filter(col("cum") * lit(1000000L) > col("u") * col("d"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(min_by(struct(col("pieces"), col("is_best")), col("mask"))
+        .as("__s"))
+      .select(col("doc_id"), col("p"), col("__s.pieces").as("pieces"),
+        col("__s.is_best").as("is_best"))
+    val perDoc = picked.groupBy(col("doc_id"))
+      .agg(sum(size(col("pieces"))).cast("long").as("n_pieces"),
+        md5(concat_ws(" ", flatten(expr(
+          "transform(array_sort(collect_list(struct(p, pieces))), x -> x.pieces)"
+        )))).as("pieces_md5"),
+        sum(when(!col("is_best"), 1L).otherwise(0L)).as("n_resampled"))
+    stats.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("pieces_md5"), md5(lit(""))).as("pieces_md5"),
+        coalesce(col("n_resampled"), lit(0L)).as("n_resampled"))
+  }
+
   /** Full soft-EM trainer with the published pruning schedule: seed at
     * `seedSize` (oversized), then per round — one soft-EM re-estimate,
     * then prune the lowest-loss multi-char pieces down to

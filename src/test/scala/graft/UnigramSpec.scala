@@ -335,4 +335,48 @@ class UnigramSpec extends SparkSpec {
       .select(col("pieces")).as[Seq[String]].collect()(0)
     assert(seg.mkString("") == "ab" * 12)
   }
+
+  test("sampleSegments: md5-deterministic draws, CDF-exact picks, resample share tracks the weights") {
+    // "aa" lattice: mask 0 = [aa] (score -500000, the Viterbi pick),
+    // mask 1 = [a,a] (score -800000). alpha = 0.5 weights:
+    // w0 = 1e6, w1 = round(exp(0.5*(-300000)/1e6)*1e6) = round(exp(-0.15)*1e6)
+    val w1 = math.round(math.exp(0.5 * -300000.0 / 1e6) * 1e6)
+    val d = 1000000L + w1
+    val docs = (0L until 400L).map(i => (i, "aa")).toDF("doc_id", "text")
+    val vocab = Seq(Piece("a", 1, -400000L), Piece("aa", 1, -500000L))
+    val out = UnigramLm.sampleSegments(docs, "doc_id", "text", vocab,
+      maxPieceLen = 2, seed = "s", alpha = 0.5)
+      .orderBy(col("doc_id")).collect()
+    assert(out.length == 400)
+    // per-doc exact check against the pick formula: u = md5("s:<id>:1")
+    // first-15-hex mod 1e6; pick [aa] iff cum0*1e6 > u*d
+    def md5u(input: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(input.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000000L
+    }
+    var resampled = 0
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val expectBest = 1000000L * 1000000L > md5u(s"s:$id:1") * d
+      val np = r.getLong(2)
+      assert(np == (if (expectBest) 1L else 2L), s"doc $id pick diverged")
+      assert(r.getLong(4) == (if (expectBest) 0L else 1L))
+      if (!expectBest) resampled += 1
+    }
+    // share of resamples tracks the CDF mass of the non-best segment
+    val expected = w1.toDouble / d.toDouble
+    assert(math.abs(resampled / 400.0 - expected) < 0.08,
+      s"resample share ${resampled / 400.0} vs expected $expected")
+    // reproducibility: the same seed regenerates identical digests;
+    // a different seed moves at least one document
+    val again = UnigramLm.sampleSegments(docs, "doc_id", "text", vocab,
+      maxPieceLen = 2, seed = "s", alpha = 0.5)
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.getString(3)).toSeq == again.map(_.getString(3)).toSeq)
+    val other = UnigramLm.sampleSegments(docs, "doc_id", "text", vocab,
+      maxPieceLen = 2, seed = "t", alpha = 0.5)
+      .orderBy(col("doc_id")).collect()
+    assert(out.map(_.getString(3)).toSeq != other.map(_.getString(3)).toSeq)
+  }
 }
