@@ -9236,7 +9236,7 @@ object Queries {
       |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
       |      * 1000000.0) AS BIGINT) AS lp
       |  FROM sel CROSS JOIN tot),
-      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks),
+      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks WHERE len(w) <= 16),
       |em AS (SELECT w, n,
       |    unnest(range(0, CAST(1 AS BIGINT) << CAST(n - 1 AS INT))) AS mask
       |  FROM wm),

@@ -37,6 +37,15 @@ import graft.streaming.StreamingOps
   */
 object StreamBench {
 
+  /** Best-effort recursive delete — replay-dir hygiene (round-14 advice:
+    * a persisted ledger or checkpoint from a previous run would skew the
+    * fence measurements). */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nFiles = args.drop(1).headOption.map(_.toInt).getOrElse(64)
@@ -253,21 +262,32 @@ object StreamBench {
       .count(f => f.getName.startsWith("v") && f.getName.drop(1).forall(_.isDigit))
     println(f"""{"op":"incremental_cc_ledger","rows":$nEdges,"secs":$csecs%.2f,"rows_per_sec":${(nEdges / csecs).toLong},"micro_batches":$cbatches,"state_rows":$cStateRows,"ledger_version":$version,"ledger_rows":$ledgerRows,"snapshot_dirs":$snapshots}""")
 
-    // round-14: media-health ledger with the at-least-once replay
-    // fence. Phase 1 streams synthesized media payloads (the q123
-    // dispatch family) through mediaHealthStream; phase 2 re-runs the
-    // SAME files through a FRESH checkpoint against the SAME ledger —
-    // batch ids restart at 0, the exact redelivery shape the fence
-    // exists for — and every cumulative counter must stay EXACTLY
-    // unchanged (replayed_delta = 0).
+    // round-14/15: media-health ledger with the at-least-once replay
+    // fence, now keyed on (query id, batch id). Phase 1 streams
+    // synthesized media payloads (the q123 dispatch family) through
+    // mediaHealthStream. Phase 2 simulates TRUE redelivery — the crash
+    // window the fence exists for: delete the checkpoint's LAST commit
+    // file (ledger committed, Spark's own commit lost) and restart the
+    // SAME checkpoint; Spark re-runs the last batch with the same id
+    // under the same query lineage, and every cumulative counter must
+    // stay EXACTLY unchanged (replayed_delta = 0). Phase 3 runs a
+    // FRESH checkpoint against the same ledger — a legitimately NEW
+    // run whose batch ids restart at 0: the round-14-advice fence must
+    // APPLY it (new_lineage_delta = nMedia), where the old batch-id-only
+    // fence silently discarded it.
     val mhReplay = s"$replay/media"
     import spark.implicits._
+    // re-run safety (round-14 advice): overwrite the replay input and
+    // clear any ledger/checkpoints a previous bench run left behind —
+    // a persisted ledger would skew every phase's measurement
+    for (sub <- Seq("ledger", "ckpt1", "ckpt2"))
+      deleteRecursively(new java.io.File(s"$mhReplay/$sub"))
     val media = Ingest.table(spark, sfDir, "documents")
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(_.map(id => (id, graft.operators.Multimodal.synthMedia(id))))
       .toDF("doc_id", "bin")
     val nMedia = media.count()
-    media.repartition(16).write.parquet(s"$mhReplay/in")
+    media.repartition(16).write.mode("overwrite").parquet(s"$mhReplay/in")
     val mSchema = spark.read.parquet(s"$mhReplay/in").schema
     def mediaPass(ckpt: String): Double = {
       val msrc = spark.readStream.schema(mSchema)
@@ -292,11 +312,17 @@ object StreamBench {
     }
     val (seen1, ok1) = ledgerTotals()
     val lastBatch1 = VersionedLedger.lastAppliedBatch(spark, s"$mhReplay/ledger")
-    // redelivery: fresh checkpoint, same ledger — the fence must no-op
-    // every re-delivered batch id
-    val mSecs2 = mediaPass(s"$mhReplay/ckpt2")
+    // phase 2 — true redelivery: drop the last commit marker so the
+    // restart re-delivers that batch id under the SAME query lineage
+    val commits = new java.io.File(s"$mhReplay/ckpt1/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    commits.lastOption.foreach(_.delete())
+    val mSecs2 = mediaPass(s"$mhReplay/ckpt1")
     val (seen2, ok2) = ledgerTotals()
-    println(f"""{"op":"media_health_ledger_fenced","rows":$nMedia,"secs":$mSecs%.2f,"rows_per_sec":${(nMedia / mSecs).toLong},"ledger_seen":$seen1,"ledger_ok":$ok1,"last_batch":${lastBatch1.getOrElse(-1L)},"replay_secs":$mSecs2%.2f,"replayed_delta":${(seen2 - seen1) + (ok2 - ok1)}}""")
+    // phase 3 — new lineage: fresh checkpoint, same ledger, same files
+    val mSecs3 = mediaPass(s"$mhReplay/ckpt2")
+    val (seen3, ok3) = ledgerTotals()
+    println(f"""{"op":"media_health_ledger_fenced","rows":$nMedia,"secs":$mSecs%.2f,"rows_per_sec":${(nMedia / mSecs).toLong},"ledger_seen":$seen1,"ledger_ok":$ok1,"last_batch":${lastBatch1.getOrElse(-1L)},"replay_secs":$mSecs2%.2f,"replayed_delta":${(seen2 - seen1) + (ok2 - ok1)},"new_lineage_secs":$mSecs3%.2f,"new_lineage_delta":${seen3 - seen2}}""")
 
     spark.stop()
   }

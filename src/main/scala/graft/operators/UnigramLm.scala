@@ -596,7 +596,11 @@ object UnigramLm {
     * coverage of words beyond the cap). Per-word cost is
     * O(n²·maxPieceLen²) — polynomial, NO length cap, so the pruning
     * schedule no longer drops long words from its statistics. Output:
-    * (piece, loss_micro DOUBLE) for every multi-char vocab piece.
+    * (piece, loss_micro DOUBLE) for every multi-char vocab piece. A
+    * piece that is some word's ONLY bridge over a char the vocab lacks
+    * (possible on externally-supplied vocabs; trained vocabs keep full
+    * char coverage) gets loss +Infinity — irreplaceable, and the top-k
+    * keep-rank retains it by construction (UnigramSpec pins this).
     */
   def pruneLossesFB(words: DataFrame, vocab: Seq[Piece],
       maxPieceLen: Int): DataFrame = {
@@ -671,8 +675,19 @@ object UnigramLm {
               }
               cands.iterator.map { p =>
                 val zm = forward(w, p)(n)
-                // the char-only path survives every ban, so zm is finite
-                (p, f.toDouble * (z - zm) * 1e6)
+                // With full char coverage the char-only path survives every
+                // ban, so zm is finite. When the vocab MISSES a char of `w`
+                // (possible on externally-supplied vocabs), a banned piece
+                // can be the only bridge over that char: zm = -Inf. That
+                // piece is IRREPLACEABLE — its leave-one-out loss is
+                // +Infinity by definition, emitted explicitly so the top-k
+                // keep-rank (loss desc) always retains it. +Inf sums with
+                // any finite word contribution to +Inf — never NaN, since
+                // z >= zm makes every contribution non-negative.
+                if (zm == Double.NegativeInfinity)
+                  (p, Double.PositiveInfinity)
+                else
+                  (p, f.toDouble * (z - zm) * 1e6)
               }
             }
           }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -564,48 +564,73 @@ object StreamingOps {
     * pointer swap, round 13), and `complete`-free so any sink works.
     */
   def mediaHealthStream(media: DataFrame, idCol: String, binCol: String,
-      ledgerPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import graft.operators.Multimodal
+      ledgerPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     media.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      // replay fence (round 14): foreachBatch is at-least-once — a crash
-      // AFTER the ledger commit but BEFORE Spark's own checkpoint commit
-      // re-runs this batch, and the cumulative merge below is not
-      // idempotent (n_seen/n_ok would double-count). The last applied
-      // batch id rides in the pointer file, atomically with the snapshot
-      // it produced, so a re-delivered batch is a no-op.
-      val alreadyApplied = VersionedLedger.lastAppliedBatch(spark, ledgerPath)
-        .exists(_ >= batchId)
-      if (!alreadyApplied) {
-        val decoded = Multimodal.decodeMedia(batch, idCol, binCol).toDF()
-        val delta = decoded.groupBy(col("format"))
-          .agg(count(lit(1)).as("n_seen"),
-            sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_ok"))
-        // ledger state lives behind VersionedLedger (round 13): commits are
-        // write-new-snapshot + atomic pointer swap, so a crash mid-commit
-        // can never lose the cumulative ledger — and existence resolves
-        // through the pointer, never a local-file check
-        val merged = VersionedLedger.read(spark, ledgerPath) match {
-          case Some(prev) =>
-            prev.select(col("format"), col("n_seen"), col("n_ok"))
-              .unionByName(delta)
-              .groupBy(col("format"))
-              .agg(sum(col("n_seen")).as("n_seen"), sum(col("n_ok")).as("n_ok"))
-          case None => delta
-        }
-        val rows = merged
-          .withColumn("fail_rate",
-            (col("n_seen") - col("n_ok")).cast("double") / col("n_seen").cast("double"))
-          .collect() // O(formats): bounded by the codec registry size
-        import spark.implicits._
-        VersionedLedger.commit(
-          rows.map(r => (r.getAs[String]("format"), r.getAs[Long]("n_seen"),
-              r.getAs[Long]("n_ok"), r.getAs[Double]("fail_rate")))
-            .toSeq.toDF("format", "n_seen", "n_ok", "fail_rate")
-            .coalesce(1),
-          ledgerPath, batchId = Some(batchId))
+      mediaHealthMerge(batch, batchId, streamRunTag(batch.sparkSession),
+        idCol, binCol, ledgerPath)
+    }
+
+  /** The streaming query's STABLE id, read from the local property Spark
+    * sets on the stream-execution thread `foreachBatch` runs on. It is
+    * persisted in the checkpoint metadata, so it survives restarts of
+    * the same checkpoint lineage (where batch-id redelivery can happen)
+    * and differs for a fresh checkpoint (where batch ids legitimately
+    * restart at 0 with NEW data) — exactly the distinction the replay
+    * fence needs (round-14 advice). Falls back to a fixed tag when the
+    * property is absent (a direct batch invocation outside any stream),
+    * which degrades to the documented batch-id-only fence.
+    */
+  private[graft] def streamRunTag(spark: SparkSession): String =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .filter(_.nonEmpty).getOrElse("no-stream-run")
+
+  /** One micro-batch of the media-health ledger merge — factored out of
+    * [[mediaHealthStream]] so the replay fence is testable at the exact
+    * granularity it operates on: (runTag, batchId).
+    *
+    * Replay fence (rounds 14–15): foreachBatch is at-least-once — a
+    * crash AFTER the ledger commit but BEFORE Spark's own checkpoint
+    * commit re-runs this batch, and the cumulative merge below is not
+    * idempotent (n_seen/n_ok would double-count). The last applied
+    * (runTag, batch id) rides in the pointer file, atomically with the
+    * snapshot it produced, so a RE-DELIVERED batch (same lineage, same
+    * id) is a no-op — while a new stream run on a fresh checkpoint
+    * (different runTag, ids restarting at 0) still APPLIES: fencing on
+    * batch id alone would silently discard the new run's first batches
+    * (round-14 advice).
+    */
+  def mediaHealthMerge(batch: DataFrame, batchId: Long, runTag: String,
+      idCol: String, binCol: String, ledgerPath: String): Unit = {
+    import graft.operators.Multimodal
+    val spark = batch.sparkSession
+    if (!VersionedLedger.alreadyApplied(spark, ledgerPath, runTag, batchId)) {
+      val decoded = Multimodal.decodeMedia(batch, idCol, binCol).toDF()
+      val delta = decoded.groupBy(col("format"))
+        .agg(count(lit(1)).as("n_seen"),
+          sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_ok"))
+      // ledger state lives behind VersionedLedger (round 13): commits are
+      // write-new-snapshot + atomic pointer swap, so a crash mid-commit
+      // can never lose the cumulative ledger — and existence resolves
+      // through the pointer, never a local-file check
+      val merged = VersionedLedger.read(spark, ledgerPath) match {
+        case Some(prev) =>
+          prev.select(col("format"), col("n_seen"), col("n_ok"))
+            .unionByName(delta)
+            .groupBy(col("format"))
+            .agg(sum(col("n_seen")).as("n_seen"), sum(col("n_ok")).as("n_ok"))
+        case None => delta
       }
-      ()
+      val rows = merged
+        .withColumn("fail_rate",
+          (col("n_seen") - col("n_ok")).cast("double") / col("n_seen").cast("double"))
+        .collect() // O(formats): bounded by the codec registry size
+      import spark.implicits._
+      VersionedLedger.commit(
+        rows.map(r => (r.getAs[String]("format"), r.getAs[Long]("n_seen"),
+            r.getAs[Long]("n_ok"), r.getAs[Double]("fail_rate")))
+          .toSeq.toDF("format", "n_seen", "n_ok", "fail_rate")
+          .coalesce(1),
+        ledgerPath, batchId = Some(batchId), runTag = Some(runTag))
     }
   }
 

@@ -70,6 +70,34 @@ object VersionedLedger {
   def lastAppliedBatch(spark: SparkSession, path: String): Option[Long] =
     pointerLines(spark, path).drop(1).headOption.map(_.trim.toLong)
 
+  /** The run tag recorded with the last commit (round 15 — the checkpoint
+    * lineage the batch id belongs to). Batch ids restart at 0 for every
+    * NEW checkpoint, so a batch-id-only fence cannot tell a re-delivered
+    * batch (same query lineage, crash between ledger commit and Spark's
+    * checkpoint commit) from the first batches of a legitimately new
+    * stream run reusing the ledger — and would silently DISCARD the new
+    * run's data. The streaming query's stable id (persisted in the
+    * checkpoint, so it survives restarts of the same lineage but differs
+    * for a fresh checkpoint) rides as a third pointer line; callers fence
+    * only when BOTH the tag and the batch id match. Pre-round-15 ledgers
+    * carry no tag line — [[None]], which callers treat as
+    * matching-any-run (the documented legacy batch-id-only behavior).
+    */
+  def lastAppliedRun(spark: SparkSession, path: String): Option[String] =
+    pointerLines(spark, path).drop(2).headOption.map(_.trim).filter(_.nonEmpty)
+
+  /** One fence decision for at-least-once `foreachBatch` merges: has
+    * `(runTag, batchId)`'s effect already been committed? True only when
+    * the recorded batch id covers `batchId` AND the recorded run tag
+    * matches (a ledger without a tag — pre-upgrade — fences on batch id
+    * alone, documented legacy). A DIFFERENT run tag never fences: a new
+    * checkpoint lineage restarts batch ids at 0 with genuinely new data.
+    */
+  def alreadyApplied(spark: SparkSession, path: String, runTag: String,
+      batchId: Long): Boolean =
+    lastAppliedBatch(spark, path).exists(_ >= batchId) &&
+      lastAppliedRun(spark, path).forall(_ == runTag)
+
   /** Last committed snapshot, or None before the first commit. */
   def read(spark: SparkSession, path: String): Option[DataFrame] =
     currentVersion(spark, path).map(v => spark.read.parquet(s"$path/v$v"))
@@ -97,16 +125,21 @@ object VersionedLedger {
   /** Commit half 2 — atomically swap the pointer to `version` via
     * temp-file + `FileContext.rename(OVERWRITE)`. `batchId`, when
     * present, is recorded as a second pointer line (see
-    * [[lastAppliedBatch]]).
+    * [[lastAppliedBatch]]); `runTag`, when present, as a third (see
+    * [[lastAppliedRun]] — run tags must be single-line and non-empty
+    * to round-trip).
     */
   def swapPointer(spark: SparkSession, path: String, version: Long,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None, runTag: Option[String] = None): Unit = {
+    require(runTag.forall(t => t.nonEmpty && !t.contains("\n")),
+      s"swapPointer: run tag must be non-empty and single-line, got $runTag")
     val dir = new Path(path)
     val f = fs(spark, dir)
     if (!f.exists(dir)) f.mkdirs(dir)
     val tmp = new Path(dir, s".$Pointer.tmp-${version}")
     val out = f.create(tmp, true)
-    val body = version.toString + batchId.map(b => s"\n$b").getOrElse("")
+    val body = version.toString + batchId.map(b => s"\n$b").getOrElse("") +
+      batchId.flatMap(_ => runTag).map(t => s"\n$t").getOrElse("")
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fc = FileContext.getFileContext(dir.toUri,
@@ -115,11 +148,12 @@ object VersionedLedger {
   }
 
   /** Atomic full-snapshot commit; returns the committed version. */
-  def commit(df: DataFrame, path: String, batchId: Option[Long] = None): Long = {
+  def commit(df: DataFrame, path: String, batchId: Option[Long] = None,
+      runTag: Option[String] = None): Long = {
     val spark = df.sparkSession
     val next = currentVersion(spark, path).map(_ + 1L).getOrElse(0L)
     writeVersion(df, path, next)
-    swapPointer(spark, path, next, batchId)
+    swapPointer(spark, path, next, batchId, runTag)
     // best-effort GC: keep current + previous (an in-flight reader may
     // still be scanning N-1), drop older snapshots and orphan tmp files
     try {

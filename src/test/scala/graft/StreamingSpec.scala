@@ -601,41 +601,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("mediaHealth ledger replay fence: a re-delivered batch id is a no-op (at-least-once safety)") {
+  test("mediaHealth ledger replay fence: re-delivered (runTag, batchId) is a no-op; a NEW lineage applies") {
     import graft.operators.Multimodal
-    implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("health-replay").toString + "/ledger"
     def ledger(): Map[String, (Long, Long)] =
       VersionedLedger.read(spark, dir).get.collect().map(r =>
         r.getAs[String]("format") -> ((r.getAs[Long]("n_seen"),
           r.getAs[Long]("n_ok")))).toMap
+    val batch = Seq((0L, Multimodal.synthWav(0L))).toDF("doc_id", "bin")
+    // lineage A, batch 0: applies
+    StreamingOps.mediaHealthMerge(batch, 0L, "runA", "doc_id", "bin", dir)
+    assert(ledger()("wav") == ((1L, 1L)))
+    assert(VersionedLedger.lastAppliedBatch(spark, dir).contains(0L))
+    assert(VersionedLedger.lastAppliedRun(spark, dir).contains("runA"))
+    // a foreachBatch sink is at-least-once: a crash after the ledger
+    // commit but before Spark's checkpoint commit re-delivers the SAME
+    // batch id UNDER THE SAME query lineage (the query id is persisted
+    // in the checkpoint) — the fence must no-op it
+    StreamingOps.mediaHealthMerge(batch, 0L, "runA", "doc_id", "bin", dir)
+    assert(ledger()("wav") == ((1L, 1L)), "replayed (runA, 0) double-counted")
+    // the NEXT batch id in the same lineage is new work and must apply
+    StreamingOps.mediaHealthMerge(batch, 1L, "runA", "doc_id", "bin", dir)
+    assert(ledger()("wav") == ((2L, 2L)))
+    assert(VersionedLedger.lastAppliedBatch(spark, dir).contains(1L))
+    // a NEW stream run (fresh checkpoint ⇒ new query id) restarts batch
+    // ids at 0 with genuinely new data — round-14 advice: a batch-id-only
+    // fence would silently DISCARD it; the run-tag-aware fence applies it
+    StreamingOps.mediaHealthMerge(batch, 0L, "runB", "doc_id", "bin", dir)
+    assert(ledger()("wav") == ((3L, 3L)), "new lineage (runB, 0) silently discarded")
+    assert(VersionedLedger.lastAppliedRun(spark, dir).contains("runB"))
+  }
+
+  test("mediaHealth fence end-to-end: a fresh-checkpoint stream run against an existing ledger APPLIES") {
+    import graft.operators.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("health-fresh").toString + "/ledger"
+    def seen(): Long = VersionedLedger.read(spark, dir).get
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("n_seen")))
+      .collect()(0).getLong(0)
     val mem1 = MemoryStream[(Long, Array[Byte])]
     val q1 = StreamingOps.mediaHealthStream(
       mem1.toDF().toDF("doc_id", "bin"), "doc_id", "bin", dir).start()
     try {
       mem1.addData((0L, Multimodal.synthWav(0L)))
       q1.processAllAvailable()
-      assert(ledger()("wav") == ((1L, 1L)))
-      assert(VersionedLedger.lastAppliedBatch(spark, dir).contains(0L))
+      assert(seen() == 1L)
+      // the run tag recorded is the real streaming query id
+      assert(VersionedLedger.lastAppliedRun(spark, dir).contains(q1.id.toString))
     } finally q1.stop()
-    // a foreachBatch sink is at-least-once: a crash after the ledger
-    // commit but before Spark's checkpoint commit re-delivers the SAME
-    // batch id. Simulate with a fresh stream (fresh checkpoint) whose
-    // first batch is again id 0 — the fence must make it a no-op
-    // instead of double-merging n_seen/n_ok.
+    // second, INDEPENDENT run (fresh MemoryStream ⇒ fresh checkpoint ⇒
+    // new query id) whose first batch is again id 0: legitimately new
+    // data, and it must land in the ledger, not be fenced away
     val mem2 = MemoryStream[(Long, Array[Byte])]
     val q2 = StreamingOps.mediaHealthStream(
       mem2.toDF().toDF("doc_id", "bin"), "doc_id", "bin", dir).start()
     try {
-      mem2.addData((0L, Multimodal.synthWav(0L)))
-      q2.processAllAvailable()
-      assert(ledger()("wav") == ((1L, 1L)), "replayed batch 0 double-counted")
-      assert(VersionedLedger.lastAppliedBatch(spark, dir).contains(0L))
-      // the NEXT batch id is new work and must still apply
       mem2.addData((1L, Multimodal.synthWav(1L)))
       q2.processAllAvailable()
-      assert(ledger()("wav") == ((2L, 2L)))
-      assert(VersionedLedger.lastAppliedBatch(spark, dir).contains(1L))
+      assert(seen() == 2L, "fresh-lineage batch 0 was silently discarded")
     } finally q2.stop()
   }
 

@@ -310,6 +310,23 @@ class UnigramSpec extends SparkSpec {
     assert(fbLong("ab") > 0.0, "FB loss must cover words beyond the cap")
   }
 
+  test("pruneLossesFB: an irreplaceable piece (only bridge over an uncovered char) gets +Inf loss and survives pruning (round-14 advice)") {
+    // vocab lacks the char 'z': the word "azb" is segmentable ONLY via
+    // the multi-char piece "zb" — banning it leaves zm = -Inf. The loss
+    // must surface as +Infinity (never NaN, never a silent garbage sum)
+    // and the keep-rank must retain the piece at any target >= 1.
+    val words = Seq(("azb", 3L), ("ab", 5L)).toDF("w", "f")
+    val vocab = Seq(Piece("a", 8, -100000L), Piece("b", 8, -100000L),
+      Piece("zb", 3, -300000L), Piece("ab", 5, -150000L))
+    val fb = UnigramLm.pruneLossesFB(words, vocab, 3)
+      .as[(String, Double)].collect().toMap
+    assert(fb("zb").isPosInfinity, s"irreplaceable piece loss: ${fb("zb")}")
+    assert(!fb("ab").isNaN && !fb("ab").isInfinity, "replaceable piece stays finite")
+    val kept = UnigramLm.pruneVocabFB(words, vocab, 3, targetMultis = 1)
+      .filter(_.piece.length > 1).map(_.piece).toSet
+    assert(kept == Set("zb"), s"top-1 keep must retain the irreplaceable piece: $kept")
+  }
+
   test("trainSoftFB: cap-free composed trainer agrees with trainSoft in-cap; trains past the cap") {
     // in-cap fixture: the quantized and double paths must elect the
     // same vocabulary (pruneLossesFB's keep-set gate, composed)
