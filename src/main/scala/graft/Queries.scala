@@ -9306,6 +9306,226 @@ object Queries {
       |FROM dl LEFT JOIN agg USING (doc_id) ORDER BY doc_id
       |""".stripMargin.trim))
 
+  // ==========================================================================
+  // Unigram byte fallback (round 15) — published SentencePiece
+  // `byte_fallback` semantics: a character outside the vocab's alphabet
+  // decomposes into its UTF-8 bytes as reserved `<0xNN>` pieces, so no
+  // word is ever unsegmentable (the round-14 verdict's top item: on a
+  // multilingual 100-TB corpus the char long tail hits constantly).
+  // ==========================================================================
+
+  /** Planted OOV-char suffixes for the byte-fallback query: ASCII chars
+    * absent from the corpus alphabet (x, z → 1-byte fallbacks), Latin-1
+    * accents (2-byte), CJK + katakana incl. the long-vowel mark (3-byte),
+    * an astral-plane emoji (4-byte — one CODE POINT, two Java chars: the
+    * engine's codepoint DP and DuckDB's codepoint substr must agree), and
+    * a Greek char fused with covered ASCII ("βeta" mixes fallback and
+    * vocab pieces inside one word). All lowercase-stable, so the shared
+    * lower() normalization is byte-identical across engines. */
+  private val unigramPlants: Seq[String] = Seq(
+    "", " naïve café xz", " 東京 タワー", " 🙂 βeta")
+
+  private def unigramPlantedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        unigramPlants.zipWithIndex.foldLeft(lit("")) { case (acc, (p, i)) =>
+          when(col("doc_id") % 4 === i, lit(p)).otherwise(acc)
+        }).as("text"))
+
+  /** The planted-word CTE shared by the oracle: lower + split of
+    * text || plant (plants are already lowercase-stable). */
+  private def unigramPlantedSql: String = s"""
+    |pdl AS (SELECT doc_id,
+    |    list_filter(string_split_regex(lower(text || CASE CAST(doc_id % 4 AS INT)
+    |      ${unigramPlants.zipWithIndex.map { case (p, i) =>
+               s"WHEN $i THEN ${sqlStrLit(p)}" }.mkString(" ")}
+    |      ELSE '' END), '\\s+'), tk -> tk <> '') AS ws
+    |  FROM documents)""".stripMargin.trim
+
+  /** Unigram tokenization WITH BYTE FALLBACK (round 15): the q191 seed
+    * vocab trains on the ORIGINAL corpus (so every planted char is
+    * genuinely out-of-alphabet), then the PLANTED corpus tokenizes under
+    * it — uncovered code points emit their UTF-8 bytes as `<0xNN>`
+    * pieces at a flat floor score (−20e6 micro/byte), covered pieces
+    * segment as usual, and the two mix freely inside one word ("βeta" →
+    * bytes of β + vocab pieces of "eta"). The ORACLE replays the whole
+    * face — seed training, the exhaustive per-word lattice enumeration
+    * extended with the fallback validity rule (a single code point is
+    * ALWAYS segmentable, at octet_length·floor), the post-expansion
+    * piece-count tie-break, the byte-token expansion in the digest, and
+    * the per-doc reassembly. n_fallback per doc measures how hard the
+    * fallback path fires — THE production signal that a vocab's char
+    * coverage no longer fits the corpus mix. Scale shape: unchanged from
+    * q192 — distinct words segment once (codepoint DP, no enumeration),
+    * the corpus joins back on the word.
+    */
+  val q219: Q = Q(
+    "q219_unigram_bytefallback",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = graft.operators.UnigramLm.collectVocab(
+        graft.operators.UnigramLm.seedVocab(docs, "text", 4, 48))
+      graft.operators.UnigramLm.applyBytes(unigramPlantedDocs(s, dir),
+          "doc_id", "text", vocab, maxPieceLen = 4, byteLpMicro = -20000000L)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH ${unigramSeedCtes()},
+      |v AS (SELECT piece,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS lp
+      |  FROM sel CROSS JOIN tot),
+      |$unigramPlantedSql,
+      |wm AS (SELECT DISTINCT unnest(ws) AS w FROM pdl),
+      |wn AS (SELECT w, len(w) AS n FROM wm),
+      |em AS (SELECT w, n,
+      |    unnest(range(0, CAST(1 AS BIGINT) << CAST(n - 1 AS INT))) AS mask
+      |  FROM wn),
+      |seg AS (SELECT w, n, mask,
+      |    [CAST(1 AS BIGINT)] || list_transform(
+      |      list_filter(range(1, n), p -> ((mask >> CAST(p - 1 AS INT)) & 1) = 1),
+      |      p -> p + 1) AS starts
+      |  FROM em),
+      |sp AS (SELECT w, mask, starts,
+      |    list_transform(range(1, len(starts) + 1), k ->
+      |      substr(w, CAST(starts[CAST(k AS INT)] AS INT),
+      |        CAST(COALESCE(starts[CAST(k AS INT) + 1],
+      |          CAST(n + 1 AS BIGINT)) - starts[CAST(k AS INT)] AS INT)))
+      |      AS pieces
+      |  FROM seg),
+      |pj AS (SELECT w, mask, pi, pieces[CAST(pi AS INT)] AS piece
+      |  FROM sp, unnest(range(1, len(pieces) + 1)) AS u(pi)),
+      |pe AS (SELECT pj.w, pj.mask, pj.pi,
+      |    CASE WHEN v.piece IS NOT NULL THEN [pj.piece]
+      |      WHEN len(pj.piece) = 1 THEN
+      |        list_transform(range(1, octet_length(encode(pj.piece)) + 1),
+      |          bi -> '<0x' || substr(hex(encode(pj.piece)),
+      |            CAST(2 * bi - 1 AS INT), 2) || '>')
+      |      ELSE NULL END AS toks,
+      |    CASE WHEN v.piece IS NOT NULL THEN v.lp
+      |      WHEN len(pj.piece) = 1 THEN
+      |        CAST(octet_length(encode(pj.piece)) AS BIGINT) * (-20000000)
+      |      ELSE NULL END AS lp,
+      |    CASE WHEN v.piece IS NOT NULL THEN 0
+      |      WHEN len(pj.piece) = 1 THEN
+      |        CAST(octet_length(encode(pj.piece)) AS BIGINT)
+      |      ELSE NULL END AS nfb
+      |  FROM pj LEFT JOIN v ON pj.piece = v.piece),
+      |ps AS (SELECT w, mask, CAST(COUNT(*) AS BIGINT) AS nj,
+      |    CAST(COUNT(lp) AS BIGINT) AS nmatch, SUM(lp) AS score,
+      |    CAST(SUM(len(toks)) AS BIGINT) AS np, SUM(nfb) AS nfb,
+      |    flatten(list(toks ORDER BY pi)) AS ptoks
+      |  FROM pe GROUP BY w, mask),
+      |valid AS (SELECT ps.w, ps.np, ps.nfb, ps.ptoks, ps.score, sp.starts
+      |  FROM ps JOIN sp ON ps.w = sp.w AND ps.mask = sp.mask
+      |  WHERE ps.nmatch = ps.nj),
+      |best AS (SELECT w, np, nfb, ptoks, score FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY w
+      |      ORDER BY score DESC, np ASC, list_reverse(starts) ASC) AS rk
+      |    FROM valid) WHERE rk = 1),
+      |du AS (SELECT doc_id, unnest(ws) AS w,
+      |    unnest(range(1, len(ws) + 1)) AS p
+      |  FROM pdl),
+      |agg AS (SELECT doc_id,
+      |    CAST(SUM(np) AS BIGINT) AS n_pieces,
+      |    md5(array_to_string(flatten(list(ptoks ORDER BY p)), ' '))
+      |      AS pieces_md5,
+      |    CAST(SUM(score) AS BIGINT) AS nll_micro,
+      |    CAST(SUM(nfb) AS BIGINT) AS n_fallback
+      |  FROM du JOIN best USING (w) GROUP BY 1)
+      |SELECT pdl.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |  COALESCE(n_pieces, 0) AS n_pieces,
+      |  COALESCE(pieces_md5, md5('')) AS pieces_md5,
+      |  COALESCE(nll_micro, 0) AS nll_micro,
+      |  COALESCE(n_fallback, 0) AS n_fallback
+      |FROM pdl LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+      |""".stripMargin.trim))
+
+  /** One unrolled round of the byte-BPE trainer in SQL (the q212
+    * generator pattern on the byte model): state `bs{r-1}` (pt, f,
+    * delimited byte-char symbol string) → `btop{r}` (argmax by count
+    * desc, a, b — the [[graft.operators.TrainPrep.byteBpeTrain]]
+    * selection) and `bs{r}` (state after the delimited-replace merge,
+    * ≡ the trainer's greedy-leftmost fold — the q159/q207-pinned
+    * equivalence). COALESCE sentinels keep an exhausted round harmless
+    * (chr(1) never occurs in a byte-char symbol).
+    */
+  private def byteBpeRoundSql(r: Int): String = {
+    val prev = s"bs${r - 1}"
+    s"""bsym$r AS (SELECT f, list_filter(string_split(s, ' '), x -> x <> '') AS syms
+      |  FROM $prev),
+      |bpc$r AS MATERIALIZED (SELECT syms[CAST(pi AS INT)] AS a,
+      |    syms[CAST(pi AS INT) + 1] AS b, CAST(SUM(f) AS BIGINT) AS cnt
+      |  FROM (SELECT f, syms, unnest(range(1, len(syms))) AS pi
+      |        FROM bsym$r WHERE len(syms) >= 2)
+      |  GROUP BY 1, 2),
+      |btop$r AS MATERIALIZED (SELECT a, b, a || b AS merged, cnt
+      |  FROM bpc$r ORDER BY cnt DESC, a, b LIMIT 1),
+      |bs$r AS MATERIALIZED (SELECT pt, f, replace(s,
+      |    ' ' || COALESCE((SELECT a FROM btop$r), chr(1)) || '  ' ||
+      |      COALESCE((SELECT b FROM btop$r), chr(1)) || ' ',
+      |    ' ' || COALESCE((SELECT merged FROM btop$r), chr(1)) || ' ') AS s
+      |  FROM $prev)""".stripMargin.trim
+  }
+
+  /** Byte-level BPE END-TO-END (round 15 — the q217 composition gate
+    * applied to the byte family, closing round-14 verdict item 2: q206
+    * pinned the pre-tokenizer, q210 the selection criterion, q207 the
+    * apply under a FIXTURE merge list — this trains, derives the merge
+    * list, and tokenizes in ONE query under ONE oracle). Six merges
+    * train at query time on the planted corpus ([[byteBpeTrain]]'s
+    * count-argmax loop); the corpus tokenizes under exactly those
+    * merges ([[byteBpeApply]]'s replace chain). The ORACLE unrolls
+    * every training round — pair counts, the (cnt desc, a, b) argmax,
+    * the delimited-replace application — and its FINAL training state
+    * doubles as the tokenization (training applies each merge to the
+    * distinct-pre-token table, which after the last round IS the
+    * tokenized corpus): so a wrong argmax in ANY round, or any
+    * divergence between the engine's fold-apply and replace-apply
+    * semantics, moves some document's digest. Scale shape: the corpus
+    * is touched once (pre-token frequency table); each round is
+    * pair-table-sized with a 1-row argmax read; application is
+    * distinct-pre-token-sized and joins back per occurrence.
+    */
+  val q220: Q = {
+    val nM = 6
+    Q(
+      "q220_bytebpe_e2e",
+      (s, dir) => {
+        import graft.operators.TrainPrep
+        val docs = bytePlantedDocs(s, dir)
+        val trained = TrainPrep.byteBpeTrain(docs, "text", nM)
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+        TrainPrep.byteBpeApply(docs, "doc_id", "text", trained)
+          .drop("toks")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        |WITH $sqlBytePlantCtes,
+        |ptf AS MATERIALIZED (SELECT pt2 AS pt, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(pt) AS pt2 FROM adj) GROUP BY 1),
+        |bs0 AS MATERIALIZED (SELECT pt, f,
+        |    ' ' || ${sqlByteMapChr("pt", "'  '")} || ' ' AS s
+        |  FROM ptf),
+        |${(1 to nM).map(byteBpeRoundSql).mkString(",\n")},
+        |btok AS MATERIALIZED (SELECT pt,
+        |    list_filter(string_split(s, ' '), x -> x <> '') AS toks
+        |  FROM bs$nM),
+        |pw AS (SELECT doc_id, pi, pt[CAST(pi AS INT)] AS p1
+        |  FROM adj, unnest(range(1, len(pt) + 1)) AS u(pi)),
+        |agg AS (SELECT doc_id,
+        |    CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+        |    md5(array_to_string(flatten(list(toks ORDER BY pi)), ' '))
+        |      AS tokens_md5
+        |  FROM pw JOIN btok ON pw.p1 = btok.pt GROUP BY 1)
+        |SELECT adj.doc_id, CAST(len(pt) AS BIGINT) AS n_pretokens,
+        |  COALESCE(n_tokens, 0) AS n_tokens,
+        |  COALESCE(tokens_md5, md5('')) AS tokens_md5
+        |FROM adj LEFT JOIN agg USING (doc_id) ORDER BY adj.doc_id
+        |""".stripMargin.trim))
+  }
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -9324,5 +9544,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220)
 }

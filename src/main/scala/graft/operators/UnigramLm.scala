@@ -240,6 +240,163 @@ object UnigramLm {
     expr("transform(array_sort(collect_list(struct(__p, pieces))), x -> x.pieces)")
 
   // ==========================================================================
+  // Byte fallback (round 15) — the published SentencePiece
+  // `byte_fallback` semantics, closing the one behavior gap the verdict
+  // ranked first: a word containing a character OUTSIDE the vocab's
+  // alphabet previously had no segmentation at all (clean skip in
+  // training statistics, [[viterbiWord]]'s self-at-unkLp hack when
+  // segmenting). On a multilingual corpus the char long tail (emoji,
+  // rare CJK, accents) hits constantly; published semantics decompose an
+  // uncovered character into its UTF-8 BYTES, each a reserved piece
+  // `<0xNN>`, so NOTHING is ever unsegmentable and no [UNK] mass exists.
+  // Deterministic (a char's UTF-8 bytes are fixed) → oracle-replayable:
+  // q219 hash-checks the whole face against a DuckDB enumeration replay.
+  //
+  // Everything here works on CODE POINTS, not UTF-16 chars: an emoji is
+  // one lattice position (two Java chars), exactly as DuckDB's
+  // codepoint-based substr/len see it — char-indexed DP would misalign
+  // the two engines on every astral-plane symbol.
+  // ==========================================================================
+
+  /** The reserved byte pieces `<0x00>`..`<0xFF>` in byte order. */
+  val bytePieceTable: IndexedSeq[String] =
+    (0 until 256).map(b => f"<0x$b%02X>")
+
+  /** Byte pieces of ONE code point: its UTF-8 bytes as `<0xNN>` tokens. */
+  private[graft] def bytePiecesOf(cp: Int): Seq[String] =
+    new String(Character.toChars(cp))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toSeq.map(b => bytePieceTable(b & 0xff))
+
+  /** Extend a trained vocab with the 256 reserved byte pieces at a flat
+    * floor score — the published seed shape: byte pieces are unprunable
+    * (they guarantee segmentability the way single chars do) and carry
+    * no corpus count. Idempotent; `byteLpMicro` should sit well below
+    * every real char score so bytes only ever win when nothing else
+    * segments the character.
+    */
+  def byteFallbackVocab(vocab: Seq[Piece],
+      byteLpMicro: Long = -20000000L): Seq[Piece] = {
+    val have = vocab.map(_.piece).toSet
+    vocab ++ bytePieceTable.filterNot(have).map(Piece(_, 0L, byteLpMicro))
+  }
+
+  /** Viterbi segmentation with byte fallback, over CODE POINTS:
+    * maximize the score sum where a candidate piece is either a vocab
+    * piece (score lp, ONE emitted token) or a single uncovered code
+    * point (score nBytes·byteLpMicro, nBytes emitted `<0xNN>` tokens).
+    * Ties prefer fewer EMITTED tokens, then the smallest predecessor at
+    * every position — the [[viterbiWord]] total order with the piece
+    * count measured post-expansion (the count the training consumer
+    * sees). Returns (emitted tokens, score, n_fallback byte tokens).
+    * Every word segments by construction.
+    */
+  private[graft] def viterbiWordBytes(word: String, lp: Map[String, Long],
+      maxPieceLen: Int, byteLpMicro: Long): (Seq[String], Long, Long) = {
+    val cps = word.codePoints.toArray
+    val n = cps.length
+    if (n == 0) return (Seq.empty, 0L, 0L)
+    def sub(i: Int, j: Int): String = new String(cps, i, j - i)
+    val score = new Array[Long](n + 1)
+    val ntoks = new Array[Int](n + 1)
+    val prev = new Array[Int](n + 1)
+    java.util.Arrays.fill(score, Long.MinValue)
+    score(0) = 0L; ntoks(0) = 0; prev(0) = -1
+    var j = 1
+    while (j <= n) {
+      var bs = Long.MinValue; var bn = Int.MaxValue; var bi = -1
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (score(i) != Long.MinValue) {
+          val piece = sub(i, j)
+          // (score, emitted-token count) of this candidate, or None
+          val cand: Option[(Long, Int)] = lp.get(piece) match {
+            case Some(v) => Some((v, 1))
+            case None if j - i == 1 =>
+              val nb = bytePiecesOf(cps(i)).size
+              Some((nb.toLong * byteLpMicro, nb))
+            case None => None
+          }
+          cand.foreach { case (v, k) =>
+            val s = score(i) + v
+            val np = ntoks(i) + k
+            // strict improvement on (score, -ntoks); first (smallest) i
+            // wins ties because i ascends
+            if (s > bs || (s == bs && np < bn)) { bs = s; bn = np; bi = i }
+          }
+        }
+        i += 1
+      }
+      score(j) = bs; ntoks(j) = bn; prev(j) = bi
+      j += 1
+    }
+    val out = Seq.newBuilder[String]
+    var nFallback = 0L
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var k = n
+    while (k > 0) {
+      val piece = sub(prev(k), k)
+      if (lp.contains(piece)) stack += Seq(piece)
+      else { val bp = bytePiecesOf(cps(prev(k))); nFallback += bp.size; stack += bp }
+      k = prev(k)
+    }
+    stack.reverseIterator.foreach(out ++= _)
+    (out.result(), score(n), nFallback)
+  }
+
+  /** [[segmentWords]] with byte fallback: DISTINCT words → (w, pieces,
+    * n_pieces, score_micro, n_fallback). Never empty, never [UNK]. */
+  def segmentWordsBytes(words: DataFrame, vocab: Seq[Piece],
+      maxPieceLen: Int, byteLpMicro: Long = -20000000L): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val lpB = spark.sparkContext.broadcast(
+      vocab.map(p => p.piece -> p.lp_micro).toMap)
+    words.select(col("w").cast("string")).as[String]
+      .mapPartitions { it =>
+        val lp = lpB.value
+        it.map { w =>
+          val (pieces, s, nf) = viterbiWordBytes(w, lp, maxPieceLen, byteLpMicro)
+          (w, pieces, pieces.length.toLong, s, nf)
+        }
+      }
+      .toDF("w", "pieces", "n_pieces", "score_micro", "n_fallback")
+  }
+
+  /** [[apply]] with byte fallback (the q219 surface): per document —
+    * word count, emitted piece count, order-sensitive md5 of the piece
+    * stream (byte pieces `<0xNN>` included, none of which contain a
+    * space), total segmentation score, and how many byte-fallback
+    * tokens were emitted (the signal that the vocab's char coverage no
+    * longer fits the corpus). Distinct words segment once and join back
+    * on the word — the corpus never shuffles to be segmented.
+    */
+  def applyBytes(docs: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[Piece], maxPieceLen: Int,
+      byteLpMicro: Long = -20000000L): DataFrame = {
+    val words = wordFreqs(docs, textCol)
+    val seg = segmentWordsBytes(words, vocab, maxPieceLen, byteLpMicro)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__w"))
+    val stats = base.select(col("doc_id"),
+      size(col("__w")).cast("long").as("n_words"))
+    val perWord = base
+      .select(col("doc_id"), posexplode(col("__w")).as(Seq("__p", "w")))
+      .join(seg, "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_pieces")).cast("long").as("n_pieces"),
+        md5(concat_ws(" ", flatten(orderedPieces))).as("pieces_md5"),
+        sum(col("score_micro")).cast("long").as("nll_micro"),
+        sum(col("n_fallback")).cast("long").as("n_fallback"))
+    stats.join(perWord, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("pieces_md5"), md5(lit(""))).as("pieces_md5"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        coalesce(col("n_fallback"), lit(0L)).as("n_fallback"))
+  }
+
+  // ==========================================================================
   // Soft-EM training with loss-based vocabulary pruning (round 13) — the
   // published SentencePiece schedule: seed OVERSIZED, re-estimate piece
   // mass from EXPECTED counts over ALL segmentations (not just the Viterbi

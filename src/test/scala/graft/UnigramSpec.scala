@@ -310,6 +310,97 @@ class UnigramSpec extends SparkSpec {
     assert(fbLong("ab") > 0.0, "FB loss must cover words beyond the cap")
   }
 
+  test("byte fallback: DP equals exhaustive enumeration with the fallback rule, emoji included") {
+    val byteLp = -20000000L
+    val vocab = Seq(Piece("a", 9, -100000L), Piece("b", 7, -120000L),
+      Piece("ab", 5, -150000L), Piece("e", 4, -110000L),
+      Piece("t", 4, -115000L), Piece("eta", 2, -160000L))
+    val lp = vocab.map(p => p.piece -> p.lp_micro).toMap
+    // exhaustive reference over code points, same total order:
+    // score desc, EXPANDED token count asc, reversed start list asc
+    def enumerate(w: String): (Seq[String], Long, Long) = {
+      val cps = w.codePoints.toArray
+      val n = cps.length
+      def sub(i: Int, j: Int) = new String(cps, i, j - i)
+      val all = (0L until (1L << (n - 1))).flatMap { mask =>
+        val starts = 0 +: (1 until n).filter(p => ((mask >> (p - 1)) & 1L) == 1L)
+        val bounds = starts :+ n
+        val segs = bounds.sliding(2).map(x => (x(0), x(1))).toSeq
+        // valid ⇔ every piece is a vocab piece or a single code point
+        // (no vocab piece exceeds maxPieceLen=3, mirroring q219's oracle)
+        val ok = segs.forall { case (i, j) =>
+          lp.contains(sub(i, j)) || j - i == 1 }
+        if (!ok) None
+        else {
+            var score = 0L; var nf = 0L
+            val toks = Seq.newBuilder[String]
+            segs.foreach { case (i, j) =>
+              val p = sub(i, j)
+              lp.get(p) match {
+                case Some(v) => score += v; toks += p
+                case None =>
+                  val bp = UnigramLm.bytePiecesOf(cps(i))
+                  score += bp.size.toLong * byteLp; nf += bp.size; toks ++= bp
+              }
+            }
+            Some((toks.result(), score, nf, starts.map(_ + 1)))
+        }
+      }
+      val best = all.minBy { case (tk, s, _, st) =>
+        (-s, tk.size, st.reverse.map(x => f"$x%05d").mkString(","))
+      }
+      (best._1, best._2, best._3)
+    }
+    // mixes of covered pieces and 1/2/3/4-byte fallbacks; "🙂ab" has an
+    // astral-plane code point (two Java chars) at position 0
+    for (w <- Seq("ab", "abe", "xab", "naïve", "東ab", "🙂ab", "βeta", "zz", "🙂")) {
+      val got = UnigramLm.viterbiWordBytes(w, lp, 3, byteLp)
+      val want = enumerate(w)
+      assert(got == want, s"word '$w': DP $got vs enumeration $want")
+    }
+  }
+
+  test("byte fallback: no word is ever unsegmentable; fallback tokens round-trip to the word's bytes") {
+    val docs = Seq((0L, "héllo 東京 🙂"), (1L, ""), (2L, "xz αβγ plain"))
+      .toDF("doc_id", "text")
+    val vocab = Seq(Piece("p", 1, -100000L), Piece("l", 1, -100000L),
+      Piece("a", 1, -100000L), Piece("i", 1, -100000L), Piece("n", 1, -100000L))
+    val out = UnigramLm.applyBytes(docs, "doc_id", "text", vocab, 4)
+      .orderBy("doc_id").collect()
+    // doc 0: every word needs fallback; héllo = h é(2) l l o → some mix
+    assert(out(0).getAs[Long]("n_pieces") > 0L)
+    assert(out(0).getAs[Long]("n_fallback") > 0L)
+    assert(out(1).getAs[Long]("n_pieces") == 0L) // empty doc, not a crash
+    assert(out(2).getAs[Long]("n_pieces") > 0L)
+    // segment-level round trip: decoding the emitted byte pieces (plus
+    // vocab pieces verbatim) must reproduce each word's exact UTF-8 bytes
+    val segs = UnigramLm.segmentWordsBytes(
+      UnigramLm.wordFreqs(docs, "text"), vocab, 4).collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val w = r.getAs[String]("w")
+      val pieces = r.getSeq[String](1)
+      assert(pieces.nonEmpty, s"'$w' got an empty segmentation")
+      val bytes = pieces.flatMap { p =>
+        if (p.matches("<0x[0-9A-F]{2}>"))
+          Seq(Integer.parseInt(p.substring(3, 5), 16).toByte)
+        else p.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq
+      }
+      assert(bytes == w.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq,
+        s"'$w' did not round-trip from $pieces")
+    }
+  }
+
+  test("byteFallbackVocab: 256 reserved pieces, idempotent, flat floor score") {
+    val base = Seq(Piece("a", 3, -100000L))
+    val v1 = UnigramLm.byteFallbackVocab(base, -20000000L)
+    assert(v1.size == 257)
+    assert(v1.count(_.piece.matches("<0x[0-9A-F]{2}>")) == 256)
+    assert(v1.filter(_.piece.startsWith("<0x")).forall(_.lp_micro == -20000000L))
+    val v2 = UnigramLm.byteFallbackVocab(v1, -20000000L)
+    assert(v2.size == 257, "must be idempotent")
+  }
+
   test("pruneLossesFB: an irreplaceable piece (only bridge over an uncovered char) gets +Inf loss and survives pruning (round-14 advice)") {
     // vocab lacks the char 'z': the word "azb" is segmentable ONLY via
     // the multi-char piece "zb" — banning it leaves zm = -Inf. The loss
