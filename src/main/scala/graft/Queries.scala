@@ -7432,7 +7432,15 @@ object Queries {
       graft.operators.UnigramLm.apply(docs, "doc_id", "text", vocab, 4)
         .orderBy(col("doc_id"))
     },
-    Some(s"""
+    Some(unigramTokenizeOracleSql))
+
+  /** The full q192 oracle — seed training replay + exhaustive per-word
+    * enumeration under the q192 total order + per-doc reassembly.
+    * Shared: q192 checks train-and-apply in one plan; q222 checks the
+    * SAME semantics applied FROM a committed tokenizer artifact (the
+    * round-trip through serialization must be invisible to the result).
+    */
+  private def unigramTokenizeOracleSql: String = s"""
       |WITH ${unigramSeedCtes()},
       |v AS (SELECT piece,
       |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
@@ -7484,7 +7492,7 @@ object Queries {
       |  COALESCE(pieces_md5, md5('')) AS pieces_md5,
       |  COALESCE(nll_micro, 0) AS nll_micro
       |FROM dl LEFT JOIN agg USING (doc_id) ORDER BY doc_id
-      |""".stripMargin.trim))
+      |""".stripMargin.trim
 
   /** Unigram-LM hard-EM refinement, oracle-checked END TO END (round
     * 12): seed (q191) → ONE Viterbi-EM round (segment the weighted
@@ -9526,6 +9534,150 @@ object Queries {
         |""".stripMargin.trim))
   }
 
+  // ==========================================================================
+  // Tokenizer artifacts (round 15) — deterministic serialization +
+  // versioned export of trained tokenizers, the interface a production
+  // pipeline actually consumes (train once, commit, apply FROM the
+  // artifact everywhere). q221 hash-checks the exact serialized BYTES of
+  // all three families cross-engine (one md5 per family); q222 applies
+  // from a committed artifact and must equal the train-and-apply oracle.
+  // ==========================================================================
+
+  /** All three trained-tokenizer artifacts digested in one query: the
+    * ORACLE rebuilds each family's training in SQL (the q191 seed chain
+    * for unigram, the q220 unrolled byte-BPE rounds, the q212 unrolled
+    * WordPiece rounds + vocab derivation order), renders the IDENTICAL
+    * `v1` serialization — header, tab-separated entry lines in the
+    * canonical order, trailing LF — and md5s it. A single byte of
+    * divergence anywhere (field order, a count, a score, line
+    * termination, entry order, the dedup-keep-first rule) moves a
+    * digest, so the serialization contract itself is oracle-pinned, not
+    * just spec-asserted. Bounded output: 3 rows.
+    */
+  val q221: Q = {
+    val nM = 6
+    Q(
+      "q221_tokenizer_artifact",
+      (s, dir) => {
+        import graft.operators.{TokenizerArtifact, TrainPrep, UnigramLm}
+        val docs = t(s, dir, "documents")
+        val uni = UnigramLm.collectVocab(
+          UnigramLm.seedVocab(docs, "text", 4, 48))
+        val merges = TrainPrep.byteBpeTrain(bytePlantedDocs(s, dir), "text", nM)
+          .orderBy(col("rank")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val wpv = TrainPrep.wordPieceVocabFromTrain(docs, "text", nM)
+        import s.implicits._
+        Seq(
+          ("bytebpe", merges.size.toLong,
+            TokenizerArtifact.digest(TokenizerArtifact.serializeMerges(merges))),
+          ("unigram", uni.size.toLong,
+            TokenizerArtifact.digest(TokenizerArtifact.serializeUnigram(uni))),
+          ("wordpiece", wpv.size.toLong,
+            TokenizerArtifact.digest(TokenizerArtifact.serializeWordPiece(wpv))))
+          .toDF("family", "n_entries", "digest")
+          .orderBy(col("family"))
+      },
+      Some(s"""
+        |WITH ${unigramSeedCtes()},
+        |lpv AS (SELECT piece, cnt,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS lp
+        |  FROM sel CROSS JOIN tot),
+        |uni AS (SELECT 'unigram' AS family, n AS n_entries,
+        |    md5('graft-tokenizer' || chr(9) || 'v1' || chr(9) || 'unigram'
+        |      || chr(9) || CAST(n AS VARCHAR) || chr(10) || body || chr(10))
+        |      AS digest
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |      string_agg(piece || chr(9) || CAST(cnt AS VARCHAR) || chr(9)
+        |        || CAST(lp AS VARCHAR), chr(10) ORDER BY piece) AS body
+        |    FROM lpv)),
+        |s0 AS MATERIALIZED (SELECT f,
+        |    ' ' || array_to_string(list_transform(range(1, len(w) + 1),
+        |      ci -> CASE WHEN ci = 1 THEN substr(w, 1, 1)
+        |            ELSE '##' || substr(w, CAST(ci AS INT), 1) END), '  ')
+        |    || ' ' AS s
+        |  FROM wf),
+        |${(1 to nM).map(wordPieceRoundSql).mkString(",\n")},
+        |alpha AS (SELECT DISTINCT u AS piece FROM (
+        |    SELECT unnest(syms) AS u FROM sym1)),
+        |aord AS (SELECT piece,
+        |    ROW_NUMBER() OVER (ORDER BY piece) AS k0 FROM alpha),
+        |mvals AS (${(1 to nM).map(r =>
+               s"SELECT CAST(${r - 1} AS BIGINT) AS rank, merged FROM top$r")
+               .mkString(" UNION ALL ")}),
+        |comb AS (SELECT piece, k0 AS k FROM aord
+        |  UNION ALL SELECT merged, 1000000 + rank FROM mvals),
+        |dedup AS (SELECT piece, MIN(k) AS k FROM comb GROUP BY piece),
+        |wpfinal AS (SELECT piece,
+        |    ROW_NUMBER() OVER (ORDER BY k) - 1 AS idx FROM dedup),
+        |wp AS (SELECT 'wordpiece' AS family, n AS n_entries,
+        |    md5('graft-tokenizer' || chr(9) || 'v1' || chr(9) || 'wordpiece'
+        |      || chr(9) || CAST(n AS VARCHAR) || chr(10) || body || chr(10))
+        |      AS digest
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |      string_agg(CAST(idx AS VARCHAR) || chr(9) || piece, chr(10)
+        |        ORDER BY idx) AS body
+        |    FROM wpfinal)),
+        |$sqlBytePlantCtes,
+        |ptf AS MATERIALIZED (SELECT pt2 AS pt, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        |    SELECT unnest(pt) AS pt2 FROM adj) GROUP BY 1),
+        |bs0 AS MATERIALIZED (SELECT pt, f,
+        |    ' ' || ${sqlByteMapChr("pt", "'  '")} || ' ' AS s
+        |  FROM ptf),
+        |${(1 to nM).map(byteBpeRoundSql).mkString(",\n")},
+        |bm AS (${(1 to nM).map(r =>
+               s"SELECT CAST(${r - 1} AS BIGINT) AS rank, a, b FROM btop$r")
+               .mkString(" UNION ALL ")}),
+        |byt AS (SELECT 'bytebpe' AS family, n AS n_entries,
+        |    md5('graft-tokenizer' || chr(9) || 'v1' || chr(9) || 'bytebpe'
+        |      || chr(9) || CAST(n AS VARCHAR) || chr(10) || body || chr(10))
+        |      AS digest
+        |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |      string_agg(CAST(rank AS VARCHAR) || chr(9) || a || chr(9) || b,
+        |        chr(10) ORDER BY rank) AS body
+        |    FROM bm))
+        |SELECT family, n_entries, digest FROM uni
+        |UNION ALL SELECT family, n_entries, digest FROM byt
+        |UNION ALL SELECT family, n_entries, digest FROM wp
+        |ORDER BY family
+        |""".stripMargin.trim))
+  }
+
+  private def q222ArtifactDir(dir: String): String =
+    s"/tmp/graft_q222_${Integer.toHexString(dir.hashCode)}/artifact"
+
+  /** Tokenize FROM a committed artifact (round 15 — the deployed shape:
+    * the applying job never sees the trainer, only the versioned text
+    * artifact). `prepare` (UNTIMED, the work a pipeline amortizes: train
+    * once, export once) trains the q191 seed vocab and commits it via
+    * [[graft.operators.TokenizerArtifact.commit]] — snapshot +
+    * atomic pointer swap; the measured query LOADS the artifact, parses
+    * it, and tokenizes the corpus under it. The oracle is the q192
+    * train-and-apply replay, so the round trip through serialization —
+    * export, bytes on disk, parse — must be semantically invisible:
+    * any lossy field, ordering drift or parse bug moves a digest.
+    */
+  val q222: Q = Q(
+    "q222_artifact_apply",
+    (s, dir) => {
+      import graft.operators.{TokenizerArtifact, UnigramLm}
+      val content = TokenizerArtifact.load(s, q222ArtifactDir(dir))
+        .getOrElse(sys.error(s"q222: no artifact at ${q222ArtifactDir(dir)}"))
+      val vocab = TokenizerArtifact.parseUnigram(content)
+      UnigramLm.apply(t(s, dir, "documents"), "doc_id", "text", vocab, 4)
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(unigramTokenizeOracleSql),
+    prepare = Some((s, dir) => {
+      import graft.operators.{TokenizerArtifact, UnigramLm}
+      val vocab = UnigramLm.collectVocab(
+        UnigramLm.seedVocab(t(s, dir, "documents"), "text", 4, 48))
+      TokenizerArtifact.commit(s, q222ArtifactDir(dir),
+        TokenizerArtifact.serializeUnigram(vocab))
+      ()
+    }))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -9544,5 +9696,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
 }

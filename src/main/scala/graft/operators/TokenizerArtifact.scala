@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.VersionedLedger
+
+/** Versioned, deterministically-serialized tokenizer artifacts (round 15
+  * — verdict item 3). Trained vocabularies/merge lists previously existed
+  * only as DataFrames inside a query; the interface a production pipeline
+  * actually consumes is a WRITTEN artifact: train once, commit a
+  * versioned snapshot, and every downstream consumer (tokenize jobs,
+  * serving, other engines) applies FROM the artifact. This is the
+  * [[graft.streaming.VersionedLedger]] pattern applied to tokenizer state
+  * — snapshot dir + atomic pointer swap, so a crash mid-export can never
+  * leave a half-written vocabulary where a tokenize fleet can read it —
+  * with the payload stored as a RAW TEXT FILE (`v{N}/tokenizer.txt`), the
+  * deployed shape: byte-exact, human-diffable, readable without Spark.
+  *
+  * Serialization `v1` (one format across the three published tokenizer
+  * families this repo trains — BPE/byte-BPE merge lists, WordPiece
+  * vocabularies, unigram-LM scored vocabularies):
+  *
+  * {{{
+  *   graft-tokenizer\tv1\t<family>\t<n>\n     // header
+  *   <entry line>\n                           // × n, family-specific:
+  *   //   unigram:   piece\tcnt\tlp_micro     (piece ascending)
+  *   //   bytebpe:   rank\ta\tb               (rank ascending)
+  *   //   wordpiece: rank\tpiece              (vocab order: sorted
+  *   //              alphabet, then merge outputs in rank order, deduped
+  *   //              keeping the first occurrence)
+  * }}}
+  *
+  * Every line is LF-terminated (the file ends with one LF); fields are
+  * tab-separated. Pieces are whitespace-delimited corpus tokens or
+  * byte-char symbols, so they can never contain a tab, LF or space —
+  * `require`-fenced anyway, because a piece that broke that would break
+  * the format silently. The canonical orders are total, so re-exporting
+  * the same vocabulary is BYTE-IDENTICAL (ArtifactSpec pins it), and the
+  * artifact digest is one md5 both engines can compute — q221
+  * hash-checks the exact serialized bytes of all three families against
+  * a DuckDB replay of their trainers, and q222 applies FROM a committed
+  * artifact and must match the train-and-apply-in-one-plan oracle.
+  */
+object TokenizerArtifact {
+
+  val Header = "graft-tokenizer"
+  val Version = "v1"
+
+  private def fence(s: String, what: String): String = {
+    require(s.nonEmpty && !s.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"TokenizerArtifact: $what must be non-empty and tab/newline-free: '$s'")
+    s
+  }
+
+  private def render(family: String, lines: Seq[String]): String =
+    (s"$Header\t$Version\t$family\t${lines.size}" +: lines)
+      .mkString("", "\n", "\n")
+
+  /** Unigram-LM vocabulary, piece-ascending — the total order the q191
+    * seed already exposes, so the artifact is independent of training
+    * traversal order. */
+  def serializeUnigram(vocab: Seq[UnigramLm.Piece]): String = {
+    val sorted = vocab.sortBy(_.piece)
+    require(sorted.map(_.piece).distinct.size == sorted.size,
+      "serializeUnigram: duplicate pieces")
+    render("unigram",
+      sorted.map(p => s"${fence(p.piece, "piece")}\t${p.cnt}\t${p.lp_micro}"))
+  }
+
+  /** BPE/byte-BPE merge list in rank order — rank IS the semantics (the
+    * apply chain replays merges in training order). */
+  def serializeMerges(merges: Seq[(String, String)]): String =
+    render("bytebpe", merges.zipWithIndex.map { case ((a, b), i) =>
+      s"$i\t${fence(a, "merge lhs")}\t${fence(b, "merge rhs")}"
+    })
+
+  /** WordPiece vocabulary in its derivation order (sorted alphabet, then
+    * merge outputs by rank, first occurrence kept) — the order
+    * [[TrainPrep.wordPieceVocabFromTrain]] returns. */
+  def serializeWordPiece(vocab: Seq[String]): String = {
+    require(vocab.distinct.size == vocab.size, "serializeWordPiece: duplicates")
+    render("wordpiece", vocab.zipWithIndex.map { case (p, i) =>
+      s"$i\t${fence(p, "piece")}"
+    })
+  }
+
+  /** md5 hex of the artifact's exact UTF-8 bytes — the 1-row digest q221
+    * checks cross-engine. */
+  def digest(content: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private def headerOf(content: String): (String, Int) = {
+    val first = content.takeWhile(_ != '\n')
+    val parts = first.split('\t')
+    require(parts.length == 4 && parts(0) == Header && parts(1) == Version,
+      s"TokenizerArtifact: bad header '$first'")
+    (parts(2), parts(3).toInt)
+  }
+
+  /** The family tag of a serialized artifact. */
+  def family(content: String): String = headerOf(content)._1
+
+  private def entryLines(content: String, wantFamily: String): Seq[String] = {
+    val (fam, n) = headerOf(content)
+    require(fam == wantFamily,
+      s"TokenizerArtifact: family '$fam', expected '$wantFamily'")
+    require(content.endsWith("\n"), "TokenizerArtifact: missing final LF")
+    val lines = content.dropRight(1).split('\n').toSeq.drop(1)
+    require(lines.size == n,
+      s"TokenizerArtifact: header says $n entries, found ${lines.size}")
+    lines
+  }
+
+  def parseUnigram(content: String): Seq[UnigramLm.Piece] =
+    entryLines(content, "unigram").map { l =>
+      val Array(p, c, lp) = l.split('\t')
+      UnigramLm.Piece(p, c.toLong, lp.toLong)
+    }
+
+  def parseMerges(content: String): Seq[(String, String)] =
+    entryLines(content, "bytebpe").zipWithIndex.map { case (l, i) =>
+      val Array(r, a, b) = l.split('\t')
+      require(r.toInt == i, s"TokenizerArtifact: rank gap at line $i: $l")
+      (a, b)
+    }
+
+  def parseWordPiece(content: String): Seq[String] =
+    entryLines(content, "wordpiece").zipWithIndex.map { case (l, i) =>
+      val Array(r, p) = l.split('\t')
+      require(r.toInt == i, s"TokenizerArtifact: rank gap at line $i: $l")
+      p
+    }
+
+  private val FileName = "tokenizer.txt"
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Atomic versioned export: write `v{N+1}/tokenizer.txt` (nothing reads
+    * it yet), then swap the `CURRENT` pointer — the VersionedLedger
+    * two-phase commit on a text payload. Returns the committed version.
+    */
+  def commit(spark: SparkSession, path: String, content: String): Long = {
+    headerOf(content) // fence: only well-formed artifacts get committed
+    val next = VersionedLedger.currentVersion(spark, path).map(_ + 1L).getOrElse(0L)
+    val file = new Path(s"$path/v$next", FileName)
+    val f = fs(spark, file)
+    val out = f.create(file, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    VersionedLedger.swapPointer(spark, path, next)
+    // best-effort GC: keep current + previous (a reader that resolved the
+    // pointer just before the swap may still be reading N-1)
+    try {
+      val dir = new Path(path)
+      val d = fs(spark, dir)
+      d.listStatus(dir).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("v") && nm.drop(1).forall(_.isDigit) &&
+            nm.drop(1).toLong < next - 1L)
+          d.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () }
+    next
+  }
+
+  /** Read the CURRENT committed artifact's exact bytes, or None before
+    * the first commit. A writer killed between the snapshot write and
+    * the pointer swap leaves readers on the previous version. */
+  def load(spark: SparkSession, path: String): Option[String] =
+    VersionedLedger.currentVersion(spark, path).map { v =>
+      val file = new Path(s"$path/v$v", FileName)
+      val f = fs(spark, file)
+      val in = f.open(file)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{TokenizerArtifact, UnigramLm}
+import graft.operators.UnigramLm.Piece
+import graft.streaming.VersionedLedger
+
+/** Gates for the versioned tokenizer-artifact interface (round 15):
+  * byte-identical re-export, lossless parse round trips, digest
+  * correctness, the two-phase commit's crash window, and version GC.
+  * The cross-engine serialization contract itself is oracle-pinned by
+  * q221/q222; this spec owns the artifact lifecycle.
+  */
+class ArtifactSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("artifact-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val uniVocab = Seq(Piece("b", 7, -120000L), Piece("a", 9, -100000L),
+    Piece("ab", 5, -150000L), Piece("<0x00>", 0, -20000000L))
+  private val merges = Seq("t" -> "h", "th" -> "e", "Ġ" -> "t")
+  private val wpVocab = Seq("a", "b", "##a", "##b", "ab", "##ab")
+
+  test("serialization is deterministic and byte-identical on re-export") {
+    val c1 = TokenizerArtifact.serializeUnigram(uniVocab)
+    val c2 = TokenizerArtifact.serializeUnigram(uniVocab.reverse)
+    assert(c1 == c2, "entry order in memory must not leak into the bytes")
+    assert(c1.startsWith("graft-tokenizer\tv1\tunigram\t4\n"))
+    assert(c1.endsWith("\n"))
+    // canonical piece-ascending order
+    val lines = c1.dropRight(1).split('\n').drop(1)
+    assert(lines.map(_.split('\t')(0)).toSeq == lines.map(_.split('\t')(0)).sorted.toSeq)
+    assert(TokenizerArtifact.serializeMerges(merges) ==
+      TokenizerArtifact.serializeMerges(merges))
+  }
+
+  test("parse is the exact inverse of serialize, all three families") {
+    assert(TokenizerArtifact.parseUnigram(
+      TokenizerArtifact.serializeUnigram(uniVocab)) == uniVocab.sortBy(_.piece))
+    assert(TokenizerArtifact.parseMerges(
+      TokenizerArtifact.serializeMerges(merges)) == merges)
+    assert(TokenizerArtifact.parseWordPiece(
+      TokenizerArtifact.serializeWordPiece(wpVocab)) == wpVocab)
+    // a second serialize of the parse is byte-identical (full round trip)
+    val c = TokenizerArtifact.serializeUnigram(uniVocab)
+    assert(TokenizerArtifact.serializeUnigram(
+      TokenizerArtifact.parseUnigram(c)) == c)
+  }
+
+  test("family detection and cross-family parse rejection") {
+    val c = TokenizerArtifact.serializeMerges(merges)
+    assert(TokenizerArtifact.family(c) == "bytebpe")
+    intercept[IllegalArgumentException] {
+      TokenizerArtifact.parseUnigram(c)
+    }
+    intercept[IllegalArgumentException] {
+      TokenizerArtifact.parseUnigram("not an artifact\n")
+    }
+  }
+
+  test("digest is md5 of the exact UTF-8 bytes") {
+    val c = TokenizerArtifact.serializeWordPiece(wpVocab)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(c.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    assert(TokenizerArtifact.digest(c) == want)
+    // moving one byte moves the digest
+    assert(TokenizerArtifact.digest(c + " ") != want)
+  }
+
+  test("commit/load round trip; versions bump; GC keeps current + previous") {
+    val dir = java.nio.file.Files.createTempDirectory("tok-art").toString + "/a"
+    val c1 = TokenizerArtifact.serializeUnigram(uniVocab)
+    assert(TokenizerArtifact.load(spark, dir).isEmpty)
+    assert(TokenizerArtifact.commit(spark, dir, c1) == 0L)
+    assert(TokenizerArtifact.load(spark, dir).contains(c1))
+    val c2 = TokenizerArtifact.serializeMerges(merges)
+    assert(TokenizerArtifact.commit(spark, dir, c2) == 1L)
+    assert(TokenizerArtifact.commit(spark, dir, c1) == 2L)
+    assert(TokenizerArtifact.load(spark, dir).contains(c1))
+    val vdirs = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+    assert(vdirs.sorted.toSeq == Seq("v1", "v2"), s"GC left ${vdirs.toSeq}")
+  }
+
+  test("a writer killed between snapshot write and pointer swap leaves readers on the old version") {
+    val dir = java.nio.file.Files.createTempDirectory("tok-art-crash").toString + "/a"
+    val c1 = TokenizerArtifact.serializeUnigram(uniVocab)
+    TokenizerArtifact.commit(spark, dir, c1)
+    // simulate the crash: orphan v1 snapshot, pointer still at 0
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/v1"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/v1/tokenizer.txt"), "garbage half-write")
+    assert(VersionedLedger.currentVersion(spark, dir).contains(0L))
+    assert(TokenizerArtifact.load(spark, dir).contains(c1))
+    // the recovered writer simply rewrites v1 and swaps — standard commit
+    val c2 = TokenizerArtifact.serializeMerges(merges)
+    assert(TokenizerArtifact.commit(spark, dir, c2) == 1L)
+    assert(TokenizerArtifact.load(spark, dir).contains(c2))
+  }
+
+  test("malformed artifacts are refused at commit time") {
+    val dir = java.nio.file.Files.createTempDirectory("tok-art-bad").toString + "/a"
+    intercept[IllegalArgumentException] {
+      TokenizerArtifact.commit(spark, dir, "free-form text\n")
+    }
+    assert(TokenizerArtifact.load(spark, dir).isEmpty)
+  }
+
+  test("pieces that would break the line format are refused at serialize time") {
+    intercept[IllegalArgumentException] {
+      TokenizerArtifact.serializeUnigram(Seq(Piece("a\tb", 1, -1L)))
+    }
+    intercept[IllegalArgumentException] {
+      TokenizerArtifact.serializeWordPiece(Seq("ok", "bad\npiece"))
+    }
+    intercept[IllegalArgumentException] {
+      TokenizerArtifact.serializeUnigram(
+        Seq(Piece("a", 1, -1L), Piece("a", 2, -2L))) // duplicate piece
+    }
+  }
+
+  test("applying from a parsed artifact equals applying from the in-memory vocab") {
+    import spark.implicits._
+    val docs = Seq((0L, "ab a b"), (1L, "ba ab")).toDF("doc_id", "text")
+    val direct = UnigramLm.apply(docs, "doc_id", "text",
+      uniVocab.filterNot(_.piece.startsWith("<0x")), 3).orderBy("doc_id").collect()
+    val parsed = TokenizerArtifact.parseUnigram(
+      TokenizerArtifact.serializeUnigram(
+        uniVocab.filterNot(_.piece.startsWith("<0x"))))
+    val viaArtifact = UnigramLm.apply(docs, "doc_id", "text", parsed, 3)
+      .orderBy("doc_id").collect()
+    assert(direct.toSeq == viaArtifact.toSeq)
+  }
+}
