@@ -8961,7 +8961,7 @@ object Queries {
     * and the per-doc reassembly + digest. q213 feeds it a fixture
     * vocab, q217 the vocab its own unrolled training rounds produce.
     */
-  private def wordPieceApplySql(maxChars: Int): String = s"""
+  private def wordPieceSegSql(maxChars: Int): String = s"""
     |vm AS MATERIALIZED (SELECT piece,
     |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS body,
     |    piece LIKE '##%' AS cont,
@@ -8993,7 +8993,10 @@ object Queries {
     |    pos <> len(w) + 1 AS unk
     |  FROM fin WHERE rk = 1
     |  UNION ALL
-    |  SELECT w, ['[UNK]'], 1, true FROM dw WHERE len(w) > $maxChars),
+    |  SELECT w, ['[UNK]'], 1, true FROM dw WHERE len(w) > $maxChars)""".stripMargin.trim
+
+  private def wordPieceApplySql(maxChars: Int): String =
+    wordPieceSegSql(maxChars) + s""",
     |pw AS (SELECT doc_id, wi, ws[CAST(wi AS INT)] AS w
     |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS wi
     |        FROM toks)),
@@ -9678,6 +9681,47 @@ object Queries {
       ()
     }))
 
+  /** Per-source tokenizer fertility (round 15 — the batch twin of the
+    * streaming fertility monitor): pieces-per-word by source under the
+    * q213 fixture WordPiece vocab. Fertility drifting up on one source
+    * is THE production signal that the deployed tokenizer no longer
+    * fits that source's corpus mix (its text fragments into ever more
+    * pieces per word). The oracle reuses the q213 recursive
+    * longest-match segmentation CTEs with a per-source aggregation
+    * tail; fertility is ONE IEEE division on both sides. Output is
+    * source-count-sized.
+    */
+  val q223: Q = {
+    val maxChars = 16
+    Q(
+      "q223_tokenizer_fertility",
+      (s, dir) => TrainPrep.tokenizerFertility(t(s, dir, "documents"),
+          "doc_id", "text", "source", wordPieceVocab, maxInputChars = maxChars)
+        .orderBy(col("source")),
+      Some((s"""
+        |WITH RECURSIVE
+        |voc(piece) AS (VALUES ${wordPieceVocab.map(p => s"(${sqlStrLit(p)})").mkString(", ")}),
+        |""" + wordPieceSegSql(maxChars) + s""",
+        |ds AS (SELECT t.doc_id, d.source, t.ws
+        |  FROM toks t JOIN documents d USING (doc_id)),
+        |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(ws)) AS BIGINT) AS n_words
+        |  FROM ds GROUP BY 1),
+        |pw2 AS (SELECT source, unnest(ws) AS w FROM ds),
+        |tk2 AS (SELECT source, CAST(SUM(np) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+        |  FROM pw2 JOIN seg USING (w) GROUP BY 1)
+        |SELECT st.source, st.n_docs, st.n_words,
+        |  COALESCE(tk2.n_tokens, 0) AS n_tokens,
+        |  COALESCE(tk2.n_unk, 0) AS n_unk,
+        |  CASE WHEN st.n_words > 0
+        |    THEN CAST(COALESCE(tk2.n_tokens, 0) AS DOUBLE)
+        |      / CAST(st.n_words AS DOUBLE)
+        |    ELSE 0.0 END AS fertility
+        |FROM st LEFT JOIN tk2 USING (source) ORDER BY st.source
+        |""").stripMargin.trim))
+  }
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -9696,5 +9740,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223)
 }

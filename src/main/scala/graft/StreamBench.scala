@@ -324,6 +324,51 @@ object StreamBench {
     val (seen3, ok3) = ledgerTotals()
     println(f"""{"op":"media_health_ledger_fenced","rows":$nMedia,"secs":$mSecs%.2f,"rows_per_sec":${(nMedia / mSecs).toLong},"ledger_seen":$seen1,"ledger_ok":$ok1,"last_batch":${lastBatch1.getOrElse(-1L)},"replay_secs":$mSecs2%.2f,"replayed_delta":${(seen2 - seen1) + (ok2 - ok1)},"new_lineage_secs":$mSecs3%.2f,"new_lineage_delta":${seen3 - seen2}}""")
 
+    // round-15: tokenizer-fertility monitor — the q223 per-source
+    // fertility face streaming against a committed WordPiece artifact,
+    // with the same fenced-ledger redelivery measurement as media health
+    // (delete the last checkpoint commit, restart the SAME lineage →
+    // fenced_delta must be 0).
+    val ftReplay = s"$replay/fertility"
+    for (sub <- Seq("ledger", "ckpt1"))
+      deleteRecursively(new java.io.File(s"$ftReplay/$sub"))
+    val fdocs = Ingest.table(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+    val nFdocs = fdocs.count()
+    fdocs.repartition(16).write.mode("overwrite").parquet(s"$ftReplay/in")
+    import graft.operators.{TokenizerArtifact, TrainPrep}
+    TokenizerArtifact.commit(spark, s"$ftReplay/artifact",
+      TokenizerArtifact.serializeWordPiece(
+        TrainPrep.wordPieceVocabFromTrain(fdocs, "text", nMerges = 6)))
+    val fSchema = spark.read.parquet(s"$ftReplay/in").schema
+    def fertPass(ckpt: String): Double = {
+      val src = spark.readStream.schema(fSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$ftReplay/in")
+      val t = System.nanoTime()
+      val fq = StreamingOps.tokenizerFertilityStream(src, "doc_id", "text",
+          "source", s"$ftReplay/artifact", 16, s"$ftReplay/ledger")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      fq.awaitTermination()
+      fq.stop()
+      (System.nanoTime() - t) / 1e9
+    }
+    val fSecs = fertPass(s"$ftReplay/ckpt1")
+    def fertTotals(): (Long, Long, Long) = {
+      val l = VersionedLedger.read(spark, s"$ftReplay/ledger").get
+        .agg(sum(col("n_words")), sum(col("n_tokens")), count(lit(1))).collect()(0)
+      (l.getLong(0), l.getLong(1), l.getLong(2))
+    }
+    val (fw1, ft1, fsrc1) = fertTotals()
+    val fCommits = new java.io.File(s"$ftReplay/ckpt1/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    fCommits.lastOption.foreach(_.delete())
+    val fSecs2 = fertPass(s"$ftReplay/ckpt1")
+    val (fw2, ft2, _) = fertTotals()
+    println(f"""{"op":"tokenizer_fertility_ledger_fenced","rows":$nFdocs,"secs":$fSecs%.2f,"rows_per_sec":${(nFdocs / fSecs).toLong},"sources":$fsrc1,"ledger_words":$fw1,"ledger_tokens":$ft1,"fertility_milli":${if (fw1 > 0) ft1 * 1000 / fw1 else -1L},"replay_secs":$fSecs2%.2f,"replayed_delta":${(fw2 - fw1) + (ft2 - ft1)}}""")
+
     spark.stop()
   }
 }

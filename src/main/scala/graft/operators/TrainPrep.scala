@@ -1165,6 +1165,44 @@ object TrainPrep {
         coalesce(col("tokens_md5"), md5(lit(""))).as("tokens_md5"))
   }
 
+  /** Per-source tokenizer FERTILITY (round 15 — the production signal
+    * that a deployed tokenizer no longer fits the incoming corpus mix:
+    * pieces-per-word drifting up on one source means its language/domain
+    * is fragmenting into ever-smaller pieces). One row per source:
+    * n_docs, n_words, n_tokens, n_unk under the WordPiece `vocab`, and
+    * fertility = n_tokens / n_words as ONE IEEE division (cross-engine
+    * exact given exact integer inputs). Scale shape: distinct words
+    * segment once under the broadcast vocab ([[wordPieceSegmentWords]]),
+    * occurrences join on the word, and both aggregations key on the
+    * low-cardinality source — no per-doc digest work, unlike the q213
+    * apply face this monitors.
+    */
+  def tokenizerFertility(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, vocab: Seq[String],
+      maxInputChars: Int = 100): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("w")).distinct()
+    val seg = wordPieceSegmentWords(words, vocab, maxInputChars)
+    val base = docs.select(col(sourceCol).cast("string").as("source"),
+      TextOps.tokens(col(textCol)).as("__w"))
+    val stats = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("__w"))).cast("long").as("n_words"))
+    val tok = base.select(col("source"), explode(col("__w")).as("w"))
+      .join(seg, "w")
+      .groupBy(col("source"))
+      .agg(sum(col("n_pieces")).cast("long").as("n_tokens"),
+        sum(when(col("is_unk"), 1L).otherwise(0L)).as("n_unk"))
+    stats.join(tok, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"))
+      .withColumn("fertility",
+        when(col("n_words") > 0L,
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Deterministic seeded epoch shuffle + shard assignment (round 14 —
     * the training-order-reproducibility staple next to packing (q160/
     * q211) and mixing (q184)): for every (document, epoch) the

@@ -634,6 +634,79 @@ object StreamingOps {
     }
   }
 
+  /** Streaming tokenizer-FERTILITY monitor (round 15 — the q223 batch
+    * fertility face composed with the fenced cumulative ledger):
+    * per-source pieces-per-word under the CURRENTLY COMMITTED WordPiece
+    * artifact. Fertility drift is THE production signal that a deployed
+    * tokenizer no longer fits the incoming corpus mix — a new source
+    * language/domain fragments into ever more pieces per word (and
+    * n_unk climbs) within one trigger of arriving. The tokenizer is
+    * read from a [[graft.operators.TokenizerArtifact]] path PER TRIGGER,
+    * so re-exporting a retrained tokenizer swaps in atomically under
+    * the live monitor (the driftGateStream refit pattern); cumulative
+    * per-source counters live in a [[VersionedLedger]] guarded by the
+    * (runTag, batchId) replay fence — the mediaHealth at-least-once
+    * contract.
+    */
+  def tokenizerFertilityStream(docs: DataFrame, idCol: String,
+      textCol: String, sourceCol: String, artifactPath: String,
+      maxInputChars: Int,
+      ledgerPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      tokenizerFertilityMerge(batch, batchId, streamRunTag(batch.sparkSession),
+        idCol, textCol, sourceCol, artifactPath, maxInputChars, ledgerPath)
+    }
+
+  /** One micro-batch of the fertility ledger merge — factored out (the
+    * [[mediaHealthMerge]] shape) so the fence is testable at (runTag,
+    * batchId) granularity. Ledger row per source: n_docs, n_words,
+    * n_tokens, n_unk (cumulative sums) and fertility = n_tokens/n_words
+    * recomputed from the cumulative integers at every commit.
+    */
+  def tokenizerFertilityMerge(batch: DataFrame, batchId: Long,
+      runTag: String, idCol: String, textCol: String, sourceCol: String,
+      artifactPath: String, maxInputChars: Int, ledgerPath: String): Unit = {
+    import graft.operators.{TokenizerArtifact, TrainPrep}
+    val spark = batch.sparkSession
+    if (!VersionedLedger.alreadyApplied(spark, ledgerPath, runTag, batchId)) {
+      val vocab = TokenizerArtifact.parseWordPiece(
+        TokenizerArtifact.load(spark, artifactPath).getOrElse(
+          throw new java.io.FileNotFoundException(
+            s"tokenizerFertilityStream: no tokenizer artifact at $artifactPath")))
+      val delta = TrainPrep.tokenizerFertility(batch, idCol, textCol,
+          sourceCol, vocab, maxInputChars)
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_tokens"), col("n_unk"))
+      val merged = VersionedLedger.read(spark, ledgerPath) match {
+        case Some(prev) =>
+          prev.select(col("source"), col("n_docs"), col("n_words"),
+              col("n_tokens"), col("n_unk"))
+            .unionByName(delta)
+            .groupBy(col("source"))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("n_words")).as("n_words"),
+              sum(col("n_tokens")).as("n_tokens"),
+              sum(col("n_unk")).as("n_unk"))
+        case None => delta
+      }
+      val rows = merged
+        .withColumn("fertility",
+          when(col("n_words") > 0L,
+            col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .otherwise(lit(0.0)))
+        .collect() // O(sources): bounded by the source registry size
+      import spark.implicits._
+      VersionedLedger.commit(
+        rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+            r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+            r.getAs[Long]("n_unk"), r.getAs[Double]("fertility")))
+          .toSeq.toDF("source", "n_docs", "n_words", "n_tokens", "n_unk",
+            "fertility")
+          .coalesce(1),
+        ledgerPath, batchId = Some(batchId), runTag = Some(runTag))
+    }
+  }
+
   /** Streaming drift gate (round 11 — the q179 PSI monitor as an
     * admit-time check): every micro-batch's token distribution is
     * compared against a FIXED reference histogram (fit once from the

@@ -662,6 +662,74 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("tokenizerFertilityStream: per-source cumulative fertility, batch-equivalent, artifact hot-swap, fenced") {
+    import graft.operators.{TokenizerArtifact, TrainPrep}
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-fert").toString
+    val artPath = s"$base/artifact"
+    val ledger = s"$base/ledger"
+    // deployed tokenizer v0: full alphabet for "alpha beta", plus "beta"
+    val v0 = Seq("a", "l", "p", "h", "b", "e", "t",
+      "##a", "##l", "##p", "##h", "##b", "##e", "##t", "beta")
+    TokenizerArtifact.commit(spark, artPath,
+      TokenizerArtifact.serializeWordPiece(v0))
+
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val q = StreamingOps.tokenizerFertilityStream(docs, "doc_id", "text",
+      "source", artPath, maxInputChars = 16, ledger).start()
+    def rows(): Map[String, (Long, Long, Long, Long, Double)] =
+      VersionedLedger.read(spark, ledger).get.collect().map(r =>
+        r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_unk"), r.getAs[Double]("fertility")))).toMap
+    try {
+      // batch 0: "alpha" = a ##l ##p ##h ##a (5 pieces), "beta" = beta (1)
+      mem.addData((0L, "alpha beta", "web"), (1L, "beta", "books"))
+      q.processAllAvailable()
+      val l1 = rows()
+      assert(l1("web") == ((1L, 2L, 6L, 0L, 3.0)))
+      assert(l1("books") == ((1L, 1L, 1L, 0L, 1.0)))
+      // batch 1 accumulates; "qq" has no vocab coverage → [UNK]
+      mem.addData((2L, "alpha qq", "web"))
+      q.processAllAvailable()
+      val l2 = rows()
+      assert(l2("web") == ((2L, 4L, 12L, 1L, 3.0))) // 6 + 5 + 1(UNK)
+      // cumulative ≡ batch-equivalent: the one-shot fertility on the
+      // union of all batches matches the ledger exactly
+      val all = Seq((0L, "alpha beta", "web"), (1L, "beta", "books"),
+        (2L, "alpha qq", "web")).toDF("doc_id", "text", "source")
+      val oneShot = TrainPrep.tokenizerFertility(all, "doc_id", "text",
+        "source", v0, 16).collect().map(r =>
+        r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_unk"), r.getAs[Double]("fertility")))).toMap
+      assert(l2 == oneShot)
+      // hot-swap: retrained artifact with "alpha" as one piece commits
+      // atomically under the live monitor; the NEXT batch uses it
+      TokenizerArtifact.commit(spark, artPath,
+        TokenizerArtifact.serializeWordPiece(v0 :+ "alpha"))
+      mem.addData((3L, "alpha", "web"))
+      q.processAllAvailable()
+      val l3 = rows()
+      assert(l3("web") == ((3L, 5L, 13L, 1L, 2.6))) // +1 piece, not +5
+    } finally q.stop()
+    // replay fence at (runTag, batchId) granularity: a re-delivered batch
+    // is a no-op, a new lineage applies (the mediaHealth contract)
+    val b = Seq((9L, "beta", "web")).toDF("doc_id", "text", "source")
+    val before = rows()("web")
+    StreamingOps.tokenizerFertilityMerge(b, 99L, "runX", "doc_id", "text",
+      "source", artPath, 16, ledger)
+    val afterApply = rows()("web")
+    assert(afterApply._1 == before._1 + 1)
+    StreamingOps.tokenizerFertilityMerge(b, 99L, "runX", "doc_id", "text",
+      "source", artPath, 16, ledger)
+    assert(rows()("web") == afterApply, "re-delivered (runX, 99) double-counted")
+    StreamingOps.tokenizerFertilityMerge(b, 0L, "runY", "doc_id", "text",
+      "source", artPath, 16, ledger)
+    assert(rows()("web")._1 == afterApply._1 + 1, "new lineage must apply")
+  }
+
   test("driftGateStream: per-batch PSI vs a fixed reference, batch-equivalent, gate fires on drift") {
     import graft.operators.TrainPrep
     val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
