@@ -1270,6 +1270,34 @@ object TrainPrep {
         pmod(col("__start"), lit(budget)).as("pack_offset"))
   }
 
+  /** Materialize the packed epoch-shard assignment as ACTUAL shard files
+    * (round 15 — the last step between q216's reproducible assignment
+    * and a resumable training run): one `epoch=E/shard=S` directory per
+    * shard, JSON-lines content, rows in seeded position order. The
+    * repartition keys on EXACTLY (epoch, shard), so every shard's rows
+    * land whole in one task → exactly ONE part file per directory; with
+    * `sortWithinPartitions(epoch, shard, pos)` the file's BYTES are a
+    * pure function of (corpus, seed, epochs, nShards, budget) — two
+    * independent writes are byte-identical per shard (file NAMES carry
+    * task ids; contents, which is what a resuming trainer reads, do
+    * not). TrainPrepSpec pins the double-write equality; a trainer
+    * resuming mid-epoch re-reads only `epoch=E/shard=S` — partition
+    * pruning on the directory keys, never a corpus scan.
+    */
+  def writeEpochShards(docsWithTok: DataFrame, idCol: String, tokCol: String,
+      seed: String, epochs: Int, nShards: Int, budget: Long,
+      outDir: String): Unit = {
+    require(epochs.toLong * nShards <= (1 << 20),
+      s"writeEpochShards: ${epochs}x$nShards output partitions is too many")
+    packEpochShards(docsWithTok, idCol, tokCol, seed, epochs, nShards, budget)
+      .select(col("epoch"), col("shard"),
+        to_json(struct(col(idCol).as("id"), col("pos"), col("n_tok"),
+          col("pack_id"), col("pack_offset"))).as("value"))
+      .repartition(epochs * nShards, col("epoch"), col("shard"))
+      .sortWithinPartitions(col("epoch"), col("shard"), col("pos"))
+      .write.partitionBy("epoch", "shard").mode("overwrite").text(outDir)
+  }
+
   def encodingAdvisor(df: DataFrame, fileCol: Column, orderCols: Seq[Column],
       valueCol: Column): DataFrame = {
     df.select(fileCol.cast("long").as("file_id"),
