@@ -1,9 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import org.scalatest.BeforeAndAfterAll
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.operators.{TokenizerArtifact, UnigramLm}
 import graft.operators.UnigramLm.Piece
 import graft.streaming.VersionedLedger
@@ -14,16 +10,7 @@ import graft.streaming.VersionedLedger
   * The cross-engine serialization contract itself is oracle-pinned by
   * q221/q222; this spec owns the artifact lifecycle.
   */
-class ArtifactSpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("artifact-spec")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-
-  override def afterAll(): Unit = spark.stop()
+class ArtifactSpec extends SparkSpec {
 
   private val uniVocab = Seq(Piece("b", 7, -120000L), Piece("a", 9, -100000L),
     Piece("ab", 5, -150000L), Piece("<0x00>", 0, -20000000L))
