@@ -91,11 +91,20 @@ object Bench {
     *
     * Run-health fields (`failed`/`flaky`/`truncated`/`detail`) trail the
     * queries map, inside the budget by construction.
+    *
+    * The budget is 1650, NOT 2000: the driver's window holds the TAIL of
+    * the combined output, and after the last headline print the runner
+    * still emits the `[bench] done` stderr line and sbt's `[success]
+    * Total time` epilogue (~130 chars together, more under a WARN burst)
+    * — a headline sized to the full window gets its HEAD cut off by its
+    * own epilogue (measured in round 15: a 1900-char headline + epilogue
+    * left no complete JSON line in the last 2000 chars). 1650 + epilogue
+    * leaves ≥200 chars of slack; BenchHeadlineSpec gates the sum.
     */
   private[graft] def headline(done: Seq[(String, Double)], total: Double,
       sfDir: String, nReps: Int, nTotal: Int, failed: Seq[String],
       flaky: Seq[String], truncated: Boolean, outPath: String,
-      charBudget: Int = 1900): String = {
+      charBudget: Int = 1650): String = {
     def cs(m: Double): Long = math.rint(m * 100).toLong
     val tail = s""","sf":${jsonStr(sfDir)},"n_reps":$nReps,"n_done":${done.size},"n_total":$nTotal,"failed":${jsonArr(failed)},"flaky":${jsonArr(flaky)},"truncated":$truncated,"detail":${jsonStr(outPath)}}"""
     val head = s"""{"metric":"total","value":$total,"unit":"sec","queries":{"""

@@ -46,6 +46,23 @@ object StreamBench {
     ()
   }
 
+  /** Redelivery simulation: remove the checkpoint's LAST commit marker
+    * (and its local-FS `.N.crc` sibling — leaving it makes Spark's
+    * re-commit rename collide and abort the restarted query), so the
+    * restart re-runs that batch id under the SAME query lineage — the
+    * exact at-least-once crash window the ledger fence exists for. */
+  private def dropLastCommit(ckpt: String): Unit = {
+    val dir = new java.io.File(s"$ckpt/commits")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      .lastOption.foreach { f =>
+        val crc = new java.io.File(dir, s".${f.getName}.crc")
+        f.delete()
+        if (crc.exists()) crc.delete()
+        ()
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nFiles = args.drop(1).headOption.map(_.toInt).getOrElse(64)
@@ -314,9 +331,7 @@ object StreamBench {
     val lastBatch1 = VersionedLedger.lastAppliedBatch(spark, s"$mhReplay/ledger")
     // phase 2 — true redelivery: drop the last commit marker so the
     // restart re-delivers that batch id under the SAME query lineage
-    val commits = new java.io.File(s"$mhReplay/ckpt1/commits").listFiles()
-      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
-    commits.lastOption.foreach(_.delete())
+    dropLastCommit(s"$mhReplay/ckpt1")
     val mSecs2 = mediaPass(s"$mhReplay/ckpt1")
     val (seen2, ok2) = ledgerTotals()
     // phase 3 — new lineage: fresh checkpoint, same ledger, same files
@@ -362,9 +377,7 @@ object StreamBench {
       (l.getLong(0), l.getLong(1), l.getLong(2))
     }
     val (fw1, ft1, fsrc1) = fertTotals()
-    val fCommits = new java.io.File(s"$ftReplay/ckpt1/commits").listFiles()
-      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
-    fCommits.lastOption.foreach(_.delete())
+    dropLastCommit(s"$ftReplay/ckpt1")
     val fSecs2 = fertPass(s"$ftReplay/ckpt1")
     val (fw2, ft2, _) = fertTotals()
     println(f"""{"op":"tokenizer_fertility_ledger_fenced","rows":$nFdocs,"secs":$fSecs%.2f,"rows_per_sec":${(nFdocs / fSecs).toLong},"sources":$fsrc1,"ledger_words":$fw1,"ledger_tokens":$ft1,"fertility_milli":${if (fw1 > 0) ft1 * 1000 / fw1 else -1L},"replay_secs":$fSecs2%.2f,"replayed_delta":${(fw2 - fw1) + (ft2 - ft1)}}""")

@@ -17,12 +17,18 @@ class BenchHeadlineSpec extends AnyFunSuite {
   private def worstCase: Seq[(String, Double)] =
     Queries.all.map(q => q.name -> 9999.99)
 
-  test("headline fits the driver's 2000-char window at the CURRENT query count, worst-case medians") {
+  test("headline + runner epilogue fit the driver's 2000-char window at the CURRENT query count") {
     val line = Bench.headline(worstCase, total = 999999.99,
       sfDir = "/root/testdata/sf0.1", nReps = 3, nTotal = Queries.all.size,
       failed = Seq.empty, flaky = Seq.empty, truncated = false,
       outPath = "BENCH_local_latest.json")
-    assert(line.length <= 2000, s"headline ${line.length} chars > 2000")
+    // the window holds the TAIL of combined output: after the headline
+    // the runner prints "[bench] done: ..." and sbt's "[success] Total
+    // time ..." epilogue — budget those ~130 chars at 300 so the whole
+    // headline still starts inside the window (round-15 fix: a
+    // window-sized headline got its head cut off by its own epilogue)
+    assert(line.length + 300 <= 2000,
+      s"headline ${line.length} chars leaves <300 for the runner epilogue")
     assert(!line.contains("\n"))
   }
 
