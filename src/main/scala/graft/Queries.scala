@@ -9202,7 +9202,15 @@ object Queries {
             maxInputChars = maxChars)
           .orderBy(col("doc_id"))
       },
-      Some((s"""
+      Some(wordPieceE2eOracleSql(nM, maxChars)))
+  }
+
+  /** The full q217 oracle — unrolled WordPiece training rounds, the
+    * trained-vocab derivation, and the recursive longest-match apply.
+    * Shared: q217 checks train-and-apply in one plan; q225 checks the
+    * SAME semantics applied FROM a committed vocab artifact.
+    */
+  private def wordPieceE2eOracleSql(nM: Int, maxChars: Int): String = (s"""
         |WITH RECURSIVE wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
         |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
         |      tk -> tk <> '')) AS w
@@ -9217,8 +9225,7 @@ object Queries {
         |voc AS (SELECT DISTINCT u AS piece FROM (
         |    SELECT unnest(syms) AS u FROM sym1)
         |  ${(1 to nM).map(r => s"UNION SELECT merged FROM top$r").mkString(" ")}),
-        |""" + wordPieceApplySql(maxChars)).stripMargin.trim))
-  }
+        |""" + wordPieceApplySql(maxChars)).stripMargin.trim
 
   /** Subword-regularization sampling (round 14 — Kudo's published
     * unigram training-time feature, the one thing the Viterbi apply
@@ -9512,7 +9519,15 @@ object Queries {
           .drop("toks")
           .orderBy(col("doc_id"))
       },
-      Some(s"""
+      Some(byteBpeE2eOracleSql(nM)))
+  }
+
+  /** The full q220 oracle — unrolled byte-BPE training rounds whose
+    * final state doubles as the tokenization, plus per-doc reassembly.
+    * Shared: q220 checks train-and-apply in one plan; q224 checks the
+    * SAME semantics applied FROM a committed merge-list artifact.
+    */
+  private def byteBpeE2eOracleSql(nM: Int): String = s"""
         |WITH $sqlBytePlantCtes,
         |ptf AS MATERIALIZED (SELECT pt2 AS pt, CAST(COUNT(*) AS BIGINT) AS f FROM (
         |    SELECT unnest(pt) AS pt2 FROM adj) GROUP BY 1),
@@ -9534,8 +9549,7 @@ object Queries {
         |  COALESCE(n_tokens, 0) AS n_tokens,
         |  COALESCE(tokens_md5, md5('')) AS tokens_md5
         |FROM adj LEFT JOIN agg USING (doc_id) ORDER BY adj.doc_id
-        |""".stripMargin.trim))
-  }
+        |""".stripMargin.trim
 
   // ==========================================================================
   // Tokenizer artifacts (round 15) — deterministic serialization +
@@ -9722,6 +9736,64 @@ object Queries {
         |""").stripMargin.trim))
   }
 
+  private def artifactDir(q: String, dir: String): String =
+    s"/tmp/graft_${q}_${Integer.toHexString(dir.hashCode)}/artifact"
+
+  /** Byte-BPE tokenization FROM a committed merge-list artifact (round
+    * 15 — q222's deployed-shape gate for the merges family): `prepare`
+    * trains the q220 merge list and commits its `v1` serialization; the
+    * measured query loads, parses, and tokenizes under it. Oracle =
+    * q220's full train-and-apply replay, so the artifact round trip
+    * must preserve every merge and its rank exactly.
+    */
+  val q224: Q = Q(
+    "q224_artifact_bytebpe_apply",
+    (s, dir) => {
+      import graft.operators.{TokenizerArtifact, TrainPrep}
+      val merges = TokenizerArtifact.parseMerges(
+        TokenizerArtifact.load(s, artifactDir("q224", dir))
+          .getOrElse(sys.error("q224: no artifact")))
+      TrainPrep.byteBpeApply(bytePlantedDocs(s, dir), "doc_id", "text", merges)
+        .drop("toks")
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(byteBpeE2eOracleSql(6)),
+    prepare = Some((s, dir) => {
+      import graft.operators.{TokenizerArtifact, TrainPrep}
+      val merges = TrainPrep.byteBpeTrain(bytePlantedDocs(s, dir), "text", 6)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TokenizerArtifact.commit(s, artifactDir("q224", dir),
+        TokenizerArtifact.serializeMerges(merges))
+      ()
+    }))
+
+  /** WordPiece tokenization FROM a committed vocab artifact (round 15 —
+    * the third family's deployed-shape gate, completing q222/q224:
+    * every trained tokenizer this repo ships can now be exported,
+    * re-loaded, and applied with an oracle proving the round trip
+    * changes nothing). Oracle = q217's full train-and-apply replay.
+    */
+  val q225: Q = Q(
+    "q225_artifact_wordpiece_apply",
+    (s, dir) => {
+      import graft.operators.{TokenizerArtifact, TrainPrep}
+      val vocab = TokenizerArtifact.parseWordPiece(
+        TokenizerArtifact.load(s, artifactDir("q225", dir))
+          .getOrElse(sys.error("q225: no artifact")))
+      TrainPrep.wordPieceApply(t(s, dir, "documents"), "doc_id", "text",
+          vocab, maxInputChars = 16)
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(wordPieceE2eOracleSql(6, 16)),
+    prepare = Some((s, dir) => {
+      import graft.operators.{TokenizerArtifact, TrainPrep}
+      TokenizerArtifact.commit(s, artifactDir("q225", dir),
+        TokenizerArtifact.serializeWordPiece(
+          TrainPrep.wordPieceVocabFromTrain(t(s, dir, "documents"), "text", 6)))
+      ()
+    }))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -9740,5 +9812,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
 }

@@ -262,6 +262,18 @@ object UnigramLm {
   val bytePieceTable: IndexedSeq[String] =
     (0 until 256).map(b => f"<0x$b%02X>")
 
+  /** Is `p` a reserved byte piece? Byte pieces are UNPRUNABLE — like
+    * single chars, they exist to guarantee segmentability, not because
+    * the corpus earned them mass (they never match raw text, so every
+    * expectation/loss pass sees them at zero) — and the pruning faces
+    * below exempt them the way they exempt chars. The published
+    * composition order is train → [[byteFallbackVocab]] → export: byte
+    * pieces join the FINAL artifact verbatim (cnt 0, flat floor score),
+    * untouched by re-estimation.
+    */
+  def isBytePiece(p: String): Boolean =
+    p.length == 6 && p.startsWith("<0x") && p.endsWith(">")
+
   /** Byte pieces of ONE code point: its UTF-8 bytes as `<0xNN>` tokens. */
   private[graft] def bytePiecesOf(cp: Int): Seq[String] =
     new String(Character.toChars(cp))
@@ -614,7 +626,7 @@ object UnigramLm {
     // `targetMultis` keep rows — never the full loss table
     val keep = keepSet(pruneLosses(words, vocab, maxPieceLen, maxWordLen),
       targetMultis)
-    vocab.filter(p => p.piece.length == 1 || keep(p.piece))
+    vocab.filter(p => p.piece.length == 1 || isBytePiece(p.piece) || keep(p.piece))
   }
 
   /** Distributed keep-rank over a (piece, loss_micro) loss table: the
@@ -864,7 +876,7 @@ object UnigramLm {
       targetMultis: Int): Seq[Piece] = {
     require(targetMultis >= 0, s"pruneVocabFB: bad targetMultis $targetMultis")
     val keep = keepSet(pruneLossesFB(words, vocab, maxPieceLen), targetMultis)
-    vocab.filter(p => p.piece.length == 1 || keep(p.piece))
+    vocab.filter(p => p.piece.length == 1 || isBytePiece(p.piece) || keep(p.piece))
   }
 
   /** Collect a forward–backward re-estimate to the driver vocab

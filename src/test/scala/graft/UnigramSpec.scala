@@ -391,6 +391,41 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("byte pieces are unprunable and survive the full train -> byteFallbackVocab -> apply composition") {
+    // both pruning faces must exempt reserved byte pieces the way they
+    // exempt chars: byte pieces never match raw text, so every loss pass
+    // sees them at zero and an unguarded top-k would drop them first
+    val words = Seq(("ab", 9L), ("ba", 4L)).toDF("w", "f")
+    val vocab = UnigramLm.byteFallbackVocab(
+      Seq(Piece("a", 9, -100000L), Piece("b", 9, -110000L),
+        Piece("ab", 5, -150000L), Piece("ba", 2, -170000L)))
+    for (pruned <- Seq(
+        UnigramLm.pruneVocab(words, vocab, 3, targetMultis = 1),
+        UnigramLm.pruneVocabFB(words, vocab, 3, targetMultis = 1))) {
+      assert(pruned.count(p => UnigramLm.isBytePiece(p.piece)) == 256,
+        "pruning dropped reserved byte pieces")
+      assert(pruned.count(p => p.piece.length > 1 &&
+        !UnigramLm.isBytePiece(p.piece)) == 1)
+    }
+    // published composition order: train, then attach byte pieces to the
+    // FINAL artifact — then NOTHING in an out-of-alphabet corpus is
+    // unsegmentable (train on ASCII; apply sees accents/emoji)
+    val trainCorpus = Seq((0L, "abab baba ab")).toDF("doc_id", "text")
+    val trained = UnigramLm.trainSoft(trainCorpus, "text", maxPieceLen = 3,
+      seedSize = 10, vocabSize = 5)
+    val art = UnigramLm.byteFallbackVocab(trained)
+    assert(art.count(p => UnigramLm.isBytePiece(p.piece)) == 256)
+    val corpus = Seq((0L, "abab baba"), (1L, "héllo 🙂 ab")).toDF("doc_id", "text")
+    val out = UnigramLm.applyBytes(corpus, "doc_id", "text", art, 3)
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[Long]("n_pieces") > 0L))
+    assert(out(1).getAs[Long]("n_fallback") > 0L) // é/🙂 went through bytes
+    // and the artifact round-trips through the serialized form
+    import graft.operators.TokenizerArtifact
+    assert(TokenizerArtifact.parseUnigram(
+      TokenizerArtifact.serializeUnigram(art)) == art.sortBy(_.piece))
+  }
+
   test("byteFallbackVocab: 256 reserved pieces, idempotent, flat floor score") {
     val base = Seq(Piece("a", 3, -100000L))
     val v1 = UnigramLm.byteFallbackVocab(base, -20000000L)
