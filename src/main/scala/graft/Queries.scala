@@ -9794,6 +9794,53 @@ object Queries {
       ()
     }))
 
+  /** Byte-fallback artifact digest (round 15, beyond-verdict — the
+    * deployable form of q219's tokenizer): the q191 seed vocab PLUS the
+    * 256 reserved `<0xNN>` byte pieces at the flat floor score,
+    * serialized and digested. The oracle generates the byte-piece table
+    * in SQL (hex nibbles over range(0,256)) and renders the identical
+    * `v1` byte stream — so the exact artifact a multilingual pipeline
+    * ships (nothing unsegmentable, ever) is hash-pinned cross-engine,
+    * entry order included (`<` sorts before every corpus letter on both
+    * engines' binary ASCII order). 1 row.
+    */
+  val q226: Q = Q(
+    "q226_artifact_bytefallback",
+    (s, dir) => {
+      import graft.operators.{TokenizerArtifact, UnigramLm}
+      val art = UnigramLm.byteFallbackVocab(
+        UnigramLm.collectVocab(
+          UnigramLm.seedVocab(t(s, dir, "documents"), "text", 4, 48)),
+        byteLpMicro = -20000000L)
+      import s.implicits._
+      Seq(("unigram", art.size.toLong,
+          TokenizerArtifact.digest(TokenizerArtifact.serializeUnigram(art))))
+        .toDF("family", "n_entries", "digest")
+    },
+    Some(s"""
+      |WITH ${unigramSeedCtes()},
+      |lpv AS (SELECT piece, cnt,
+      |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |      * 1000000.0) AS BIGINT) AS lp
+      |  FROM sel CROSS JOIN tot),
+      |bp AS (SELECT '<0x'
+      |      || substr('0123456789ABCDEF', CAST(i // 16 AS INT) + 1, 1)
+      |      || substr('0123456789ABCDEF', CAST(i % 16 AS INT) + 1, 1)
+      |      || '>' AS piece,
+      |    CAST(0 AS BIGINT) AS cnt, CAST(-20000000 AS BIGINT) AS lp
+      |  FROM (SELECT unnest(range(0, 256)) AS i)),
+      |allv AS (SELECT piece, cnt, lp FROM lpv
+      |  UNION ALL SELECT piece, cnt, lp FROM bp)
+      |SELECT 'unigram' AS family, n AS n_entries,
+      |  md5('graft-tokenizer' || chr(9) || 'v1' || chr(9) || 'unigram'
+      |    || chr(9) || CAST(n AS VARCHAR) || chr(10) || body || chr(10))
+      |    AS digest
+      |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    string_agg(piece || chr(9) || CAST(cnt AS VARCHAR) || chr(9)
+      |      || CAST(lp AS VARCHAR), chr(10) ORDER BY piece) AS body
+      |  FROM allv)
+      |""".stripMargin.trim))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -9812,5 +9859,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226)
 }
