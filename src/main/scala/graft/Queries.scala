@@ -7446,7 +7446,11 @@ object Queries {
       |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
       |      * 1000000.0) AS BIGINT) AS lp
       |  FROM sel CROSS JOIN tot),
-      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks),
+      |-- corpus contract: the engine fences words > 64 code points out of
+      |-- tokenization statistics (UnigramLm.MaxTokenizeWordLen) because
+      |-- this oracle enumerates 2^(n-1) masks — n = 65 overflows the
+      |-- BIGINT shift; mirror the fence here
+      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks WHERE len(w) <= 64),
       |em AS (SELECT w, n,
       |    unnest(range(0, CAST(1 AS BIGINT) << CAST(n - 1 AS INT))) AS mask
       |  FROM wm),
@@ -7521,7 +7525,11 @@ object Queries {
       |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
       |      * 1000000.0) AS BIGINT) AS lp
       |  FROM sel CROSS JOIN tot),
-      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks),
+      |-- corpus contract: the engine fences words > 64 code points out of
+      |-- tokenization statistics (UnigramLm.MaxTokenizeWordLen) because
+      |-- this oracle enumerates 2^(n-1) masks — n = 65 overflows the
+      |-- BIGINT shift; mirror the fence here
+      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks WHERE len(w) <= 64),
       |em AS (SELECT w, n,
       |    unnest(range(0, CAST(1 AS BIGINT) << CAST(n - 1 AS INT))) AS mask
       |  FROM wm),
@@ -9339,9 +9347,15 @@ object Queries {
     * engine's codepoint DP and DuckDB's codepoint substr must agree), and
     * a Greek char fused with covered ASCII ("βeta" mixes fallback and
     * vocab pieces inside one word). All lowercase-stable, so the shared
-    * lower() normalization is byte-identical across engines. */
+    * lower() normalization is byte-identical across engines. The fourth
+    * plant also carries a 70-code-point word (round 16 — verdict item
+    * 2): it must fall OUT of tokenization statistics on BOTH sides
+    * ([[graft.operators.UnigramLm.MaxTokenizeWordLen]] in the engine,
+    * `WHERE len(w) <= 64` in the oracle) while still counting in
+    * n_words — without the fence the oracle would attempt `2^69`
+    * enumeration masks, overflowing the BIGINT shift. */
   private val unigramPlants: Seq[String] = Seq(
-    "", " naïve café xz", " 東京 タワー", " 🙂 βeta")
+    "", " naïve café xz", " 東京 タワー", " 🙂 βeta " + "a" * 70)
 
   private def unigramPlantedDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -9395,7 +9409,9 @@ object Queries {
       |  FROM sel CROSS JOIN tot),
       |$unigramPlantedSql,
       |wm AS (SELECT DISTINCT unnest(ws) AS w FROM pdl),
-      |wn AS (SELECT w, len(w) AS n FROM wm),
+      |-- engine-mirrored overflow fence (UnigramLm.MaxTokenizeWordLen):
+      |-- the planted 70-code-point word below must drop on BOTH sides
+      |wn AS (SELECT w, len(w) AS n FROM wm WHERE len(w) <= 64),
       |em AS (SELECT w, n,
       |    unnest(range(0, CAST(1 AS BIGINT) << CAST(n - 1 AS INT))) AS mask
       |  FROM wn),
@@ -9830,7 +9846,8 @@ object Queries {
       |    CAST(0 AS BIGINT) AS cnt, CAST(-20000000 AS BIGINT) AS lp
       |  FROM (SELECT unnest(range(0, 256)) AS i)),
       |allv AS (SELECT piece, cnt, lp FROM lpv
-      |  UNION ALL SELECT piece, cnt, lp FROM bp)
+      |  UNION ALL SELECT piece, cnt, lp FROM bp
+      |  WHERE piece NOT IN (SELECT piece FROM lpv))
       |SELECT 'unigram' AS family, n AS n_entries,
       |  md5('graft-tokenizer' || chr(9) || 'v1' || chr(9) || 'unigram'
       |    || chr(9) || CAST(n AS VARCHAR) || chr(10) || body || chr(10))

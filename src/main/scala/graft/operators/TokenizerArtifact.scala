@@ -24,7 +24,8 @@ import graft.streaming.VersionedLedger
   * {{{
   *   graft-tokenizer\tv1\t<family>\t<n>\n     // header
   *   <entry line>\n                           // × n, family-specific:
-  *   //   unigram:   piece\tcnt\tlp_micro     (piece ascending)
+  *   //   unigram:   piece\tcnt\tlp_micro     (piece ascending by code
+  *   //              point == UTF-8 byte order — DuckDB's ORDER BY)
   *   //   bytebpe:   rank\ta\tb               (rank ascending)
   *   //   wordpiece: rank\tpiece              (vocab order: sorted
   *   //              alphabet, then merge outputs in rank order, deduped
@@ -48,10 +49,32 @@ object TokenizerArtifact {
   val Version = "v1"
 
   private def fence(s: String, what: String): String = {
-    require(s.nonEmpty && !s.exists(c => c == '\t' || c == '\n' || c == '\r'),
-      s"TokenizerArtifact: $what must be non-empty and tab/newline-free: '$s'")
+    require(s.nonEmpty &&
+        !s.exists(c => c == '\t' || c == '\n' || c == '\r' || c == ' '),
+      s"TokenizerArtifact: $what must be non-empty and whitespace-free: '$s'")
     s
   }
+
+  /** Code-point lexicographic order — identical to UTF-8 BYTE order
+    * (UTF-8 preserves code-point ordering), which is what DuckDB's
+    * `ORDER BY piece` compares. Java `String` natural order compares
+    * UTF-16 code UNITS, which diverges for vocabs mixing astral-plane
+    * pieces (surrogates sort between U+DFFF and U+E000) with
+    * U+E000–U+FFFF pieces — exactly the mix byte fallback enables. The
+    * canonical `v1` order is therefore THIS order, pinned cross-engine.
+    */
+  private[graft] val codePointOrder: Ordering[String] =
+    new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        var i = 0; var j = 0
+        while (i < a.length && j < b.length) {
+          val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+          if (ca != cb) return Integer.compare(ca, cb)
+          i += Character.charCount(ca); j += Character.charCount(cb)
+        }
+        Integer.compare(a.length - i, b.length - j)
+      }
+    }
 
   private def render(family: String, lines: Seq[String]): String =
     (s"$Header\t$Version\t$family\t${lines.size}" +: lines)
@@ -61,7 +84,7 @@ object TokenizerArtifact {
     * seed already exposes, so the artifact is independent of training
     * traversal order. */
   def serializeUnigram(vocab: Seq[UnigramLm.Piece]): String = {
-    val sorted = vocab.sortBy(_.piece)
+    val sorted = vocab.sortBy(_.piece)(codePointOrder)
     require(sorted.map(_.piece).distinct.size == sorted.size,
       "serializeUnigram: duplicate pieces")
     render("unigram",

@@ -103,8 +103,10 @@ object UnigramLm {
     */
   def viterbiWord(word: String, lp: Map[String, Long], maxPieceLen: Int,
       unkLp: Long = -25000000L): (Seq[String], Long) = {
-    val n = word.length
+    val cps = word.codePoints.toArray
+    val n = cps.length
     if (n == 0) return (Seq.empty, 0L)
+    def sub(i: Int, j: Int): String = new String(cps, i, j - i)
     val score = new Array[Long](n + 1)
     val npieces = new Array[Int](n + 1)
     val prev = new Array[Int](n + 1)
@@ -116,7 +118,7 @@ object UnigramLm {
       var i = math.max(0, j - maxPieceLen)
       while (i < j) {
         if (score(i) != Long.MinValue) {
-          val piece = word.substring(i, j)
+          val piece = sub(i, j)
           val l = lp.get(piece) match {
             case Some(v) => Some(v)
             case None if j - i == 1 => Some(unkLp) // unseen char fallback
@@ -138,10 +140,41 @@ object UnigramLm {
     val parts = Seq.newBuilder[String]
     var k = n
     val stack = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (k > 0) { stack += word.substring(prev(k), k); k = prev(k) }
+    while (k > 0) { stack += sub(prev(k), k); k = prev(k) }
     parts ++= stack.reverseIterator
     (parts.result(), score(n))
   }
+
+  /** Code-point length. Spark SQL `length`/`substr` (UTF8String
+    * semantics) and DuckDB `len`/`substr` both count CODE POINTS; the
+    * JVM-side lattices must index the same way or a 16-code-point word
+    * containing an astral-plane char (17 UTF-16 units) falls on
+    * different sides of `maxWordLen` in the engine and the oracle. All
+    * word-length caps and lattice positions below use this, matching
+    * [[viterbiWordBytes]]. */
+  private[graft] def cpLen(w: String): Int = w.codePointCount(0, w.length)
+
+  /** Corpus contract for the tokenize faces (round 16 — verdict item
+    * 2): words longer than this many CODE POINTS are excluded from
+    * tokenization statistics (they drop out of n_pieces / pieces_md5 /
+    * nll_micro / n_fallback; n_words still counts them — it is the raw
+    * token count). The engine DPs are linear and could segment any
+    * length, but the cross-engine oracles verify them by EXHAUSTIVE
+    * enumeration — `2^(n-1)` boundary masks per distinct word — which
+    * blows up combinatorially past ~20 code points and overflows the
+    * BIGINT shift outright at n = 65. Fencing at 64 on BOTH sides (this
+    * filter; `WHERE len(w) <= 64` in the paired oracles) keeps engine
+    * and oracle in agreement on ANY corpus instead of only on corpora
+    * with short words. 64 is far beyond any natural-language token; a
+    * corpus where >64-cp "words" carry signal (DNA, minified JS) needs
+    * a domain tokenizer, not this word model.
+    */
+  val MaxTokenizeWordLen = 64
+
+  /** The oracle-mirrored word-length fence ([[MaxTokenizeWordLen]]);
+    * Spark SQL `length` counts code points, like DuckDB `len`. */
+  private def fenceWords(words: DataFrame): DataFrame =
+    words.filter(length(col("w")) <= MaxTokenizeWordLen)
 
   /** Segment DISTINCT words under a broadcast vocab: (w, pieces,
     * n_pieces, score_micro). One DP per distinct word — the join back
@@ -174,14 +207,14 @@ object UnigramLm {
     */
   def emRound(words: DataFrame, vocab: Seq[Piece],
       maxPieceLen: Int): Seq[Piece] = {
-    val seg = segmentWords(words, vocab, maxPieceLen)
+    val seg = segmentWords(fenceWords(words), vocab, maxPieceLen)
       .join(words, "w")
       .select(col("f"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
     val used = seg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val chars = vocab.filter(_.piece.length == 1)
+    val chars = vocab.filter(p => cpLen(p.piece) == 1)
       .map(p => p.piece -> math.max(used.getOrElse(p.piece, 0L), 1L))
-    val multis = vocab.filter(_.piece.length > 1)
+    val multis = vocab.filter(p => cpLen(p.piece) > 1)
       .flatMap(p => used.get(p.piece).map(p.piece -> _))
     val entries = (chars ++ multis).sortBy(_._1)
     val total = entries.map(_._2).sum
@@ -214,7 +247,7 @@ object UnigramLm {
     */
   def apply(docs: DataFrame, idCol: String, textCol: String,
       vocab: Seq[Piece], maxPieceLen: Int): DataFrame = {
-    val words = wordFreqs(docs, textCol)
+    val words = fenceWords(wordFreqs(docs, textCol))
     val seg = segmentWords(words, vocab, maxPieceLen)
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       TextOps.tokens(col(textCol)).as("__w"))
@@ -271,8 +304,9 @@ object UnigramLm {
     * pieces join the FINAL artifact verbatim (cnt 0, flat floor score),
     * untouched by re-estimation.
     */
-  def isBytePiece(p: String): Boolean =
-    p.length == 6 && p.startsWith("<0x") && p.endsWith(">")
+  private val bytePieceSet: Set[String] = bytePieceTable.toSet
+
+  def isBytePiece(p: String): Boolean = bytePieceSet.contains(p)
 
   /** Byte pieces of ONE code point: its UTF-8 bytes as `<0xNN>` tokens. */
   private[graft] def bytePiecesOf(cp: Int): Seq[String] =
@@ -386,7 +420,7 @@ object UnigramLm {
   def applyBytes(docs: DataFrame, idCol: String, textCol: String,
       vocab: Seq[Piece], maxPieceLen: Int,
       byteLpMicro: Long = -20000000L): DataFrame = {
-    val words = wordFreqs(docs, textCol)
+    val words = fenceWords(wordFreqs(docs, textCol))
     val seg = segmentWordsBytes(words, vocab, maxPieceLen, byteLpMicro)
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       TextOps.tokens(col(textCol)).as("__w"))
@@ -448,12 +482,14 @@ object UnigramLm {
     */
   private[graft] def enumerateSegs(word: String, lp: Map[String, Long])
       : Seq[(Seq[String], Long)] = {
-    val n = word.length
+    val cps = word.codePoints.toArray
+    val n = cps.length
     val out = Seq.newBuilder[(Seq[String], Long)]
     var mask = 0L
     val lim = 1L << (n - 1)
     while (mask < lim) {
-      // bit p−1 set ⇔ a piece boundary before position p (1-based)
+      // bit p−1 set ⇔ a piece boundary before position p (1-based,
+      // code-point positions — the oracle's substr space)
       val pieces = Seq.newBuilder[String]
       var ok = true
       var score = 0L
@@ -462,7 +498,7 @@ object UnigramLm {
       while (p <= n && ok) {
         val boundary = p == n || ((mask >> (p - 1)) & 1L) == 1L
         if (boundary) {
-          val piece = word.substring(start, p)
+          val piece = new String(cps, start, p - start)
           lp.get(piece) match {
             case Some(v) => score += v; pieces += piece; start = p
             case None => ok = false
@@ -514,7 +550,7 @@ object UnigramLm {
       .mapPartitions { it =>
         val lp = lpB.value
         it.flatMap { case (w, f) =>
-          if (w.isEmpty || w.length > maxWordLen) Iterator.empty
+          if (w.isEmpty || cpLen(w) > maxWordLen) Iterator.empty
           else {
             val (ws, _) = segWeights(enumerateSegs(w, lp))
             val d = ws.iterator.map(_._2).sum
@@ -535,7 +571,7 @@ object UnigramLm {
       }
       .toDF("piece", "ec")
       .groupBy(col("piece")).agg(sum(col("ec")).as("ec_raw"))
-    val chars = vocab.filter(_.piece.length == 1).map(_.piece).toDF("piece")
+    val chars = vocab.filter(p => cpLen(p.piece) == 1).map(_.piece).toDF("piece")
     val ec = chars.join(contrib, Seq("piece"), "left")
       .select(col("piece"),
         greatest(coalesce(col("ec_raw"), lit(0L)), lit(1L)).as("ec_micro"))
@@ -582,7 +618,7 @@ object UnigramLm {
       .mapPartitions { it =>
         val lp = lpB.value
         it.flatMap { case (w, f) =>
-          if (w.isEmpty || w.length > maxWordLen) Iterator.empty
+          if (w.isEmpty || cpLen(w) > maxWordLen) Iterator.empty
           else {
             val segs = enumerateSegs(w, lp)
             val (ws, m) = segWeights(segs)
@@ -608,7 +644,7 @@ object UnigramLm {
       }
       .toDF("piece", "loss")
       .groupBy(col("piece")).agg(sum(col("loss")).as("loss_micro"))
-    vocab.filter(_.piece.length > 1).map(_.piece).toDF("piece")
+    vocab.filter(p => cpLen(p.piece) > 1).map(_.piece).toDF("piece")
       .join(contrib, Seq("piece"), "left")
       .select(col("piece"),
         coalesce(col("loss_micro"), lit(0L)).as("loss_micro"))
@@ -626,7 +662,7 @@ object UnigramLm {
     // `targetMultis` keep rows — never the full loss table
     val keep = keepSet(pruneLosses(words, vocab, maxPieceLen, maxWordLen),
       targetMultis)
-    vocab.filter(p => p.piece.length == 1 || isBytePiece(p.piece) || keep(p.piece))
+    vocab.filter(p => cpLen(p.piece) == 1 || isBytePiece(p.piece) || keep(p.piece))
   }
 
   /** Distributed keep-rank over a (piece, loss_micro) loss table: the
@@ -653,7 +689,7 @@ object UnigramLm {
       .mapPartitions { it =>
         val lp = lpB.value
         it.map { case (w, f) =>
-          if (w.isEmpty || w.length > maxWordLen) 0L
+          if (w.isEmpty || cpLen(w) > maxWordLen) 0L
           else {
             val segs = enumerateSegs(w, lp)
             val (ws, m) = segWeights(segs)
@@ -864,7 +900,7 @@ object UnigramLm {
       }
       .toDF("piece", "loss")
       .groupBy(col("piece")).agg(sum(col("loss")).as("loss_micro"))
-    vocab.filter(_.piece.length > 1).map(_.piece).toDF("piece")
+    vocab.filter(p => cpLen(p.piece) > 1).map(_.piece).toDF("piece")
       .join(contrib, Seq("piece"), "left")
       .select(col("piece"),
         coalesce(col("loss_micro"), lit(0.0)).as("loss_micro"))
@@ -876,7 +912,7 @@ object UnigramLm {
       targetMultis: Int): Seq[Piece] = {
     require(targetMultis >= 0, s"pruneVocabFB: bad targetMultis $targetMultis")
     val keep = keepSet(pruneLossesFB(words, vocab, maxPieceLen), targetMultis)
-    vocab.filter(p => p.piece.length == 1 || isBytePiece(p.piece) || keep(p.piece))
+    vocab.filter(p => cpLen(p.piece) == 1 || isBytePiece(p.piece) || keep(p.piece))
   }
 
   /** Collect a forward–backward re-estimate to the driver vocab
@@ -891,7 +927,7 @@ object UnigramLm {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val floorMass = 1e-6
     val entries = vocab.flatMap { p =>
-      if (p.piece.length == 1)
+      if (cpLen(p.piece) == 1)
         Some(p.piece -> math.max(ec.getOrElse(p.piece, 0.0), floorMass))
       else ec.get(p.piece).filter(_ > 0.0).map(p.piece -> _)
     }.sortBy(_._1)
@@ -921,12 +957,12 @@ object UnigramLm {
     require(keepFrac > 0 && keepFrac < 1, s"trainSoftFB: bad keepFrac $keepFrac")
     val words = wordFreqs(docs, textCol).localCheckpoint()
     var vocab = collectVocab(seedVocab(docs, textCol, maxPieceLen, seedSize))
-    val nChars = vocab.count(_.piece.length == 1)
+    val nChars = vocab.count(p => cpLen(p.piece) == 1)
     val targetMultis = math.max(vocabSize - nChars, 0)
     var guard = 0
-    while (vocab.count(_.piece.length > 1) > targetMultis && guard < 64) {
+    while (vocab.count(p => cpLen(p.piece) > 1) > targetMultis && guard < 64) {
       vocab = collectSoftRoundFB(words, vocab, maxPieceLen)
-      val multis = vocab.count(_.piece.length > 1)
+      val multis = vocab.count(p => cpLen(p.piece) > 1)
       val next = math.max(targetMultis,
         math.min(multis - 1, math.ceil(multis * keepFrac).toInt))
       if (next < multis)
@@ -978,12 +1014,14 @@ object UnigramLm {
       .mapPartitions { it =>
         val lp = lpB.value
         it.flatMap { w =>
-          val n = w.length
+          val cps = w.codePoints.toArray
+          val n = cps.length
           if (n == 0 || n > maxWordLen) Iterator.empty
           else {
             // enumerate in mask order, keeping starts for the Viterbi
             // total order (score desc, fewer pieces, smallest reversed
-            // start list — the q192 contract)
+            // start list — the q192 contract); positions are CODE
+            // POINTS, the oracle's substr space
             val segs = Seq.newBuilder[(Long, Seq[String], Long, Seq[Int])]
             var mask = 0L
             val lim = 1L << (n - 1)
@@ -997,9 +1035,9 @@ object UnigramLm {
               while (p <= n && ok) {
                 val boundary = p == n || ((mask >> (p - 1)) & 1L) == 1L
                 if (boundary) {
-                  lp.get(w.substring(start, p)) match {
+                  lp.get(new String(cps, start, p - start)) match {
                     case Some(v) =>
-                      score += v; pieces += w.substring(start, p)
+                      score += v; pieces += new String(cps, start, p - start)
                       starts += start + 1; start = p
                     case None => ok = false
                   }
@@ -1078,12 +1116,12 @@ object UnigramLm {
     require(keepFrac > 0 && keepFrac < 1, s"trainSoft: bad keepFrac $keepFrac")
     val words = wordFreqs(docs, textCol).localCheckpoint()
     var vocab = collectVocab(seedVocab(docs, textCol, maxPieceLen, seedSize))
-    val nChars = vocab.count(_.piece.length == 1)
+    val nChars = vocab.count(p => cpLen(p.piece) == 1)
     val targetMultis = math.max(vocabSize - nChars, 0)
     var guard = 0
-    while (vocab.count(_.piece.length > 1) > targetMultis && guard < 64) {
+    while (vocab.count(p => cpLen(p.piece) > 1) > targetMultis && guard < 64) {
       vocab = collectSoftRound(words, vocab, maxPieceLen, maxWordLen)
-      val multis = vocab.count(_.piece.length > 1)
+      val multis = vocab.count(p => cpLen(p.piece) > 1)
       // clamp to guarantee progress: ceil(multis·keepFrac) == multis for
       // tiny multis (1..3 at 0.75), which would spin the loop without
       // ever pruning — always step down at least one piece

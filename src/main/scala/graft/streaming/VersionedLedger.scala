@@ -92,6 +92,19 @@ object VersionedLedger {
     * matches (a ledger without a tag — pre-upgrade — fences on batch id
     * alone, documented legacy). A DIFFERENT run tag never fences: a new
     * checkpoint lineage restarts batch ids at 0 with genuinely new data.
+    *
+    * Legacy-pointer caveat (round 16 — the `forall`-on-`None` edge): a
+    * ledger whose pointer was written BEFORE the run-tag line existed
+    * stays bound to its ORIGINAL lineage until the first post-upgrade
+    * commit — its tagless pointer fences on batch id alone, so pointing
+    * a FRESH checkpoint (batch ids restarting at 0) at such a ledger
+    * discards the new lineage's first `lastAppliedBatch + 1` batches
+    * exactly as the pre-round-15 fence did. Operationally: retire a
+    * legacy ledger's pointer with one tagged commit (any batch) before
+    * re-homing it to a new checkpoint; every commit made through the
+    * round-15+ streaming faces writes the tag, so the window closes on
+    * first contact. LedgerSpec pins the behavior with a hand-written
+    * two-line pointer.
     */
   def alreadyApplied(spark: SparkSession, path: String, runTag: String,
       batchId: Long): Boolean =
@@ -133,6 +146,9 @@ object VersionedLedger {
       batchId: Option[Long] = None, runTag: Option[String] = None): Unit = {
     require(runTag.forall(t => t.nonEmpty && !t.contains("\n")),
       s"swapPointer: run tag must be non-empty and single-line, got $runTag")
+    require(batchId.isDefined || runTag.isEmpty,
+      "swapPointer: runTag rides as the THIRD pointer line, after the " +
+        "batch id — passing runTag without batchId would silently drop it")
     val dir = new Path(path)
     val f = fs(spark, dir)
     if (!f.exists(dir)) f.mkdirs(dir)

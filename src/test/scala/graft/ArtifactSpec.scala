@@ -113,6 +113,36 @@ class ArtifactSpec extends SparkSpec {
       TokenizerArtifact.serializeUnigram(
         Seq(Piece("a", 1, -1L), Piece("a", 2, -2L))) // duplicate piece
     }
+    // round-16 advice: a space would serialize cleanly but make the
+    // space-joined pieces_md5 digests ambiguous — refused like tab/LF
+    intercept[IllegalArgumentException] {
+      TokenizerArtifact.serializeUnigram(Seq(Piece("a b", 1, -1L)))
+    }
+    intercept[IllegalArgumentException] {
+      TokenizerArtifact.serializeMerges(Seq(("a", "b c")))
+    }
+  }
+
+  test("canonical unigram order is code-point (UTF-8 byte) order, not UTF-16") {
+    // round-16 advice: DuckDB's ORDER BY piece compares UTF-8 bytes.
+    // Java String natural order compares UTF-16 code units, where the
+    // astral-plane emoji (U+1F602, surrogates D83D DE02) sorts BELOW a
+    // private-use BMP piece (U+E000) — the wrong order. Code-point order
+    // puts U+E000 first, matching UTF-8 byte order.
+    val emoji = new String(Character.toChars(0x1F602)) // 😂
+    val pua = "\uE000"
+    val vocab = Seq(Piece(emoji, 1, -1L), Piece(pua, 2, -2L), Piece("z", 3, -3L))
+    val c = TokenizerArtifact.serializeUnigram(vocab)
+    val order = c.dropRight(1).split('\n').drop(1).map(_.split('\t')(0)).toSeq
+    assert(order == Seq("z", pua, emoji),
+      s"expected code-point order, got ${order.map(_.codePoints.toArray.toSeq)}")
+    // and it really is UTF-8 byte order
+    val byByte = vocab.map(_.piece).sortBy(_.getBytes("UTF-8").map(b => b & 0xff).toSeq)(
+      math.Ordering.Implicits.seqOrdering)
+    assert(order == byByte)
+    // while UTF-16 natural order would have disagreed
+    assert(vocab.map(_.piece).sorted != byByte,
+      "fixture must actually distinguish the two orders")
   }
 
   test("applying from a parsed artifact equals applying from the in-memory vocab") {

@@ -632,6 +632,40 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedLedger.lastAppliedRun(spark, dir).contains("runB"))
   }
 
+  test("legacy two-line pointer (no run tag) fences by batch id alone until the first tagged commit") {
+    // round-16 doc pin: a pointer written BEFORE the run-tag line existed
+    // carries only (version, batchId); `forall` on the absent tag makes
+    // alreadyApplied true for ANY run — the documented legacy behavior —
+    // so a legacy ledger stays bound to its original lineage until one
+    // post-upgrade commit writes the tag.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("legacy-ptr").toString + "/ledger"
+    VersionedLedger.writeVersion(Seq((1L, 2L)).toDF("k", "v"), dir, 0L)
+    // hand-written pre-round-15 pointer: two lines, no tag
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/CURRENT"), "0\n3")
+    assert(VersionedLedger.lastAppliedBatch(spark, dir).contains(3L))
+    assert(VersionedLedger.lastAppliedRun(spark, dir).isEmpty)
+    // the legacy fence catches EVERY lineage's batches <= 3 — including a
+    // fresh checkpoint's first batches (the documented caveat)
+    assert(VersionedLedger.alreadyApplied(spark, dir, "oldRun", 3L))
+    assert(VersionedLedger.alreadyApplied(spark, dir, "freshRun", 0L),
+      "legacy pointer must fence batch-id-only, tag ignored")
+    assert(!VersionedLedger.alreadyApplied(spark, dir, "freshRun", 4L))
+    // one tagged commit retires the legacy pointer: tags now distinguish
+    VersionedLedger.swapPointer(spark, dir, 0L, Some(4L), Some("runA"))
+    assert(VersionedLedger.alreadyApplied(spark, dir, "runA", 4L))
+    assert(!VersionedLedger.alreadyApplied(spark, dir, "freshRun", 0L),
+      "post-upgrade pointer must stop fencing foreign lineages")
+  }
+
+  test("swapPointer refuses a runTag without a batchId instead of silently dropping it") {
+    val dir = java.nio.file.Files.createTempDirectory("tag-no-batch").toString + "/ledger"
+    intercept[IllegalArgumentException] {
+      VersionedLedger.swapPointer(spark, dir, 0L, None, Some("runA"))
+    }
+  }
+
   test("mediaHealth fence end-to-end: a fresh-checkpoint stream run against an existing ledger APPLIES") {
     import graft.operators.Multimodal
     implicit val sqlCtx = spark.sqlContext

@@ -426,6 +426,89 @@ class UnigramSpec extends SparkSpec {
       TokenizerArtifact.serializeUnigram(art)) == art.sortBy(_.piece))
   }
 
+  test("isBytePiece accepts exactly the 256 reserved pieces (round-16 advice)") {
+    // shape-only matching would let a corpus piece like '<0xzz>' (or
+    // lowercase '<0xab>') slip into the unprunable set
+    assert(UnigramLm.bytePieceTable.forall(UnigramLm.isBytePiece))
+    assert(!UnigramLm.isBytePiece("<0xzz>"))
+    assert(!UnigramLm.isBytePiece("<0xab>")) // lowercase hex: not reserved
+    assert(!UnigramLm.isBytePiece("<0xG1>"))
+    assert(!UnigramLm.isBytePiece("<0x0>"))
+    assert(!UnigramLm.isBytePiece(""))
+    // and a '<0xzz>'-shaped corpus piece IS prunable: it gets no
+    // byte-piece exemption in pruneVocab
+    // "ab" is attractive (high frequency, beats its char path) while the
+    // fake byte-shaped piece scores far below its own char path, so its
+    // removal loss is ~0 — with targetMultis = 1 it must be the one
+    // pruned; the old shape-match exemption kept it unconditionally
+    val words = Seq(("<0xzz>", 1L), ("ab", 9L)).toDF("w", "f")
+    val vocab = Seq(Piece("a", 9, -100000L), Piece("b", 9, -100000L),
+      Piece("<", 1, -900000L), Piece("0", 1, -900000L), Piece("x", 1, -900000L),
+      Piece("z", 1, -900000L), Piece(">", 1, -900000L),
+      Piece("ab", 9, -150000L), Piece("<0xzz>", 1, -9000000L))
+    val pruned = UnigramLm.pruneVocab(words, vocab, maxPieceLen = 6,
+      targetMultis = 1)
+    assert(!pruned.exists(_.piece == "<0xzz>"),
+      "a fake byte-shaped piece must not be exempt from pruning")
+    assert(pruned.exists(_.piece == "ab"))
+  }
+
+  test("tokenize word-length fence: >64-code-point words drop from stats on the engine side (round-16 verdict item 2)") {
+    // the cross-engine oracles verify apply faces by exhaustive
+    // enumeration (2^(n-1) masks — BIGINT shift overflows at n = 65);
+    // MaxTokenizeWordLen = 64 fences BOTH sides identically, so engine
+    // and oracle agree on any corpus. n_words still counts the long
+    // word (it is the raw token count); pieces/digest/nll exclude it.
+    assert(UnigramLm.MaxTokenizeWordLen == 64)
+    val long = "a" * 70
+    val vocab = Seq(Piece("a", 9, -100000L), Piece("b", 5, -150000L))
+    val withLong = Seq((0L, s"ab $long ba")).toDF("doc_id", "text")
+    val without = Seq((0L, "ab ba")).toDF("doc_id", "text")
+    val rWith = UnigramLm.apply(withLong, "doc_id", "text", vocab, 2)
+      .collect().head
+    val rWithout = UnigramLm.apply(without, "doc_id", "text", vocab, 2)
+      .collect().head
+    assert(rWith.getAs[Long]("n_words") == 3L)
+    assert(rWithout.getAs[Long]("n_words") == 2L)
+    assert(rWith.getAs[Long]("n_pieces") == rWithout.getAs[Long]("n_pieces"))
+    assert(rWith.getAs[String]("pieces_md5") == rWithout.getAs[String]("pieces_md5"))
+    assert(rWith.getAs[Long]("nll_micro") == rWithout.getAs[Long]("nll_micro"))
+    // byte-fallback face: same fence
+    val bWith = UnigramLm.applyBytes(withLong, "doc_id", "text", vocab, 2)
+      .collect().head
+    val bWithout = UnigramLm.applyBytes(without, "doc_id", "text", vocab, 2)
+      .collect().head
+    assert(bWith.getAs[String]("pieces_md5") == bWithout.getAs[String]("pieces_md5"))
+    assert(bWith.getAs[Long]("n_fallback") == bWithout.getAs[Long]("n_fallback"))
+    // a 64-cp word is IN contract on both faces
+    val edge = Seq((0L, "a" * 64)).toDF("doc_id", "text")
+    assert(UnigramLm.apply(edge, "doc_id", "text", vocab, 2)
+      .collect().head.getAs[Long]("n_pieces") == 64L)
+  }
+
+  test("lattices index code points, not UTF-16 units (round-16 advice): astral chars align with the oracle's substr space") {
+    // U+1F602 is ONE code point (two Java chars). A vocab containing the
+    // emoji and 'a' must segment "😂a" as [😂, a] — char-indexed
+    // substrings would try to split the surrogate pair.
+    val emoji = new String(Character.toChars(0x1F602))
+    val lp = Map(emoji -> -100000L, "a" -> -120000L, (emoji + "a") -> -300000L)
+    val (pieces, score) = UnigramLm.viterbiWord(emoji + "a", lp, 2)
+    assert(pieces == Seq(emoji, "a"))
+    assert(score == -220000L)
+    // enumeration face agrees (it feeds the soft-EM oracles)
+    val segs = UnigramLm.enumerateSegs(emoji + "a", lp)
+    assert(segs.map(_._1).toSet ==
+      Set(Seq(emoji, "a"), Seq(emoji + "a")))
+    // cap counts code points: a 16-cp word with an astral char (17 Java
+    // chars) stays IN the 16-cap training statistics
+    val w16 = emoji + "a" * 15
+    assert(UnigramLm.cpLen(w16) == 16 && w16.length == 17)
+    val words = Seq((w16, 1L)).toDF("w", "f")
+    val vocab = Seq(Piece("a", 9, -100000L), Piece(emoji, 1, -100000L))
+    val z = UnigramLm.corpusLogZ(words, vocab, maxPieceLen = 1, maxWordLen = 16)
+    assert(z != 0L, "16-code-point word must be inside the cap")
+  }
+
   test("byteFallbackVocab: 256 reserved pieces, idempotent, flat floor score") {
     val base = Seq(Piece("a", 3, -100000L))
     val v1 = UnigramLm.byteFallbackVocab(base, -20000000L)
