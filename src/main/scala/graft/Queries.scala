@@ -7363,11 +7363,12 @@ object Queries {
     * and the integer-micro ln(cnt/total) scores. Ends in `sel(piece,
     * cnt, is_char)` + `tot(total)`.
     */
-  private def unigramSeedCtes(vocabSize: Int = 48): String = s"""
+  private def unigramSeedCtes(vocabSize: Int = 48,
+      corpus: String = "documents"): String = s"""
     |toks AS (
     |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
     |    t -> t <> '')) AS w
-    |  FROM documents),
+    |  FROM $corpus),
     |wf AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY w),
     |occ AS (SELECT f,
     |    unnest(flatten(list_transform(range(1, len(w) + 1), i ->
@@ -7442,6 +7443,21 @@ object Queries {
     */
   private def unigramTokenizeOracleSql: String = s"""
       |WITH ${unigramSeedCtes()},
+      |$unigramLatticeCtes,
+      |dl AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
+      |      AS ws
+      |  FROM documents),
+      |${unigramApplyTailSql("dl.doc_id")}
+      |""".stripMargin.trim
+
+  /** `v`..`best`: per-distinct-word exhaustive-lattice segmentation CTEs
+    * under the seed vocab (expects [[unigramSeedCtes]]'s `toks`/`sel`/
+    * `tot` in scope) — the q192 total order: score desc, fewer pieces,
+    * lexicographically smallest reversed start list. Shared by q192/
+    * q222 and the q227 corpus-build composition.
+    */
+  private def unigramLatticeCtes: String = s"""
       |v AS (SELECT piece,
       |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
       |      * 1000000.0) AS BIGINT) AS lp
@@ -7477,11 +7493,14 @@ object Queries {
       |best AS (SELECT w, np, pieces, score FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY w
       |      ORDER BY score DESC, np ASC, list_reverse(starts) ASC) AS rk
-      |    FROM valid) WHERE rk = 1),
-      |dl AS (SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')
-      |      AS ws
-      |  FROM documents),
+      |    FROM valid) WHERE rk = 1)""".stripMargin.trim
+
+  /** `du`/`agg` over a `dl(doc_id, ws)` CTE: join each word occurrence
+    * to its `best` lattice row and reassemble in document order —
+    * `agg(doc_id, n_pieces, pieces_md5, nll_micro)`. No final SELECT,
+    * so composition queries (q227) can keep chaining.
+    */
+  private def unigramApplyAggCtes: String = s"""
       |du AS (SELECT doc_id, unnest(ws) AS w,
       |    unnest(range(1, len(ws) + 1)) AS p
       |  FROM dl),
@@ -7490,13 +7509,16 @@ object Queries {
       |    md5(array_to_string(flatten(list(pieces ORDER BY p)), ' '))
       |      AS pieces_md5,
       |    CAST(SUM(score) AS BIGINT) AS nll_micro
-      |  FROM du JOIN best USING (w) GROUP BY 1)
-      |SELECT dl.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |  FROM du JOIN best USING (w) GROUP BY 1)""".stripMargin.trim
+
+  /** The q192/q222 per-doc final projection over [[unigramApplyAggCtes]]. */
+  private def unigramApplyTailSql(idExpr: String): String = s"""
+      |$unigramApplyAggCtes
+      |SELECT $idExpr, CAST(len(ws) AS BIGINT) AS n_words,
       |  COALESCE(n_pieces, 0) AS n_pieces,
       |  COALESCE(pieces_md5, md5('')) AS pieces_md5,
       |  COALESCE(nll_micro, 0) AS nll_micro
-      |FROM dl LEFT JOIN agg USING (doc_id) ORDER BY doc_id
-      |""".stripMargin.trim
+      |FROM dl LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin.trim
 
   /** Unigram-LM hard-EM refinement, oracle-checked END TO END (round
     * 12): seed (q191) → ONE Viterbi-EM round (segment the weighted
@@ -9587,6 +9609,15 @@ object Queries {
     * digest, so the serialization contract itself is oracle-pinned, not
     * just spec-asserted. Bounded output: 3 rows.
     */
+  /** The v2 specials block as a DuckDB string expression — tabs/LFs via
+    * chr() so the oracle renders the EXACT artifact bytes. */
+  private def sqlSpecialsBlock: String = {
+    import graft.operators.TokenizerArtifact
+    "'" + TokenizerArtifact.specialsBlock(TokenizerArtifact.DefaultSpecials)
+      .replace("\t", "' || chr(9) || '")
+      .replace("\n", "' || chr(10) || '") + "'"
+  }
+
   val q221: Q = {
     val nM = 6
     Q(
@@ -9618,8 +9649,9 @@ object Queries {
         |      * 1000000.0) AS BIGINT) AS lp
         |  FROM sel CROSS JOIN tot),
         |uni AS (SELECT 'unigram' AS family, n AS n_entries,
-        |    md5('graft-tokenizer' || chr(9) || 'v1' || chr(9) || 'unigram'
-        |      || chr(9) || CAST(n AS VARCHAR) || chr(10) || body || chr(10))
+        |    md5('graft-tokenizer' || chr(9) || 'v2' || chr(9) || 'unigram'
+        |      || chr(9) || CAST(n AS VARCHAR) || chr(9) || '4' || chr(10)
+        |      || $sqlSpecialsBlock || chr(10) || body || chr(10))
         |      AS digest
         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |      string_agg(piece || chr(9) || CAST(cnt AS VARCHAR) || chr(9)
@@ -9645,8 +9677,9 @@ object Queries {
         |wpfinal AS (SELECT piece,
         |    ROW_NUMBER() OVER (ORDER BY k) - 1 AS idx FROM dedup),
         |wp AS (SELECT 'wordpiece' AS family, n AS n_entries,
-        |    md5('graft-tokenizer' || chr(9) || 'v1' || chr(9) || 'wordpiece'
-        |      || chr(9) || CAST(n AS VARCHAR) || chr(10) || body || chr(10))
+        |    md5('graft-tokenizer' || chr(9) || 'v2' || chr(9) || 'wordpiece'
+        |      || chr(9) || CAST(n AS VARCHAR) || chr(9) || '4' || chr(10)
+        |      || $sqlSpecialsBlock || chr(10) || body || chr(10))
         |      AS digest
         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |      string_agg(CAST(idx AS VARCHAR) || chr(9) || piece, chr(10)
@@ -9663,8 +9696,9 @@ object Queries {
                s"SELECT CAST(${r - 1} AS BIGINT) AS rank, a, b FROM btop$r")
                .mkString(" UNION ALL ")}),
         |byt AS (SELECT 'bytebpe' AS family, n AS n_entries,
-        |    md5('graft-tokenizer' || chr(9) || 'v1' || chr(9) || 'bytebpe'
-        |      || chr(9) || CAST(n AS VARCHAR) || chr(10) || body || chr(10))
+        |    md5('graft-tokenizer' || chr(9) || 'v2' || chr(9) || 'bytebpe'
+        |      || chr(9) || CAST(n AS VARCHAR) || chr(9) || '4' || chr(10)
+        |      || $sqlSpecialsBlock || chr(10) || body || chr(10))
         |      AS digest
         |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |      string_agg(CAST(rank AS VARCHAR) || chr(9) || a || chr(9) || b,
@@ -9794,11 +9828,14 @@ object Queries {
     "q225_artifact_wordpiece_apply",
     (s, dir) => {
       import graft.operators.{TokenizerArtifact, TrainPrep}
-      val vocab = TokenizerArtifact.parseWordPiece(
-        TokenizerArtifact.load(s, artifactDir("q225", dir))
-          .getOrElse(sys.error("q225: no artifact")))
+      val content = TokenizerArtifact.load(s, artifactDir("q225", dir))
+        .getOrElse(sys.error("q225: no artifact"))
+      val vocab = TokenizerArtifact.parseWordPiece(content)
+      // round 16: the unk token comes FROM the artifact's special-token
+      // registry, not a family-implicit constant
       TrainPrep.wordPieceApply(t(s, dir, "documents"), "doc_id", "text",
-          vocab, maxInputChars = 16)
+          vocab, maxInputChars = 16,
+          unk = TokenizerArtifact.specialToken(content, "unk"))
         .orderBy(col("doc_id"))
     },
     oracle = Some(wordPieceE2eOracleSql(6, 16)),
@@ -9849,13 +9886,448 @@ object Queries {
       |  UNION ALL SELECT piece, cnt, lp FROM bp
       |  WHERE piece NOT IN (SELECT piece FROM lpv))
       |SELECT 'unigram' AS family, n AS n_entries,
-      |  md5('graft-tokenizer' || chr(9) || 'v1' || chr(9) || 'unigram'
-      |    || chr(9) || CAST(n AS VARCHAR) || chr(10) || body || chr(10))
+      |  md5('graft-tokenizer' || chr(9) || 'v2' || chr(9) || 'unigram'
+      |    || chr(9) || CAST(n AS VARCHAR) || chr(9) || '4' || chr(10)
+      |    || $sqlSpecialsBlock || chr(10) || body || chr(10))
       |    AS digest
       |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
       |    string_agg(piece || chr(9) || CAST(cnt AS VARCHAR) || chr(9)
       |      || CAST(lp AS VARCHAR), chr(10) ORDER BY piece) AS body
       |  FROM allv)
+      |""".stripMargin.trim))
+
+
+  // ==========================================================================
+  // Round 16 — the flagship corpus-build composition: the ONE query that
+  // IS the LLM-data product. Every link below is an individually
+  // oracle-green face (q125 extract, q58 scrub, q21 quality, q20 exact
+  // dedup, q24 LSH near-dup, q57/q124 decontamination, q107 quota, q64
+  // mix, q222 tokenize-from-artifact, q216 epoch packing); q227 chains
+  // them end to end under ONE DuckDB oracle, so a wrong boundary in ANY
+  // link moves a digest downstream — the q73/q217 composition gate at
+  // full pipeline depth.
+  // ==========================================================================
+
+  private val q227EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val q227PhoneRe = "[0-9]{3}-[0-9]{4}"
+
+  private def q227ArtifactDir(dir: String): String =
+    s"/tmp/graft_q227_${Integer.toHexString(dir.hashCode)}/artifact"
+
+  /** The extracted + scrubbed crawl corpus shared by q227's prepare
+    * (tokenizer training) and timed query (the build chain): the raw
+    * documents plus RE-CRAWL duplicates (every doc_id % 10 == 7 page
+    * fetched again under crawl id + 1e6 — the exact-dedup link must
+    * have something real to remove), PII planted as a function of
+    * CONTENT (n_chars), not crawl id, so both fetches of a page stay
+    * byte-identical; each page wrapped in the q125 synthetic HTML
+    * (id-free: title/style/script/comment/entities/nav) and extracted
+    * via [[graft.operators.TextOps.extractHtmlText]]; emails and
+    * phone-shaped runs scrubbed with the q58 regexes. Map-side only —
+    * the chain's first shuffle is the quality aggregate.
+    */
+  private def q227Corpus(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    val crawl = raw.unionByName(
+      raw.filter(col("doc_id") % 10 === 7)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    val planted = crawl.select(col("doc_id"), col("lang"), col("source"),
+      concat(col("text"),
+        when(col("n_chars") % 3 === 0,
+          concat(lit(" contact user"), col("n_chars").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("n_chars") % 4 === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("n_chars"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    val html = concat(
+      lit("<html><head><title>Corpus</title><style>body { color: #000; }" +
+        "</style><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+        "</head><body><!-- crawl --><h1>Title &amp; body</h1><p>"),
+      col("text"),
+      lit("</p><div class=\"nav\">Home &lt;&gt; About</div></body></html>"))
+    planted.select(col("doc_id"), col("lang"), col("source"),
+      regexp_replace(regexp_replace(TextOps.extractHtmlText(html),
+          lit(q227EmailRe), lit("<EMAIL>")),
+        lit(q227PhoneRe), lit("<PHONE>")).as("text"))
+  }
+
+  /** Flagship corpus build END TO END (round 16 — verdict item 1): crawl
+    * extract → PII scrub → quality gate (≥ 20 tokens, alpha ≥ 0.5) →
+    * exact dedup (fingerprint keep-first — removes the planted
+    * re-crawls) → MinHash-LSH near-dedup (8 hashes, 4×2 bands, verified
+    * Jaccard ≥ 0.2, keep the smaller id) → benchmark decontamination
+    * (drop the held-out probe docs AND anything sharing a 5-gram with
+    * them) → per-domain quota (15/source) → stratified language mix →
+    * tokenize FROM the committed v1 artifact (`prepare` trains the seed
+    * vocab on the scrubbed corpus and commits it — the amortized
+    * deployed shape) → pack into seeded epoch shards on the TOKENIZED
+    * length. One row per surviving (doc, epoch) with the full
+    * provenance: token digest, shard/pos/pack assignment.
+    *
+    * The ORACLE replays the whole chain in one WITH: closed-form
+    * extraction (the q125 contract), the scrub regexes, every filter
+    * and rank, the q24 banded-minhash candidates + exact Jaccard, the
+    * 5-gram probe join, the quota/mix elections, full seed-training +
+    * exhaustive-lattice tokenization (q192 machinery over the survivor
+    * set), and the q216 pack arithmetic — so a single moved boundary
+    * anywhere in the pipeline moves rows, digests, and pack offsets.
+    *
+    * Scale shape (100 TB): every link keeps its standalone query's
+    * audited plan — the corpus stage is map-side; quality is a scan;
+    * exact dedup one hash-partition window; LSH is banded (never
+    * all-pairs), with candidate verification via the exploded co-count
+    * join (no shingle arrays shipped per pair); decontamination joins
+    * the corpus's 5-grams against a broadcast-sized probe gram set;
+    * quota is the salted two-phase window; the tokenizer DP runs per
+    * DISTINCT word under a broadcast vocab (the corpus never shuffles
+    * to be segmented); packing repartitions on exactly (epoch, shard).
+    * The artifact round trip is untimed `prepare`, as deployed.
+    */
+  val q227: Q = Q(
+    "q227_corpus_build_e2e",
+    (s, dir) => graft.CacheScope.scoped { cs =>
+      import graft.operators.{TokenizerArtifact, UnigramLm}
+      val corpus = cs.cache(q227Corpus(s, dir))
+      // quality gate (q21/q73 thresholds)
+      val qd = TextOps.qualityMetrics(corpus, "text")
+        .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5)
+        .select("doc_id", "lang", "source", "text")
+      // exact dedup, keep-first (q20/q73)
+      val ded = cs.cache(qd
+        .withColumn("__fp", TextOps.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1).drop("__fp", "__rn"))
+      // near-dedup: the q24 LSH pipeline; drop the larger id of every
+      // verified pair (keep-first, engine == oracle by construction)
+      val base = cs.cache(ded.select(col("doc_id"),
+          TextOps.wordBigrams(TextOps.tokens(col("text"))).as("sh"))
+        .filter(size(col("sh")) > 0))
+      val sig = base
+        .withColumn("hv", TextOps.shingleHashes(col("sh")))
+        .withColumn("sig", TextOps.minhashSignature(col("hv"), 8))
+      val banded = sig.select(col("doc_id"),
+        posexplode(TextOps.lshBandKeys(col("sig"), 4, 2)).as(Seq("band", "bkey")))
+      val cand = banded.alias("x").join(banded.alias("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+      val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val sizes = base.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      val nearDupIds = cand
+        .join(ex.select(col("doc_id").as("id1"), col("s")), "id1")
+        .join(ex.select(col("doc_id").as("id2"), col("s")), Seq("id2", "s"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+        .filter(col("n_inter").cast("double")
+          / (col("n1") + col("n2") - col("n_inter")).cast("double") >= 0.2)
+        .select(col("id2").as("doc_id")).distinct()
+      val nd = ded.join(nearDupIds, Seq("doc_id"), "left_anti")
+      // decontamination (q124 face at n=5): the benchmark probe docs are
+      // excluded outright, and so is anything sharing a 5-gram with them
+      val isProbe = col("doc_id") % 97 === 0 && col("doc_id") < 1000000L
+      val probes = corpus.filter(isProbe)
+      val nonProbe = nd.filter(!isProbe)
+      val contaminated = TextOps.decontaminate(nonProbe, probes,
+          "doc_id", "text", n = 5)
+        .select(col("doc_id"))
+      val clean = nonProbe.join(contaminated, Seq("doc_id"), "left_anti")
+      // per-domain quota (q107) and stratified language mix (q64)
+      val quota = TrainPrep.domainQuota(clean, lower(col("source")),
+          "doc_id", cap = 15)
+        .drop("domain", "quota_rank")
+      val mixed = cs.cache(TrainPrep.stratifiedSample(quota, "doc_id", "lang",
+        Map("en" -> 80, "de" -> 50, "fr" -> 50, "es" -> 30, "zh" -> 20)))
+      // tokenize FROM the committed artifact (q222 shape)
+      val vocab = TokenizerArtifact.parseUnigram(
+        TokenizerArtifact.load(s, q227ArtifactDir(dir))
+          .getOrElse(sys.error(s"q227: no artifact at ${q227ArtifactDir(dir)}")))
+      val tkf = UnigramLm.apply(mixed, "doc_id", "text", vocab, 4)
+        .join(mixed.select(col("doc_id"), col("lang"), col("source")), "doc_id")
+      // pack into seeded epoch shards on the TOKENIZED length (q216)
+      val packed = TrainPrep.packEpochShards(
+        tkf.select(col("doc_id"), col("n_pieces")), "doc_id", "n_pieces",
+        seed = "graft16", epochs = 2, nShards = 8, budget = 512L)
+      packed.join(tkf.drop("n_pieces"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+          col("n_tok").as("n_pieces"), col("pieces_md5"), col("nll_micro"),
+          col("epoch"), col("shard"), col("pos"), col("pack_id"),
+          col("pack_offset"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+    Some(s"""
+      |WITH crawl AS (
+      |  SELECT doc_id, lang, source, n_chars, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, source, n_chars, text FROM documents
+      |  WHERE doc_id % 10 = 7),
+      |pl AS (SELECT doc_id, lang, source, text
+      |    || CASE WHEN n_chars % 3 = 0 THEN ' contact user'
+      |        || CAST(n_chars AS VARCHAR) || '@example.com now' ELSE '' END
+      |    || CASE WHEN n_chars % 4 = 0 THEN ' call 555-'
+      |        || lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |      AS text
+      |  FROM crawl),
+      |-- closed-form q125 extraction of the id-free wrapper
+      |exd AS (SELECT doc_id, lang, source,
+      |    trim(regexp_replace('Corpus Title & body ' || text
+      |      || ' Home <> About', '\\s+', ' ', 'g')) AS text
+      |  FROM pl),
+      |corpus AS (SELECT doc_id, lang, source,
+      |    regexp_replace(regexp_replace(text,
+      |      '$q227EmailRe', '<EMAIL>', 'g'),
+      |      '$q227PhoneRe', '<PHONE>', 'g') AS text
+      |  FROM exd),
+      |traincorpus AS (SELECT text FROM corpus WHERE doc_id < 1000000),
+      |tq AS (SELECT doc_id, lang, source, text,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk,
+      |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |      AS n_alpha,
+      |    CAST(length(text) AS DOUBLE) AS nc
+      |  FROM corpus),
+      |qd AS (SELECT doc_id, lang, source, text, tk FROM tq
+      |  WHERE len(tk) >= 20 AND nc > 0 AND n_alpha / nc >= 0.5),
+      |ddrn AS (SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      |    ORDER BY doc_id) AS rn FROM qd),
+      |ded AS (SELECT doc_id, lang, source, text, tk FROM ddrn WHERE rn = 1),
+      |ndb AS (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(tk) < 2 THEN []
+      |      ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |      END) AS sh
+      |  FROM ded),
+      |ndb2 AS (SELECT doc_id, sh FROM ndb WHERE len(sh) > 0),
+      |ndh AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(list_transform(sh, s -> md5(s)), h ->
+      |      list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+      |          * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % ${TextOps.MinhashP})
+      |      AS hvals
+      |  FROM ndb2),
+      |ndsig AS (
+      |  SELECT doc_id, sh,
+      |    [${TextOps.MinhashCoeffs.take(8).map { case (a, b) =>
+             s"list_min(list_transform(hvals, h -> (h * $a + $b) % ${TextOps.MinhashP}))"
+           }.mkString(",\n      |     ")}] AS sg
+      |  FROM ndh),
+      |ndband AS (
+      |  ${(0 until 4).map { bd =>
+           s"SELECT doc_id, $bd AS band, CAST(sg[${2 * bd + 1}] AS VARCHAR) || '-' || " +
+             s"CAST(sg[${2 * bd + 2}] AS VARCHAR) AS bkey FROM ndsig"
+         }.mkString(" UNION ALL\n      |  ")}),
+      |ndcand AS (
+      |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      |  FROM ndband x JOIN ndband y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |ndj AS (
+      |  SELECT id1, id2,
+      |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+      |         END AS jaccard
+      |  FROM ndcand
+      |  JOIN ndb2 a ON a.doc_id = id1
+      |  JOIN ndb2 b ON b.doc_id = id2),
+      |nd AS (SELECT doc_id, lang, source, text, tk FROM ded
+      |  WHERE doc_id NOT IN (SELECT DISTINCT id2 FROM ndj WHERE jaccard >= 0.2)),
+      |prg AS (SELECT DISTINCT gram FROM (
+      |    SELECT unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+      |      i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+      |    FROM tq WHERE doc_id % 97 = 0 AND doc_id < 1000000 AND len(tk) >= 5)),
+      |cg5 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' '))))
+      |      AS gram
+      |  FROM nd
+      |  WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000) AND len(tk) >= 5),
+      |hit AS (SELECT DISTINCT doc_id FROM cg5
+      |  WHERE gram IN (SELECT gram FROM prg)),
+      |cln AS (SELECT doc_id, lang, source, text, tk FROM nd
+      |  WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000)
+      |    AND doc_id NOT IN (SELECT doc_id FROM hit)),
+      |qtr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lower(source)
+      |    ORDER BY md5(lower(source) || '|' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS qr
+      |  FROM cln),
+      |mx AS (SELECT doc_id, lang, source, tk FROM qtr
+      |  WHERE qr <= 15
+      |    AND ${sqlMd5Bucket("CAST(doc_id AS VARCHAR)", 100)}
+      |      < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+      |        WHEN 'es' THEN 30 WHEN 'zh' THEN 20 ELSE -1 END),
+      |${unigramSeedCtes(48, "traincorpus")},
+      |$unigramLatticeCtes,
+      |dl AS (SELECT doc_id, tk AS ws FROM mx),
+      |$unigramApplyAggCtes,
+      |tkf AS (SELECT dl.doc_id, mx.lang, mx.source,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    COALESCE(n_pieces, 0) AS n_pieces,
+      |    COALESCE(pieces_md5, md5('')) AS pieces_md5,
+      |    COALESCE(nll_micro, 0) AS nll_micro
+      |  FROM dl LEFT JOIN agg USING (doc_id) JOIN mx USING (doc_id)),
+      |ep AS (SELECT doc_id, unnest(range(0, 2)) AS epoch FROM tkf),
+      |epk AS (SELECT doc_id, epoch,
+      |    'graft16:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)
+      |      AS inp
+      |  FROM ep),
+      |shd AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, md5(inp) AS k2,
+      |    ${sqlMd5Bucket("inp", 8)} AS shard
+      |  FROM epk),
+      |pp AS (SELECT doc_id, epoch, shard,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+      |      ORDER BY k2, doc_id) AS BIGINT) AS pos
+      |  FROM shd),
+      |cm AS (SELECT p.doc_id, p.epoch, p.shard, p.pos, tkf.n_pieces,
+      |    SUM(tkf.n_pieces) OVER (PARTITION BY p.epoch, p.shard ORDER BY p.pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM pp p JOIN tkf ON p.doc_id = tkf.doc_id)
+      |SELECT cm.doc_id, tkf.lang, tkf.source, tkf.n_words, cm.n_pieces,
+      |  tkf.pieces_md5, tkf.nll_micro, cm.epoch, cm.shard, cm.pos,
+      |  CAST((c - cm.n_pieces) // 512 AS BIGINT) AS pack_id,
+      |  CAST((c - cm.n_pieces) % 512 AS BIGINT) AS pack_offset
+      |FROM cm JOIN tkf ON cm.doc_id = tkf.doc_id
+      |ORDER BY cm.doc_id, cm.epoch
+      |""".stripMargin.trim),
+    prepare = Some((s, dir) => {
+      import graft.operators.{TokenizerArtifact, UnigramLm}
+      val train = q227Corpus(s, dir).filter(col("doc_id") < 1000000L)
+      val vocab = UnigramLm.collectVocab(
+        UnigramLm.seedVocab(train, "text", maxPieceLen = 4, vocabSize = 48))
+      TokenizerArtifact.commit(s, q227ArtifactDir(dir),
+        TokenizerArtifact.serializeUnigram(vocab))
+      ()
+    }))
+
+
+  // ==========================================================================
+  // Round 16 — trained quality classifier (verdict item 3): integer
+  // logistic regression over the q110 hashed features, the q193
+  // single-quantization discipline applied to gradient descent. The
+  // fixture plants a spam-marker suffix on every doc_id % 5 == 0
+  // document (label 1); the model must learn to find it from hashed
+  // bag-of-words evidence alone.
+  // ==========================================================================
+
+  private val logregDim = 64
+  private val logregRounds = 32
+  private val logregLrDiv = 2L
+
+  /** The planted-label fixture shared by q228/q229. */
+  private def logregDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" buy now click here free offer"))
+          .otherwise(lit(""))).as("text"),
+      when(col("doc_id") % 5 === 0, lit(1L)).otherwise(lit(0L)).as("y"))
+
+  /** Fixture + features + labels + w0 CTEs for the logreg oracles. */
+  private def logregBaseCtes: String = s"""
+    |ld AS (SELECT doc_id,
+    |    text || CASE WHEN doc_id % 5 = 0
+    |      THEN ' buy now click here free offer' ELSE '' END AS text,
+    |    CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y
+    |  FROM documents),
+    |ltok AS (SELECT doc_id,
+    |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+    |      t -> t <> '')) AS t
+    |  FROM ld),
+    |lh AS (SELECT doc_id,
+    |    CAST(list_sum(list_transform(range(1, 9), i ->
+    |      (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+    |        * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % $logregDim AS BIGINT)
+    |      AS bucket,
+    |    CASE WHEN (strpos('0123456789abcdef', substr(md5(t), 9, 1)) - 1) % 2 = 0
+    |         THEN 1 ELSE -1 END AS s
+    |  FROM ltok),
+    |feats AS MATERIALIZED (SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS value
+    |  FROM lh GROUP BY 1, 2
+    |  UNION ALL SELECT doc_id, CAST($logregDim AS BIGINT) AS bucket,
+    |    CAST(1 AS BIGINT) AS value FROM ld),
+    |lab AS MATERIALIZED (SELECT doc_id, y FROM ld),
+    |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+    |w0 AS MATERIALIZED (SELECT CAST(unnest(range(0, ${logregDim + 1})) AS BIGINT) AS bucket,
+    |    CAST(0 AS BIGINT) AS w)""".stripMargin.trim
+
+  /** One unrolled GD round: margins under w(r−1) → micro-quantized
+    * sigmoid (the single transcendental) → per-bucket gradient →
+    * truncating-division weight step (DuckDB `//` == Scala `Long./`,
+    * both toward zero). */
+  private def logregRoundSql(r: Int): String = s"""
+    |lm$r AS MATERIALIZED (SELECT doc_id, CAST(SUM(value * w) AS BIGINT) AS m
+    |  FROM feats JOIN w${r - 1} USING (bucket) GROUP BY 1),
+    |lp$r AS MATERIALIZED (SELECT doc_id,
+    |    CAST(round(1000000.0 / (1.0 + exp(-CAST(m AS DOUBLE) / 1000000.0)))
+    |      AS BIGINT) AS p
+    |  FROM lm$r),
+    |lg$r AS MATERIALIZED (SELECT bucket,
+    |    CAST(SUM(value * (p - 1000000 * y)) AS BIGINT) AS g
+    |  FROM feats JOIN lp$r USING (doc_id) JOIN lab USING (doc_id)
+    |  GROUP BY 1),
+    |w$r AS MATERIALIZED (SELECT w${r - 1}.bucket,
+    |    CAST(w${r - 1}.w - COALESCE(lg$r.g, 0) // ($logregLrDiv * nn.n)
+    |      AS BIGINT) AS w
+    |  FROM w${r - 1} LEFT JOIN lg$r USING (bucket) CROSS JOIN nn)""".stripMargin.trim
+
+  /** Quality-classifier TRAINING (round 16): `logregRounds` full-batch
+    * integer-GD rounds over signed hashed features; output is the final
+    * weight vector itself — dim+1 rows of integer micros. The oracle
+    * unrolls every round in SQL (the q212/q220 unrolled-trainer pattern
+    * applied to gradient descent): a drifted sigmoid quantization, a
+    * divergent division semantics, or one wrong gradient sum in ANY
+    * round moves some weight. Each engine round is two partial-
+    * aggregating shuffles; only the (dim+1)-long gradient reaches the
+    * driver.
+    */
+  val q228: Q = Q(
+    "q228_quality_logreg_train",
+    (s, dir) => {
+      val w = TrainPrep.logregTrain(logregDocs(s, dir), "doc_id", "text",
+        "y", logregDim, logregRounds, logregLrDiv)
+      import s.implicits._
+      w.zipWithIndex.map { case (v, j) => (j.toLong, v) }
+        .toDF("bucket", "w_micro").orderBy(col("bucket"))
+    },
+    Some(s"""
+      |WITH $logregBaseCtes,
+      |${(1 to logregRounds).map(logregRoundSql).mkString(",\n")}
+      |SELECT bucket, w AS w_micro FROM w$logregRounds ORDER BY bucket
+      |""".stripMargin.trim))
+
+  /** Quality-classifier SCORING, end to end (round 16): train the q228
+    * model at query time, then score the corpus under the final
+    * weights — per doc the integer margin, the micro sigmoid, the 0/1
+    * prediction, and the planted label. The oracle replays training AND
+    * scoring in one WITH, so this is the composition gate for the
+    * classifier (a correct-looking q228 with a broken scorer — or the
+    * reverse — cannot pass). Scoring is one broadcast join + one
+    * aggregate; the q73-family quality gate can consume `pred` as a
+    * drop-in filter.
+    */
+  val q229: Q = Q(
+    "q229_quality_logreg_score",
+    (s, dir) => {
+      val docs = logregDocs(s, dir)
+      val w = TrainPrep.logregTrain(docs, "doc_id", "text", "y",
+        logregDim, logregRounds, logregLrDiv)
+      TrainPrep.logregScore(docs, "doc_id", "text", w, logregDim)
+        .join(docs.select(col("doc_id"), col("y")), "doc_id")
+        .select(col("doc_id"), col("y"), col("margin_micro"),
+          col("p_micro"), col("pred"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH $logregBaseCtes,
+      |${(1 to logregRounds).map(logregRoundSql).mkString(",\n")},
+      |fm AS (SELECT doc_id, CAST(SUM(value * w) AS BIGINT) AS margin_micro
+      |  FROM feats JOIN w$logregRounds USING (bucket) GROUP BY 1)
+      |SELECT fm.doc_id, lab.y, fm.margin_micro,
+      |  CAST(round(1000000.0 / (1.0 + exp(-CAST(margin_micro AS DOUBLE)
+      |    / 1000000.0))) AS BIGINT) AS p_micro,
+      |  CAST(CASE WHEN margin_micro >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+      |FROM fm JOIN lab USING (doc_id) ORDER BY fm.doc_id
       |""".stripMargin.trim))
 
   val all: Seq[Q] = Seq(
@@ -9876,5 +10348,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
 }

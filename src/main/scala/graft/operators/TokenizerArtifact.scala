@@ -17,19 +17,22 @@ import graft.streaming.VersionedLedger
   * with the payload stored as a RAW TEXT FILE (`v{N}/tokenizer.txt`), the
   * deployed shape: byte-exact, human-diffable, readable without Spark.
   *
-  * Serialization `v1` (one format across the three published tokenizer
+  * Serialization `v2` (one format across the three published tokenizer
   * families this repo trains — BPE/byte-BPE merge lists, WordPiece
-  * vocabularies, unigram-LM scored vocabularies):
+  * vocabularies, unigram-LM scored vocabularies; `v2` adds the
+  * special-token registry to `v1`):
   *
   * {{{
-  *   graft-tokenizer\tv1\t<family>\t<n>\n     // header
-  *   <entry line>\n                           // × n, family-specific:
+  *   graft-tokenizer\tv2\t<family>\t<n>\t<k>\n // header
+  *   special\t<id>\t<role>\t<token>\n          // × k, id ascending 0..k-1
+  *   <entry line>\n                            // × n, family-specific:
   *   //   unigram:   piece\tcnt\tlp_micro     (piece ascending by code
   *   //              point == UTF-8 byte order — DuckDB's ORDER BY)
   *   //   bytebpe:   rank\ta\tb               (rank ascending)
   *   //   wordpiece: rank\tpiece              (vocab order: sorted
   *   //              alphabet, then merge outputs in rank order, deduped
   *   //              keeping the first occurrence)
+  *   // regular entries take ids k..k+n-1 in file order
   * }}}
   *
   * Every line is LF-terminated (the file ends with one LF); fields are
@@ -46,7 +49,28 @@ import graft.streaming.VersionedLedger
 object TokenizerArtifact {
 
   val Header = "graft-tokenizer"
-  val Version = "v1"
+  val Version = "v2"
+
+  /** The special-token registry (round 16 — verdict item 4): a real
+    * deployment pins [PAD]/[UNK]/[BOS]/[EOS] IDS in the artifact — the
+    * first thing a consumer of `tokenizer.txt` asks — instead of
+    * leaving them family-implicit. `v2` writes one `special` line per
+    * registered token, id-ascending, BEFORE the entries; regular
+    * entries take the ids `k..k+n-1` in file order, so every piece's
+    * id is derivable from the artifact alone. Apply faces consume the
+    * registry (q225's WordPiece unk comes FROM the artifact, not a
+    * constant). The default registry is the conventional four; ids are
+    * explicit in the bytes, never positional convention.
+    */
+  val DefaultSpecials: Seq[(String, String)] =
+    Seq("pad" -> "[PAD]", "unk" -> "[UNK]", "bos" -> "[BOS]", "eos" -> "[EOS]")
+
+  /** The serialized specials block: `special\t<id>\t<role>\t<token>`
+    * lines, id ascending — constant across families. */
+  def specialsBlock(specials: Seq[(String, String)]): String =
+    specials.zipWithIndex.map { case ((role, tok), i) =>
+      s"special\t$i\t${fence(role, "special role")}\t${fence(tok, "special token")}"
+    }.mkString("\n")
 
   private def fence(s: String, what: String): String = {
     require(s.nonEmpty &&
@@ -76,36 +100,62 @@ object TokenizerArtifact {
       }
     }
 
-  private def render(family: String, lines: Seq[String]): String =
-    (s"$Header\t$Version\t$family\t${lines.size}" +: lines)
-      .mkString("", "\n", "\n")
+  private def render(family: String, lines: Seq[String],
+      specials: Seq[(String, String)]): String = {
+    require(specials.map(_._1).distinct.size == specials.size,
+      "render: duplicate special roles")
+    require(specials.map(_._2).distinct.size == specials.size,
+      "render: duplicate special tokens")
+    (s"$Header\t$Version\t$family\t${lines.size}\t${specials.size}" +:
+      (if (specials.isEmpty) Seq.empty[String]
+       else Seq(specialsBlock(specials))) ++:
+      lines).mkString("", "\n", "\n")
+  }
+
+  /** Refuse trained pieces that collide with a registered special token
+    * — an id would become ambiguous. Can't happen for corpus-trained
+    * vocabs (brackets never survive the word model), fenced anyway. */
+  private def fenceCollisions(pieces: Iterable[String],
+      specials: Seq[(String, String)]): Unit = {
+    val st = specials.map(_._2).toSet
+    pieces.find(st.contains).foreach(p => throw new IllegalArgumentException(
+      s"TokenizerArtifact: trained piece '$p' collides with a special token"))
+  }
 
   /** Unigram-LM vocabulary, piece-ascending — the total order the q191
     * seed already exposes, so the artifact is independent of training
     * traversal order. */
-  def serializeUnigram(vocab: Seq[UnigramLm.Piece]): String = {
+  def serializeUnigram(vocab: Seq[UnigramLm.Piece],
+      specials: Seq[(String, String)] = DefaultSpecials): String = {
     val sorted = vocab.sortBy(_.piece)(codePointOrder)
     require(sorted.map(_.piece).distinct.size == sorted.size,
       "serializeUnigram: duplicate pieces")
+    fenceCollisions(sorted.map(_.piece), specials)
     render("unigram",
-      sorted.map(p => s"${fence(p.piece, "piece")}\t${p.cnt}\t${p.lp_micro}"))
+      sorted.map(p => s"${fence(p.piece, "piece")}\t${p.cnt}\t${p.lp_micro}"),
+      specials)
   }
 
   /** BPE/byte-BPE merge list in rank order — rank IS the semantics (the
     * apply chain replays merges in training order). */
-  def serializeMerges(merges: Seq[(String, String)]): String =
+  def serializeMerges(merges: Seq[(String, String)],
+      specials: Seq[(String, String)] = DefaultSpecials): String = {
+    fenceCollisions(merges.flatMap(m => Seq(m._1, m._2)), specials)
     render("bytebpe", merges.zipWithIndex.map { case ((a, b), i) =>
       s"$i\t${fence(a, "merge lhs")}\t${fence(b, "merge rhs")}"
-    })
+    }, specials)
+  }
 
   /** WordPiece vocabulary in its derivation order (sorted alphabet, then
     * merge outputs by rank, first occurrence kept) — the order
     * [[TrainPrep.wordPieceVocabFromTrain]] returns. */
-  def serializeWordPiece(vocab: Seq[String]): String = {
+  def serializeWordPiece(vocab: Seq[String],
+      specials: Seq[(String, String)] = DefaultSpecials): String = {
     require(vocab.distinct.size == vocab.size, "serializeWordPiece: duplicates")
+    fenceCollisions(vocab, specials)
     render("wordpiece", vocab.zipWithIndex.map { case (p, i) =>
       s"$i\t${fence(p, "piece")}"
-    })
+    }, specials)
   }
 
   /** md5 hex of the artifact's exact UTF-8 bytes — the 1-row digest q221
@@ -116,23 +166,45 @@ object TokenizerArtifact {
       .map(b => f"${b & 0xff}%02x").mkString
   }
 
-  private def headerOf(content: String): (String, Int) = {
+  private def headerOf(content: String): (String, Int, Int) = {
     val first = content.takeWhile(_ != '\n')
     val parts = first.split('\t')
-    require(parts.length == 4 && parts(0) == Header && parts(1) == Version,
+    require(parts.length == 5 && parts(0) == Header && parts(1) == Version,
       s"TokenizerArtifact: bad header '$first'")
-    (parts(2), parts(3).toInt)
+    (parts(2), parts(3).toInt, parts(4).toInt)
   }
 
   /** The family tag of a serialized artifact. */
   def family(content: String): String = headerOf(content)._1
 
+  /** The special-token registry of a serialized artifact, id-ascending:
+    * (id, role, token). Ids are validated dense from 0. */
+  def specialTokens(content: String): Seq[(Long, String, String)] = {
+    val (_, _, k) = headerOf(content)
+    require(content.endsWith("\n"), "TokenizerArtifact: missing final LF")
+    content.dropRight(1).split('\n').toSeq.slice(1, 1 + k)
+      .zipWithIndex.map { case (l, i) =>
+        val Array(tag, id, role, tok) = l.split('\t')
+        require(tag == "special" && id.toInt == i,
+          s"TokenizerArtifact: bad special line $i: '$l'")
+        (id.toLong, role, tok)
+      }
+  }
+
+  /** The registered token for `role` (e.g. "unk"), or an error — the
+    * apply faces consume this instead of family-implicit constants. */
+  def specialToken(content: String, role: String): String =
+    specialTokens(content).collectFirst { case (_, r, tok) if r == role => tok }
+      .getOrElse(throw new IllegalArgumentException(
+        s"TokenizerArtifact: no special token for role '$role'"))
+
   private def entryLines(content: String, wantFamily: String): Seq[String] = {
-    val (fam, n) = headerOf(content)
+    val (fam, n, k) = headerOf(content)
     require(fam == wantFamily,
       s"TokenizerArtifact: family '$fam', expected '$wantFamily'")
     require(content.endsWith("\n"), "TokenizerArtifact: missing final LF")
-    val lines = content.dropRight(1).split('\n').toSeq.drop(1)
+    specialTokens(content) // validates the specials block
+    val lines = content.dropRight(1).split('\n').toSeq.drop(1 + k)
     require(lines.size == n,
       s"TokenizerArtifact: header says $n entries, found ${lines.size}")
     lines

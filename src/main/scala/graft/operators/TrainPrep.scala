@@ -1141,10 +1141,11 @@ object TrainPrep {
     * spaces). Distinct words segment once, join back on the word.
     */
   def wordPieceApply(docs: DataFrame, idCol: String, textCol: String,
-      vocab: Seq[String], maxInputChars: Int = 100): DataFrame = {
+      vocab: Seq[String], maxInputChars: Int = 100,
+      unk: String = "[UNK]"): DataFrame = {
     val words = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w")).distinct()
-    val seg = wordPieceSegmentWords(words, vocab, maxInputChars)
+    val seg = wordPieceSegmentWords(words, vocab, maxInputChars, unk)
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       TextOps.tokens(col(textCol)).as("__w"))
     val stats = base.select(col("doc_id"),
@@ -1179,10 +1180,10 @@ object TrainPrep {
     */
   def tokenizerFertility(docs: DataFrame, idCol: String, textCol: String,
       sourceCol: String, vocab: Seq[String],
-      maxInputChars: Int = 100): DataFrame = {
+      maxInputChars: Int = 100, unk: String = "[UNK]"): DataFrame = {
     val words = docs
       .select(explode(TextOps.tokens(col(textCol))).as("w")).distinct()
-    val seg = wordPieceSegmentWords(words, vocab, maxInputChars)
+    val seg = wordPieceSegmentWords(words, vocab, maxInputChars, unk)
     val base = docs.select(col(sourceCol).cast("string").as("source"),
       TextOps.tokens(col(textCol)).as("__w"))
     val stats = base.groupBy(col("source"))
@@ -1669,5 +1670,129 @@ object TrainPrep {
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
         expr("bit_xor(__h)").as("digest_xor"))
+  }
+
+  // ==========================================================================
+  // Trained quality classifier (round 16 — verdict item 3): deterministic
+  // integer-micro BATCH logistic regression over the q110 hashed
+  // bag-of-words features. Production pipelines pair the heuristic
+  // quality surface (qualityMetrics, repetition, DSIR weights) with a
+  // TRAINED scorer (fastText-style linear model over hashed n-grams);
+  // this is that scorer under the repo's exactness discipline: weights
+  // and margins are integer micros, the ONE transcendental per
+  // (round, doc) is the sigmoid — quantized immediately to micros, the
+  // q193 single-quantization contract — and the learning step is plain
+  // integer division, which truncates toward zero IDENTICALLY in Scala
+  // (`Long./`) and DuckDB (`//`), so the oracle replays every round
+  // exactly (q228/q229 unroll the training loop in SQL).
+  //
+  // Scale shape (100 TB): the feature table (doc, bucket, value) is
+  // built once (one explode + partial-aggregating groupBy — the q110
+  // plan) and reused every round; each round is TWO aggregations — a
+  // per-doc margin sum under the broadcast (dim+1)-row weight vector,
+  // and a per-bucket gradient sum — with only the (dim+1)-long gradient
+  // ever reaching the driver. Rounds are a driver loop over bounded
+  // state, exactly like bpeTrain's merge loop.
+  // ==========================================================================
+
+  /** One sigmoid, micro-quantized: p = round(1e6 / (1 + exp(−m/1e6))).
+    * The only transcendental in the classifier; both engines compute it
+    * on IEEE doubles from the same integer margin and round once. */
+  private def sigmoidMicro(m: Column): Column =
+    round(lit(1000000.0) / (lit(1.0) + exp(-m.cast("double") / lit(1000000.0))))
+      .cast("long")
+
+  /** Signed hashed features + a bias coordinate at bucket = dim:
+    * (doc_id, bucket, value) with value = [[TextOps.featureHash]]'s
+    * signed token-count sum, bias value 1. */
+  private def logregFeatures(docs: DataFrame, idCol: String,
+      textCol: String, dim: Int): DataFrame =
+    TextOps.featureHash(docs, idCol, textCol, dim)
+      .select(col(idCol).cast("long").as("doc_id"), col("bucket"),
+        col("value").cast("long").as("value"))
+      .unionByName(docs.select(col(idCol).cast("long").as("doc_id"),
+        lit(dim.toLong).as("bucket"), lit(1L).as("value")))
+
+  /** Train `rounds` of full-batch gradient descent; returns the final
+    * weight vector (bucket 0..dim, micros). Update per round:
+    * w_j ← w_j − Σ_i value_ij·(p_i − 1e6·y_i) / (lrDiv·n), truncating
+    * integer division (identical in Scala and DuckDB — see the block
+    * comment). w0 = 0. `labelCol` must be 0/1.
+    */
+  def logregTrain(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int, rounds: Int,
+      lrDiv: Long = 8L): Seq[Long] = {
+    require(dim >= 1 && dim <= 4096, s"logregTrain: bad dim $dim")
+    require(rounds >= 0 && rounds <= 64, s"logregTrain: bad rounds $rounds")
+    require(lrDiv >= 1, s"logregTrain: bad lrDiv $lrDiv")
+    val spark = docs.sparkSession
+    val feats = logregFeatures(docs, idCol, textCol, dim).localCheckpoint()
+    val labels = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(labelCol).cast("long").as("y")).localCheckpoint()
+    val n = labels.count()
+    require(n > 0, "logregTrain: empty corpus")
+    val w = Array.fill(dim + 1)(0L)
+    var r = 0
+    while (r < rounds) {
+      val g = logregGradient(spark, feats, labels, w)
+      var j = 0
+      while (j <= dim) {
+        // truncating division — Long./ == DuckDB // (both toward zero)
+        w(j) -= g.getOrElse(j.toLong, 0L) / (lrDiv * n)
+        j += 1
+      }
+      r += 1
+    }
+    w.toSeq
+  }
+
+  /** Σ_i value_ij·(p_i − 1e6·y_i) per bucket under broadcast weights —
+    * the (dim+1)-sized control-plane read of one training round. */
+  private def logregGradient(spark: org.apache.spark.sql.SparkSession,
+      feats: DataFrame, labels: DataFrame,
+      w: Array[Long]): Map[Long, Long] = {
+    val wDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        w.toSeq.zipWithIndex.map { case (v, j) => org.apache.spark.sql.Row(j.toLong, v) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val margins = feats.join(broadcast(wDf), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("value") * col("w")).cast("long").as("m"))
+    margins.select(col("doc_id"), sigmoidMicro(col("m")).as("p"))
+      .join(labels, "doc_id")
+      .join(feats, "doc_id")
+      .groupBy(col("bucket"))
+      .agg(sum(col("value") * (col("p") - lit(1000000L) * col("y")))
+        .cast("long").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Score a corpus under a trained weight vector: per doc the integer
+    * margin, the micro-quantized probability, and the 0/1 prediction
+    * (p ≥ 0.5 ⇔ margin ≥ 0). */
+  def logregScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long], dim: Int): DataFrame = {
+    require(weights.size == dim + 1,
+      s"logregScore: need ${dim + 1} weights, got ${weights.size}")
+    val spark = docs.sparkSession
+    val wDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        weights.zipWithIndex.map { case (v, j) => org.apache.spark.sql.Row(j.toLong, v) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    logregFeatures(docs, idCol, textCol, dim)
+      .join(broadcast(wDf), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("value") * col("w")).cast("long").as("margin_micro"))
+      .select(col("doc_id"), col("margin_micro"),
+        sigmoidMicro(col("margin_micro")).as("p_micro"),
+        when(col("margin_micro") >= 0L, 1L).otherwise(0L).as("pred"))
   }
 }

@@ -669,12 +669,13 @@ object StreamingOps {
     import graft.operators.{TokenizerArtifact, TrainPrep}
     val spark = batch.sparkSession
     if (!VersionedLedger.alreadyApplied(spark, ledgerPath, runTag, batchId)) {
-      val vocab = TokenizerArtifact.parseWordPiece(
-        TokenizerArtifact.load(spark, artifactPath).getOrElse(
-          throw new java.io.FileNotFoundException(
-            s"tokenizerFertilityStream: no tokenizer artifact at $artifactPath")))
+      val content = TokenizerArtifact.load(spark, artifactPath).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"tokenizerFertilityStream: no tokenizer artifact at $artifactPath"))
+      val vocab = TokenizerArtifact.parseWordPiece(content)
       val delta = TrainPrep.tokenizerFertility(batch, idCol, textCol,
-          sourceCol, vocab, maxInputChars)
+          sourceCol, vocab, maxInputChars,
+          unk = TokenizerArtifact.specialToken(content, "unk"))
         .select(col("source"), col("n_docs"), col("n_words"),
           col("n_tokens"), col("n_unk"))
       val merged = VersionedLedger.read(spark, ledgerPath) match {

@@ -21,10 +21,12 @@ class ArtifactSpec extends SparkSpec {
     val c1 = TokenizerArtifact.serializeUnigram(uniVocab)
     val c2 = TokenizerArtifact.serializeUnigram(uniVocab.reverse)
     assert(c1 == c2, "entry order in memory must not leak into the bytes")
-    assert(c1.startsWith("graft-tokenizer\tv1\tunigram\t4\n"))
+    assert(c1.startsWith("graft-tokenizer\tv2\tunigram\t4\t4\n" +
+      "special\t0\tpad\t[PAD]\nspecial\t1\tunk\t[UNK]\n" +
+      "special\t2\tbos\t[BOS]\nspecial\t3\teos\t[EOS]\n"))
     assert(c1.endsWith("\n"))
-    // canonical piece-ascending order
-    val lines = c1.dropRight(1).split('\n').drop(1)
+    // canonical piece-ascending order (skip header + 4 specials)
+    val lines = c1.dropRight(1).split('\n').drop(5)
     assert(lines.map(_.split('\t')(0)).toSeq == lines.map(_.split('\t')(0)).sorted.toSeq)
     assert(TokenizerArtifact.serializeMerges(merges) ==
       TokenizerArtifact.serializeMerges(merges))
@@ -133,7 +135,7 @@ class ArtifactSpec extends SparkSpec {
     val pua = "\uE000"
     val vocab = Seq(Piece(emoji, 1, -1L), Piece(pua, 2, -2L), Piece("z", 3, -3L))
     val c = TokenizerArtifact.serializeUnigram(vocab)
-    val order = c.dropRight(1).split('\n').drop(1).map(_.split('\t')(0)).toSeq
+    val order = c.dropRight(1).split('\n').drop(5).map(_.split('\t')(0)).toSeq
     assert(order == Seq("z", pua, emoji),
       s"expected code-point order, got ${order.map(_.codePoints.toArray.toSeq)}")
     // and it really is UTF-8 byte order
@@ -143,6 +145,30 @@ class ArtifactSpec extends SparkSpec {
     // while UTF-16 natural order would have disagreed
     assert(vocab.map(_.piece).sorted != byByte,
       "fixture must actually distinguish the two orders")
+  }
+
+  test("v2 special-token registry: explicit ids, role lookup, round trip, collision fence") {
+    val c = TokenizerArtifact.serializeWordPiece(wpVocab)
+    // ids are explicit in the bytes and dense from 0
+    assert(TokenizerArtifact.specialTokens(c) == Seq(
+      (0L, "pad", "[PAD]"), (1L, "unk", "[UNK]"),
+      (2L, "bos", "[BOS]"), (3L, "eos", "[EOS]")))
+    assert(TokenizerArtifact.specialToken(c, "unk") == "[UNK]")
+    intercept[IllegalArgumentException] {
+      TokenizerArtifact.specialToken(c, "cls") // not registered
+    }
+    // parse skips the registry and still round-trips the entries
+    assert(TokenizerArtifact.parseWordPiece(c) == wpVocab)
+    // a trained piece colliding with a registered special is refused —
+    // its id would be ambiguous
+    intercept[IllegalArgumentException] {
+      TokenizerArtifact.serializeWordPiece(wpVocab :+ "[UNK]")
+    }
+    // a custom registry serializes and reads back
+    val c2 = TokenizerArtifact.serializeMerges(merges,
+      specials = Seq("unk" -> "<unk>"))
+    assert(TokenizerArtifact.specialTokens(c2) == Seq((0L, "unk", "<unk>")))
+    assert(TokenizerArtifact.parseMerges(c2) == merges)
   }
 
   test("applying from a parsed artifact equals applying from the in-memory vocab") {

@@ -510,4 +510,68 @@ class TrainPrepSpec extends SparkSpec {
       .drop("epoch", "shard")
     assert(one.count() > 0 && one.count() == full.count())
   }
+
+  test("logreg: converges on a separable planted fixture; scoring is the training margin") {
+    import spark.implicits._
+    // 40 docs: half carry an unmistakable marker vocabulary, half don't —
+    // linearly separable in hashed space with near-zero collision noise
+    val docs = (0L until 40L).map { i =>
+      val base = "alpha beta gamma delta epsilon"
+      val text = if (i % 2 == 0) base + " spamword junkword scamword" else base
+      (i, text, if (i % 2 == 0) 1L else 0L)
+    }.toDF("doc_id", "text", "y")
+    val w = TrainPrep.logregTrain(docs, "doc_id", "text", "y",
+      dim = 64, rounds = 32, lrDiv = 2L)
+    assert(w.size == 65)
+    val scored = TrainPrep.logregScore(docs, "doc_id", "text", w, dim = 64)
+      .join(docs.select(col("doc_id"), col("y")), "doc_id")
+      .collect()
+    assert(scored.forall(r => r.getAs[Long]("pred") == r.getAs[Long]("y")),
+      "separable fixture must classify perfectly")
+    // probability face is consistent with the margin face
+    assert(scored.forall { r =>
+      val p = r.getAs[Long]("p_micro"); val m = r.getAs[Long]("margin_micro")
+      (m >= 0) == (p >= 500000L)
+    })
+    // determinism: retraining yields the identical weight vector
+    assert(TrainPrep.logregTrain(docs, "doc_id", "text", "y",
+      dim = 64, rounds = 32, lrDiv = 2L) == w)
+  }
+
+  test("logreg: the learning step divides TOWARD ZERO on both signs (the DuckDB // contract)") {
+    import spark.implicits._
+    // one positive doc, one negative doc, a single marker feature each —
+    // after one round the gradient signs are opposite; with a huge lrDiv
+    // the truncating division must yield EXACTLY zero for both (floor
+    // division would yield -1 on the negative side and the weights would
+    // drift apart from the oracle replay)
+    val docs = Seq((0L, "posmarker", 1L), (1L, "negmarker", 0L))
+      .toDF("doc_id", "text", "y")
+    val w = TrainPrep.logregTrain(docs, "doc_id", "text", "y",
+      dim = 8, rounds = 1, lrDiv = 1000000000L)
+    assert(w.forall(_ == 0L),
+      s"truncating division must zero every sub-threshold step, got $w")
+  }
+
+  test("logreg: training loss decreases across rounds on the planted fixture") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      val base = "alpha beta gamma delta epsilon"
+      val text = if (i % 2 == 0) base + " spamword junkword scamword" else base
+      (i, text, if (i % 2 == 0) 1L else 0L)
+    }.toDF("doc_id", "text", "y")
+    def loss(rounds: Int): Double = {
+      val w = TrainPrep.logregTrain(docs, "doc_id", "text", "y",
+        dim = 64, rounds = rounds, lrDiv = 2L)
+      TrainPrep.logregScore(docs, "doc_id", "text", w, dim = 64)
+        .join(docs.select(col("doc_id"), col("y")), "doc_id")
+        .collect().map { r =>
+          val p = math.min(math.max(r.getAs[Long]("p_micro") / 1e6, 1e-9), 1 - 1e-9)
+          val y = r.getAs[Long]("y")
+          -(y * math.log(p) + (1 - y) * math.log(1 - p))
+        }.sum
+    }
+    val l0 = loss(0); val l8 = loss(8); val l32 = loss(32)
+    assert(l8 < l0 && l32 < l8, s"loss must fall: $l0 -> $l8 -> $l32")
+  }
 }
