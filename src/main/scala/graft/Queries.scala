@@ -907,7 +907,16 @@ object Queries {
     * probe side shrinks to today's batch BEFORE the block join, the way
     * a production daily delta blocks new docs against the corpus
     * instead of regenerating every pair (ids below the cutoff only ever
-    * appear as id1, so the filter loses nothing).
+    * appear as id1, so the filter loses nothing). Round-16 sf10 note:
+    * of the two EXACT plans this stays the right one — the block plan
+    * is CPU-quadratic in block density (measured 1457.7 s at 500k docs)
+    * but streams pairs through the codegen'd intersect WITHOUT
+    * materializing them, while the prefix plan's candidate-verify join
+    * ships both shingle arrays per candidate and exceeded the box's
+    * disk at this fixture's batch density (batch ≈ corpus). Neither
+    * exact plan is the 100-TB path: q231 is — LSH-banded candidates +
+    * exact verify, the q26-vs-q28 exact-twin/scale-path precedent
+    * applied to admission.
     */
   private def ngramJaccardPairsDelta(s: SparkSession, dir: String,
       theta: Double, minId2: Long): DataFrame =
@@ -963,7 +972,7 @@ object Queries {
     * its sf0.1→sf1 scaling exponent is already lower (0.71 vs 0.80).
     */
   private def ngramJaccardPairsPrefix(s: SparkSession, dir: String,
-      theta: Double): DataFrame = {
+      theta: Double, minId2: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     graft.CacheScope.scoped { cs =>
       val pin = cs.cache _
@@ -1006,9 +1015,14 @@ object Queries {
         explode(slice(col("rv"), lit(1), greatest(prefLen, lit(1)))).as("ph"))
       // Size-ratio bound prunes candidates before the verify joins:
       // J ≥ θ forces min(|A|,|B|) / max(|A|,|B|) ≥ θ.
+      // delta form: the id2 (probe) prefix stream shrinks to the batch
+      // BEFORE the candidate join — candidate-completeness is per pair,
+      // so filtering one side loses nothing (id1 < id2 ⇒ id2 ≥ cutoff
+      // identifies batch-touching pairs)
+      val prefB = minId2.foldLeft(pref)((df, m) => df.filter(col("doc_id") >= m))
       val cand = pref.select(col("lang"), col("lb"), col("ph"),
           col("doc_id").as("id1"), col("n").as("n1"))
-        .join(pref.select(col("lang"), col("lb"), col("ph"),
+        .join(prefB.select(col("lang"), col("lb"), col("ph"),
           col("doc_id").as("id2"), col("n").as("n2")), Seq("lang", "lb", "ph"))
         .filter(col("id1") < col("id2") &&
           least(col("n1"), col("n2")).cast("double") >=
@@ -8372,10 +8386,13 @@ object Queries {
     * missing ANN family next to brute/LSH/IVF/PQ, and the feeder for
     * graph indexes and corpus-scale SemDeDup clustering). Published
     * recipe with this repo's determinism contract: the RANDOM init
-    * becomes sign-bucket LSH top-k ∪ md5-hash cliques (pure-LSH init
-    * leaves the candidate graph disconnected along bucket boundaries —
-    * every pair proposal pivots inside a bucket, so recall froze at the
-    * init value until the cliques supplied cross-bucket seeds), and
+    * becomes RING SEEDS — k by-id successors within each sign bucket
+    * (geometrically close mates) ∪ k within each md5 group (the
+    * cross-bucket connectivity a pure-LSH init lacks: without it every
+    * pair proposal pivots inside a bucket and recall freezes at the
+    * init value) — O(n·k) seed edges by construction (round 16: the
+    * previous whole-group self-join was quadratic per group and
+    * unrunnable at 500k vectors), and
     * reverse-neighbor sampling becomes the k smallest ids. The ENTIRE
     * construction (init + 3 rounds + final exact scoring) replays
     * hash-exact in SQL; VectorOpsSpec gates recall@10 ≥ 0.9 against
@@ -8398,10 +8415,30 @@ object Queries {
       |hs AS MATERIALIZED (SELECT vec_id AS id,
       |    ${sqlMd5Bucket("CAST(vec_id AS VARCHAR)", 64)} AS grp
       |  FROM embeddings),
-      |bp AS (SELECT a.vec_id AS id, b.vec_id AS nb
-      |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-      |cl AS (SELECT a.id, b.id AS nb
-      |  FROM hs a JOIN hs b ON a.grp = b.grp AND a.id <> b.id),
+      |-- ring seeding (round 16): k successors per node within its sign
+      |-- bucket / md5 group, positions mod group size — O(n*k) seed
+      |-- edges via an EQUI-join on (group, position); the old whole-group
+      |-- self-join was quadratic per group (15.6e9 pairs at 500k vectors)
+      |bR AS MATERIALIZED (SELECT vec_id AS id, bucket AS g,
+      |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY bucket) AS sz
+      |  FROM eb),
+      |bp AS (SELECT a.id, b.nb FROM
+      |    (SELECT id, g, ((rn - 1 + off) % sz) + 1 AS tgt
+      |     FROM bR, unnest(range(1, 21)) AS u(off)) a
+      |  JOIN (SELECT g, rn, id AS nb FROM bR) b
+      |    ON a.g = b.g AND a.tgt = b.rn
+      |  WHERE a.id <> b.nb),
+      |gR AS MATERIALIZED (SELECT id, CAST(grp AS VARCHAR) AS g,
+      |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY grp) AS sz
+      |  FROM hs),
+      |cl AS (SELECT a.id, b.nb FROM
+      |    (SELECT id, g, ((rn - 1 + off) % sz) + 1 AS tgt
+      |     FROM gR, unnest(range(1, 21)) AS u(off)) a
+      |  JOIN (SELECT g, rn, id AS nb FROM gR) b
+      |    ON a.g = b.g AND a.tgt = b.rn
+      |  WHERE a.id <> b.nb),
       |i0 AS MATERIALIZED (SELECT DISTINCT id, nb FROM (
       |    SELECT id, nb FROM bp UNION ALL SELECT id, nb FROM cl)),
       |${nnScoreRankSql("i0", "in0", 20)},
@@ -10296,22 +10333,33 @@ object Queries {
       |SELECT bucket, w AS w_micro FROM w$logregRounds ORDER BY bucket
       |""".stripMargin.trim))
 
-  /** Quality-classifier SCORING, end to end (round 16): train the q228
-    * model at query time, then score the corpus under the final
-    * weights — per doc the integer margin, the micro sigmoid, the 0/1
-    * prediction, and the planted label. The oracle replays training AND
-    * scoring in one WITH, so this is the composition gate for the
-    * classifier (a correct-looking q228 with a broken scorer — or the
-    * reverse — cannot pass). Scoring is one broadcast join + one
+  /** Quality-classifier SCORING from a COMMITTED model artifact (round
+    * 16): `prepare` trains the q228 model and exports it as a versioned
+    * `linear` artifact (the q222 deployed shape — the scoring fleet
+    * never sees the trainer); the measured query loads the artifact and
+    * scores the corpus — per doc the integer margin, the micro sigmoid,
+    * the 0/1 prediction, and the planted label. The oracle replays
+    * training AND scoring in one WITH, so this is the composition gate
+    * for the classifier AND the model round trip through bytes on disk
+    * (a correct-looking q228 with a broken scorer, or a lossy
+    * serialization, cannot pass). Scoring is one broadcast join + one
     * aggregate; the q73-family quality gate can consume `pred` as a
     * drop-in filter.
     */
+  private def q229ModelDir(dir: String): String =
+    s"/tmp/graft_q229_${Integer.toHexString(dir.hashCode)}/model"
+
   val q229: Q = Q(
     "q229_quality_logreg_score",
     (s, dir) => {
+      import graft.operators.TokenizerArtifact
+      // the deployed shape (q222 precedent): the scoring fleet loads the
+      // COMMITTED model artifact; it never sees the trainer — `prepare`
+      // trains and exports untimed, the cost a pipeline amortizes
+      val w = TokenizerArtifact.parseLinear(
+        TokenizerArtifact.load(s, q229ModelDir(dir))
+          .getOrElse(sys.error(s"q229: no model at ${q229ModelDir(dir)}")))
       val docs = logregDocs(s, dir)
-      val w = TrainPrep.logregTrain(docs, "doc_id", "text", "y",
-        logregDim, logregRounds, logregLrDiv)
       TrainPrep.logregScore(docs, "doc_id", "text", w, logregDim)
         .join(docs.select(col("doc_id"), col("y")), "doc_id")
         .select(col("doc_id"), col("y"), col("margin_micro"),
@@ -10328,6 +10376,151 @@ object Queries {
       |    / 1000000.0))) AS BIGINT) AS p_micro,
       |  CAST(CASE WHEN margin_micro >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
       |FROM fm JOIN lab USING (doc_id) ORDER BY fm.doc_id
+      |""".stripMargin.trim),
+    prepare = Some((s, dir) => {
+      import graft.operators.TokenizerArtifact
+      val w = TrainPrep.logregTrain(logregDocs(s, dir), "doc_id", "text",
+        "y", logregDim, logregRounds, logregLrDiv)
+      TokenizerArtifact.commit(s, q229ModelDir(dir),
+        TokenizerArtifact.serializeLinear(w))
+      ()
+    }))
+
+
+  /** Trained-model ARTIFACT digest (round 16 — the q221/q226 byte-pin
+    * applied to the classifier): the q228 weight vector serialized as a
+    * `v2` `linear` artifact (empty specials registry — a linear scorer
+    * has no vocabulary roles) and hash-pinned per byte. The oracle
+    * re-trains all rounds in SQL and renders the IDENTICAL byte stream
+    * — header, bucket order, every micro weight — so the exact model
+    * file a scoring fleet loads (q229) is oracle-pinned, not just
+    * spec-asserted. 1 row.
+    */
+  val q230: Q = Q(
+    "q230_model_artifact",
+    (s, dir) => {
+      import graft.operators.TokenizerArtifact
+      val w = TrainPrep.logregTrain(logregDocs(s, dir), "doc_id", "text",
+        "y", logregDim, logregRounds, logregLrDiv)
+      val art = TokenizerArtifact.serializeLinear(w)
+      import s.implicits._
+      Seq(("linear", w.size.toLong, TokenizerArtifact.digest(art)))
+        .toDF("family", "n_entries", "digest")
+    },
+    Some(s"""
+      |WITH $logregBaseCtes,
+      |${(1 to logregRounds).map(logregRoundSql).mkString(",\n")}
+      |SELECT 'linear' AS family, n AS n_entries,
+      |  md5('graft-tokenizer' || chr(9) || 'v2' || chr(9) || 'linear'
+      |    || chr(9) || CAST(n AS VARCHAR) || chr(9) || '0' || chr(10)
+      |    || body || chr(10)) AS digest
+      |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    string_agg(CAST(bucket AS VARCHAR) || chr(9) || CAST(w AS VARCHAR),
+      |      chr(10) ORDER BY bucket) AS body
+      |  FROM w$logregRounds)
+      |""".stripMargin.trim))
+
+
+  /** LSH-banded near-dup ADMISSION pairs (round 16 — q208's 100-TB
+    * scale path, found by the sf10 drive): minhash (8 hashes, 4×2
+    * bands) over WORD-BIGRAM shingle hashes, candidates restricted to
+    * pairs touching today's batch (id2 ≥ cutoff), exact Jaccard ≥ 0.5
+    * verified ON THE BANDED CANDIDATES ONLY. The sf10 drive measured
+    * both EXACT admission plans dying at 500k docs on one box — the
+    * block plan CPU-quadratic in block density (1457.7 s), the prefix
+    * plan's per-candidate array shuffle over the disk — and a first
+    * LSH cut over CHAR-3-GRAM hashes degenerating too (background
+    * trigram Jaccard between unrelated docs is ~0.35, so 2-row bands
+    * admit ~40% of ALL pairs; measured 14.7 s at sf0.1, slower than
+    * the whole exact lifecycle). Word-shingle minhash is the published
+    * production shape precisely because background word-shingle
+    * overlap is ≈ 0: banded candidates are ~answer-sized, so the
+    * verify join ships shingle-hash arrays for a set proportional to
+    * the TRUE near-dups, not the corpus. q208 stays the oracle-exact
+    * lifecycle twin at bench scales (the q26-vs-q28 precedent); the
+    * ORACLE here replays the banding itself — signatures, band keys,
+    * the batch filter, the verified Jaccard — so the approximation is
+    * hash-pinned (the q24 machinery at the admission face's delta).
+    */
+  val q231: Q = Q(
+    "q231_lsh_admit_pairs",
+    (s, dir) => graft.CacheScope.scoped { cs =>
+      val cutoff = 350L
+      val theta = 0.5
+      graft.functions.GraftFunctions.register(s)
+      val g = cs.cache(t(s, dir, "documents").select(col("doc_id"),
+          sort_array(array_distinct(TextOps.shingleHashes(
+            TextOps.wordBigrams(TextOps.tokens(col("text")))))).as("hv"))
+        .filter(size(col("hv")) > 0))
+      val sig = g.select(col("doc_id"),
+        TextOps.minhashSignature(col("hv"), 8).as("sig"))
+      val banded = sig.select(col("doc_id"),
+        posexplode(TextOps.lshBandKeys(col("sig"), 4, 2)).as(Seq("band", "bkey")))
+      val cand = banded.alias("x")
+        .join(banded.filter(col("doc_id") >= cutoff).alias("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+      cand
+        .join(g.select(col("doc_id").as("id1"), col("hv").as("hv1"),
+          size(col("hv")).cast("long").as("n1")), "id1")
+        .join(g.select(col("doc_id").as("id2"), col("hv").as("hv2"),
+          size(col("hv")).cast("long").as("n2")), "id2")
+        .withColumn("n_inter", call_function(
+          graft.functions.GraftFunctions.SortedIntersectName,
+          col("hv1"), col("hv2")))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") /
+            (col("n1") + col("n2") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= theta)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""
+      |WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2 THEN []
+      |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |    END) AS sng
+      |  FROM toks),
+      |hvt AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(sng, sh2 ->
+      |    list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef', substr(md5(sh2), i, 1)) - 1)
+      |        * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % ${TextOps.MinhashP})))
+      |    AS hvals
+      |  FROM sh WHERE len(sng) > 0),
+      |hv AS (SELECT doc_id, hvals, CAST(len(hvals) AS BIGINT) AS nn
+      |  FROM hvt WHERE len(hvals) > 0),
+      |sig AS (
+      |  SELECT doc_id, hvals, nn,
+      |    [${TextOps.MinhashCoeffs.take(8).map { case (a, b) =>
+             s"list_min(list_transform(hvals, h -> (h * $a + $b) % ${TextOps.MinhashP}))"
+           }.mkString(",\n      |     ")}] AS sg
+      |  FROM hv),
+      |banded AS (
+      |  ${(0 until 4).map { bd =>
+           s"SELECT doc_id, $bd AS band, CAST(sg[${2 * bd + 1}] AS VARCHAR) || '-' || " +
+             s"CAST(sg[${2 * bd + 2}] AS VARCHAR) AS bkey FROM sig"
+         }.mkString(" UNION ALL\n      |  ")}),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      |  WHERE y.doc_id >= 350),
+      |j AS (
+      |  SELECT id1, id2,
+      |    CAST(len(list_intersect(a.hvals, b.hvals)) AS DOUBLE)
+      |      / CAST(a.nn + b.nn - len(list_intersect(a.hvals, b.hvals)) AS DOUBLE)
+      |      AS jaccard
+      |  FROM cand
+      |  JOIN hv a ON a.doc_id = id1
+      |  JOIN hv b ON b.doc_id = id2)
+      |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5
+      |ORDER BY id1, id2
       |""".stripMargin.trim))
 
   val all: Seq[Q] = Seq(
@@ -10348,5 +10541,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
 }

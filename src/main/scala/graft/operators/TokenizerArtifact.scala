@@ -158,6 +158,23 @@ object TokenizerArtifact {
     }, specials)
   }
 
+  /** Linear-model weight vector (round 16 — the q228 quality classifier
+    * as a deployable artifact): `bucket\tw_micro` in bucket order,
+    * bucket dense from 0. The trained scorer ships exactly like a
+    * trained tokenizer — versioned text, atomic pointer swap — so the
+    * scoring fleet (q229) never sees the trainer. */
+  def serializeLinear(weights: Seq[Long],
+      specials: Seq[(String, String)] = Seq.empty): String =
+    render("linear", weights.zipWithIndex.map { case (w, j) => s"$j\t$w" },
+      specials)
+
+  def parseLinear(content: String): Seq[Long] =
+    entryLines(content, "linear").zipWithIndex.map { case (l, i) =>
+      val Array(j, w) = l.split('\t')
+      require(j.toInt == i, s"TokenizerArtifact: bucket gap at line $i: $l")
+      w.toLong
+    }
+
   /** md5 hex of the artifact's exact UTF-8 bytes — the 1-row digest q221
     * checks cross-engine. */
   def digest(content: String): String = {

@@ -542,23 +542,43 @@ object VectorOps {
 
   /** Deterministic NN-descent init: top-k over sign-bucket mates ∪
     * md5-clique mates (the cross-bucket seeds). */
+  /** k ring-successors per node within a grouping: sort each group by
+    * id, seed node at position rn with the nodes at positions
+    * (rn−1+off) mod size, off ∈ 1..k. O(n·k) seed edges via one window
+    * + one EQUI-join on (group, position) — the round-16 sf10 finding:
+    * the previous init self-joined whole groups (16 sign buckets / 64
+    * md5 cliques), which is QUADRATIC per group — 15.6e9 pairs at 500k
+    * vectors, unrunnable one decade past the 10× rehearsal. Ring seeds
+    * keep the same roles (bucket mates are geometrically close; md5
+    * groups supply cross-bucket connectivity) at bounded fan-out, and
+    * NN-descent's rounds do the rest — recall@10 ≥ 0.9 still gated by
+    * VectorOpsSpec. Deterministic: ids are unique, so positions are a
+    * total order; the DuckDB oracle replays the same window + join.
+    */
+  private def ringSeeds(grouped: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+    val r = grouped.withColumn("__rn", row_number().over(w))
+      .withColumn("__sz", count(lit(1)).over(Window.partitionBy(col("g"))))
+    r.select(col("g"), col("id"), col("__rn"), col("__sz"),
+        explode(sequence(lit(1), lit(k))).as("__off"))
+      .withColumn("__tgt", pmod(col("__rn") - 1 + col("__off"), col("__sz")) + 1)
+      .join(r.select(col("g"), col("__rn").as("__tgt"), col("id").as("nb")),
+        Seq("g", "__tgt"))
+      .filter(col("id") =!= col("nb"))
+      .select(col("id"), col("nb"))
+  }
+
   def nnDescentInit(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nBits: Int = 4, seedMod: Int = 64): DataFrame = {
     require(seedMod >= 1, s"nnDescentInit: bad seedMod $seedMod")
     GraftFunctions.register(corpus.sparkSession)
     val base = nnBase(corpus, idCol, vecCol)
     val wb = base.select(col("id"),
-      signBucket(col("v"), nBits).as("bucket"))
-    val bp = wb.select(col("bucket"), col("id"))
-      .join(wb.select(col("bucket"), col("id").as("nb")), Seq("bucket"))
-      .filter(col("id") =!= col("nb")).select(col("id"), col("nb"))
+      signBucket(col("v"), nBits).as("g"))
     val hs = base.select(col("id"),
       (conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % seedMod).as("grp"))
-    val cl = hs.select(col("grp"), col("id"))
-      .join(hs.select(col("grp"), col("id").as("nb")), Seq("grp"))
-      .filter(col("id") =!= col("nb")).select(col("id"), col("nb"))
-    nnRankTopK(base, bp.unionByName(cl).distinct(), k)
+        .cast("long") % seedMod).cast("string").as("g"))
+    nnRankTopK(base, ringSeeds(wb, k).unionByName(ringSeeds(hs, k)).distinct(), k)
       .select(col("id"), col("nb"))
   }
 
@@ -577,7 +597,16 @@ object VectorOps {
     val revc = fwd.select(col("nb").as("id"), col("id").as("nb"))
       .withColumn("__rn", row_number().over(wr)).filter(col("__rn") <= k)
       .select(col("id"), col("nb"))
+    // explicit-N repartition: the candidate self-join EXPLODES ~(2k)²
+    // rows per node DOWNSTREAM of this exchange, but AQE sizes (and
+    // coalesces) partitions from the exchange's own map output — at
+    // 500k vectors it collapsed the join to ~1 task spilling for 37
+    // minutes (round-16 sf10 finding). A user-specified partition
+    // count is exempt from AQE coalescing, so the explosion stays at
+    // full parallelism.
+    val nParts = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val gen = fwd.unionByName(revc).distinct()
+      .repartition(nParts, col("id"))
     val cand = gen.as("ga").join(gen.as("gb"), Seq("id"))
       .filter(col("ga.nb") =!= col("gb.nb"))
       .select(col("ga.nb").as("id"), col("gb.nb").as("nb"))

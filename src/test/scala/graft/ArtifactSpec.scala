@@ -171,6 +171,20 @@ class ArtifactSpec extends SparkSpec {
     assert(TokenizerArtifact.parseMerges(c2) == merges)
   }
 
+  test("linear family: weight vectors round-trip byte-identically") {
+    val w = Seq(0L, -134883L, 123037L, 46L)
+    val c = TokenizerArtifact.serializeLinear(w)
+    assert(TokenizerArtifact.family(c) == "linear")
+    assert(TokenizerArtifact.specialTokens(c).isEmpty)
+    assert(TokenizerArtifact.parseLinear(c) == w)
+    assert(TokenizerArtifact.serializeLinear(
+      TokenizerArtifact.parseLinear(c)) == c)
+    // bucket-gap / cross-family parses are refused
+    intercept[IllegalArgumentException] {
+      TokenizerArtifact.parseLinear(TokenizerArtifact.serializeMerges(merges))
+    }
+  }
+
   test("applying from a parsed artifact equals applying from the in-memory vocab") {
     import spark.implicits._
     val docs = Seq((0L, "ab a b"), (1L, "ba ab")).toDF("doc_id", "text")

@@ -12,13 +12,14 @@ import java.nio.file.Files
   */
 class EmptyInputSweepSpec extends SparkSpec {
 
-  // k-means/IVF and corpus-derived SemDeDup centroids require a
-  // non-empty corpus by contract (seeding needs at least one vector)
   // k-means/IVF seeding, corpus-derived SemDeDup centroids and PQ
-  // codebooks all require at least one corpus vector by contract
+  // codebooks all require at least one corpus vector by contract;
+  // the logreg quality classifier (round 16) requires at least one
+  // labeled example — a model trained on nothing is not a model
   private val documentedFailFast =
     Set("q28_ann_ivf_topk", "q162_semdedup_scaled", "q169_ann_pq_topk",
-      "q172_ann_ivfpq_topk")
+      "q172_ann_ivfpq_topk", "q228_quality_logreg_train",
+      "q229_quality_logreg_score", "q230_model_artifact")
 
   test("all registered queries survive empty inputs (or fail fast by contract)") {
     val dir = Files.createTempDirectory("graft-empty").toString
