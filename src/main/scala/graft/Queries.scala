@@ -7476,11 +7476,12 @@ object Queries {
       |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
       |      * 1000000.0) AS BIGINT) AS lp
       |  FROM sel CROSS JOIN tot),
-      |-- corpus contract: the engine fences words > 64 code points out of
+      |-- corpus contract: the engine fences words > 24 code points out of
       |-- tokenization statistics (UnigramLm.MaxTokenizeWordLen) because
-      |-- this oracle enumerates 2^(n-1) masks — n = 65 overflows the
-      |-- BIGINT shift; mirror the fence here
-      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks WHERE len(w) <= 64),
+      |-- this oracle enumerates 2^(n-1) masks — the BIGINT shift
+      |-- hard-errors already at n = 64 (1 << 63) and the enumeration
+      |-- cost explodes far earlier; mirror the fence here
+      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks WHERE len(w) <= 24),
       |em AS (SELECT w, n,
       |    unnest(range(0, CAST(1 AS BIGINT) << CAST(n - 1 AS INT))) AS mask
       |  FROM wm),
@@ -7561,11 +7562,12 @@ object Queries {
       |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
       |      * 1000000.0) AS BIGINT) AS lp
       |  FROM sel CROSS JOIN tot),
-      |-- corpus contract: the engine fences words > 64 code points out of
+      |-- corpus contract: the engine fences words > 24 code points out of
       |-- tokenization statistics (UnigramLm.MaxTokenizeWordLen) because
-      |-- this oracle enumerates 2^(n-1) masks — n = 65 overflows the
-      |-- BIGINT shift; mirror the fence here
-      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks WHERE len(w) <= 64),
+      |-- this oracle enumerates 2^(n-1) masks — the BIGINT shift
+      |-- hard-errors already at n = 64 (1 << 63) and the enumeration
+      |-- cost explodes far earlier; mirror the fence here
+      |wm AS (SELECT DISTINCT w, len(w) AS n FROM toks WHERE len(w) <= 24),
       |em AS (SELECT w, n,
       |    unnest(range(0, CAST(1 AS BIGINT) << CAST(n - 1 AS INT))) AS mask
       |  FROM wm),
@@ -9408,13 +9410,18 @@ object Queries {
     * vocab pieces inside one word). All lowercase-stable, so the shared
     * lower() normalization is byte-identical across engines. The fourth
     * plant also carries a 70-code-point word (round 16 — verdict item
-    * 2): it must fall OUT of tokenization statistics on BOTH sides
+    * 2) AND a 30-code-point word (round 17 — ADVICE): both must fall
+    * OUT of tokenization statistics on BOTH sides
     * ([[graft.operators.UnigramLm.MaxTokenizeWordLen]] in the engine,
-    * `WHERE len(w) <= 64` in the oracle) while still counting in
-    * n_words — without the fence the oracle would attempt `2^69`
-    * enumeration masks, overflowing the BIGINT shift. */
+    * `WHERE len(w) <= 24` in the oracle) while still counting in
+    * n_words. The 70-cp word overflows the oracle's BIGINT shift
+    * outright (DuckDB errors at `1 << 63`, i.e. already at n = 64);
+    * the 30-cp word is the sharper case — it sat INSIDE the old fence
+    * of 64, where the oracle would "only" have needed 2^29 masks, so
+    * it exercises the realistic enumeration bound cross-engine, not
+    * just the overflow cliff. */
   private val unigramPlants: Seq[String] = Seq(
-    "", " naïve café xz", " 東京 タワー", " 🙂 βeta " + "a" * 70)
+    "", " naïve café xz", " 東京 タワー", " 🙂 βeta " + "a" * 70 + " " + "b" * 30)
 
   private def unigramPlantedDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
@@ -9468,9 +9475,11 @@ object Queries {
       |  FROM sel CROSS JOIN tot),
       |$unigramPlantedSql,
       |wm AS (SELECT DISTINCT unnest(ws) AS w FROM pdl),
-      |-- engine-mirrored overflow fence (UnigramLm.MaxTokenizeWordLen):
-      |-- the planted 70-code-point word below must drop on BOTH sides
-      |wn AS (SELECT w, len(w) AS n FROM wm WHERE len(w) <= 64),
+      |-- engine-mirrored enumeration fence (UnigramLm.MaxTokenizeWordLen):
+      |-- the planted 70- and 30-code-point words below must drop on BOTH
+      |-- sides (the 30-cp word sat INSIDE the old fence of 64, where this
+      |-- oracle would have needed 2^29 masks — ADVICE r16)
+      |wn AS (SELECT w, len(w) AS n FROM wm WHERE len(w) <= 24),
       |em AS (SELECT w, n,
       |    unnest(range(0, CAST(1 AS BIGINT) << CAST(n - 1 AS INT))) AS mask
       |  FROM wn),
@@ -9948,8 +9957,33 @@ object Queries {
   private val q227EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val q227PhoneRe = "[0-9]{3}-[0-9]{4}"
 
+  /** Run-scoped artifact location for a `prepare`-committed artifact
+    * (r16 ADVICE: the old 32-bit `dir.hashCode` key could collide two
+    * different data dirs, cross-contaminating the artifact a timed
+    * query then loads). The FULL data dir is encoded injectively —
+    * every non-[A-Za-z0-9._-] byte hex-escaped as `_xNN` (the escape
+    * char `_` is itself escaped), so distinct dirs can never map to the
+    * same path — and each dataset's artifacts live under one per-query
+    * subtree. */
+  private def artifactScope(tag: String, dir: String): String = {
+    val enc = dir.flatMap {
+      case c if c.isLetterOrDigit && c < 128 => c.toString
+      case c @ ('.' | '-') => c.toString
+      case c => f"_x${c.toInt}%04x"
+    }
+    s"/tmp/graft_artifacts/$tag/$enc"
+  }
+
   private def q227ArtifactDir(dir: String): String =
-    s"/tmp/graft_q227_${Integer.toHexString(dir.hashCode)}/artifact"
+    s"${artifactScope("q227", dir)}/artifact"
+
+  /** The q228 spam marker, planted content-keyed into the q232 corpus. */
+  private val q232SpamText = " buy now click here free offer"
+
+  private def q232ArtifactDir(dir: String): String =
+    s"${artifactScope("q232", dir)}/artifact"
+  private def q232ModelDir(dir: String): String =
+    s"${artifactScope("q232", dir)}/model"
 
   /** The extracted + scrubbed crawl corpus shared by q227's prepare
     * (tokenizer training) and timed query (the build chain): the raw
@@ -9962,8 +9996,19 @@ object Queries {
     * via [[graft.operators.TextOps.extractHtmlText]]; emails and
     * phone-shaped runs scrubbed with the q58 regexes. Map-side only —
     * the chain's first shuffle is the quality aggregate.
+    *
+    * With `spam = true` (round 17 — the q232 flagship), a spam-marker
+    * stratum is planted on top: every `n_chars % 5 == 0` page carries
+    * the q228 marker suffix — keyed on CONTENT like the PII, so both
+    * fetches of a re-crawled page stay byte-identical and score
+    * identically under the trained quality model — and the output
+    * carries the weak-supervision label `y` the trainer consumes
+    * (1 = planted spam). `y` is derivable from the bytes only via the
+    * plant predicate; the timed chain never reads it — it scores FROM
+    * the committed model.
     */
-  private def q227Corpus(s: SparkSession, dir: String): DataFrame = {
+  private def q227Corpus(s: SparkSession, dir: String,
+      spam: Boolean = false): DataFrame = {
     val raw = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("text"))
@@ -9978,7 +10023,10 @@ object Queries {
         when(col("n_chars") % 4 === 0,
           concat(lit(" call 555-"),
             lpad(pmod(col("n_chars"), lit(10000L)).cast("string"), 4, "0")))
-          .otherwise(lit(""))).as("text"))
+          .otherwise(lit("")),
+        if (spam) when(col("n_chars") % 5 === 0, lit(q232SpamText))
+          .otherwise(lit("")) else lit("")).as("text"),
+      when(col("n_chars") % 5 === 0, lit(1L)).otherwise(lit(0L)).as("y"))
     val html = concat(
       lit("<html><head><title>Corpus</title><style>body { color: #000; }" +
         "</style><script type=\"text/javascript\">var x = 1 < 2;</script>" +
@@ -9988,7 +10036,7 @@ object Queries {
     planted.select(col("doc_id"), col("lang"), col("source"),
       regexp_replace(regexp_replace(TextOps.extractHtmlText(html),
           lit(q227EmailRe), lit("<EMAIL>")),
-        lit(q227PhoneRe), lit("<PHONE>")).as("text"))
+        lit(q227PhoneRe), lit("<PHONE>")).as("text"), col("y"))
   }
 
   /** Flagship corpus build END TO END (round 16 — verdict item 1): crawl
@@ -10260,6 +10308,56 @@ object Queries {
           .otherwise(lit(""))).as("text"),
       when(col("doc_id") % 5 === 0, lit(1L)).otherwise(lit(0L)).as("y"))
 
+  /** The pinned rational sigmoid in SQL (round 17 — ADVICE): the direct
+    * BIGINT form of [[graft.operators.TrainPrep]]'s `sigmoidMicro` —
+    * 500000 + sign(m)·⌊500000·a/(1000000+a)⌋, a = min(|m|, 1e12).
+    * DuckDB `//` truncates toward zero, but the quotient operand is
+    * nonnegative here so trunc == floor and the two engines' divisions
+    * cannot disagree. Zero transcendentals: the exp-based original
+    * could flip at the round() half-boundary under a 1-ulp libm
+    * disagreement (JVM Math.exp vs DuckDB), which at sf10 volumes
+    * (~1e9 sigmoid evaluations per training run) is a real cross-
+    * platform hazard; this form is integer-exact everywhere. */
+  private def sqlSigmoidMicro(m: String): String =
+    s"500000 + CASE WHEN $m >= 0 THEN 1 ELSE -1 END * " +
+      s"((500000 * least(abs($m), 1000000000000)) " +
+      s"// (1000000 + least(abs($m), 1000000000000)))"
+
+  /** The q110 signed hashed bag-of-words feature map over a
+    * `(doc_id, text)` CTE, with caller-chosen CTE names so the train
+    * and score faces of one oracle can each build their own (round 17
+    * — the q232 flagship scores a DIFFERENT doc set than it trains
+    * on). Emits `$tok` (tokens), `$hsh` (bucket + sign), `$feats`
+    * (aggregated values + the bias coordinate at bucket = dim). */
+  private def logregFeatureCtes(src: String, tok: String, hsh: String,
+      feats: String): String = s"""
+    |$tok AS (SELECT doc_id,
+    |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+    |      t -> t <> '')) AS t
+    |  FROM $src),
+    |$hsh AS (SELECT doc_id,
+    |    CAST(list_sum(list_transform(range(1, 9), i ->
+    |      (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+    |        * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % $logregDim AS BIGINT)
+    |      AS bucket,
+    |    CASE WHEN (strpos('0123456789abcdef', substr(md5(t), 9, 1)) - 1) % 2 = 0
+    |         THEN 1 ELSE -1 END AS s
+    |  FROM $tok),
+    |$feats AS MATERIALIZED (SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS value
+    |  FROM $hsh GROUP BY 1, 2
+    |  UNION ALL SELECT doc_id, CAST($logregDim AS BIGINT) AS bucket,
+    |    CAST(1 AS BIGINT) AS value FROM $src)""".stripMargin.trim
+
+  /** Training-side CTEs over a labeled `(doc_id, text, y)` CTE: the
+    * feature map under the canonical train names (`feats` is what
+    * [[logregRoundSql]] joins) + labels, corpus size, and w0 = 0. */
+  private def logregTrainCtes(src: String): String = s"""
+    |${logregFeatureCtes(src, "ltok", "lh", "feats")},
+    |lab AS MATERIALIZED (SELECT doc_id, y FROM $src),
+    |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+    |w0 AS MATERIALIZED (SELECT CAST(unnest(range(0, ${logregDim + 1})) AS BIGINT) AS bucket,
+    |    CAST(0 AS BIGINT) AS w)""".stripMargin.trim
+
   /** Fixture + features + labels + w0 CTEs for the logreg oracles. */
   private def logregBaseCtes: String = s"""
     |ld AS (SELECT doc_id,
@@ -10267,37 +10365,17 @@ object Queries {
     |      THEN ' buy now click here free offer' ELSE '' END AS text,
     |    CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y
     |  FROM documents),
-    |ltok AS (SELECT doc_id,
-    |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-    |      t -> t <> '')) AS t
-    |  FROM ld),
-    |lh AS (SELECT doc_id,
-    |    CAST(list_sum(list_transform(range(1, 9), i ->
-    |      (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
-    |        * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % $logregDim AS BIGINT)
-    |      AS bucket,
-    |    CASE WHEN (strpos('0123456789abcdef', substr(md5(t), 9, 1)) - 1) % 2 = 0
-    |         THEN 1 ELSE -1 END AS s
-    |  FROM ltok),
-    |feats AS MATERIALIZED (SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS value
-    |  FROM lh GROUP BY 1, 2
-    |  UNION ALL SELECT doc_id, CAST($logregDim AS BIGINT) AS bucket,
-    |    CAST(1 AS BIGINT) AS value FROM ld),
-    |lab AS MATERIALIZED (SELECT doc_id, y FROM ld),
-    |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
-    |w0 AS MATERIALIZED (SELECT CAST(unnest(range(0, ${logregDim + 1})) AS BIGINT) AS bucket,
-    |    CAST(0 AS BIGINT) AS w)""".stripMargin.trim
+    |${logregTrainCtes("ld")}""".stripMargin.trim
 
-  /** One unrolled GD round: margins under w(r−1) → micro-quantized
-    * sigmoid (the single transcendental) → per-bucket gradient →
-    * truncating-division weight step (DuckDB `//` == Scala `Long./`,
-    * both toward zero). */
+  /** One unrolled GD round: margins under w(r−1) → the pinned rational
+    * sigmoid ([[sqlSigmoidMicro]] — zero transcendentals) → per-bucket
+    * gradient → truncating-division weight step (DuckDB `//` == Scala
+    * `Long./`, both toward zero). */
   private def logregRoundSql(r: Int): String = s"""
     |lm$r AS MATERIALIZED (SELECT doc_id, CAST(SUM(value * w) AS BIGINT) AS m
     |  FROM feats JOIN w${r - 1} USING (bucket) GROUP BY 1),
     |lp$r AS MATERIALIZED (SELECT doc_id,
-    |    CAST(round(1000000.0 / (1.0 + exp(-CAST(m AS DOUBLE) / 1000000.0)))
-    |      AS BIGINT) AS p
+    |    CAST(${sqlSigmoidMicro("m")} AS BIGINT) AS p
     |  FROM lm$r),
     |lg$r AS MATERIALIZED (SELECT bucket,
     |    CAST(SUM(value * (p - 1000000 * y)) AS BIGINT) AS g
@@ -10347,7 +10425,7 @@ object Queries {
     * drop-in filter.
     */
   private def q229ModelDir(dir: String): String =
-    s"/tmp/graft_q229_${Integer.toHexString(dir.hashCode)}/model"
+    s"${artifactScope("q229", dir)}/model"
 
   val q229: Q = Q(
     "q229_quality_logreg_score",
@@ -10372,8 +10450,7 @@ object Queries {
       |fm AS (SELECT doc_id, CAST(SUM(value * w) AS BIGINT) AS margin_micro
       |  FROM feats JOIN w$logregRounds USING (bucket) GROUP BY 1)
       |SELECT fm.doc_id, lab.y, fm.margin_micro,
-      |  CAST(round(1000000.0 / (1.0 + exp(-CAST(margin_micro AS DOUBLE)
-      |    / 1000000.0))) AS BIGINT) AS p_micro,
+      |  CAST(${sqlSigmoidMicro("margin_micro")} AS BIGINT) AS p_micro,
       |  CAST(CASE WHEN margin_micro >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
       |FROM fm JOIN lab USING (doc_id) ORDER BY fm.doc_id
       |""".stripMargin.trim),
@@ -10388,21 +10465,26 @@ object Queries {
 
 
   /** Trained-model ARTIFACT digest (round 16 — the q221/q226 byte-pin
-    * applied to the classifier): the q228 weight vector serialized as a
-    * `v2` `linear` artifact (empty specials registry — a linear scorer
-    * has no vocabulary roles) and hash-pinned per byte. The oracle
-    * re-trains all rounds in SQL and renders the IDENTICAL byte stream
-    * — header, bucket order, every micro weight — so the exact model
-    * file a scoring fleet loads (q229) is oracle-pinned, not just
-    * spec-asserted. 1 row.
+    * applied to the classifier; round 17 — verdict item 3: the timed
+    * query no longer RE-TRAINS the model q228 already times two entries
+    * earlier — `prepare` trains and commits to the SAME versioned dir
+    * q229's scorer loads from, and the timed query digests the LOADED
+    * bytes, so the digest pins exactly the file the scoring fleet
+    * consumes — the round trip through disk included — while the suite
+    * pays the 32-round GD once). The weight vector ships as a `v2`
+    * `linear` artifact (empty specials registry — a linear scorer has
+    * no vocabulary roles). The oracle re-trains all rounds in SQL and
+    * renders the IDENTICAL byte stream — header, bucket order, every
+    * micro weight — so a lossy serialization, a stale pointer, or one
+    * drifted training step moves the hash. 1 row.
     */
   val q230: Q = Q(
     "q230_model_artifact",
     (s, dir) => {
       import graft.operators.TokenizerArtifact
-      val w = TrainPrep.logregTrain(logregDocs(s, dir), "doc_id", "text",
-        "y", logregDim, logregRounds, logregLrDiv)
-      val art = TokenizerArtifact.serializeLinear(w)
+      val art = TokenizerArtifact.load(s, q229ModelDir(dir))
+        .getOrElse(sys.error(s"q230: no model at ${q229ModelDir(dir)}"))
+      val w = TokenizerArtifact.parseLinear(art)
       import s.implicits._
       Seq(("linear", w.size.toLong, TokenizerArtifact.digest(art)))
         .toDF("family", "n_entries", "digest")
@@ -10418,7 +10500,15 @@ object Queries {
       |    string_agg(CAST(bucket AS VARCHAR) || chr(9) || CAST(w AS VARCHAR),
       |      chr(10) ORDER BY bucket) AS body
       |  FROM w$logregRounds)
-      |""".stripMargin.trim))
+      |""".stripMargin.trim),
+    prepare = Some((s, dir) => {
+      import graft.operators.TokenizerArtifact
+      val w = TrainPrep.logregTrain(logregDocs(s, dir), "doc_id", "text",
+        "y", logregDim, logregRounds, logregLrDiv)
+      TokenizerArtifact.commit(s, q229ModelDir(dir),
+        TokenizerArtifact.serializeLinear(w))
+      ()
+    }))
 
 
   /** LSH-banded near-dup ADMISSION pairs (round 16 — q208's 100-TB
@@ -10523,6 +10613,279 @@ object Queries {
       |ORDER BY id1, id2
       |""".stripMargin.trim))
 
+  /** Flagship corpus build with the TRAINED quality gate (round 17 —
+    * verdict item 1): the q227 chain, upgraded to the actual production
+    * shape — every real corpus build filters on a trained quality
+    * model, not only on heuristics. `prepare` trains and commits BOTH
+    * deployed artifacts (the unigram tokenizer AND the `linear` quality
+    * classifier, weak-supervised on the planted spam stratum of the
+    * first crawl); the timed chain loads both and runs: crawl extract →
+    * PII scrub → heuristic prefilter (the cheap q21/q73 gate runs
+    * first, so the model scores only plausible docs) → TRAINED gate
+    * (q229's committed-model scoring, keep `pred = 0`) → exact dedup →
+    * LSH near-dedup → 5-gram decontamination → per-domain quota →
+    * stratified mix → tokenize FROM the committed artifact → seeded
+    * epoch packing. Output adds `p_micro` — the model's verdict rides
+    * the provenance row, as a training-data audit requires.
+    *
+    * The ONE oracle replays everything including the model: the 32
+    * unrolled integer-GD rounds (the q228 CTEs, re-targeted at the
+    * extracted+scrubbed first crawl), the scoring of exactly the
+    * heuristically-admitted docs, and then every chain link — so a
+    * drifted gradient, a lossy model serialization round trip, a moved
+    * boundary in ANY link, or a sigmoid that disagrees by one micro
+    * moves rows, digests, and pack offsets. The pinned rational sigmoid
+    * (round 17) is what makes this composition sane: zero
+    * transcendentals anywhere in the replay.
+    *
+    * Scale shape (100 TB): q227's per-link audited plans, unchanged;
+    * the new link is one broadcast join ((dim+1) rows) + one partial
+    * aggregate over the gated docs — the cheapest link in the chain.
+    * Training is untimed `prepare` (the deployed amortization), and the
+    * spam plant is content-keyed so re-crawl duplicates cannot straddle
+    * the gate.
+    */
+  val q232: Q = Q(
+    "q232_corpus_build_trained",
+    (s, dir) => graft.CacheScope.scoped { cs =>
+      import graft.operators.{TokenizerArtifact, UnigramLm}
+      val corpus = cs.cache(q227Corpus(s, dir, spam = true))
+      // heuristic prefilter (q21/q73 thresholds)
+      val qd = TextOps.qualityMetrics(corpus, "text")
+        .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5)
+        .select("doc_id", "lang", "source", "text")
+      // TRAINED quality gate: score FROM the committed model (q229's
+      // deployed shape), keep what the model calls clean
+      val wv = TokenizerArtifact.parseLinear(
+        TokenizerArtifact.load(s, q232ModelDir(dir))
+          .getOrElse(sys.error(s"q232: no model at ${q232ModelDir(dir)}")))
+      val qm = qd.join(
+        TrainPrep.logregScore(qd, "doc_id", "text", wv, logregDim)
+          .filter(col("pred") === 0L)
+          .select(col("doc_id"), col("p_micro")), "doc_id")
+      // exact dedup, keep-first (q20/q73)
+      val ded = cs.cache(qm
+        .withColumn("__fp", TextOps.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1).drop("__fp", "__rn"))
+      // near-dedup: the q24 LSH pipeline (identical to q227)
+      val base = cs.cache(ded.select(col("doc_id"),
+          TextOps.wordBigrams(TextOps.tokens(col("text"))).as("sh"))
+        .filter(size(col("sh")) > 0))
+      val sig = base
+        .withColumn("hv", TextOps.shingleHashes(col("sh")))
+        .withColumn("sig", TextOps.minhashSignature(col("hv"), 8))
+      val banded = sig.select(col("doc_id"),
+        posexplode(TextOps.lshBandKeys(col("sig"), 4, 2)).as(Seq("band", "bkey")))
+      val cand = banded.alias("x").join(banded.alias("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+      val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      val sizes = base.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      val nearDupIds = cand
+        .join(ex.select(col("doc_id").as("id1"), col("s")), "id1")
+        .join(ex.select(col("doc_id").as("id2"), col("s")), Seq("id2", "s"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_inter"))
+        .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+        .filter(col("n_inter").cast("double")
+          / (col("n1") + col("n2") - col("n_inter")).cast("double") >= 0.2)
+        .select(col("id2").as("doc_id")).distinct()
+      val nd = ded.join(nearDupIds, Seq("doc_id"), "left_anti")
+      // decontamination (q124 face at n=5)
+      val isProbe = col("doc_id") % 97 === 0 && col("doc_id") < 1000000L
+      val probes = corpus.filter(isProbe)
+      val nonProbe = nd.filter(!isProbe)
+      val contaminated = TextOps.decontaminate(nonProbe, probes,
+          "doc_id", "text", n = 5)
+        .select(col("doc_id"))
+      val clean = nonProbe.join(contaminated, Seq("doc_id"), "left_anti")
+      // per-domain quota (q107) and stratified language mix (q64)
+      val quota = TrainPrep.domainQuota(clean, lower(col("source")),
+          "doc_id", cap = 15)
+        .drop("domain", "quota_rank")
+      val mixed = cs.cache(TrainPrep.stratifiedSample(quota, "doc_id", "lang",
+        Map("en" -> 80, "de" -> 50, "fr" -> 50, "es" -> 30, "zh" -> 20)))
+      // tokenize FROM the committed artifact (q222 shape)
+      val vocab = TokenizerArtifact.parseUnigram(
+        TokenizerArtifact.load(s, q232ArtifactDir(dir))
+          .getOrElse(sys.error(s"q232: no artifact at ${q232ArtifactDir(dir)}")))
+      val tkf = UnigramLm.apply(mixed, "doc_id", "text", vocab, 4)
+        .join(mixed.select(col("doc_id"), col("lang"), col("source"),
+          col("p_micro")), "doc_id")
+      // pack into seeded epoch shards on the TOKENIZED length (q216)
+      val packed = TrainPrep.packEpochShards(
+        tkf.select(col("doc_id"), col("n_pieces")), "doc_id", "n_pieces",
+        seed = "graft17", epochs = 2, nShards = 8, budget = 512L)
+      packed.join(tkf.drop("n_pieces"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+          col("n_tok").as("n_pieces"), col("pieces_md5"), col("nll_micro"),
+          col("p_micro"), col("epoch"), col("shard"), col("pos"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+    Some(s"""
+      |WITH crawl AS (
+      |  SELECT doc_id, lang, source, n_chars, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, lang, source, n_chars, text FROM documents
+      |  WHERE doc_id % 10 = 7),
+      |pl AS (SELECT doc_id, lang, source, text
+      |    || CASE WHEN n_chars % 3 = 0 THEN ' contact user'
+      |        || CAST(n_chars AS VARCHAR) || '@example.com now' ELSE '' END
+      |    || CASE WHEN n_chars % 4 = 0 THEN ' call 555-'
+      |        || lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    || CASE WHEN n_chars % 5 = 0 THEN '$q232SpamText' ELSE '' END
+      |      AS text,
+      |    CAST(CASE WHEN n_chars % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y
+      |  FROM crawl),
+      |exd AS (SELECT doc_id, lang, source, y,
+      |    trim(regexp_replace('Corpus Title & body ' || text
+      |      || ' Home <> About', '\\s+', ' ', 'g')) AS text
+      |  FROM pl),
+      |corpus AS (SELECT doc_id, lang, source, y,
+      |    regexp_replace(regexp_replace(text,
+      |      '$q227EmailRe', '<EMAIL>', 'g'),
+      |      '$q227PhoneRe', '<PHONE>', 'g') AS text
+      |  FROM exd),
+      |trainlab AS (SELECT doc_id, text, y FROM corpus WHERE doc_id < 1000000),
+      |traincorpus AS (SELECT text FROM trainlab),
+      |${logregTrainCtes("trainlab")},
+      |${(1 to logregRounds).map(logregRoundSql).mkString(",\n")},
+      |tq AS (SELECT doc_id, lang, source, text,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk,
+      |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |      AS n_alpha,
+      |    CAST(length(text) AS DOUBLE) AS nc
+      |  FROM corpus),
+      |qd AS (SELECT doc_id, lang, source, text, tk FROM tq
+      |  WHERE len(tk) >= 20 AND nc > 0 AND n_alpha / nc >= 0.5),
+      |-- trained gate: score the heuristically-admitted docs under w32
+      |${logregFeatureCtes("qd", "qtok", "qh", "sfe")},
+      |smg AS (SELECT doc_id, CAST(SUM(value * w) AS BIGINT) AS m
+      |  FROM sfe JOIN w$logregRounds USING (bucket) GROUP BY 1),
+      |qm AS (SELECT qd.doc_id, qd.lang, qd.source, qd.text, qd.tk,
+      |    CAST(${sqlSigmoidMicro("m")} AS BIGINT) AS p_micro
+      |  FROM qd JOIN smg ON qd.doc_id = smg.doc_id
+      |  WHERE m < 0),
+      |ddrn AS (SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      |    ORDER BY doc_id) AS rn FROM qm),
+      |ded AS (SELECT doc_id, lang, source, text, tk, p_micro
+      |  FROM ddrn WHERE rn = 1),
+      |ndb AS (SELECT doc_id,
+      |    list_distinct(CASE WHEN len(tk) < 2 THEN []
+      |      ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |      END) AS sh
+      |  FROM ded),
+      |ndb2 AS (SELECT doc_id, sh FROM ndb WHERE len(sh) > 0),
+      |ndh AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(list_transform(sh, s -> md5(s)), h ->
+      |      list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef', substr(h, i, 1)) - 1)
+      |          * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % ${TextOps.MinhashP})
+      |      AS hvals
+      |  FROM ndb2),
+      |ndsig AS (
+      |  SELECT doc_id, sh,
+      |    [${TextOps.MinhashCoeffs.take(8).map { case (a, b) =>
+             s"list_min(list_transform(hvals, h -> (h * $a + $b) % ${TextOps.MinhashP}))"
+           }.mkString(",\n      |     ")}] AS sg
+      |  FROM ndh),
+      |ndband AS (
+      |  ${(0 until 4).map { bd =>
+           s"SELECT doc_id, $bd AS band, CAST(sg[${2 * bd + 1}] AS VARCHAR) || '-' || " +
+             s"CAST(sg[${2 * bd + 2}] AS VARCHAR) AS bkey FROM ndsig"
+         }.mkString(" UNION ALL\n      |  ")}),
+      |ndcand AS (
+      |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      |  FROM ndband x JOIN ndband y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |ndj AS (
+      |  SELECT id1, id2,
+      |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+      |         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |              / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+      |         END AS jaccard
+      |  FROM ndcand
+      |  JOIN ndb2 a ON a.doc_id = id1
+      |  JOIN ndb2 b ON b.doc_id = id2),
+      |nd AS (SELECT doc_id, lang, source, text, tk, p_micro FROM ded
+      |  WHERE doc_id NOT IN (SELECT DISTINCT id2 FROM ndj WHERE jaccard >= 0.2)),
+      |prg AS (SELECT DISTINCT gram FROM (
+      |    SELECT unnest(list_distinct(list_transform(range(1, len(tk) - 3),
+      |      i -> array_to_string(tk[i:i+4], ' ')))) AS gram
+      |    FROM tq WHERE doc_id % 97 = 0 AND doc_id < 1000000 AND len(tk) >= 5)),
+      |cg5 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' '))))
+      |      AS gram
+      |  FROM nd
+      |  WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000) AND len(tk) >= 5),
+      |hit AS (SELECT DISTINCT doc_id FROM cg5
+      |  WHERE gram IN (SELECT gram FROM prg)),
+      |cln AS (SELECT doc_id, lang, source, text, tk, p_micro FROM nd
+      |  WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000)
+      |    AND doc_id NOT IN (SELECT doc_id FROM hit)),
+      |qtr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lower(source)
+      |    ORDER BY md5(lower(source) || '|' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS qr
+      |  FROM cln),
+      |mx AS (SELECT doc_id, lang, source, tk, p_micro FROM qtr
+      |  WHERE qr <= 15
+      |    AND ${sqlMd5Bucket("CAST(doc_id AS VARCHAR)", 100)}
+      |      < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+      |        WHEN 'es' THEN 30 WHEN 'zh' THEN 20 ELSE -1 END),
+      |${unigramSeedCtes(48, "traincorpus")},
+      |$unigramLatticeCtes,
+      |dl AS (SELECT doc_id, tk AS ws FROM mx),
+      |$unigramApplyAggCtes,
+      |tkf AS (SELECT dl.doc_id, mx.lang, mx.source, mx.p_micro,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    COALESCE(n_pieces, 0) AS n_pieces,
+      |    COALESCE(pieces_md5, md5('')) AS pieces_md5,
+      |    COALESCE(nll_micro, 0) AS nll_micro
+      |  FROM dl LEFT JOIN agg USING (doc_id) JOIN mx USING (doc_id)),
+      |ep AS (SELECT doc_id, unnest(range(0, 2)) AS epoch FROM tkf),
+      |epk AS (SELECT doc_id, epoch,
+      |    'graft17:' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)
+      |      AS inp
+      |  FROM ep),
+      |shd AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, md5(inp) AS k2,
+      |    ${sqlMd5Bucket("inp", 8)} AS shard
+      |  FROM epk),
+      |pp AS (SELECT doc_id, epoch, shard,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+      |      ORDER BY k2, doc_id) AS BIGINT) AS pos
+      |  FROM shd),
+      |cm AS (SELECT p.doc_id, p.epoch, p.shard, p.pos, tkf.n_pieces,
+      |    SUM(tkf.n_pieces) OVER (PARTITION BY p.epoch, p.shard ORDER BY p.pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      |  FROM pp p JOIN tkf ON p.doc_id = tkf.doc_id)
+      |SELECT cm.doc_id, tkf.lang, tkf.source, tkf.n_words, cm.n_pieces,
+      |  tkf.pieces_md5, tkf.nll_micro, tkf.p_micro, cm.epoch, cm.shard, cm.pos,
+      |  CAST((c - cm.n_pieces) // 512 AS BIGINT) AS pack_id,
+      |  CAST((c - cm.n_pieces) % 512 AS BIGINT) AS pack_offset
+      |FROM cm JOIN tkf ON cm.doc_id = tkf.doc_id
+      |ORDER BY cm.doc_id, cm.epoch
+      |""".stripMargin.trim),
+    prepare = Some((s, dir) => {
+      import graft.operators.{TokenizerArtifact, UnigramLm}
+      val train = q227Corpus(s, dir, spam = true)
+        .filter(col("doc_id") < 1000000L)
+      val vocab = UnigramLm.collectVocab(
+        UnigramLm.seedVocab(train, "text", maxPieceLen = 4, vocabSize = 48))
+      TokenizerArtifact.commit(s, q232ArtifactDir(dir),
+        TokenizerArtifact.serializeUnigram(vocab))
+      val w = TrainPrep.logregTrain(train, "doc_id", "text", "y",
+        logregDim, logregRounds, logregLrDiv)
+      TokenizerArtifact.commit(s, q232ModelDir(dir),
+        TokenizerArtifact.serializeLinear(w))
+      ()
+    }))
+
   val all: Seq[Q] = Seq(
     q00, q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15,
@@ -10541,5 +10904,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
 }

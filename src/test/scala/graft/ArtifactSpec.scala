@@ -56,6 +56,22 @@ class ArtifactSpec extends SparkSpec {
     }
   }
 
+  test("a v1 artifact fails with an explicit migration error, not 'bad header' (r16 ADVICE)") {
+    // the pre-registry v1 header had 4 fields (no k); a deployment still
+    // pointing at one must be told the remedy — retrain/recommit — not
+    // handed a generic require failure
+    val v1 = "graft-tokenizer\tv1\tunigram\t1\n" + "a\t9\t-100000\n"
+    val e = intercept[IllegalArgumentException] {
+      TokenizerArtifact.family(v1)
+    }
+    assert(e.getMessage.contains("unsupported artifact version 'v1'"))
+    assert(e.getMessage.contains("recommit"))
+    // anything else malformed still gets the generic fence
+    intercept[IllegalArgumentException] {
+      TokenizerArtifact.family("graft-tokenizer\tv3\tunigram\t1\t0\n")
+    }
+  }
+
   test("digest is md5 of the exact UTF-8 bytes") {
     val c = TokenizerArtifact.serializeWordPiece(wpVocab)
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -15,11 +15,13 @@ class EmptyInputSweepSpec extends SparkSpec {
   // k-means/IVF seeding, corpus-derived SemDeDup centroids and PQ
   // codebooks all require at least one corpus vector by contract;
   // the logreg quality classifier (round 16) requires at least one
-  // labeled example — a model trained on nothing is not a model
+  // labeled example — a model trained on nothing is not a model, and
+  // the q232 flagship trains that model in its prepare (round 17)
   private val documentedFailFast =
     Set("q28_ann_ivf_topk", "q162_semdedup_scaled", "q169_ann_pq_topk",
       "q172_ann_ivfpq_topk", "q228_quality_logreg_train",
-      "q229_quality_logreg_score", "q230_model_artifact")
+      "q229_quality_logreg_score", "q230_model_artifact",
+      "q232_corpus_build_trained")
 
   test("all registered queries survive empty inputs (or fail fast by contract)") {
     val dir = Files.createTempDirectory("graft-empty").toString

@@ -511,6 +511,43 @@ class TrainPrepSpec extends SparkSpec {
     assert(one.count() > 0 && one.count() == full.count())
   }
 
+  test("logreg sigmoid is the pinned rational — integer-exact, odd-symmetric, saturating (r16 ADVICE)") {
+    import spark.implicits._
+    // reference values computed with DuckDB's direct BIGINT form
+    // (500000 + sign(m)*((500000*least(abs(m),1e12)) // (1e6+least(abs(m),1e12))))
+    // — the engine's overflow-free rewrite must match them exactly,
+    // pinning the cross-engine contract by VALUE, not by libm behavior
+    val pinned = Seq(
+      0L -> 500000L, 1L -> 500000L, -1L -> 500000L,
+      17L -> 500008L, -17L -> 499992L,
+      123456L -> 554944L, -123456L -> 445056L,
+      1000000L -> 750000L, -1000000L -> 250000L,
+      3141592L -> 879273L, -3141592L -> 120727L,
+      // at/past the ±1e12 clamp: within one micro of the asymptotes,
+      // and TOTAL — no overflow reachable at any Long margin
+      999999999999999L -> 999999L, -999999999999999L -> 1L,
+      Long.MaxValue -> 999999L, Long.MinValue + 1 -> 1L)
+    val got = pinned.map(_._1).toDF("m")
+      .select(col("m"), TrainPrep.sigmoidMicro(col("m")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pinned.foreach { case (m, p) =>
+      assert(got(m) == p, s"sigmoidMicro($m) = ${got(m)}, pinned $p")
+    }
+    // exact odd symmetry around 500000 on a dense sweep (truncation on
+    // |m| makes p(-m) = 1000000 - p(m) hold EXACTLY, not approximately)
+    val sweep = (-2000L to 2000L).map(_ * 777L)
+    val sm = sweep.toDF("m")
+      .select(col("m"), TrainPrep.sigmoidMicro(col("m")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sweep.filter(_ >= 0).foreach { m =>
+      assert(sm(m) + sm(-m) == 1000000L, s"symmetry broke at ±$m")
+    }
+    // monotone nondecreasing over the sweep
+    sweep.sorted.sliding(2).foreach { w =>
+      assert(sm(w(0)) <= sm(w(1)), s"monotonicity broke at ${w(0)}→${w(1)}")
+    }
+  }
+
   test("logreg: converges on a separable planted fixture; scoring is the training margin") {
     import spark.implicits._
     // 40 docs: half carry an unmistakable marker vocabulary, half don't —

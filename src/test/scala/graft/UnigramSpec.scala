@@ -453,13 +453,17 @@ class UnigramSpec extends SparkSpec {
     assert(pruned.exists(_.piece == "ab"))
   }
 
-  test("tokenize word-length fence: >64-code-point words drop from stats on the engine side (round-16 verdict item 2)") {
+  test("tokenize word-length fence: >24-code-point words drop from stats on the engine side (r16 verdict item 2, tightened per r16 ADVICE)") {
     // the cross-engine oracles verify apply faces by exhaustive
-    // enumeration (2^(n-1) masks — BIGINT shift overflows at n = 65);
-    // MaxTokenizeWordLen = 64 fences BOTH sides identically, so engine
-    // and oracle agree on any corpus. n_words still counts the long
-    // word (it is the raw token count); pieces/digest/nll exclude it.
-    assert(UnigramLm.MaxTokenizeWordLen == 64)
+    // enumeration (2^(n-1) masks). The fence must clear BOTH oracle
+    // constraints: DuckDB's BIGINT shift hard-errors already at n = 64
+    // (1 << 63 is out of range — the old fence of 64 admitted a word
+    // the oracle could not start on), and enumeration cost explodes far
+    // earlier. MaxTokenizeWordLen = 24 fences BOTH sides identically,
+    // so engine and oracle agree on any corpus. n_words still counts
+    // the long word (it is the raw token count); pieces/digest/nll
+    // exclude it.
+    assert(UnigramLm.MaxTokenizeWordLen == 24)
     val long = "a" * 70
     val vocab = Seq(Piece("a", 9, -100000L), Piece("b", 5, -150000L))
     val withLong = Seq((0L, s"ab $long ba")).toDF("doc_id", "text")
@@ -480,10 +484,20 @@ class UnigramSpec extends SparkSpec {
       .collect().head
     assert(bWith.getAs[String]("pieces_md5") == bWithout.getAs[String]("pieces_md5"))
     assert(bWith.getAs[Long]("n_fallback") == bWithout.getAs[Long]("n_fallback"))
-    // a 64-cp word is IN contract on both faces
-    val edge = Seq((0L, "a" * 64)).toDF("doc_id", "text")
+    // a word AT the fence is IN contract on both faces; one past drops.
+    // 25–64 cp is the band the old fence wrongly admitted (the oracle
+    // would need 2^24..2^63 masks, erroring outright at n = 64): a
+    // 30-cp word must be OUT of stats like the 70-cp one (the q219
+    // fixture plants both and the DuckDB oracle mirrors the fence)
+    val edge = Seq((0L, "a" * UnigramLm.MaxTokenizeWordLen))
+      .toDF("doc_id", "text")
     assert(UnigramLm.apply(edge, "doc_id", "text", vocab, 2)
-      .collect().head.getAs[Long]("n_pieces") == 64L)
+      .collect().head.getAs[Long]("n_pieces") ==
+        UnigramLm.MaxTokenizeWordLen.toLong)
+    val past = Seq((0L, "a" * 30)).toDF("doc_id", "text")
+    val pr = UnigramLm.apply(past, "doc_id", "text", vocab, 2).collect().head
+    assert(pr.getAs[Long]("n_words") == 1L)
+    assert(pr.getAs[Long]("n_pieces") == 0L)
   }
 
   test("lattices index code points, not UTF-16 units (round-16 advice): astral chars align with the oracle's substr space") {
