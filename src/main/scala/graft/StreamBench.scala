@@ -382,6 +382,54 @@ object StreamBench {
     val (fw2, ft2, _) = fertTotals()
     println(f"""{"op":"tokenizer_fertility_ledger_fenced","rows":$nFdocs,"secs":$fSecs%.2f,"rows_per_sec":${(nFdocs / fSecs).toLong},"sources":$fsrc1,"ledger_words":$fw1,"ledger_tokens":$ft1,"fertility_milli":${if (fw1 > 0) ft1 * 1000 / fw1 else -1L},"replay_secs":$fSecs2%.2f,"replayed_delta":${(fw2 - fw1) + (ft2 - ft1)}}""")
 
+    // round-17: quality-score monitor — the q229 committed-model scorer
+    // streaming against a committed `linear` artifact (the model a
+    // production pipeline retrains most often), with the same fenced-
+    // ledger redelivery measurement as media health / fertility.
+    // Setup trains the q228-shape weak-supervised model on the planted
+    // marker stratum (untimed — the deployed amortization).
+    val qsReplay = s"$replay/qscore"
+    for (sub <- Seq("ledger", "ckpt1"))
+      deleteRecursively(new java.io.File(s"$qsReplay/$sub"))
+    val qdocs = Ingest.table(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        concat(col("text"), when(col("doc_id") % 5 === 0,
+          lit(" buy now click here free offer")).otherwise(lit(""))).as("text"),
+        col("source"),
+        when(col("doc_id") % 5 === 0, lit(1L)).otherwise(lit(0L)).as("y"))
+    val nQdocs = qdocs.count()
+    qdocs.select("doc_id", "text", "source").repartition(16)
+      .write.mode("overwrite").parquet(s"$qsReplay/in")
+    TokenizerArtifact.commit(spark, s"$qsReplay/model",
+      TokenizerArtifact.serializeLinear(TrainPrep.logregTrain(
+        qdocs, "doc_id", "text", "y", dim = 64, rounds = 32, lrDiv = 2L)))
+    val qSchema = spark.read.parquet(s"$qsReplay/in").schema
+    def qsPass(ckpt: String): Double = {
+      val src = spark.readStream.schema(qSchema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$qsReplay/in")
+      val t = System.nanoTime()
+      val qq = StreamingOps.qualityScoreStream(src, "doc_id", "text",
+          "source", s"$qsReplay/model", s"$qsReplay/ledger")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      qq.awaitTermination()
+      qq.stop()
+      (System.nanoTime() - t) / 1e9
+    }
+    val qsSecs = qsPass(s"$qsReplay/ckpt1")
+    def qsTotals(): (Long, Long, Long) = {
+      val l = VersionedLedger.read(spark, s"$qsReplay/ledger").get
+        .agg(sum(col("n_docs")), sum(col("n_spam")), count(lit(1))).collect()(0)
+      (l.getLong(0), l.getLong(1), l.getLong(2))
+    }
+    val (qn1, qsp1, qsrc1) = qsTotals()
+    dropLastCommit(s"$qsReplay/ckpt1")
+    val qsSecs2 = qsPass(s"$qsReplay/ckpt1")
+    val (qn2, qsp2, _) = qsTotals()
+    println(f"""{"op":"quality_score_ledger_fenced","rows":$nQdocs,"secs":$qsSecs%.2f,"rows_per_sec":${(nQdocs / qsSecs).toLong},"sources":$qsrc1,"ledger_docs":$qn1,"ledger_spam":$qsp1,"spam_rate_milli":${if (qn1 > 0) qsp1 * 1000 / qn1 else -1L},"replay_secs":$qsSecs2%.2f,"replayed_delta":${(qn2 - qn1) + (qsp2 - qsp1)}}""")
+
     spark.stop()
   }
 }

@@ -708,6 +708,89 @@ object StreamingOps {
     }
   }
 
+  /** Streaming QUALITY-SCORE monitor (round 17 — verdict item 2): the
+    * q229 committed-model scorer as a live face. The trained quality
+    * classifier is the artifact a production pipeline retrains most
+    * often, and a deployed scorer fleet needs exactly what the
+    * tokenizer-fertility monitor gives the tokenizer: per-trigger
+    * scoring FROM the CURRENTLY COMMITTED `linear` artifact (so a
+    * retrained model swaps in atomically under the live monitor — a
+    * trigger sees the old weights or the new ones, never half of
+    * either) and a per-source cumulative ledger of the score
+    * distribution — n_docs, n_spam (pred = 1), sum_p_micro, with
+    * spam_rate and mean_p_micro recomputed from the cumulative
+    * integers at every commit. A source whose spam_rate jumps within
+    * one trigger of arriving is THE signal that a crawl source turned
+    * hostile (or that a retrain went wrong — the monitor watches the
+    * model as much as the data). The model's dimension comes FROM the
+    * artifact (weights.size − 1), never a constant: the artifact is
+    * the contract. Replay fence identical to [[mediaHealthMerge]]:
+    * cumulative merges are guarded by the (runTag, batchId) pointer,
+    * so at-least-once foreachBatch redelivery is a no-op while a
+    * fresh checkpoint lineage (ids restarting at 0) still applies.
+    *
+    * Scale shape: scoring is one broadcast join ((dim+1) rows) + one
+    * partial-aggregating groupBy per trigger; ledger state is
+    * O(sources) rows; nothing per-doc is ever retained.
+    */
+  def qualityScoreStream(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, modelPath: String,
+      ledgerPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      qualityScoreMerge(batch, batchId, streamRunTag(batch.sparkSession),
+        idCol, textCol, sourceCol, modelPath, ledgerPath)
+    }
+
+  /** One micro-batch of the quality-score ledger merge — factored out
+    * (the [[mediaHealthMerge]] shape) so the fence is testable at
+    * (runTag, batchId) granularity. */
+  def qualityScoreMerge(batch: DataFrame, batchId: Long, runTag: String,
+      idCol: String, textCol: String, sourceCol: String,
+      modelPath: String, ledgerPath: String): Unit = {
+    import graft.operators.{TokenizerArtifact, TrainPrep}
+    val spark = batch.sparkSession
+    if (!VersionedLedger.alreadyApplied(spark, ledgerPath, runTag, batchId)) {
+      val content = TokenizerArtifact.load(spark, modelPath).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"qualityScoreStream: no linear model artifact at $modelPath"))
+      val w = TokenizerArtifact.parseLinear(content)
+      val delta = TrainPrep.logregScore(batch, idCol, textCol, w,
+          dim = w.size - 1)
+        .join(batch.select(col(idCol).cast("long").as("doc_id"),
+          col(sourceCol).as("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pred")).as("n_spam"),
+          sum(col("p_micro")).as("sum_p_micro"))
+      val merged = VersionedLedger.read(spark, ledgerPath) match {
+        case Some(prev) =>
+          prev.select(col("source"), col("n_docs"), col("n_spam"),
+              col("sum_p_micro"))
+            .unionByName(delta)
+            .groupBy(col("source"))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("n_spam")).as("n_spam"),
+              sum(col("sum_p_micro")).as("sum_p_micro"))
+        case None => delta
+      }
+      val rows = merged
+        .withColumn("spam_rate",
+          col("n_spam").cast("double") / col("n_docs").cast("double"))
+        .withColumn("mean_p_micro",
+          col("sum_p_micro").cast("double") / col("n_docs").cast("double"))
+        .collect() // O(sources): bounded by the source registry size
+      import spark.implicits._
+      VersionedLedger.commit(
+        rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+            r.getAs[Long]("n_spam"), r.getAs[Long]("sum_p_micro"),
+            r.getAs[Double]("spam_rate"), r.getAs[Double]("mean_p_micro")))
+          .toSeq.toDF("source", "n_docs", "n_spam", "sum_p_micro",
+            "spam_rate", "mean_p_micro")
+          .coalesce(1),
+        ledgerPath, batchId = Some(batchId), runTag = Some(runTag))
+    }
+  }
+
   /** Streaming drift gate (round 11 — the q179 PSI monitor as an
     * admit-time check): every micro-batch's token distribution is
     * compared against a FIXED reference histogram (fit once from the

@@ -764,6 +764,94 @@ class StreamingSpec extends SparkSpec {
     assert(rows()("web")._1 == afterApply._1 + 1, "new lineage must apply")
   }
 
+  test("qualityScoreStream: per-source cumulative score ledger, batch-equivalent, model hot-swap, fenced") {
+    import graft.operators.{TokenizerArtifact, TrainPrep}
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-qscore").toString
+    val modelPath = s"$base/model"
+    val ledger = s"$base/ledger"
+    // deployed model v0: trained on the separable planted fixture (the
+    // TrainPrepSpec corpus — the trained model classifies it perfectly)
+    val fixture = (0L until 40L).map { i =>
+      val b = "alpha beta gamma delta epsilon"
+      (i, if (i % 2 == 0) b + " spamword junkword scamword" else b,
+        if (i % 2 == 0) 1L else 0L)
+    }.toDF("doc_id", "text", "y")
+    val w0 = TrainPrep.logregTrain(fixture, "doc_id", "text", "y",
+      dim = 64, rounds = 32, lrDiv = 2L)
+    TokenizerArtifact.commit(spark, modelPath,
+      TokenizerArtifact.serializeLinear(w0))
+
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val q = StreamingOps.qualityScoreStream(docs, "doc_id", "text",
+      "source", modelPath, ledger).start()
+    def rows(): Map[String, (Long, Long, Long)] =
+      VersionedLedger.read(spark, ledger).get.collect().map(r =>
+        r.getAs[String]("source") -> ((r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_spam"), r.getAs[Long]("sum_p_micro")))).toMap
+    val clean = "alpha beta gamma delta epsilon"
+    try {
+      // batch 0: one planted-spam doc and one clean doc per the fixture
+      // shape — the committed model must flag exactly the marker doc
+      mem.addData(
+        (0L, clean + " spamword junkword scamword", "web"),
+        (1L, clean, "web"),
+        (2L, clean, "books"))
+      q.processAllAvailable()
+      val l1 = rows()
+      assert(l1("web")._1 == 2L && l1("web")._2 == 1L,
+        s"model must flag the marker doc only: ${l1("web")}")
+      assert(l1("books")._1 == 1L && l1("books")._2 == 0L)
+      // batch 1 accumulates; cumulative ≡ batch-equivalent: the one-shot
+      // scorer over the union of all batches matches the ledger exactly
+      mem.addData((3L, "spamword junkword scamword", "web"))
+      q.processAllAvailable()
+      val all = Seq(
+        (0L, clean + " spamword junkword scamword", "web"),
+        (1L, clean, "web"), (2L, clean, "books"),
+        (3L, "spamword junkword scamword", "web"))
+        .toDF("doc_id", "text", "source")
+      val oneShot = TrainPrep.logregScore(all, "doc_id", "text", w0, 64)
+        .join(all.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pred")).as("n_spam"),
+          sum(col("p_micro")).as("sum_p_micro"))
+        .collect().map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_spam"),
+            r.getAs[Long]("sum_p_micro")))).toMap
+      assert(rows() == oneShot)
+      // hot-swap: a retrained (here: degenerate always-spam, bias-only)
+      // model commits atomically under the live monitor; the NEXT batch
+      // scores under it — p(margin = 1e6) = 750000 under the pinned
+      // rational sigmoid, and dim rides in from the artifact
+      val booksBefore = rows()("books")
+      TokenizerArtifact.commit(spark, modelPath,
+        TokenizerArtifact.serializeLinear(Seq.fill(64)(0L) :+ 1000000L))
+      mem.addData((4L, clean, "books"))
+      q.processAllAvailable()
+      val booksAfter = rows()("books")
+      assert(booksAfter._1 == booksBefore._1 + 1)
+      assert(booksAfter._2 == booksBefore._2 + 1,
+        "the swapped-in model must drive the next batch's predictions")
+      assert(booksAfter._3 == booksBefore._3 + 750000L)
+    } finally q.stop()
+    // replay fence at (runTag, batchId) granularity: a re-delivered batch
+    // is a no-op, a new lineage applies (the mediaHealth contract)
+    val b = Seq((9L, clean, "web")).toDF("doc_id", "text", "source")
+    val before = rows()("web")
+    StreamingOps.qualityScoreMerge(b, 99L, "runX", "doc_id", "text",
+      "source", modelPath, ledger)
+    val afterApply = rows()("web")
+    assert(afterApply._1 == before._1 + 1)
+    StreamingOps.qualityScoreMerge(b, 99L, "runX", "doc_id", "text",
+      "source", modelPath, ledger)
+    assert(rows()("web") == afterApply, "re-delivered (runX, 99) double-counted")
+    StreamingOps.qualityScoreMerge(b, 0L, "runY", "doc_id", "text",
+      "source", modelPath, ledger)
+    assert(rows()("web")._1 == afterApply._1 + 1, "new lineage must apply")
+  }
+
   test("driftGateStream: per-batch PSI vs a fixed reference, batch-equivalent, gate fires on drift") {
     import graft.operators.TrainPrep
     val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
