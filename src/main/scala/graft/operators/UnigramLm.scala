@@ -36,6 +36,22 @@ object UnigramLm {
 
   /** One vocabulary entry: piece text, corpus count, integer-micro
     * log-probability round(ln(cnt/total)·1e6).
+    *
+    * Cross-engine determinism note (round 17, alongside the ADVICE
+    * that replaced the logreg classifier's exp-sigmoid with a pinned
+    * rational): these scores keep the transcendental. The risk budgets
+    * differ by nine orders of magnitude — a 1-ulp libm disagreement
+    * flips a round() only when the true value sits within ~1e-10
+    * (relative) of a half-boundary, and the unigram trainers evaluate
+    * ln ONCE per vocabulary entry per training run (≤ a few hundred
+    * rolls of that die), where the classifier evaluated exp once per
+    * (round, document) — ~1e9 rolls at sf10, with every flip cascading
+    * through the remaining GD rounds. A vocab-score flip would also be
+    * caught at commit time by the q221/q226/q230 artifact digests
+    * rather than silently skewing downstream weights. If a platform
+    * pair ever disagrees here, the same pinned-rational treatment
+    * applies; it has not been worth the oracle churn for ≤ 10⁻⁷
+    * per-run odds.
     */
   case class Piece(piece: String, cnt: Long, lp_micro: Long)
 
