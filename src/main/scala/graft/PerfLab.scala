@@ -231,6 +231,33 @@ object PerfLab {
           val nz = w.count(_ != 0L)
           println(f"[perf] logregdim dim=$d rounds=32 wall=$secs%.2f s nonzero_w=$nz vector_bytes=${(d + 1) * 8}")
         }
+      case "ivfpqphases" =>
+        // round-17: q172's sf10 exponent (1.08) decomposed. The timed
+        // query bundles INDEX BUILD (cell assignment + PQ-encoding
+        // every corpus vector — corpus-linear, built ONCE in
+        // production) with the serve-time probe. Phase a times the
+        // build; phase b serves from the materialized index
+        // (ivfPqTopKFromIndex), which scans only the probed cells'
+        // code rows. With the FIXED 4-cell oracle fixture, nProbe=2
+        // still touches ~half the index — the recipe at 100 TB sizes
+        // nCells ∝ √n so probed rows grow ~√n (q28/q162 precedent);
+        // this case measures both phases so that claim has numbers.
+        import graft.sources.Ingest
+        import graft.operators.VectorOps
+        import org.apache.spark.sql.functions._
+        val emb = Ingest.table(spark, sfDir, "embeddings")
+        val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding", 16, 64)
+        time("a_index_build", reps)(
+          VectorOps.pqEncodeIndex(
+            VectorOps.assignCellsAll(emb, "embedding", Queries.q115Centroids),
+            "vec_id", "embedding", "cell", books))
+        val index = VectorOps.pqEncodeIndex(
+          VectorOps.assignCellsAll(emb, "embedding", Queries.q115Centroids),
+          "vec_id", "embedding", "cell", books).localCheckpoint()
+        time("b_serve_from_index", reps)(
+          VectorOps.ivfPqTopKFromIndex(emb.filter(col("vec_id") < 5),
+            "vec_id", "embedding", index, Queries.q115Centroids, books,
+            k = 10, nProbe = 2))
       case n =>
         Queries.all.find(_.name == n).foreach { q =>
           q.prepare.foreach(_(spark, sfDir)) // untimed, same as Bench

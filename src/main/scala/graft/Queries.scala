@@ -3914,7 +3914,7 @@ object Queries {
     * deterministic literals — zero, uniform ±, and alternating-sign
     * patterns give well-spread dot products against the synthetic
     * embeddings without depending on any fitted state. */
-  private val q115Centroids: Array[Seq[Double]] = Array(
+  private[graft] val q115Centroids: Array[Seq[Double]] = Array(
     Seq.fill(64)(0.0),
     Seq.fill(64)(100.0),
     Seq.fill(64)(-100.0),
@@ -10430,8 +10430,8 @@ object Queries {
     * for the classifier AND the model round trip through bytes on disk
     * (a correct-looking q228 with a broken scorer, or a lossy
     * serialization, cannot pass). Scoring is one broadcast join + one
-    * aggregate; the q73-family quality gate can consume `pred` as a
-    * drop-in filter.
+    * aggregate; [[q232]] (round 17) consumes exactly this committed-
+    * model scoring as the corpus-build flagship's quality gate.
     */
   private def q229ModelDir(dir: String): String =
     s"${artifactScope("q229", dir)}/model"

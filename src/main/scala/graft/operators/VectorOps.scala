@@ -872,7 +872,41 @@ object VectorOps {
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, cellCol: String, centroids: Array[Seq[Double]],
-      books: Array[Array[Seq[Double]]], k: Int, nProbe: Int): DataFrame = {
+      books: Array[Array[Seq[Double]]], k: Int, nProbe: Int): DataFrame =
+    ivfPqTopKFromIndex(queries, idCol, vecCol,
+      pqEncodeIndex(corpus, idCol, vecCol, cellCol, books),
+      centroids, books, k, nProbe)
+
+  /** The STORED IVF-PQ index: (cell, neighbor_id, codes) — the relation
+    * a deployment materializes ONCE (parquet, bucketed by cell) and
+    * serves every query from. Splitting it out of [[ivfPqTopK]]
+    * (round 17) makes the amortization measurable: the encode is the
+    * corpus-linear bulk of the bundled query, and the serve face below
+    * never pays it. The per-subspace argmin encode is inlined so the
+    * cell column rides along without a second pass over the corpus.
+    */
+  def pqEncodeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, books: Array[Array[Seq[Double]]]): DataFrame = {
+    require(books.nonEmpty, "pqEncodeIndex: books must be non-empty")
+    GraftFunctions.register(corpus.sparkSession)
+    val sub = books.head.head.length
+    val codes = books.indices.map { sp =>
+      argminCell(slice(quantize(col(vecCol)), sp * sub + 1, sub), books(sp))
+    }
+    corpus.select(col(cellCol).as("cell"),
+      col(idCol).as("neighbor_id"), array(codes: _*).as("codes"))
+  }
+
+  /** Serve-time IVF-PQ top-k FROM a stored index (round 17 — the
+    * amortized counterpart of [[ivfPqTopK]], which delegates here):
+    * probe the broadcast centroid table, then score ONLY the probed
+    * cells' code rows via the inlined ADC distance. `index` is
+    * [[pqEncodeIndex]]'s relation (or the same bytes read back from
+    * parquet). */
+  def ivfPqTopKFromIndex(queries: DataFrame, idCol: String, vecCol: String,
+      index: DataFrame,
+      centroids: Array[Seq[Double]], books: Array[Array[Seq[Double]]],
+      k: Int, nProbe: Int): DataFrame = {
     require(centroids.nonEmpty, "ivfPqTopK: centroids must be non-empty")
     require(nProbe >= 1, s"ivfPqTopK: nProbe must be >= 1, got $nProbe")
     val s = queries.sparkSession
@@ -880,14 +914,7 @@ object VectorOps {
     GraftFunctions.register(s)
     val m = books.length
     val sub = books.head.head.length
-    // The stored index: (cell, neighbor_id, codes) — the per-subspace
-    // argmin encode inlined so the cell column rides along without a
-    // second pass over the corpus.
-    val codes = (0 until m).map { sp =>
-      argminCell(slice(quantize(col(vecCol)), sp * sub + 1, sub), books(sp))
-    }
-    val enc = corpus.select(col(cellCol).as("cell"),
-      col(idCol).as("neighbor_id"), array(codes: _*).as("codes"))
+    val enc = index
     // Probe: rank the broadcast centroid table by the exact assignment
     // metric per query; keep each query's nProbe best cells.
     val centroidDf = centroids.zipWithIndex

@@ -161,6 +161,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(mean >= 0.4, f"mean recall@10 $mean%.3f below the 0.4 gate")
   }
 
+  test("IVF-PQ serve face: the stored index round-trips through parquet and serves identically (round 17)") {
+    val emb = graft.sources.Ingest.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents: Array[Seq[Double]] = Array(
+      Seq.fill(64)(0.0),
+      Seq.fill(64)(100.0),
+      Seq.fill(64)(-100.0),
+      Seq.tabulate(64)(d => if (d % 2 == 0) 100.0 else -100.0))
+    val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding", m = 16, k = 64)
+    val corpus = VectorOps.assignCellsAll(emb, "embedding", cents)
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("adc_dist").cast("long")).as[(Long, Long, Long)].collect().toSet
+    val bundled = rows(VectorOps.ivfPqTopK(queries, corpus, "vec_id",
+      "embedding", "cell", cents, books, k = 10, nProbe = 2))
+    // the deployed shape: materialize (cell, neighbor_id, codes) once,
+    // read it back from bytes on disk, serve from the stored relation
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    VectorOps.pqEncodeIndex(corpus, "vec_id", "embedding", "cell", books)
+      .write.parquet(s"$dir/index")
+    val served = rows(VectorOps.ivfPqTopKFromIndex(queries, "vec_id",
+      "embedding", spark.read.parquet(s"$dir/index"), cents, books,
+      k = 10, nProbe = 2))
+    assert(served == bundled,
+      "serving from the parquet-round-tripped index must equal the bundled plan")
+  }
+
   test("labelCentroids: per-dim integer mean in index order") {
     val df = Seq(
       (0L, 0, Seq(1f, 2f)), (1L, 0, Seq(3f, 5f)), // label 0: means (2000, 3500)
