@@ -1732,9 +1732,17 @@ object TrainPrep {
     * multiple of d, both operands and the quotient are exactly
     * representable). The DuckDB oracles use the direct BIGINT form —
     * same mathematical function, pinned by SigmoidSpec values and every
-    * q228/q229/q230/q232 hash. */
+    * q228/q229/q230/q232 hash.
+    *
+    * Totality at the Long edge (round 18 — ADVICE): clamp BEFORE abs.
+    * `abs(Long.MinValue)` overflows to Long.MinValue in Spark and
+    * raises out-of-range in DuckDB, so the old `least(abs(m), sat)`
+    * was total everywhere EXCEPT that one value; `abs(greatest(m,
+    * -sat))` never sees it (the clamp saturates first), and for every
+    * m > Long.MinValue the two forms are identical. */
   private[graft] def sigmoidMicro(m: Column): Column = {
-    val a = least(abs(m.cast("long")), lit(SigmoidSatMicro))
+    val a = least(abs(greatest(m.cast("long"), lit(-SigmoidSatMicro))),
+      lit(SigmoidSatMicro))
     val d = lit(1000000L) + a
     val n = lit(499999999999L) + d
     val q = lit(500000L) -

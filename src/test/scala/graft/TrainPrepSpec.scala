@@ -526,7 +526,11 @@ class TrainPrepSpec extends SparkSpec {
       // at/past the ±1e12 clamp: within one micro of the asymptotes,
       // and TOTAL — no overflow reachable at any Long margin
       999999999999999L -> 999999L, -999999999999999L -> 1L,
-      Long.MaxValue -> 999999L, Long.MinValue + 1 -> 1L)
+      Long.MaxValue -> 999999L, Long.MinValue + 1 -> 1L,
+      // round 18 (ADVICE): Long.MinValue itself — the one value where
+      // abs() overflows in Spark and errors in DuckDB; the clamp now
+      // runs BEFORE abs, so it is unreachable and p is still 1
+      Long.MinValue -> 1L)
     val got = pinned.map(_._1).toDF("m")
       .select(col("m"), TrainPrep.sigmoidMicro(col("m")).as("p"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
