@@ -28,6 +28,42 @@ object TextOps {
         (a, b) => concat_ws(" ", a, b)),
       s => s.isNotNull && length(s) - length(regexp_replace(s, " ", "")) === 1))
 
+  /** Above this many suppressed shingles the typedlit literal plan is
+    * the wrong vehicle: tens of thousands of strings serialized into
+    * the expression tree ship with EVERY task and can trip codegen /
+    * plan-size limits, while a broadcast variable ships the set once
+    * per executor. Below it the codegen'd array_except wins (measured
+    * both ways at a ~50k production-sized set — see SCALE.md round 18).
+    */
+  val BoilerLiteralMax: Int = 4096
+
+  /** Map-side boilerplate-shingle suppression (round 18 — ADVICE: the
+    * size guard the round-17 literal form lacked): the distinct
+    * elements of `sh` minus the suppressed set. Two plans, same
+    * result set:
+    *
+    *  - `boiler.size <= BoilerLiteralMax`: `array_except(sh, lit)` —
+    *    fully codegen'd, zero extra exchange, the measured round-17
+    *    winner at control-plane sizes;
+    *  - larger sets: a broadcast-variable UDF — the set rides the
+    *    executor broadcast channel ONCE instead of living in the
+    *    expression tree of every serialized task, so the plan stays
+    *    small at production suppressed-set sizes. Same set semantics
+    *    as array_except (first-occurrence order, duplicates dropped).
+    *
+    * Downstream consumers (minhash, Jaccard co-counts) are
+    * order-insensitive, and TextOpsSpec pins the two forms equal
+    * element-for-element anyway. */
+  def suppressBoilerplate(s: org.apache.spark.sql.SparkSession,
+      sh: Column, boiler: Seq[String]): Column =
+    if (boiler.size <= BoilerLiteralMax) array_except(sh, typedlit(boiler))
+    else {
+      val bc = s.sparkContext.broadcast(boiler.toSet)
+      val f = udf((a: Seq[String]) =>
+        if (a == null) null else a.distinct.filterNot(bc.value.contains))
+      f(sh)
+    }
+
   /** Distinct word n-grams joined with single spaces. Guarded like
     * charNgrams: `sequence(1, size-n+1)` DESCENDS when size < n, so short
     * docs return an explicit empty array.

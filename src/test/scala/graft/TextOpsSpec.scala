@@ -610,4 +610,35 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("dup_ngram_frac") - 9.0 / 21) < 1e-12)
     assert(!r.getAs[Boolean]("keep")) // 0.43 > 0.15
   }
+
+  test("suppressBoilerplate: broadcast-UDF form equals the literal array_except form element-for-element") {
+    // a suppressed set just past BoilerLiteralMax forces the broadcast
+    // plan; re-invoking with a small set takes the literal plan — both
+    // run over the same arrays (duplicates, nulls-free, empties)
+    val big = (0 until TextOps.BoilerLiteralMax + 10).map(i => s"boil$i") :+
+      "boil9999"
+    val arrays = Seq(
+      (0L, Seq("a b", "boil1", "c d", "a b", "boil9999")),
+      (1L, Seq("boil0", "boil2")),
+      (2L, Seq[String]()),
+      (3L, Seq("x y", "x y", "z w")))
+    val df = arrays.toDF("doc_id", "sh")
+    def run(boiler: Seq[String]): Map[Long, Seq[String]] =
+      df.select(col("doc_id"),
+          TextOps.suppressBoilerplate(spark, col("sh"), boiler).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(big.size > TextOps.BoilerLiteralMax)
+    val viaBroadcast = run(big)
+    // literal twin over an equivalent small set: same suppressed
+    // members of the fixture's arrays
+    val small = Seq("boil0", "boil1", "boil2", "boil9999")
+    val viaLiteral = run(small)
+    assert(viaBroadcast == viaLiteral,
+      s"plans disagree: $viaBroadcast vs $viaLiteral")
+    // and the semantics themselves: distinct, first-occurrence order
+    assert(viaLiteral(0L) == Seq("a b", "c d"))
+    assert(viaLiteral(1L) == Seq())
+    assert(viaLiteral(2L) == Seq())
+    assert(viaLiteral(3L) == Seq("x y", "z w"))
+  }
 }
