@@ -430,6 +430,52 @@ object StreamBench {
     val (qn2, qsp2, _) = qsTotals()
     println(f"""{"op":"quality_score_ledger_fenced","rows":$nQdocs,"secs":$qsSecs%.2f,"rows_per_sec":${(nQdocs / qsSecs).toLong},"sources":$qsrc1,"ledger_docs":$qn1,"ledger_spam":$qsp1,"spam_rate_milli":${if (qn1 > 0) qsp1 * 1000 / qn1 else -1L},"replay_secs":$qsSecs2%.2f,"replayed_delta":${(qn2 - qn1) + (qsp2 - qsp1)}}""")
 
+    // round-18: banded-admission gate — the q231 word-bigram banding as
+    // a per-trigger admit gate against the COMMITTED corpus index
+    // (StreamingOps.bandedAdmitStream), with the same fenced-ledger
+    // redelivery measurement as media health / fertility / qscore.
+    // Setup commits the index over the lower-id half of the corpus
+    // (untimed — the deployed amortization); the replay streams the
+    // other half against it, so rejects are the planted near-dups that
+    // straddle the median.
+    val baReplay = s"$replay/badmit"
+    for (sub <- Seq("ledger", "index", "out", "ckpt1"))
+      deleteRecursively(new java.io.File(s"$baReplay/$sub"))
+    val bdocs = Ingest.table(spark, sfDir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val baCut = bdocs.stat.approxQuantile("doc_id", Array(0.5), 0.0)(0)
+    StreamingOps.commitBandedAdmitIndex(
+      bdocs.filter(col("doc_id") < baCut), "doc_id", "text",
+      s"$baReplay/index")
+    val baIn = bdocs.filter(col("doc_id") >= baCut)
+    val nBa = baIn.count()
+    baIn.repartition(16).write.mode("overwrite").parquet(s"$baReplay/in")
+    val baSchema = spark.read.parquet(s"$baReplay/in").schema
+    def baPass(ckpt: String): Double = {
+      val src = spark.readStream.schema(baSchema)
+        .option("maxFilesPerTrigger", "2").parquet(s"$baReplay/in")
+      val t = System.nanoTime()
+      val qq = StreamingOps.bandedAdmitStream(src, "doc_id", "text",
+          s"$baReplay/index", s"$baReplay/ledger", s"$baReplay/out")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      qq.awaitTermination()
+      qq.stop()
+      (System.nanoTime() - t) / 1e9
+    }
+    val baSecs = baPass(s"$baReplay/ckpt1")
+    def baTotals(): (Long, Long, Long) = {
+      val r = VersionedLedger.read(spark, s"$baReplay/ledger").get
+        .collect()(0)
+      (r.getAs[Long]("n_seen"), r.getAs[Long]("n_admitted"),
+        r.getAs[Long]("n_rejected"))
+    }
+    val (bs1, ba1, br1) = baTotals()
+    dropLastCommit(s"$baReplay/ckpt1")
+    val baSecs2 = baPass(s"$baReplay/ckpt1")
+    val (bs2, ba2, br2) = baTotals()
+    println(f"""{"op":"banded_admit_gate_fenced","rows":$nBa,"secs":$baSecs%.2f,"rows_per_sec":${(nBa / baSecs).toLong},"seen":$bs1,"admitted":$ba1,"rejected":$br1,"replay_secs":$baSecs2%.2f,"replayed_delta":${(bs2 - bs1) + (ba2 - ba1) + (br2 - br1)}}""")
+
     spark.stop()
   }
 }

@@ -791,6 +791,139 @@ object StreamingOps {
     }
   }
 
+  /** Commit (or atomically RE-commit, under a live gate) the corpus
+    * index the banded-admission stream probes: one row per corpus doc —
+    * the sorted distinct word-bigram shingle hashes (the exact-Jaccard
+    * evidence), their count, and the 4×2 minhash band keys (the q231
+    * signature family, byte-identical to the batch admission face).
+    * Lives in a [[VersionedLedger]], so a re-index swaps in atomically
+    * between triggers (the driftGate/fertility hot-swap precedent) and
+    * a crash mid-commit can never leave the gate reading half an index.
+    */
+  def commitBandedAdmitIndex(docs: DataFrame, idCol: String,
+      textCol: String, indexPath: String): Unit = {
+    import graft.operators.TextOps
+    val g = docs.select(col(idCol).cast("long").as("doc_id"),
+        sort_array(array_distinct(TextOps.shingleHashes(
+          TextOps.wordBigrams(TextOps.tokens(col(textCol)))))).as("hv"))
+      .filter(size(col("hv")) > 0)
+    VersionedLedger.commit(
+      g.select(col("doc_id"), col("hv"),
+        size(col("hv")).cast("long").as("n"),
+        TextOps.lshBandKeys(
+          TextOps.minhashSignature(col("hv"), 8), 4, 2).as("bkeys")),
+      indexPath)
+  }
+
+  /** Streaming BANDED-ADMISSION gate (round 18 — verdict item 6: the
+    * q231 word-bigram banding as a per-trigger admit gate). Each
+    * micro-batch's docs are minhash-banded and checked against the
+    * COMMITTED corpus index ([[commitBandedAdmitIndex]]): banded
+    * candidates → exact Jaccard verified on candidates ONLY → a doc
+    * with a verified near-dup (≥ `theta`) already in the corpus is
+    * REJECTED, everything else admitted. This is the admission decision
+    * a production crawl front-end runs on every arriving page — the
+    * q231 batch-delta face made continuous — where the older
+    * [[lshNearDupStream]] adjudicates docs against EACH OTHER via
+    * per-band-key claimant state, this gate adjudicates against the
+    * corpus that already shipped.
+    *
+    * Per-doc verdicts (doc_id, admitted, dup_of, batch_id) append to
+    * `outPath`; cumulative admit/reject counts live in a fenced
+    * [[VersionedLedger]] at `ledgerPath` — the (runTag, batchId) replay
+    * fence makes a RE-DELIVERED batch a complete no-op (verdicts
+    * included) while a fresh checkpoint lineage (ids restarting at 0)
+    * still applies, exactly the mediaHealth at-least-once contract.
+    *
+    * Scale shape: the batch delta's band keys BROADCAST (a trigger is
+    * always small next to the corpus); the corpus index scans ONCE per
+    * trigger with the band explode map-side, and the shingle arrays
+    * ride only into candidate-sized rows (the verify join is
+    * answer-bound, q231's argument). At 100 TB the exploded band
+    * relation is stored partitioned by pmod(hash(bkey), nBuckets) so
+    * the probe prunes to the delta's buckets instead of scanning — the
+    * q234 partition-pruned-serve layout applied to admission; the
+    * snapshot here keeps doc grain for the ledger's atomic-swap
+    * simplicity and the measured 1×/10× rows price the scan honestly.
+    * No per-doc streaming state anywhere: the index and the counters
+    * are both ledgers.
+    */
+  def bandedAdmitStream(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, ledgerPath: String, outPath: String,
+      theta: Double = 0.5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      bandedAdmitMerge(batch, batchId, streamRunTag(batch.sparkSession),
+        idCol, textCol, indexPath, ledgerPath, outPath, theta)
+    }
+
+  /** One micro-batch of the banded-admission gate — factored out (the
+    * [[mediaHealthMerge]] shape) so the fence is testable at
+    * (runTag, batchId) granularity. */
+  def bandedAdmitMerge(batch: DataFrame, batchId: Long, runTag: String,
+      idCol: String, textCol: String, indexPath: String,
+      ledgerPath: String, outPath: String, theta: Double): Unit = {
+    import graft.operators.TextOps
+    import graft.functions.GraftFunctions
+    val spark = batch.sparkSession
+    if (!VersionedLedger.alreadyApplied(spark, ledgerPath, runTag, batchId)) {
+      GraftFunctions.register(spark)
+      val corpus = VersionedLedger.read(spark, indexPath).getOrElse(
+        throw new java.io.FileNotFoundException(
+          s"bandedAdmitStream: no committed corpus index at $indexPath"))
+      val ids = batch.select(col(idCol).cast("long").as("doc_id"))
+      val bh = batch.select(col(idCol).cast("long").as("doc_id"),
+          sort_array(array_distinct(TextOps.shingleHashes(
+            TextOps.wordBigrams(TextOps.tokens(col(textCol)))))).as("hv"))
+        .filter(size(col("hv")) > 0)
+        .select(col("doc_id"), col("hv"),
+          size(col("hv")).cast("long").as("n"))
+        .localCheckpoint() // the delta is reused thrice; sever lineage
+      val bb = bh.select(col("doc_id"),
+        posexplode(TextOps.lshBandKeys(
+          TextOps.minhashSignature(col("hv"), 8), 4, 2))
+          .as(Seq("band", "bkey")))
+      // ONE corpus scan: explode bands map-side, hash-join the broadcast
+      // batch delta, keep candidate-sized rows only
+      val cand = corpus.select(col("doc_id").as("cid"),
+          col("hv").as("chv"), col("n").as("cn"),
+          posexplode(col("bkeys")).as(Seq("band", "bkey")))
+        .join(broadcast(bb), Seq("band", "bkey"))
+        .filter(col("doc_id") =!= col("cid"))
+        .dropDuplicates("doc_id", "cid")
+      val rejected = cand
+        .join(broadcast(bh.select(col("doc_id"),
+          col("hv").as("hv1"), col("n").as("n1"))), "doc_id")
+        .withColumn("n_inter", call_function(
+          GraftFunctions.SortedIntersectName, col("hv1"), col("chv")))
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (col("n1") + col("cn") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= theta)
+        .groupBy(col("doc_id")).agg(min(col("cid")).as("dup_of"))
+      val verdicts = ids.join(rejected, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of").isNull.as("admitted"),
+          col("dup_of"), lit(batchId).as("batch_id"))
+      verdicts.write.mode("append").parquet(outPath)
+      // coalesce: sum over an EMPTY trigger is null, and a null must
+      // never enter the cumulative ledger
+      val d = verdicts.agg(count(lit(1)).as("n_seen"),
+        coalesce(sum(when(col("admitted"), 1L).otherwise(0L)), lit(0L))
+          .as("n_admitted"),
+        coalesce(sum(when(col("admitted"), 0L).otherwise(1L)), lit(0L))
+          .as("n_rejected"))
+      val merged = VersionedLedger.read(spark, ledgerPath) match {
+        case Some(prev) =>
+          prev.select(col("n_seen"), col("n_admitted"), col("n_rejected"))
+            .unionByName(d)
+            .agg(sum(col("n_seen")).as("n_seen"),
+              sum(col("n_admitted")).as("n_admitted"),
+              sum(col("n_rejected")).as("n_rejected"))
+        case None => d
+      }
+      VersionedLedger.commit(merged.coalesce(1), ledgerPath,
+        batchId = Some(batchId), runTag = Some(runTag))
+    }
+  }
+
   /** Streaming drift gate (round 11 — the q179 PSI monitor as an
     * admit-time check): every micro-batch's token distribution is
     * compared against a FIXED reference histogram (fit once from the

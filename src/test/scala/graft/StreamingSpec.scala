@@ -852,6 +852,84 @@ class StreamingSpec extends SparkSpec {
     assert(rows()("web")._1 == afterApply._1 + 1, "new lineage must apply")
   }
 
+  test("bandedAdmitStream: per-trigger admit vs the committed corpus, index hot-swap, fenced") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-badmit").toString
+    val index = s"$base/index"
+    val ledger = s"$base/ledger"
+    val out = s"$base/out"
+    // committed corpus: two docs with disjoint vocabularies
+    val corpusA = "the quick brown fox jumps over the lazy dog tonight"
+    val corpusB = "gradient descent converges on convex losses eventually"
+    StreamingOps.commitBandedAdmitIndex(
+      Seq((0L, corpusA), (1L, corpusB)).toDF("doc_id", "text"),
+      "doc_id", "text", index)
+
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.bandedAdmitStream(docs, "doc_id", "text",
+      index, ledger, out).start()
+    def counts(): (Long, Long, Long) = {
+      val r = VersionedLedger.read(spark, ledger).get.collect().head
+      (r.getAs[Long]("n_seen"), r.getAs[Long]("n_admitted"),
+        r.getAs[Long]("n_rejected"))
+    }
+    def verdict(id: Long): (Boolean, Option[Long]) = {
+      val r = spark.read.parquet(out).filter(col("doc_id") === id)
+        .collect().head
+      (r.getAs[Boolean]("admitted"),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue))
+    }
+    val fresh = "completely novel sentence about volcanic lighthouse keepers"
+    try {
+      // batch 0: an exact re-crawl of corpus doc 0 (jaccard 1 → reject,
+      // dup_of = 0), a fresh doc (admit), and a 1-token doc (no bigrams
+      // → trivially admitted: nothing to band)
+      mem.addData((100L, corpusA), (101L, fresh), (102L, "hi"))
+      q.processAllAvailable()
+      assert(counts() == ((3L, 2L, 1L)), s"got ${counts()}")
+      assert(verdict(100L) == ((false, Some(0L))))
+      assert(verdict(101L) == ((true, None)))
+      assert(verdict(102L) == ((true, None)))
+      // the gate adjudicates vs the COMMITTED corpus, not the stream:
+      // a near-dup of the batch-0 admitted doc still admits (its twin
+      // was never committed) — the lshNearDupStream contrast
+      mem.addData((103L, fresh))
+      q.processAllAvailable()
+      assert(counts() == ((4L, 3L, 1L)))
+      assert(verdict(103L)._1, "uncommitted twins must not reject")
+      // hot-swap: re-commit the index WITH the fresh doc; its next
+      // near-dup is rejected against the new snapshot
+      StreamingOps.commitBandedAdmitIndex(
+        Seq((0L, corpusA), (1L, corpusB), (2L, fresh))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", index)
+      mem.addData((104L, fresh))
+      q.processAllAvailable()
+      assert(counts() == ((5L, 3L, 2L)))
+      assert(verdict(104L) == ((false, Some(2L))))
+    } finally q.stop()
+    // replay fence: a re-delivered (runTag, batchId) is a COMPLETE
+    // no-op — ledger counts AND the per-doc verdict sink; a new
+    // lineage (ids restarting at 0) applies
+    val b = Seq((200L, corpusB)).toDF("doc_id", "text")
+    val before = counts()
+    val outBefore = spark.read.parquet(out).count()
+    StreamingOps.bandedAdmitMerge(b, 42L, "runX", "doc_id", "text",
+      index, ledger, out, 0.5)
+    assert(counts() == ((before._1 + 1, before._2, before._3 + 1)))
+    assert(spark.read.parquet(out).count() == outBefore + 1)
+    val applied = counts()
+    StreamingOps.bandedAdmitMerge(b, 42L, "runX", "doc_id", "text",
+      index, ledger, out, 0.5)
+    assert(counts() == applied, "re-delivered (runX, 42) double-counted")
+    assert(spark.read.parquet(out).count() == outBefore + 1,
+      "re-delivered batch re-appended verdicts")
+    StreamingOps.bandedAdmitMerge(b, 0L, "runY", "doc_id", "text",
+      index, ledger, out, 0.5)
+    assert(counts()._1 == applied._1 + 1, "new lineage must apply")
+  }
+
   test("driftGateStream: per-batch PSI vs a fixed reference, batch-equivalent, gate fires on drift") {
     import graft.operators.TrainPrep
     val base = java.nio.file.Files.createTempDirectory("graft-drift").toString
