@@ -258,6 +258,44 @@ object PerfLab {
           VectorOps.ivfPqTopKFromIndex(emb.filter(col("vec_id") < 5),
             "vec_id", "embedding", index, Queries.q115Centroids, books,
             k = 10, nProbe = 2))
+      case "boiler50k" =>
+        // round-18 verdict item 4: boilerplate suppression at a
+        // PRODUCTION-sized suppressed set (~50k shingles) — the
+        // typedlit literal plan (round 17's winner at control-plane
+        // sizes) vs the broadcast-variable UDF
+        // (TextOps.suppressBoilerplate's >BoilerLiteralMax arm).
+        // Synthetic long-document corpus built so df > 1% holds for
+        // exactly the 50k pool: 100k docs × (625 boilerplate shingles
+        // cycled from a 50k pool — each pool value lands in 1 250 docs,
+        // cap is 1 000 — plus 100 doc-unique shingles).
+        import graft.operators.TextOps
+        import org.apache.spark.sql.functions._
+        val docs = spark.range(100000L).select(col("id").as("doc_id"),
+          concat(
+            transform(sequence(lit(0L), lit(624L)), i =>
+              concat(lit("boiler "),
+                pmod(col("id") + i * lit(197L), lit(50000L)).cast("string"))),
+            transform(sequence(lit(0L), lit(99L)), i =>
+              concat(lit("unique "),
+                (col("id") * 100L + i).cast("string")))).as("sh"))
+        val t0 = System.nanoTime()
+        val boiler = docs.select(explode(col("sh")).as("s"))
+          .groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .crossJoin(docs.select(count(lit(1)).as("n")))
+          .filter(col("df") >
+            greatest(lit(1L), floor(col("n") / lit(100)).cast("long")))
+          .select(col("s")).collect().map(_.getString(0)).toSeq
+        println(f"[perf] boiler_df_aggregate ${(System.nanoTime() - t0) / 1e9}%.2f s"
+          + s" suppressed=${boiler.size}"
+          + s" literal_payload_bytes=${boiler.map(_.length + 40).sum}")
+        time("literal_typedlit", reps)(docs.select(col("doc_id"),
+          array_except(col("sh"), typedlit(boiler)).as("s")))
+        time("broadcast_udf", reps) {
+          val bc = spark.sparkContext.broadcast(boiler.toSet)
+          val f = udf((a: Seq[String]) =>
+            if (a == null) null else a.distinct.filterNot(bc.value.contains))
+          docs.select(col("doc_id"), f(col("sh")).as("s"))
+        }
       case n =>
         Queries.all.find(_.name == n).foreach { q =>
           q.prepare.foreach(_(spark, sfDir)) // untimed, same as Bench

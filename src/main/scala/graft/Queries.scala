@@ -6324,17 +6324,13 @@ object Queries {
     * the probed cells). Recall vs exact and vs unpruned PQ is gated in
     * VectorOpsSpec.
     */
-  val q172: Q = Q(
-    "q172_ann_ivfpq_topk",
-    (s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding", m = 16, k = 64)
-      VectorOps.ivfPqTopK(emb.filter(col("vec_id") < 5),
-          VectorOps.assignCellsAll(emb, "embedding", q115Centroids),
-          "vec_id", "embedding", "cell", q115Centroids, books, k = 10, nProbe = 2)
-        .orderBy(col("query_id"), col("adc_dist"), col("neighbor_id"))
-    },
-    Some {
+  /** The q172/q234 oracle: DuckDB replays cell assignment, codebook
+    * seeding, PQ encode, probe and ADC end to end from the embeddings
+    * table. Shared verbatim by the bundled build+serve query (q172)
+    * and the serve-from-stored-index face (q234) — the two faces must
+    * produce the SAME rows, so a lossy index round trip through
+    * parquet would break q234 against the very replay q172 passes. */
+  private lazy val ivfPqOracleSql: String = {
       val cellRows = q115Centroids.zipWithIndex.map { case (ct, i) =>
         s"($i, [${ct.map(_.toLong).mkString(",")}])"
       }.mkString(",\n      |    ")
@@ -6401,7 +6397,19 @@ object Queries {
       |WHERE rn <= 10
       |ORDER BY query_id, adc_dist, neighbor_id
       |""".stripMargin.trim
-    })
+  }
+
+  val q172: Q = Q(
+    "q172_ann_ivfpq_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding", m = 16, k = 64)
+      VectorOps.ivfPqTopK(emb.filter(col("vec_id") < 5),
+          VectorOps.assignCellsAll(emb, "embedding", q115Centroids),
+          "vec_id", "embedding", "cell", q115Centroids, books, k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("adc_dist"), col("neighbor_id"))
+    },
+    Some(ivfPqOracleSql))
 
   /** Shared q173/q174 oracle tail: q61's recursive-CTE component closure
     * over the blocked trigram-Jaccard pairs, ending in
@@ -9970,17 +9978,31 @@ object Queries {
     * (r16 ADVICE: the old 32-bit `dir.hashCode` key could collide two
     * different data dirs, cross-contaminating the artifact a timed
     * query then loads). The FULL data dir is encoded injectively —
-    * every non-[A-Za-z0-9._-] byte hex-escaped as `_xNN` (the escape
+    * every non-[A-Za-z0-9.-] char hex-escaped as `_xNNNN` (the escape
     * char `_` is itself escaped), so distinct dirs can never map to the
     * same path — and each dataset's artifacts live under one per-query
-    * subtree. */
-  private def artifactScope(tag: String, dir: String): String = {
+    * subtree. Component length is BOUNDED (round 18 — ADVICE: the
+    * 6×-expanding escape could push a long data-dir path past the
+    * 255-byte filename-component limit the old hashCode key never hit):
+    * past 120 chars the encoding switches to a truncated readable
+    * prefix + the full 32-hex md5 of the original dir — one component
+    * of at most 113 chars, still collision-free for any realistic set
+    * of data dirs (a collision needs two distinct dirs with equal
+    * 128-bit md5). */
+  private[graft] def artifactScope(tag: String, dir: String): String = {
     val enc = dir.flatMap {
       case c if c.isLetterOrDigit && c < 128 => c.toString
       case c @ ('.' | '-') => c.toString
       case c => f"_x${c.toInt}%04x"
     }
-    s"/tmp/graft_artifacts/$tag/$enc"
+    val comp =
+      if (enc.length <= 120) enc
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        enc.take(80) + "_" + md
+      }
+    s"/tmp/graft_artifacts/$tag/$comp"
   }
 
   private def q227ArtifactDir(dir: String): String =
@@ -9993,6 +10015,11 @@ object Queries {
     s"${artifactScope("q232", dir)}/artifact"
   private def q232ModelDir(dir: String): String =
     s"${artifactScope("q232", dir)}/model"
+
+  private def q234IndexDir(dir: String): String =
+    s"${artifactScope("q234", dir)}/index"
+  private def q234BooksDir(dir: String): String =
+    s"${artifactScope("q234", dir)}/books"
 
   /** The extracted + scrubbed crawl corpus shared by q227's prepare
     * (tokenizer training) and timed query (the build chain): the raw
@@ -10035,7 +10062,12 @@ object Queries {
           .otherwise(lit("")),
         if (spam) when(col("n_chars") % 5 === 0, lit(q232SpamText))
           .otherwise(lit("")) else lit("")).as("text"),
-      when(col("n_chars") % 5 === 0, lit(1L)).otherwise(lit(0L)).as("y"))
+      // the weak-supervision label exists only when the stratum is
+      // actually planted (round 18 — ADVICE: with spam = false the old
+      // unconditional y marked docs that carry NO marker, a meaningless
+      // label a future caller could train on by mistake)
+      (if (spam) when(col("n_chars") % 5 === 0, lit(1L)).otherwise(lit(0L))
+       else lit(0L)).as("y"))
     val html = concat(
       lit("<html><head><title>Corpus</title><style>body { color: #000; }" +
         "</style><script type=\"text/javascript\">var x = 1 < 2;</script>" +
@@ -10728,6 +10760,67 @@ object Queries {
       |ORDER BY c.doc_id
       |""".stripMargin.trim))
 
+  /** IVF-PQ top-k FROM THE STORED INDEX (round 18 — verdict item 1:
+    * the q222/q229 "deployed shape" precedent applied to ANN serving,
+    * the single most-served operator in a production embedding stack).
+    * `prepare` materializes the two deployment artifacts ONCE — the
+    * (cell, neighbor_id, codes) index relation
+    * ([[graft.operators.VectorOps.pqEncodeIndex]]) written as parquet
+    * PARTITIONED BY cell, and the tiny PQ codebook table (m·k rows) —
+    * exactly the amortized corpus-linear build q172's round-17 sf10
+    * drive decomposed out (175.6 s of its 216.8 s at sf10). The TIMED
+    * query is the serve face only: load the codebooks (a bounded m·k-row
+    * control-plane read, 1 024 rows here), probe the broadcast centroid
+    * table, and ADC-score ONLY the probed cells' code rows via
+    * [[graft.operators.VectorOps.ivfPqTopKFromIndex]] — it never pays
+    * the encode. Partitioning the stored index by cell means the probe's
+    * broadcast join prunes unprobed cells at the FILE level (dynamic
+    * partition pruning), so a serve reads ~nProbe/nCells of the index
+    * bytes — the layout a 100-TB deployment (nCells ∝ √n) actually uses.
+    *
+    * The oracle is q172's replay VERBATIM (assignment, codebook seeding,
+    * encode, probe, ADC from the embeddings table): the two faces must
+    * return identical rows, so this query hash-pins the full index round
+    * trip through parquet bytes on disk — a lossy code, a dropped row,
+    * or a drifted partition value would move it off the replay q172
+    * passes. */
+  val q234: Q = Q(
+    "q234_ann_ivfpq_serve",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // control-plane artifact loads: m·k codebook rows (1 024 here)
+      val bkRows = s.read.parquet(q234BooksDir(dir))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      val m = bkRows.map(_._1).max + 1
+      val books: Array[Array[Seq[Double]]] = Array.tabulate(m) { sp =>
+        bkRows.filter(_._1 == sp).sortBy(_._2).map(_._3.toIndexedSeq: Seq[Double])
+      }
+      val idx = s.read.parquet(q234IndexDir(dir))
+      VectorOps.ivfPqTopKFromIndex(emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", idx, q115Centroids, books,
+          k = 10, nProbe = 2)
+        .orderBy(col("query_id"), col("adc_dist"), col("neighbor_id"))
+    },
+    Some(ivfPqOracleSql),
+    prepare = Some((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding",
+        m = 16, k = 64)
+      val bkRows = for {
+        (bk, sp) <- books.toSeq.zipWithIndex
+        (cw, j) <- bk.toSeq.zipWithIndex
+      } yield (sp, j, cw)
+      bkRows.toDF("sp", "j", "cw").coalesce(1)
+        .write.mode("overwrite").parquet(q234BooksDir(dir))
+      VectorOps.pqEncodeIndex(
+          VectorOps.assignCellsAll(emb, "embedding", q115Centroids),
+          "vec_id", "embedding", "cell", books)
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(q234IndexDir(dir))
+      ()
+    }))
+
   /** Flagship corpus build with the TRAINED quality gate (round 17 —
     * verdict item 1): the q227 chain, upgraded to the actual production
     * shape — every real corpus build filters on a trained quality
@@ -10741,7 +10834,12 @@ object Queries {
     * LSH near-dedup with BOILERPLATE-SHINGLE SUPPRESSION (df > 1% of
     * the corpus — see the inline comment; this query's own sf10 drive
     * proved the plain q24 face goes candidate-clique-quadratic on the
-    * marker text the model imperfectly removes) → 5-gram
+    * marker text the model imperfectly removes), electing the
+    * QUALITY-CANONICAL copy per near-dup cluster (round 18 — verdict
+    * item 2: q233's keep-best policy composed in; the model score is
+    * already on every row, so the election costs one window over the
+    * answer-sized components — a production corpus keeps the copy the
+    * model likes best, not whichever id sorts first) → 5-gram
     * decontamination → per-domain quota → stratified mix → tokenize
     * FROM the committed artifact → seeded epoch packing. Output adds
     * `p_micro` — the model's verdict rides the provenance row, as a
@@ -10811,14 +10909,21 @@ object Queries {
       val sh0 = cs.cache(ded.select(col("doc_id"),
           TextOps.wordBigrams(TextOps.tokens(col("text"))).as("sh"))
         .filter(size(col("sh")) > 0))
-      val nDed = sh0.count()
-      val dfCap = math.max(1L, nDed / 100L)
+      // ONE action produces both the corpus count and the df table
+      // (round 18 — verdict item 5: the oracle's nbn CROSS JOIN shape;
+      // the old form paid a separate count() job over the cache)
       val boiler = sh0.select(explode(col("sh")).as("s"))
         .groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > dfCap)
+        .crossJoin(sh0.select(count(lit(1)).as("n")))
+        .filter(col("df") >
+          greatest(lit(1L), floor(col("n") / lit(100)).cast("long")))
         .select(col("s")).collect().map(_.getString(0)).toSeq
+      // size-guarded suppression (round 18 — ADVICE): literal
+      // array_except at control-plane sizes, broadcast-variable UDF
+      // past TextOps.BoilerLiteralMax so the plan stays small when a
+      // production corpus suppresses tens of thousands of shingles
       val base = cs.cache(sh0.select(col("doc_id"),
-          array_except(col("sh"), typedlit(boiler)).as("sh"))
+          TextOps.suppressBoilerplate(s, col("sh"), boiler).as("sh"))
         .filter(size(col("sh")) > 0))
       val sig = base
         .withColumn("hv", TextOps.shingleHashes(col("sh")))
@@ -10831,7 +10936,7 @@ object Queries {
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
       val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
       val sizes = base.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-      val nearDupIds = cand
+      val nearDupPairs = cand
         .join(ex.select(col("doc_id").as("id1"), col("s")), "id1")
         .join(ex.select(col("doc_id").as("id2"), col("s")), Seq("id2", "s"))
         .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_inter"))
@@ -10839,8 +10944,26 @@ object Queries {
         .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
         .filter(col("n_inter").cast("double")
           / (col("n1") + col("n2") - col("n_inter")).cast("double") >= 0.2)
-        .select(col("id2").as("doc_id")).distinct()
-      val nd = ded.join(nearDupIds, Seq("doc_id"), "left_anti")
+        .select(col("id1"), col("id2"))
+      // QUALITY-CANONICAL election (round 18 — verdict item 2: the
+      // q233 policy composed into the flagship): verified pairs →
+      // connected components → keep the copy the committed model
+      // likes BEST per cluster (lowest spam probability p_micro, ties
+      // to the lower doc_id). Replaces round 17's keep-lowest-id
+      // anti-join with the SAME plan shape: components are
+      // answer-sized, so membership broadcasts INTO the cached corpus
+      // (no corpus shuffle), the election window runs over member rows
+      // only, and the non-canonical ids broadcast back out as the
+      // anti-join. Docs outside every component are singleton clusters
+      // — trivially their own canonical copy — so only losers move.
+      val comp = Analytics.connectedComponents(nearDupPairs, "id1", "id2")
+        .withColumnRenamed("id", "doc_id")
+      val losers = ded.join(broadcast(comp), Seq("doc_id"))
+        .withColumn("__kr", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(col("p_micro"), col("doc_id"))))
+        .filter(col("__kr") > 1).select(col("doc_id"))
+      val nd = ded.join(broadcast(losers), Seq("doc_id"), "left_anti")
       // decontamination (q124 face at n=5)
       val isProbe = col("doc_id") % 97 === 0 && col("doc_id") < 1000000L
       val probes = corpus.filter(isProbe)
@@ -10874,7 +10997,7 @@ object Queries {
         .orderBy(col("doc_id"), col("epoch"))
     },
     Some(s"""
-      |WITH crawl AS (
+      |WITH RECURSIVE crawl AS (
       |  SELECT doc_id, lang, source, n_chars, text FROM documents
       |  UNION ALL
       |  SELECT doc_id + 1000000, lang, source, n_chars, text FROM documents
@@ -10972,8 +11095,22 @@ object Queries {
       |  FROM ndcand
       |  JOIN ndb2 a ON a.doc_id = id1
       |  JOIN ndb2 b ON b.doc_id = id2),
-      |nd AS (SELECT doc_id, lang, source, text, tk, p_micro FROM ded
-      |  WHERE doc_id NOT IN (SELECT DISTINCT id2 FROM ndj WHERE jaccard >= 0.2)),
+      |-- quality-canonical election (round 18): verified pairs →
+      |-- recursive component closure → keep the best-scored copy per
+      |-- cluster (lowest p_micro, ties to the lower doc_id)
+      |ndp AS (SELECT id1, id2 FROM ndj WHERE jaccard >= 0.2),
+      |nde AS (SELECT id1 AS a, id2 AS b FROM ndp
+      |        UNION ALL SELECT id2, id1 FROM ndp),
+      |ndreach AS (
+      |  SELECT doc_id AS id, doc_id AS l FROM ded
+      |  UNION
+      |  SELECT nde.a, ndreach.l FROM nde JOIN ndreach ON nde.b = ndreach.id),
+      |ndcl AS (SELECT id AS doc_id, min(l) AS cluster_id FROM ndreach GROUP BY id),
+      |nd AS (SELECT doc_id, lang, source, text, tk, p_micro FROM (
+      |    SELECT ded.*, ROW_NUMBER() OVER (PARTITION BY ndcl.cluster_id
+      |      ORDER BY ded.p_micro, ded.doc_id) AS kr
+      |    FROM ded JOIN ndcl USING (doc_id))
+      |  WHERE kr = 1),
       |prg AS (SELECT DISTINCT gram FROM (
       |    SELECT unnest(list_distinct(list_transform(range(1, len(tk) - 3),
       |      i -> array_to_string(tk[i:i+4], ' ')))) AS gram
@@ -11063,5 +11200,5 @@ object Queries {
     q147, q148, q149, q150, q151, q152, q153, q154, q155, q156, q157, q158,
     q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
     q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184,
-    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233)
+    q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234)
 }

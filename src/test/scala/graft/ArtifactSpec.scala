@@ -213,4 +213,24 @@ class ArtifactSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(direct.toSeq == viaArtifact.toSeq)
   }
+
+  test("artifactScope: injective on short dirs, bounded + distinct on long ones") {
+    def component(scope: String): String = scope.split('/').last
+    // short dirs: the readable injective encoding, verbatim
+    val a = Queries.artifactScope("t", "/data/sf0.01")
+    val b = Queries.artifactScope("t", "/data/sf0.1")
+    assert(a != b)
+    assert(component(a) == "_x002fdata_x002fsf0.01")
+    // a path long enough that the 6x-expanding escape would blow the
+    // 255-byte filename-component limit: the digest form kicks in
+    val long1 = "/" + ("dir ü/" * 12) + "x"
+    val long2 = "/" + ("dir ü/" * 12) + "y"
+    val c1 = component(Queries.artifactScope("t", long1))
+    val c2 = component(Queries.artifactScope("t", long2))
+    assert(c1.length <= 255 && c2.length <= 255)
+    assert(c1 != c2, "distinct long dirs must keep distinct scopes")
+    // deterministic: same dir, same scope
+    assert(Queries.artifactScope("t", long1)
+      == Queries.artifactScope("t", long1))
+  }
 }

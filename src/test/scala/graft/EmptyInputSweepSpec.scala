@@ -21,7 +21,10 @@ class EmptyInputSweepSpec extends SparkSpec {
     Set("q28_ann_ivf_topk", "q162_semdedup_scaled", "q169_ann_pq_topk",
       "q172_ann_ivfpq_topk", "q228_quality_logreg_train",
       "q229_quality_logreg_score", "q230_model_artifact",
-      "q232_corpus_build_trained")
+      "q232_corpus_build_trained",
+      // round 18: the serve face's prepare trains the same PQ
+      // codebooks as q172 — no corpus vectors, no index to serve
+      "q234_ann_ivfpq_serve")
 
   test("all registered queries survive empty inputs (or fail fast by contract)") {
     val dir = Files.createTempDirectory("graft-empty").toString
