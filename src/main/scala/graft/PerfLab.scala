@@ -296,6 +296,17 @@ object PerfLab {
             if (a == null) null else a.distinct.filterNot(bc.value.contains))
           docs.select(col("doc_id"), f(col("sh")).as("s"))
         }
+      case "q232phases" =>
+        // per-link cost anatomy of the flagship (round 18): time each
+        // CUMULATIVE cut of the chain; consecutive differences are the
+        // per-link costs. prepare (artifact commits) runs untimed first.
+        Queries.all.find(_.name == "q232_corpus_build_trained")
+          .foreach(_.prepare.foreach(_(spark, sfDir)))
+        Seq("corpus", "quality", "scored", "exactdedup", "suppress",
+          "candidates", "verify", "elect", "decontam", "mix", "tokenize",
+          "full").foreach { cut =>
+          time(s"q232_$cut", reps)(Queries.q232Upto(spark, sfDir, cut))
+        }
       case n =>
         Queries.all.find(_.name == n).foreach { q =>
           q.prepare.foreach(_(spark, sfDir)) // untimed, same as Bench

@@ -10862,26 +10862,31 @@ object Queries {
     * spam plant is content-keyed so re-crawl duplicates cannot straddle
     * the gate.
     */
-  val q232: Q = Q(
-    "q232_corpus_build_trained",
-    (s, dir) => graft.CacheScope.scoped { cs =>
+  /** The q232 chain, cut at `upTo` — the timed query is `upTo = "full"`;
+    * every other value exists for PerfLab's per-link cost anatomy
+    * (`q232phases`). All links are `lazy val`s, so a cut builds (and
+    * pays for) exactly the prefix it returns — the "full" cut forces
+    * the identical dependency chain the inline body used to, in the
+    * same order, inside the same cache scope. */
+  private[graft] def q232Upto(s: SparkSession, dir: String,
+      upTo: String): DataFrame = graft.CacheScope.scoped { cs =>
       import graft.operators.{TokenizerArtifact, UnigramLm}
-      val corpus = cs.cache(q227Corpus(s, dir, spam = true))
+      lazy val corpus = cs.cache(q227Corpus(s, dir, spam = true))
       // heuristic prefilter (q21/q73 thresholds)
-      val qd = TextOps.qualityMetrics(corpus, "text")
+      lazy val qd = TextOps.qualityMetrics(corpus, "text")
         .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5)
         .select("doc_id", "lang", "source", "text")
       // TRAINED quality gate: score FROM the committed model (q229's
       // deployed shape), keep what the model calls clean
-      val wv = TokenizerArtifact.parseLinear(
+      lazy val wv = TokenizerArtifact.parseLinear(
         TokenizerArtifact.load(s, q232ModelDir(dir))
           .getOrElse(sys.error(s"q232: no model at ${q232ModelDir(dir)}")))
-      val qm = qd.join(
+      lazy val qm = qd.join(
         TrainPrep.logregScore(qd, "doc_id", "text", wv, logregDim)
           .filter(col("pred") === 0L)
           .select(col("doc_id"), col("p_micro")), "doc_id")
       // exact dedup, keep-first (q20/q73)
-      val ded = cs.cache(qm
+      lazy val ded = cs.cache(qm
         .withColumn("__fp", TextOps.fingerprint(col("text")))
         .withColumn("__rn", row_number().over(
           Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
@@ -10906,13 +10911,13 @@ object Queries {
       // collect_list re-agg variant was measured and REJECTED (+7 s
       // more: it rebuilds every shingle array through a second
       // corpus-mass shuffle the literal form never pays).
-      val sh0 = cs.cache(ded.select(col("doc_id"),
+      lazy val sh0 = cs.cache(ded.select(col("doc_id"),
           TextOps.wordBigrams(TextOps.tokens(col("text"))).as("sh"))
         .filter(size(col("sh")) > 0))
       // ONE action produces both the corpus count and the df table
       // (round 18 — verdict item 5: the oracle's nbn CROSS JOIN shape;
       // the old form paid a separate count() job over the cache)
-      val boiler = sh0.select(explode(col("sh")).as("s"))
+      lazy val boiler = sh0.select(explode(col("sh")).as("s"))
         .groupBy(col("s")).agg(count(lit(1)).as("df"))
         .crossJoin(sh0.select(count(lit(1)).as("n")))
         .filter(col("df") >
@@ -10922,21 +10927,21 @@ object Queries {
       // array_except at control-plane sizes, broadcast-variable UDF
       // past TextOps.BoilerLiteralMax so the plan stays small when a
       // production corpus suppresses tens of thousands of shingles
-      val base = cs.cache(sh0.select(col("doc_id"),
+      lazy val base = cs.cache(sh0.select(col("doc_id"),
           TextOps.suppressBoilerplate(s, col("sh"), boiler).as("sh"))
         .filter(size(col("sh")) > 0))
-      val sig = base
+      lazy val sig = base
         .withColumn("hv", TextOps.shingleHashes(col("sh")))
         .withColumn("sig", TextOps.minhashSignature(col("hv"), 8))
-      val banded = sig.select(col("doc_id"),
+      lazy val banded = sig.select(col("doc_id"),
         posexplode(TextOps.lshBandKeys(col("sig"), 4, 2)).as(Seq("band", "bkey")))
-      val cand = banded.alias("x").join(banded.alias("y"),
+      lazy val cand = banded.alias("x").join(banded.alias("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
-      val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
-      val sizes = base.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-      val nearDupPairs = cand
+      lazy val ex = base.select(col("doc_id"), explode(col("sh")).as("s"))
+      lazy val sizes = base.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      lazy val nearDupPairs = cand
         .join(ex.select(col("doc_id").as("id1"), col("s")), "id1")
         .join(ex.select(col("doc_id").as("id2"), col("s")), Seq("id2", "s"))
         .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_inter"))
@@ -10956,46 +10961,65 @@ object Queries {
       // only, and the non-canonical ids broadcast back out as the
       // anti-join. Docs outside every component are singleton clusters
       // — trivially their own canonical copy — so only losers move.
-      val comp = Analytics.connectedComponents(nearDupPairs, "id1", "id2")
+      lazy val comp = Analytics.connectedComponents(nearDupPairs, "id1", "id2")
         .withColumnRenamed("id", "doc_id")
-      val losers = ded.join(broadcast(comp), Seq("doc_id"))
+      lazy val losers = ded.join(broadcast(comp), Seq("doc_id"))
         .withColumn("__kr", row_number().over(
           Window.partitionBy(col("component"))
             .orderBy(col("p_micro"), col("doc_id"))))
         .filter(col("__kr") > 1).select(col("doc_id"))
-      val nd = ded.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      lazy val nd = ded.join(broadcast(losers), Seq("doc_id"), "left_anti")
       // decontamination (q124 face at n=5)
-      val isProbe = col("doc_id") % 97 === 0 && col("doc_id") < 1000000L
-      val probes = corpus.filter(isProbe)
-      val nonProbe = nd.filter(!isProbe)
-      val contaminated = TextOps.decontaminate(nonProbe, probes,
+      lazy val isProbe = col("doc_id") % 97 === 0 && col("doc_id") < 1000000L
+      lazy val probes = corpus.filter(isProbe)
+      lazy val nonProbe = nd.filter(!isProbe)
+      lazy val contaminated = TextOps.decontaminate(nonProbe, probes,
           "doc_id", "text", n = 5)
         .select(col("doc_id"))
-      val clean = nonProbe.join(contaminated, Seq("doc_id"), "left_anti")
+      lazy val clean = nonProbe.join(contaminated, Seq("doc_id"), "left_anti")
       // per-domain quota (q107) and stratified language mix (q64)
-      val quota = TrainPrep.domainQuota(clean, lower(col("source")),
+      lazy val quota = TrainPrep.domainQuota(clean, lower(col("source")),
           "doc_id", cap = 15)
         .drop("domain", "quota_rank")
-      val mixed = cs.cache(TrainPrep.stratifiedSample(quota, "doc_id", "lang",
+      lazy val mixed = cs.cache(TrainPrep.stratifiedSample(quota, "doc_id", "lang",
         Map("en" -> 80, "de" -> 50, "fr" -> 50, "es" -> 30, "zh" -> 20)))
       // tokenize FROM the committed artifact (q222 shape)
-      val vocab = TokenizerArtifact.parseUnigram(
+      lazy val vocab = TokenizerArtifact.parseUnigram(
         TokenizerArtifact.load(s, q232ArtifactDir(dir))
           .getOrElse(sys.error(s"q232: no artifact at ${q232ArtifactDir(dir)}")))
-      val tkf = UnigramLm.apply(mixed, "doc_id", "text", vocab, 4)
+      lazy val tkf = UnigramLm.apply(mixed, "doc_id", "text", vocab, 4)
         .join(mixed.select(col("doc_id"), col("lang"), col("source"),
           col("p_micro")), "doc_id")
       // pack into seeded epoch shards on the TOKENIZED length (q216)
-      val packed = TrainPrep.packEpochShards(
+      lazy val packed = TrainPrep.packEpochShards(
         tkf.select(col("doc_id"), col("n_pieces")), "doc_id", "n_pieces",
         seed = "graft17", epochs = 2, nShards = 8, budget = 512L)
-      packed.join(tkf.drop("n_pieces"), "doc_id")
+      lazy val full = packed.join(tkf.drop("n_pieces"), "doc_id")
         .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
           col("n_tok").as("n_pieces"), col("pieces_md5"), col("nll_micro"),
           col("p_micro"), col("epoch"), col("shard"), col("pos"),
           col("pack_id"), col("pack_offset"))
         .orderBy(col("doc_id"), col("epoch"))
-    },
+      upTo match {
+        case "corpus"     => corpus
+        case "quality"    => qd
+        case "scored"     => qm
+        case "exactdedup" => ded
+        case "suppress"   => base
+        case "candidates" => cand
+        case "verify"     => nearDupPairs
+        case "elect"      => nd
+        case "decontam"   => clean
+        case "mix"        => mixed
+        case "tokenize"   => tkf
+        case "full"       => full
+        case other        => sys.error(s"q232Upto: unknown cut $other")
+      }
+  }
+
+  val q232: Q = Q(
+    "q232_corpus_build_trained",
+    (s, dir) => q232Upto(s, dir, "full"),
     Some(s"""
       |WITH RECURSIVE crawl AS (
       |  SELECT doc_id, lang, source, n_chars, text FROM documents

@@ -158,12 +158,87 @@ object Analytics {
     * that appears in an edge; isolated nodes never enter and callers
     * left-join + coalesce to themselves.
     */
+  /** Size cutoff for the components LOCAL fast path (round 18 — guide
+    * §1.2/§2: the iterative loops below cost a fixed 4–6 Spark jobs per
+    * round regardless of data size, so an answer-sized edge set — the
+    * common case after near-dup verification — pays seconds of pure
+    * job-scheduling overhead for milliseconds of work). At or below the
+    * threshold the materialized edge set is collected and closed with
+    * union-find (union-by-min keeps every root the minimum member, so
+    * labels are IDENTICAL to both distributed variants' min-id fixpoint,
+    * independent of edge order); above it the audited distributed loop
+    * runs unchanged — at 100 TB a corpus-mass edge set never collects.
+    * Scale-adaptive, not local-mode-tuned: the threshold bounds the
+    * driver collect at ~2·8 bytes/edge (≤ ~8 MB at the default 500k) on
+    * ANY cluster, and `spark.graft.cc.localEdges` overrides it (0
+    * disables the fast path entirely — AnalyticsSpec pins fast == loop).
+    */
+  private def ccLocalEdgeThreshold(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("spark.graft.cc.localEdges")
+      .map(_.toLong).getOrElse(500000L)
+
+  /** Union-find with union-by-min over a bounded edge list: every root
+    * is the smallest id of its component (attach the larger root under
+    * the smaller), so `find` yields the same (id, component = min id in
+    * component) labeling as the distributed fixpoints. */
+  private def unionFindMinLabel(
+      edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def add(x: Long): Unit =
+      if (!parent.containsKey(x)) parent.put(x, x): Unit
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    val out = new Array[(Long, Long)](parent.size)
+    val it = parent.keySet.iterator
+    var i = 0
+    while (it.hasNext) { val k = it.next(); out(i) = (k, find(k)); i += 1 }
+    out
+  }
+
+  /** Bounded edge set → (id, component) DataFrame via [[unionFindMinLabel]]. */
+  private def localComponentsDf(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        unionFindMinLabel(edges).toSeq
+          .map { case (id, c) => org.apache.spark.sql.Row(id, c) },
+        1),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("component", LongType, nullable = false))))
+  }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIters: Int = 25): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
     val sym = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist()
+    // size-adaptive local fast path (see ccLocalEdgeThreshold): the
+    // symmetric edge set is materialized either way — one count against
+    // the pinned cache decides, and the collect is threshold-bounded
+    val threshold = ccLocalEdgeThreshold(edges)
+    if (threshold > 0 && sym.count() <= threshold) {
+      val rows = sym.collect()
+      // a NULL endpoint (possible only if a caller casts junk) keeps the
+      // old loop's null-row semantics by falling through to it
+      if (rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        val collected = rows.map(r => (r.getLong(0), r.getLong(1)))
+        sym.unpersist(blocking = false)
+        return localComponentsDf(edges.sparkSession, collected)
+      }
+    }
     // localCheckpoint, not persist, for the per-round labeling: the
     // pointer-doubling self-join references the previous round's plan
     // several times, so without lineage TRUNCATION the logical plan tree
@@ -347,6 +422,23 @@ object Analytics {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint()
+
+    // size-adaptive local fast path (see ccLocalEdgeThreshold): the
+    // canonical edge set is already materialized by the checkpoint; at
+    // or below the threshold, close it with union-find and keep ONLY
+    // the final label-every-node aggregate distributed (nodes is
+    // corpus-sized; the component table is answer-sized)
+    val threshold = ccLocalEdgeThreshold(edges)
+    if (threshold > 0 && e.count() <= threshold) {
+      val rows = e.collect()
+      if (rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        val comp = localComponentsDf(edges.sparkSession,
+          rows.map(r => (r.getLong(0), r.getLong(1))))
+        return comp
+          .union(nodes.select(col("id"), col("id").as("component")))
+          .groupBy(col("id")).agg(min(col("component")).as("component"))
+      }
+    }
 
     def largeStar(cur: DataFrame): DataFrame = {
       val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))

@@ -996,7 +996,21 @@ object TextOps {
     * Output: (idCol, bucket, value, n_tokens) — only occupied buckets.
     */
   def featureHash(df: DataFrame, idCol: String, textCol: String,
-      dim: Int): DataFrame = {
+      dim: Int): DataFrame =
+    featureHashTokens(df, idCol, textCol, dim)
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__s")).as("value"), count(lit(1)).as("n_tokens"))
+
+  /** The per-token face of [[featureHash]]: one `(idCol, bucket, __s)`
+    * row per token, BEFORE the per-(doc, bucket) aggregate. Exposed
+    * (round 18) so a consumer that immediately multiplies `value` by a
+    * per-bucket constant (the linear scorer's Σ value·w) can distribute
+    * the multiply over the sign sum and fold everything into ONE
+    * per-doc aggregate — Σ_b (Σ signs)·w_b = Σ_tokens sign·w_b exactly,
+    * in integer arithmetic — instead of paying the (doc, bucket)
+    * aggregate, a join, and a second per-doc aggregate. */
+  private[operators] def featureHashTokens(df: DataFrame, idCol: String,
+      textCol: String, dim: Int): DataFrame = {
     require(dim > 0, s"featureHash: dim must be positive, got $dim")
     val md = md5(col("__t"))
     val bucket = pmod(conv(substring(md, 1, 8), 16, 10).cast("long"), lit(dim.toLong))
@@ -1004,8 +1018,6 @@ object TextOps {
       lit(1L)).otherwise(lit(-1L))
     df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .select(col(idCol), bucket.as("bucket"), sign.as("__s"))
-      .groupBy(col(idCol), col("bucket"))
-      .agg(sum(col("__s")).as("value"), count(lit(1)).as("n_tokens"))
   }
 
   /** Vocabulary coverage / OOV audit: build the top-`vocabSize` token

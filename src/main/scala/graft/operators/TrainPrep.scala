@@ -1778,16 +1778,34 @@ object TrainPrep {
     require(dim >= 1 && dim <= (1 << 18), s"logregTrain: bad dim $dim")
     require(rounds >= 0 && rounds <= 64, s"logregTrain: bad rounds $rounds")
     require(lrDiv >= 1, s"logregTrain: bad lrDiv $lrDiv")
-    val spark = docs.sparkSession
-    val feats = logregFeatures(docs, idCol, textCol, dim).localCheckpoint()
+    // Round 18 (guide §2.3/§2.4): the round loop used to pay THREE
+    // exchanges of the feature table per round — margins groupBy(doc),
+    // the labels join, and the gradient's join back to feats by doc —
+    // 32 rounds × 3 shuffles of the widest relation in the query.
+    // Features are now PACKED once per doc ((bucket, value) array +
+    // label, one localCheckpoint), so a round is ONE narrow scan: the
+    // margin is an integer fold over the packed array against the
+    // round's weight literal (no join, no shuffle), and the only
+    // exchange left is the per-bucket gradient aggregate, whose
+    // map-side partial aggregation bounds the shuffle at (dim+1) rows
+    // per task. Long addition is associative and commutative and every
+    // per-term product is unchanged, so margins, gradients, and weight
+    // steps are bit-identical to the row-form plan round for round
+    // (gates: the q228/q229/q230/q232 oracles replay every round;
+    // TrainPrepSpec pins the fixture weights).
     val labels = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(labelCol).cast("long").as("y")).localCheckpoint()
+      col(labelCol).cast("long").as("y"))
+    val packed = logregFeatures(docs, idCol, textCol, dim)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("bucket"), col("value"))).as("fs"))
+      .join(labels, "doc_id")
+      .localCheckpoint()
     val n = labels.count()
     require(n > 0, "logregTrain: empty corpus")
     val w = Array.fill(dim + 1)(0L)
     var r = 0
     while (r < rounds) {
-      val g = logregGradient(spark, feats, labels, w)
+      val g = logregGradientPacked(packed, w)
       var j = 0
       while (j <= dim) {
         // truncating division — Long./ == DuckDB // (both toward zero)
@@ -1799,28 +1817,27 @@ object TrainPrep {
     w.toSeq
   }
 
-  /** Σ_i value_ij·(p_i − 1e6·y_i) per bucket under broadcast weights —
-    * the (dim+1)-sized control-plane read of one training round. */
-  private def logregGradient(spark: org.apache.spark.sql.SparkSession,
-      feats: DataFrame, labels: DataFrame,
+  /** Σ_i value_ij·(p_i − 1e6·y_i) per bucket over the packed per-doc
+    * feature table — one whole-stage pass + one (dim+1)-row aggregate
+    * per training round. The margin fold and the coefficient live in
+    * their OWN projections below the explode (CollapseProject keeps
+    * non-cheap aliases separate), so the fold runs once per doc, not
+    * once per exploded feature. */
+  private def logregGradientPacked(packed: DataFrame,
       w: Array[Long]): Map[Long, Long] = {
-    val wDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        w.toSeq.zipWithIndex.map { case (v, j) => org.apache.spark.sql.Row(j.toLong, v) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("bucket",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("w",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-    val margins = feats.join(broadcast(wDf), "bucket")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("value") * col("w")).cast("long").as("m"))
-    margins.select(col("doc_id"), sigmoidMicro(col("m")).as("p"))
-      .join(labels, "doc_id")
-      .join(feats, "doc_id")
+    val wLit = typedlit(w.toIndexedSeq)
+    val margin = aggregate(col("fs"), lit(0L), (acc, f) =>
+      acc + f.getField("value") *
+        element_at(wLit, f.getField("bucket").cast("int") + 1))
+    packed
+      .select(col("fs"), col("y"), margin.as("__m"))
+      .select(col("fs"),
+        (sigmoidMicro(col("__m")) - lit(1000000L) * col("y")).as("__c"))
+      .select(explode(col("fs")).as("f"), col("__c"))
+      .select(col("f.bucket").as("bucket"),
+        (col("f.value") * col("__c")).as("__g"))
       .groupBy(col("bucket"))
-      .agg(sum(col("value") * (col("p") - lit(1000000L) * col("y")))
-        .cast("long").as("g"))
+      .agg(sum(col("__g")).cast("long").as("g"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -1831,19 +1848,28 @@ object TrainPrep {
       weights: Seq[Long], dim: Int): DataFrame = {
     require(weights.size == dim + 1,
       s"logregScore: need ${dim + 1} weights, got ${weights.size}")
-    val spark = docs.sparkSession
-    val wDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        weights.zipWithIndex.map { case (v, j) => org.apache.spark.sql.Row(j.toLong, v) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("bucket",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("w",
-          org.apache.spark.sql.types.LongType, nullable = false))))
-    logregFeatures(docs, idCol, textCol, dim)
-      .join(broadcast(wDf), "bucket")
+    // Round 18 (guide §2.3): the margin Σ_b value_b·w_b distributes
+    // over featureHash's sign sum — Σ_b (Σ signs)·w_b = Σ_tokens
+    // sign·w_bucket(token) exactly, in integer arithmetic — so scoring
+    // is ONE explode → per-doc aggregate against the weight literal
+    // instead of the (doc, bucket) aggregate + broadcast join + second
+    // per-doc aggregate. The bias coordinate (bucket = dim, value 1
+    // per input row) arrives via the doc spine: margin = token sum +
+    // n_rows·w[dim], which for the (normal) unique-id case is + w[dim],
+    // and reproduces the old groupBy's duplicate-id collapse otherwise.
+    val wLit = typedlit(weights.toIndexedSeq)
+    val contrib = TextOps.featureHashTokens(docs, idCol, textCol, dim)
+      .select(col(idCol).cast("long").as("doc_id"),
+        (col("__s") * element_at(wLit, col("bucket").cast("int") + 1))
+          .as("__c"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("value") * col("w")).cast("long").as("margin_micro"))
+      .agg(sum(col("__c")).cast("long").as("__tm"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__nb"))
+      .join(contrib, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("__tm"), lit(0L)) + col("__nb") * lit(weights(dim)))
+          .cast("long").as("margin_micro"))
       .select(col("doc_id"), col("margin_micro"),
         sigmoidMicro(col("margin_micro")).as("p_micro"),
         when(col("margin_micro") >= 0L, 1L).otherwise(0L).as("pred"))

@@ -17,9 +17,19 @@ class StarCCPropSpec extends SparkSpec {
 
   private def check(edges: Seq[(Long, Long)], tag: String): Unit = {
     val df = edges.toDF("a", "b")
-    val prop = labels(Analytics.connectedComponents(df, "a", "b"))
-    val star = labels(Analytics.connectedComponentsStar(df, "a", "b"))
+    // distributed loops (fast path disabled) — the 100-TB plans
+    spark.conf.set("spark.graft.cc.localEdges", "0")
+    val (prop, star) =
+      try (labels(Analytics.connectedComponents(df, "a", "b")),
+        labels(Analytics.connectedComponentsStar(df, "a", "b")))
+      finally spark.conf.unset("spark.graft.cc.localEdges")
     assert(star == prop, s"$tag: star vs propagation labelings diverge")
+    // size-adaptive union-find fast path (round 18) must be label-exact
+    // against both loops
+    val propFast = labels(Analytics.connectedComponents(df, "a", "b"))
+    val starFast = labels(Analytics.connectedComponentsStar(df, "a", "b"))
+    assert(propFast == prop, s"$tag: local fast path diverges from propagation")
+    assert(starFast == prop, s"$tag: local star fast path diverges")
   }
 
   test("random sparse graphs match propagation labeling") {
